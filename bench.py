@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall time over the headline set (one warm-up of the
+session excluded: Spark JVM + first-read parquet footer costs are session
+overhead, not per-query cost at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries: the flagship plus one representative per operator
+#: family (scan/filter, join, agg, window, sort, set, function, llm).
+HEADLINE = [
+    "q_pricing_summary",
+    "q_filter_range",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_agg_group",
+    "q_agg_rollup",
+    "q_win_rank",
+    "q_topk",
+    "q_union_all",
+    "q_fn_string",
+    "q_stream_tumble",
+    "q_llm_dedup_exact",
+    "q_llm_text_stats",
+    "q_llm_similarity",
+]
+
+
+def main() -> None:
+    from okera_trino_spark.registry import load_all_queries
+    from okera_trino_spark.session import get_spark
+
+    specs = load_all_queries()
+    spark = get_spark("okera-trino-spark-bench")
+    names = [n for n in HEADLINE if n in specs]
+
+    # Warm the session: JVM/codegen/parquet-footer costs paid once.
+    specs[names[0]].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = specs[name].fn(spark, SF_DIR)
+        df.count()  # full materialization without driver-side collect
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_total_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    main()

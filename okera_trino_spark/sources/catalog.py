@@ -1,0 +1,255 @@
+"""Governed parquet catalog — the Spark-first equivalent of the reference
+connector's metadata/scan layer.
+
+Reference semantics reproduced here (all citations into /root/reference):
+
+- Catalog/schema/table listings with a registry
+  (RecordServiceMetadata.java:166-282).
+- Column-level authorization: columns the user cannot access are silently
+  dropped from the visible schema (RecordServiceMetadata.java:804) — here a
+  ``select`` wrapped around the scan before the DataFrame is exposed, so
+  Catalyst prunes them out of the parquet read entirely.
+- Row-level policies ("internal views" evaluated server-side,
+  RecordServiceMetadata.java:109-118) — a filter applied at scan time.
+- Sampled catalog variants ``okera_sampled_10mb`` / ``okera_sampled_100mb``
+  (RecordServicePlugin.java:61-67, RecordServiceConfig.java:404-422): the
+  reference caps *bytes scanned*; the Spark-native idiom is a fraction
+  sample pushed to the scan, with the fraction derived from the byte cap
+  and the table's on-disk size.
+- Session properties ``limit`` / ``sampling_value``
+  (RecordServiceSessionProperties.java:26-59) applied to every governed read.
+- Listing caps: max 100 schemas / 50 tables per wildcard listing
+  (RecordServiceMetadata.java:84-85).
+
+Scan execution itself is Spark's DataSource V2 parquet reader — vectorized
+columnar decode, split planning, locality, predicate/projection/limit
+pushdown are all Catalyst-native (the reference hand-rolls these in
+RecordServicePageSource.java / RecordServiceSplitManagerImpl.java).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+#: Fixture tables (TESTDATA.md). One parquet file per table.
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Reference listing caps (RecordServiceMetadata.java:84-85).
+MAX_SCHEMAS_LISTED = 100
+MAX_TABLES_LISTED = 50
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain governed-free scan. Catalyst owns splits + pushdown."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Register fixture tables as temp views (idempotent) and return them.
+
+    Temp-view registration lets query implementations use ``spark.sql``
+    where SQL is the clearer declaration; Catalyst compiles both API
+    styles to the same plans.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+@dataclass
+class AuditRecord:
+    """One query-completion audit event.
+
+    Field set mirrors the reference's event listener payload
+    (OkeraEventListener.java:26-67): query id, user, wall time, success,
+    error message, and the (raw) SQL/plan description.
+    """
+    query_id: int
+    user: str
+    sql: str
+    start_time: float
+    elapsed_ms: float
+    success: bool
+    error: str | None = None
+
+
+@dataclass
+class TablePolicy:
+    """Per-table governance: visible columns and a row filter.
+
+    ``allowed_columns=None`` means all columns visible. ``row_filter`` is a
+    SQL boolean expression evaluated against the table's columns — the
+    "internal view" the reference's planner applies server-side.
+    """
+    allowed_columns: list[str] | None = None
+    row_filter: str | None = None
+
+
+@dataclass
+class SessionProperties:
+    """Reference session properties (RecordServiceSessionProperties.java:26-59).
+
+    ``limit``: cap rows returned by every governed scan (the reference
+    pushes it into the worker via ctx.setLimit,
+    RecordServiceSplitManagerImpl.java:270-282).
+    ``sampling_value``: byte cap for sampled scans
+    (ctx.setSampleMaxDataSizeBytes, RecordServiceConfig.java:404-422).
+    ``user``: identity consumed by the column/row policies (the reference
+    authenticates via OkeraAuthenticator; here identity is an input).
+    """
+    user: str = "root"
+    limit: int | None = None
+    sampling_bytes: int | None = None
+    stats_mode: str = "okera"
+
+
+class GovernedCatalog:
+    """Schema registry + governed reads + view store + audit log.
+
+    The three catalog flavors the reference registers
+    (RecordServicePlugin.java:61-67) map to ``sample_bytes`` presets:
+    ``GovernedCatalog(...)`` = ``okera``, ``sample_bytes=10MB/100MB`` =
+    the ``okera_sampled_*`` variants.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 catalog_name: str = "okera",
+                 sample_bytes: int | None = None) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.catalog_name = catalog_name
+        self.sample_bytes = sample_bytes
+        self.props = SessionProperties()
+        self._policies: dict[str, dict[str, TablePolicy]] = {}  # user -> table -> policy
+        self._views: dict[str, str] = {}  # view name -> SQL text (external views)
+        self._audit: list[AuditRecord] = []
+        self._next_query_id = 0
+
+    # ------------------------------------------------------------- listings
+    def list_schemas(self) -> list[str]:
+        """information_schema is engine-internal, never listed
+        (RecordServiceMetadata.java:82,549-553)."""
+        return ["default"][:MAX_SCHEMAS_LISTED]
+
+    def list_tables(self) -> list[str]:
+        return sorted(TABLE_NAMES)[:MAX_TABLES_LISTED]
+
+    def list_views(self) -> list[str]:
+        return sorted(self._views)[:MAX_TABLES_LISTED]
+
+    def table_schema(self, name: str, user: str | None = None):
+        """Visible schema after column authorization — unauthorized columns
+        are absent, not errored (RecordServiceMetadata.java:804)."""
+        return self.read(name, user=user).schema
+
+    # ------------------------------------------------------------- policies
+    def set_policy(self, user: str, table: str, policy: TablePolicy) -> None:
+        self._policies.setdefault(user, {})[table] = policy
+
+    # ---------------------------------------------------------------- reads
+    def read(self, name: str, user: str | None = None) -> DataFrame:
+        """Governed scan: policy column-prune + row-filter + sampling + limit.
+
+        Order matters and is chosen so every stage stays pushdown-friendly:
+        filter and select go first (Catalyst collapses them into the scan),
+        sample next, limit last. All stages are lazy DataFrame transforms —
+        nothing executes here.
+        """
+        user = user or self.props.user
+        if name in self._views:
+            df = self.expand_view(name)
+        else:
+            df = load_table(self.spark, self.sf_dir, name)
+        policy = self._policies.get(user, {}).get(name)
+        if policy is not None:
+            if policy.row_filter:
+                df = df.filter(policy.row_filter)
+            if policy.allowed_columns is not None:
+                visible = [c for c in df.columns if c in set(policy.allowed_columns)]
+                df = df.select(*visible)
+        frac = self._sample_fraction(name)
+        if frac is not None:
+            df = df.sample(fraction=frac, seed=42)
+        if self.props.limit is not None:
+            df = df.limit(self.props.limit)
+        return df
+
+    def _sample_fraction(self, name: str) -> float | None:
+        """Translate the reference's byte cap into a row-sample fraction.
+
+        Byte-exact "scan only the last N bytes" semantics
+        (RecordServiceConfig.java:404-422) are a property of the reference's
+        wire protocol; the Spark-native equivalent derives fraction =
+        cap / on-disk size and lets the scan sample row groups.
+        """
+        cap = self.props.sampling_bytes or self.sample_bytes
+        if cap is None:
+            return None
+        size = os.path.getsize(table_path(self.sf_dir, name))
+        return min(1.0, cap / max(size, 1))
+
+    # ---------------------------------------------------------------- views
+    def create_view(self, name: str, sql: str, replace: bool = False) -> None:
+        """Store SQL text; re-analyzed at read (external-view flavor,
+        RecordServiceMetadata.java:288-349). The reference escapes the SQL
+        for embedding in DDL (:304-311); storing text directly is the
+        Spark-native equivalent — the session catalog re-analyzes on read.
+        ``replace`` mirrors the drop-then-create path (:332-336)."""
+        if name in self._views and not replace:
+            raise ValueError(f"view already exists: {name}")
+        self._views[name] = sql
+
+    def drop_view(self, name: str, if_exists: bool = True) -> None:
+        if name not in self._views:
+            if if_exists:
+                return
+            raise ValueError(f"no such view: {name}")
+        del self._views[name]
+
+    def expand_view(self, name: str) -> DataFrame:
+        """Expand stored view SQL against the governed tables
+        (read path: RecordServiceMetadata.java:392-444)."""
+        register_tables(self.spark, self.sf_dir)
+        return self.spark.sql(self._views[name])
+
+    # ---------------------------------------------------------------- audit
+    def execute(self, sql: str, user: str | None = None) -> DataFrame:
+        """Run SQL with audit logging (OkeraEventListener.java:26-67 field
+        set: id, user, timing, success, error, query text)."""
+        register_tables(self.spark, self.sf_dir)
+        qid = self._next_query_id
+        self._next_query_id += 1
+        start = time.time()
+        try:
+            df = self.spark.sql(sql)
+            self._audit.append(AuditRecord(
+                query_id=qid, user=user or self.props.user, sql=sql,
+                start_time=start, elapsed_ms=(time.time() - start) * 1000.0,
+                success=True))
+            return df
+        except Exception as exc:  # noqa: BLE001 — audit then re-raise
+            self._audit.append(AuditRecord(
+                query_id=qid, user=user or self.props.user, sql=sql,
+                start_time=start, elapsed_ms=(time.time() - start) * 1000.0,
+                success=False, error=str(exc)))
+            raise
+
+    @property
+    def audit_log(self) -> list[AuditRecord]:
+        return list(self._audit)

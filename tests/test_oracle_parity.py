@@ -1,0 +1,25 @@
+"""Differential test of every registered query against the DuckDB oracle —
+the same comparison the driver runs (row count + schema + values),
+parameterized over the full registry. Queries without an oracle get a
+rows-run smoke check instead (driver's weaker rows-only mode).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from okera_trino_spark.registry import load_all_queries
+from tests.parity import check_query
+
+SPECS = load_all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, sf_dir, oracle):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        n = df.count()
+        assert n >= 0
+    else:
+        check_query(df, oracle, spec.oracle, name=name)
