@@ -1,0 +1,122 @@
+"""Trino-dialect function shims over Spark builtins — SURVEY.md §7.4 risk 1.
+
+The reference's SQL surface is Trino 400; where Trino and Spark SQL
+disagree on names or argument order, these shims present the Trino form
+and compile to the Spark builtin (JVM-side, codegen-friendly — never a
+Python UDF). Each shim documents the divergence it papers over.
+
+The reference's only connector-registered scalar UDF is
+current_database() → 'okera' (udfs/CurrentDatabaseUdf.java:10-17,
+registered via RecordServicePlugin.java:70-78); see
+``register_reference_udfs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+# Trino datetime unit → Spark interval keyword (shared by date_add/date_diff).
+_UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+
+
+def _check_unit(unit: str) -> str:
+    u = unit.lower()
+    if u not in _UNITS:
+        raise ValueError(f"unsupported datetime unit: {unit!r}")
+    return u
+
+
+def strpos(col: Column | str, substr: str) -> Column:
+    """Trino strpos(string, substring) — 1-based, 0 if absent.
+
+    Spark's locate/instr reverse the argument order; instr(col, substr)
+    matches Trino's semantics exactly.
+    """
+    return F.instr(col, substr)
+
+
+def date_add(unit: str, n: int | Column, ts: Column | str) -> Column:
+    """Trino date_add(unit, value, timestamp).
+
+    Spark's date_add(date, n) is days-only with reversed args; the
+    general form is interval arithmetic, which also preserves the
+    timestamp type (Spark date_add returns DATE).
+    """
+    u = _check_unit(unit)
+    col = F.col(ts) if isinstance(ts, str) else ts
+    n_expr = str(int(n)) if isinstance(n, int) else None
+    if n_expr is None:
+        raise TypeError("date_add shim requires a literal n")
+    return col + F.expr(f"INTERVAL {n_expr} {u.upper()}")
+
+
+def date_diff(unit: str, start: Column | str, end: Column | str) -> Column:
+    """Trino date_diff(unit, start, end) = end - start in whole units.
+
+    Spark datediff(end, start) is days-only with reversed args;
+    timestampdiff covers the general case.
+    """
+    u = _check_unit(unit)
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    return F.timestamp_diff(u.upper(), s, e)
+
+
+def date_trunc(unit: str, ts: Column | str) -> Column:
+    """Trino date_trunc(unit, ts). Spark agrees but takes (fmt, ts) with
+    fmt as a string in the same position — passthrough with unit check."""
+    return F.date_trunc(_check_unit(unit), ts)
+
+
+def json_extract_scalar(col: Column | str, path: str) -> Column:
+    """Trino json_extract_scalar(json, path) → Spark get_json_object."""
+    return F.get_json_object(col, path)
+
+
+def json_extract(col: Column | str, path: str) -> Column:
+    """Trino json_extract — Spark's get_json_object returns JSON text for
+    non-scalar matches, which covers the oracle-checkable surface."""
+    return F.get_json_object(col, path)
+
+
+def approx_distinct(col: Column | str, e: float = 0.023) -> Column:
+    """Trino approx_distinct(x, e) → HLL++ with relative error e."""
+    return F.approx_count_distinct(col, rsd=e)
+
+
+def cardinality(col: Column | str) -> Column:
+    """Trino cardinality(array|map) → Spark size."""
+    return F.size(col)
+
+
+def contains(col: Column | str, value) -> Column:
+    """Trino contains(array, elem) → Spark array_contains."""
+    return F.array_contains(col, value)
+
+
+def if_(cond: Column, then, otherwise=None) -> Column:
+    """Trino if(cond, a[, b])."""
+    w = F.when(cond, then)
+    return w.otherwise(otherwise) if otherwise is not None else w
+
+
+def listagg(col: Column | str, sep: str = ",") -> Column:
+    """Trino listagg(x, sep) WITHIN GROUP (ORDER BY x) — deterministic
+    sorted concatenation (collect_list is partition-order-dependent,
+    so sort before joining)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.transform(F.array_sort(F.collect_list(c)), lambda v: v.cast("string")), sep
+    )
+
+
+def register_reference_udfs(spark: SparkSession, database: str = "okera") -> None:
+    """Register the plugin's UDF surface (E37/C17).
+
+    current_database() returns the connector's catalog name
+    (udfs/CurrentDatabaseUdf.java:10-17). Spark has its own
+    current_database(); the reference semantics are exposed under
+    ``okera_current_database`` to avoid shadowing the builtin.
+    """
+    spark.udf.register("okera_current_database", lambda: database, "string")

@@ -1,0 +1,248 @@
+"""Aggregation operators — SURVEY.md §2.2 E7–E13, E34.
+
+All engine-delegated in the reference (Trino 400 hash aggregation);
+declared here via groupBy/agg so Spark plans partial (map-side) + final
+aggregation around a keys-only shuffle. Doubles are rounded identically
+in Spark and oracle (see operators/_util.r4) because parallel FP
+summation is order-dependent in the last bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import r4, t
+from okera_trino_spark.registry import query
+
+
+@query(
+    "q_agg_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("agg",),
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 grouped hash aggregate, multi-function."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("sum_price"),
+            r4(F.avg("o_totalprice")).alias("avg_price"),
+            r4(F.min("o_totalprice")).alias("min_price"),
+            r4(F.max("o_totalprice")).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 global (no GROUP BY) aggregate: partial per partition, single
+    final reducer — constant shuffle volume at any scale."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 DISTINCT aggregate. Spark expands this to a two-phase plan
+    (dedup on (status, custkey) then count) — the shuffle carries
+    distinct pairs, not raw rows."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 approx_distinct (HLL++). Sketch values are engine-specific
+    (Trino/Spark/DuckDB HLLs all differ) → rows-only driver check; the
+    unit test bounds relative error instead (tests/test_aggregates.py)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"))
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 ROLLUP: (status, priority), (status), () grouping sets."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), r4(F.sum("o_totalprice")).alias("sum_price"))
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 CUBE: all 4 grouping sets over two keys."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), r4(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg",),
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 explicit GROUPING SETS (disjoint single-key sets)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           count(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 4) AS sum_f_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 filtered/conditional aggregation (Trino count_if / FILTER)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_nodisc"),
+        r4(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0))).alias("sum_f_price"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)            AS sd_qty,
+           round(var_samp(l_quantity), 4)               AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)  AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 statistical aggregates. Spark `percentile` is the exact
+    interpolated quantile — same definition as DuckDB quantile_cont
+    (Trino's approx_percentile is sketch-based; the exact form is the
+    oracle-checkable one)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r4(F.var_samp("l_quantity")).alias("var_qty"),
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qty_price"),
+        r4(F.percentile("l_extendedprice", 0.5)).alias("median_price"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey) AS supp_keys
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    tags=("agg",),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34 ordered array_agg (Trino array_agg(x ORDER BY y) / listagg).
+
+    Spark collect_list is unordered across partitions → sort the array
+    then render to string (deterministic, engine-neutral form).
+    """
+    nat = t(spark, sf_dir, "nation")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        nat.join(supp, supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s_suppkey")), lambda v: v.cast("string")),
+                ",",
+            ).alias("supp_keys")
+        )
+    )

@@ -1,0 +1,210 @@
+"""Join operators — SURVEY.md §2.2 E1–E6.
+
+The reference delegates all joins to the hosting Trino 400 engine
+(RecordServiceConnector.java:56-80 exposes no join hooks); here each join
+shape is declared via the DataFrame API and Catalyst/AQE picks the
+physical strategy. Scale notes per query document the intended 100-TB
+plan (broadcast vs sort-merge, where the shuffle lands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import r4, t
+from okera_trino_spark.registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("join",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 inner equi-join fact→dim.
+
+    Scale: customer is 15M rows at SF100k — below the 64MB broadcast
+    threshold after the segment filter prunes 4/5 of it? No: leave the
+    choice to Catalyst/AQE. The segment filter is pushed below the join
+    so the build side shrinks before strategy selection.
+    """
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 left outer join with an extra ON-clause predicate (NULL-extends
+    customers with no qualifying order — exercises ON vs WHERE filter
+    placement semantics)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000)
+    return cust.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT cn.nationkey AS c_nation, cn.n_cust, sn.nationkey AS s_nation, sn.n_supp
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          FROM customer GROUP BY c_nationkey) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          FROM supplier GROUP BY s_nationkey) sn
+      ON cn.nationkey = sn.nationkey
+    """,
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 full outer join of two pre-aggregated sides (suppliers cover
+    fewer nations than customers → NULL extension on both sides).
+
+    Scale: pre-aggregating before the join shrinks both shuffle inputs
+    to |nations| rows — aggregate-below-join is the scalable shape.
+    """
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cn.join(sn, cn.nationkey == sn.nationkey, "full").select(
+        cn.nationkey.alias("c_nation"), "n_cust",
+        sn.nationkey.alias("s_nation"), "n_supp",
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 left-semi join (EXISTS). Semi joins never duplicate the probe
+    side, so the shuffle carries each customer once regardless of order
+    count — preferred over join+distinct at scale."""
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 left-anti join (NOT EXISTS): customers with no orders."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 cross join — only ever sane when one side is tiny; Catalyst
+    broadcasts the smaller side (BroadcastNestedLoopJoin)."""
+    return t(spark, sf_dir, "region").crossJoin(t(spark, sf_dir, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT s.s_suppkey, count(*) AS n_richer
+    FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+    tags=("join",),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 theta (non-equi) join: per supplier, customers with larger
+    balance. Physical plan is BroadcastNestedLoopJoin with the tiny
+    supplier side broadcast — the only scalable NL shape. (A band/range
+    join at scale would bucketize the predicate; see llm/similarity for
+    that pattern.)"""
+    supp = t(spark, sf_dir, "supplier")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        supp.join(cust, cust.c_acctbal > supp.s_acctbal, "inner")
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer"))
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "agg"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 explicit broadcast of the dim chain (TPC-H Q5 shape).
+
+    supplier→nation→region is a few KB–MB at any SF; broadcasting all
+    three means the 100-TB lineitem scan never shuffles before the
+    final 5-group aggregate — the canonical star-schema plan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    reg = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )

@@ -1,0 +1,201 @@
+"""Sort, limit/top-k, offset, and set operators — SURVEY.md §2.2 E17–E22.
+
+Engine-delegated in the reference. Scale notes:
+- global ORDER BY = range-partitioned shuffle (sampled split points);
+  ORDER BY + LIMIT k = per-partition top-K (TakeOrderedAndProject), no
+  global sort — prefer the latter at 100 TB.
+- UNION ALL is a zero-shuffle concatenation; the DISTINCT variants add
+  one hash shuffle on all columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import t
+from okera_trino_spark.registry import query
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, nullif(c_acctbal, 0.0) AS bal,
+           row_number() OVER (ORDER BY nullif(c_acctbal, 0.0) DESC NULLS LAST,
+                              c_mktsegment ASC, c_custkey) AS sort_pos
+    FROM customer
+    """,
+    tags=("sort",),
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 multi-key sort with NULLS LAST. The driver's hash is
+    order-insensitive, so the sort position is materialized as a
+    row_number over the same ordering — making order itself checkable.
+    (The unpartitioned window is the *test* fixture; a production global
+    sort is `orderBy(...)`, a range-shuffled SortExec.)"""
+    cust = t(spark, sf_dir, "customer")
+    bal = F.nullif(F.col("c_acctbal"), F.lit(0.0))
+    w = Window.orderBy(bal.desc_nulls_last(), F.col("c_mktsegment").asc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey", "c_mktsegment", bal.alias("bal"),
+        F.row_number().over(w).alias("sort_pos"),
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 Top-K: compiles to TakeOrderedAndProject — each task keeps a
+    k-element heap; only k·partitions rows reach the driver-side merge."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 50
+    """,
+    tags=("sort", "limit"),
+)
+def q_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 pagination: deterministic ordering + offset(50).limit(20)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(50)
+        .limit(20)
+    )
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    tags=("set",),
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 UNION ALL (bag union) — pure concatenation, no shuffle."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.union(s)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 UNION (set union) = concat + one hash-distinct shuffle."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 INTERSECT (distinct semantics) — nations having both
+    customers and suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 EXCEPT (distinct semantics) — nations with customers but no
+    suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber = 1
+    INTERSECT ALL
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber = 2
+    """,
+    tags=("set",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 INTERSECT ALL (bag semantics, multiplicity = min of sides)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_linenumber") == 2).select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber = 1
+    EXCEPT ALL
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber = 2
+    """,
+    tags=("set",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 EXCEPT ALL (bag semantics, multiplicity subtraction)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_linenumber") == 2).select(F.col("l_suppkey").alias("suppkey"))
+    return a.exceptAll(b)
+
+
+@query(
+    "q_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("set",),
+)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 SELECT DISTINCT = hash aggregate on all columns; partial
+    dedup map-side keeps the shuffle at |distinct| not |rows|."""
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

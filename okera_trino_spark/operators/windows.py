@@ -1,0 +1,128 @@
+"""Window-function operators — SURVEY.md §2.2 E14–E16.
+
+Engine-delegated in the reference (Trino 400 window machinery). Spark's
+WindowExec shuffles once on PARTITION BY keys and sorts within
+partitions — the scale contract is: always partition (an empty
+PARTITION BY serializes the world through one task) and make ORDER BY
+deterministic (unique tie-break key) so results are stable across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import r4, t
+from okera_trino_spark.registry import query
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 ranking functions. ORDER BY carries c_custkey as a unique
+    tie-break so row_number/ntile are deterministic."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_orderkey) OVER w AS first_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 analytic offset functions over each customer's order history.
+
+    Note: nth_value default frame (unbounded preceding → current row)
+    matches between Spark and DuckDB; both return NULL before row 2.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
+    "q_win_frame_rows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_spend,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg3
+    FROM orders
+    """,
+    tags=("window",),
+)
+def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 ROWS frames: running total + 3-row moving average."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        r4(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).alias("running_spend"),
+        r4(F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow))).alias("moving_avg3"),
+    )
+
+
+@query(
+    "q_win_frame_range",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           count(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_similar_size,
+           round(sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS sum_price_band
+    FROM part
+    """,
+    tags=("window",),
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 RANGE frame on a numeric ordering key: all parts of the same
+    brand within 5 size units below the current part. RANGE frames
+    aggregate over *value* peers, so ties need no tie-break column."""
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size",
+        F.count("*").over(w).alias("n_similar_size"),
+        r4(F.sum("p_retailprice").over(w)).alias("sum_price_band"),
+    )

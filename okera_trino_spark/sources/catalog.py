@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Fixture tables (TESTDATA.md). One parquet file per table.
 TABLE_NAMES = [
@@ -52,7 +53,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Plain governed-free scan. Catalyst owns splits + pushdown."""
+    """Plain governed-free scan. Catalyst owns splits + pushdown.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). The engine adopts the
+    reference's own semantics — truncate nanos to micros
+    (RecordServicePageSource.java:353-366, drops the 4 nano bytes) — by
+    reading nanos as int64 (legacy conf, runtime-settable) and rebuilding
+    a TIMESTAMP_NTZ via integer microsecond arithmetic. Integer ``div``
+    (not ``/``) matters: double division of epoch-nanos loses sub-µs
+    precision at 2^61 magnitudes. DuckDB truncates identically, so the
+    oracle agrees to the microsecond.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 
