@@ -1,0 +1,313 @@
+"""Deduplication family over documents/embeddings — SURVEY.md §2.4 L1–L2.
+
+Five dedup strategies, each in its scalable Spark shape:
+
+- exact          hash-groupBy on normalized text (one shuffle on the hash)
+- n-gram Jaccard inverted shingle index + pair aggregation (no O(n²) scan)
+- MinHash + LSH  signature → banding → bucket join (the 100-TB near-dup
+                 path; candidate pairs only, then exact verify)
+- SimHash        per-doc bit-vote fingerprint (map + one agg; pairs by
+                 fingerprint distance)
+- embedding      cosine near-dup via a blocked pair join (brute force at
+                 test scale; IVF/LSH variant in llm/similarity.py)
+
+Oracle notes: exact/ngram/simhash/embedding use engine-neutral
+arithmetic so DuckDB can check them; MinHash relies on xxhash64 (engine-
+specific) → rows-only driver check, with determinism covered by unit
+tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import r4, t
+from okera_trino_spark.registry import query
+
+# ------------------------------------------------------------------ helpers
+
+def _words(col) -> Column:
+    return F.split(F.trim(col), " +")
+
+
+def _shingles(col, k: int = 3) -> Column:
+    """Distinct k-word shingles: slice the word array at every start
+    position (higher-order functions; JVM-side, no UDF)."""
+    words = _words(col)
+    n = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+    )
+
+
+def shingle_index(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Inverted index: (doc_id, shingle) exploded — the join key for
+    set-similarity without pairwise comparison."""
+    return docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), k)).alias("shingle")
+    )
+
+
+# ------------------------------------------------------------------ L1 exact
+@query(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies,
+           md5(lower(trim(text))) AS text_hash
+    FROM documents
+    GROUP BY lower(trim(text)), md5(lower(trim(text)))
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 exact dedup: group on normalized text, keep the lowest doc_id
+    as canonical. At 100 TB: group on md5(text) instead of text itself
+    so the shuffle carries 16-byte keys, not documents — md5 emitted
+    here for exactly that reason (and verified cross-engine)."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return (
+        d.groupBy(norm.alias("_norm"), F.md5(norm).alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+        .select("canonical_doc_id", "n_copies", "text_hash")
+    )
+
+
+# --------------------------------------------------------- L2 n-gram Jaccard
+@query(
+    "q_llm_dedup_ngram",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(str_split_regex(trim(text), ' +')) - 1, 1)),
+                   i -> array_to_string((str_split_regex(trim(text), ' +'))[i:i+2], ' ')))) AS shingle
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.common * 1.0 / (ca.n + cb.n - p.common), 4) AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON p.doc_a = ca.doc_id
+    JOIN cnt cb ON p.doc_b = cb.doc_id
+    WHERE p.common * 1.0 / (ca.n + cb.n - p.common) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 n-gram (3-word shingle) Jaccard near-dup via inverted index:
+    explode shingles, self-join on shingle, count common per pair,
+    Jaccard = |∩| / (|A| + |B| - |∩|), threshold 0.5.
+
+    Scale: the self-join shuffles on the shingle — pairs never
+    materialize unless they share a shingle, and hot shingles can be
+    frequency-capped (df cutoff) to bound skew. This exact-index form is
+    the verifier behind the MinHash candidates below.
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = shingle_index(d, 3)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------- L2 MinHash + LSH
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows: P(candidate) ≈ 1-(1-j^4)^8 — steep at j≈0.6
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(seed, s)
+    for each of n_hashes seeds — one groupBy, signature width constant."""
+    sh = shingle_index(docs, 3)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band bucket
+    become candidate pairs. The join key is (band_id, band_hash) — a
+    single shuffle; no pairwise scan ever happens."""
+    rows_per_band = N_HASHES // n_bands
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("q_llm_dedup_near", oracle=None, tags=("llm", "dedup"))
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 MinHash+LSH near-dup, exact-verified: LSH candidates, then
+    true Jaccard over the shingle index, threshold 0.5.
+
+    xxhash64 seeds make signatures engine-specific → rows-only driver
+    check; tests/test_llm.py asserts the verified pair set equals the
+    exact q_llm_dedup_ngram pair set (LSH recall check) and that
+    signatures are deterministic across runs.
+    """
+    d = t(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(d))
+    sh = shingle_index(d, 3)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id"))
+              & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+    return (
+        common.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------- L2 SimHash
+SIMHASH_BITS = 16
+
+
+def _word_hash16() -> Column:
+    """Engine-neutral 16-bit word hash (modular arithmetic only)."""
+    return (
+        F.length("word") * 2654435761 + F.ascii(F.substring("word", 1, 1)) * 97
+    ) % 65536
+
+
+@query(
+    "q_llm_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS word
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               (length(word) * 2654435761 + ascii(substr(word, 1, 1)) * 97) % 65536 AS h
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bit_votes > 0 THEN power_of_two ELSE 0 END) AS BIGINT) AS simhash
+    FROM (
+        SELECT doc_id, b.b AS bit_pos, CAST(2 ** b.b AS BIGINT) AS power_of_two,
+               sum(CASE WHEN (h // CAST(2 ** b.b AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS bit_votes
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
+        GROUP BY doc_id, b.b
+    )
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SimHash fingerprint: per bit, words vote +1/-1 by their hash
+    bit; the fingerprint packs the vote signs. Near-dups then differ in
+    few bits (Hamming ≤ k pairing happens on the fingerprint, constant
+    width — no shingle join at all). Hash is engine-neutral arithmetic
+    so DuckDB reproduces it bit-for-bit.
+
+    Plan shape: explode words → one partial+final agg of 16 vote sums →
+    map to fingerprint; shuffle carries 16 longs per doc.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    hashed = toks.select("doc_id", _word_hash16().alias("h"))
+    votes = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+# ------------------------------------------------- L2 embedding-cosine dedup
+@query(
+    "q_llm_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 embedding near-dup: cosine over all pairs above threshold.
+
+    Test-scale form is the quadratic pair join (correct, oracle-checked).
+    The 100-TB path replaces the unconditioned pair join with LSH
+    bucketing (llm/similarity.lsh_buckets) so only same-bucket pairs are
+    scored — same scoring expression, different candidate generator.
+    Dot products run as higher-order zip_with/aggregate (JVM, no UDF).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    cos = dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

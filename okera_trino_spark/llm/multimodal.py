@@ -1,0 +1,117 @@
+"""Multimodal column plumbing — SURVEY.md §2.4 L5.
+
+Convention: media travels as an opaque ``binary`` payload column plus a
+typed metadata struct (modality, codec, dims…). Decode / feature
+extraction runs as Arrow-batched ``mapInPandas`` — the only sane shape
+for Python codecs on Spark: batches stream through the Python worker
+with bounded memory, partitioning is preserved, and the JVM plan above
+and below stays columnar.
+
+The actual image/audio codecs are NOT in this container, so
+``decode_media`` dispatches: ``codec="raw-fake"`` is a real,
+deterministic decoder used by tests; anything else raises
+NotImplementedError at the exact spot a PIL/ffmpeg call would go. The
+Spark-side plumbing (schemas, batch iteration, partition behavior) is
+fully real and tested either way.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import t
+from okera_trino_spark.registry import query
+
+#: Output schema of the decode stage (stable across codecs).
+DECODE_SCHEMA = (
+    "doc_id BIGINT, modality STRING, width INT, height INT, "
+    "n_bytes INT, mean_intensity DOUBLE"
+)
+
+
+def make_media_frame(docs: DataFrame) -> DataFrame:
+    """Synthesize the multimodal layout from the documents fixture:
+    payload = utf-8 bytes of the text standing in for encoded media,
+    metadata = typed struct. At 100 TB the payload column stays opaque
+    binary in parquet — scans that don't decode never read it (column
+    pruning), which is the entire point of the layout."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("raw-fake").alias("codec"),
+            F.length(F.col("text")).alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_one(payload: bytes, codec: str) -> tuple[int, int, float]:
+    """Decode one payload → (width, height, mean_intensity).
+
+    raw-fake: deterministic stand-in — width = floor(sqrt(n)), height =
+    n // width, intensity = mean byte value. Real codecs go where the
+    NotImplementedError is raised.
+    """
+    if codec == "raw-fake":
+        n = len(payload)
+        width = max(int(n ** 0.5), 1)
+        height = max(n // width, 1)
+        mean = (sum(payload) / n) if n else 0.0
+        return width, height, mean
+    # Real decode would be: PIL.Image.open(io.BytesIO(payload)) etc.
+    raise NotImplementedError(f"codec {codec!r}: media codecs unavailable in this environment")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: mapInPandas streams pandas batches through
+    the Python worker; output rows stay 1:1 with input (no shuffle)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, m = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                width, height, mean = _decode_one(bytes(payload), meta["codec"])
+                w.append(width)
+                h.append(height)
+                m.append(mean)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "modality": [meta["modality"] for meta in pdf["media_meta"]],
+                "width": pd.array(w, dtype="int32"),
+                "height": pd.array(h, dtype="int32"),
+                "n_bytes": pd.array([len(bytes(p)) for p in pdf["payload"]], dtype="int32"),
+                "mean_intensity": m,
+            })
+
+    return media.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+@query(
+    "q_llm_multimodal",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS payload_md5,
+           'image' AS modality
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 multimodal layout plumbing, oracle-checked on the parts both
+    engines can compute (payload byte length + checksum + metadata
+    field). The mapInPandas decode stage is exercised by
+    tests/test_llm.py (deterministic fake codec)."""
+    media = make_media_frame(t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.length(F.col("payload")).alias("payload_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.col("media_meta.modality").alias("modality"),
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over the embeddings table — SURVEY.md §2.4 L3.
+
+Two paths:
+- brute-force top-k cosine (exact; the baseline and the oracle-checked
+  form), and
+- random-hyperplane LSH bucketing (the scale path: candidates come from
+  one bucket join instead of an all-pairs scan; same scoring code).
+
+All vector math is higher-order zip_with/aggregate — JVM-evaluated, no
+Python in the scoring loop. At 100 TB the embeddings table would be
+bucketed by LSH key on disk (bucketBy) so probe queries touch one
+bucket's files only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import t
+from okera_trino_spark.registry import query
+
+DIM = 64
+N_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@query(
+    "q_llm_similarity",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def q_llm_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 brute-force top-k: score every vector against the query
+    (vec_id 0), keep the 10 best. The single-row query side is
+    broadcast; scoring is map-only; TakeOrderedAndProject keeps k per
+    partition. Ordering ties broken by vec_id, and ranked on the
+    6dp-rounded score so engine-level FP noise can't flip ranks."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qv")))
+    )
+    return (
+        scored.orderBy(F.round("cos_raw", 4).desc(), F.col("vec_id"))
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+        .limit(10)
+    )
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → same buckets on
+    every run and every cluster)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = (v · plane_i) > 0. Constant work per
+    row; the bucket id is the shuffle/bucketBy key at scale."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(emb, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+@query("q_llm_ann_lsh", oracle=None, tags=("llm", "similarity"))
+def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 approximate top-k: random-hyperplane LSH. Candidates = vectors
+    sharing the query's bucket; exact cosine re-scores candidates only.
+
+    Scale: the bucket equi-join replaces the all-pairs cross join —
+    ~n/2^bits candidates per probe. Recall tuning = fewer bits or
+    multi-probe (flip one bit); tests/test_llm.py checks candidate
+    scores agree with brute force on the overlap. No SQL oracle: bucket
+    ids depend on generated hyperplanes (deterministic but impractical
+    to restate in SQL) → rows-only driver check.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    planes = hyperplanes()
+    bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    probe = F.broadcast(
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv"))
+    )
+    cands = bucketed.join(probe, F.col("bucket") == F.col("qbucket")).filter(
+        F.col("vec_id") != 0
+    )
+    scored = cands.withColumn("cos_raw", cosine(F.col("embedding"), F.col("qv")))
+    return (
+        scored.orderBy(F.round("cos_raw", 6).desc(), F.col("vec_id"))
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+        .limit(10)
+    )

@@ -1,0 +1,175 @@
+"""Text-analysis operators over the documents table — SURVEY.md §2.4 L4.
+
+All pure Spark expressions (JVM codegen, no Python): language ID via
+stopword voting, quality scoring via length/punctuation/stopword ratios,
+token counting (whitespace + BPE-ish regex), and an order-independent
+arithmetic document fingerprint that is reproducible across engines
+(no reliance on engine-specific hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import r4, t
+from okera_trino_spark.registry import query
+
+#: Tiny per-language stopword lists for the voting heuristic. The
+#: fixture texts are synthetic word-bags, so the vote is a determinism
+#: exercise, not a linguistics claim; real corpora would swap in
+#: fastText-style n-gram profiles via mapInPandas.
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "y"],
+}
+
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _words(col) -> Column:
+    return F.split(F.trim(col), " +")
+
+
+@query(
+    "q_llm_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           len(str_split_regex(trim(text), ' +')) AS n_words,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / greatest(len(str_split_regex(trim(text), ' +')), 1), 4) AS avg_word_len,
+           round(len(list_filter(str_split_regex(trim(text), ' +'),
+                                 w -> list_contains(['the','a','of','and','to'], w))) * 1.0
+                 / greatest(len(str_split_regex(trim(text), ' +')), 1), 4) AS stopword_ratio
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 quality scoring: char/word counts, mean word length, stopword
+    ratio — the standard cheap quality filters for corpus curation.
+    Entirely scan-local (no shuffle): at 100 TB this is a map-only pass."""
+    d = t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    en_stops = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stops = F.size(F.filter(words, lambda w: F.array_contains(en_stops, w)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n_words.alias("n_words"),
+        r4(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.greatest(n_words, F.lit(1))).alias("avg_word_len"),
+        r4(n_stops / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
+    )
+
+
+def _lang_votes(words: Column) -> dict[str, Column]:
+    out = {}
+    for lang, stops in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in stops])
+        out[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    return out
+
+
+@query(
+    "q_llm_langid",
+    oracle="""
+    WITH votes AS (
+        SELECT doc_id, lang,
+          len(list_filter(str_split_regex(trim(text), ' +'), w -> list_contains(['the','a','of','and','to'], w))) AS v_en,
+          len(list_filter(str_split_regex(trim(text), ' +'), w -> list_contains(['der','die','das','und','nicht'], w))) AS v_de,
+          len(list_filter(str_split_regex(trim(text), ' +'), w -> list_contains(['le','la','et','les','des'], w))) AS v_fr,
+          len(list_filter(str_split_regex(trim(text), ' +'), w -> list_contains(['el','la','los','que','y'], w))) AS v_es
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+                WHEN v_en >= greatest(v_de, v_fr, v_es) THEN 'en'
+                WHEN v_de >= greatest(v_fr, v_es) THEN 'de'
+                WHEN v_fr >= v_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM votes
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 language ID by stopword voting with a deterministic
+    tie-break order (en > de > fr > es). Map-only; no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    v = _lang_votes(words)
+    best = F.greatest(v["en"], v["de"], v["fr"], v["es"])
+    pred = (
+        F.when(best == 0, "und")
+        .when(v["en"] >= F.greatest(v["de"], v["fr"], v["es"]), "en")
+        .when(v["de"] >= F.greatest(v["fr"], v["es"]), "de")
+        .when(v["fr"] >= v["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+
+
+@query(
+    "q_llm_tokens",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(len(str_split_regex(trim(text), ' +'))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_ISH}'))) AS BIGINT) AS bpe_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 token counting per source: whitespace tokens and a BPE-ish
+    regex token stream (letters / digits / single punctuation) — the
+    standard pre-tokenizer shape. Partial aggregation keeps the shuffle
+    at |sources| rows."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(_words(F.col("text")))).alias("ws_tokens"),
+            F.sum(F.size(F.expr(f"regexp_extract_all(text, '{_BPE_ISH}', 0)"))).alias("bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(str_split_regex(trim(text), ' +')) AS word,
+               generate_subscripts(str_split_regex(trim(text), ' +'), 1) AS pos
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(sum(pos * ((length(word) * 31 + ascii(substr(word, 1, 1))) % 65536)) % 2147483647 AS BIGINT)
+             AS fingerprint
+    FROM toks
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 document fingerprint: position-weighted arithmetic hash of the
+    word stream. Engine-neutral by construction (length/ascii/modular
+    arithmetic only — no xxhash/murmur, which differ across engines);
+    order-sensitive via the position weight yet commutative to compute
+    (sum), so it parallelizes without a sort."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(_words(F.col("text"))).alias("pos0", "word"),
+    )
+    word_h = (F.length("word") * 31 + F.ascii(F.substring("word", 1, 1))) % 65536
+    return (
+        toks.groupBy("doc_id")
+        .agg(((F.sum((F.col("pos0") + 1) * word_h)) % 2147483647).cast("bigint").alias("fingerprint"))
+    )

@@ -1,0 +1,105 @@
+"""View DDL/expansion and UDF surface — SURVEY.md §2.1 C15–C17, §2.2 E37.
+
+The reference stores external views as escaped SQL text in the Okera
+catalog (CREATE EXTERNAL VIEW … SKIP_ANALYSIS USING VIEW DATA AS "<sql>",
+RecordServiceMetadata.java:288-349) and re-expands them on read
+(:392-444). Spark's session catalog stores and re-analyzes view text
+natively; the GovernedCatalog view store reproduces the create/drop/
+expand lifecycle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from okera_trino_spark.functions.trino_compat import register_reference_udfs
+from okera_trino_spark.operators._util import r4, t
+from okera_trino_spark.registry import query
+from okera_trino_spark.sources.catalog import GovernedCatalog, register_tables
+
+_VIEW_SQL = """
+    SELECT n.n_name, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query(
+    "q_view_expand",
+    oracle=f"SELECT n_name, n_customers, total_balance FROM ({_VIEW_SQL}) v WHERE n_customers > 2",
+    tags=("view",),
+)
+def q_view_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 external-view expansion: view SQL stored as text, re-analyzed
+    at read, composed under an outer filter. Catalyst inlines the view
+    so the filter still reaches the scan."""
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.create_view("nation_balances", _VIEW_SQL, replace=True)
+    return cat.read("nation_balances").filter(F.col("n_customers") > 2)
+
+
+@query(
+    "q_view_create_read",
+    oracle="""
+    SELECT o_orderstatus, n_orders FROM (
+        SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus
+    ) v
+    """,
+    tags=("view",),
+)
+def q_view_create_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 CREATE/DROP VIEW lifecycle: create, replace (the reference's
+    drop-then-create path, RecordServiceMetadata.java:332-336), read."""
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.create_view("order_counts", "SELECT 1 AS junk", replace=True)
+    cat.create_view(
+        "order_counts",
+        "SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus",
+        replace=True,
+    )
+    df = cat.read("order_counts")
+    cat.drop_view("order_counts")
+    return df
+
+
+@query("q_udf_current_db", oracle="SELECT 'okera' AS current_db", tags=("udf",))
+def q_udf_current_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 the plugin's sole scalar UDF: current_database() → 'okera'
+    (udfs/CurrentDatabaseUdf.java:10-17)."""
+    register_reference_udfs(spark)
+    return spark.sql("SELECT okera_current_database() AS current_db")
+
+
+@query(
+    "q_udf_custom",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+    tags=("udf",),
+)
+def q_udf_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 user UDF surface via a vectorized pandas UDF (Arrow batches —
+    the only acceptable Python-UDF form in a hot path; ~10-100x the
+    row-at-a-time Python UDF). The computation is deliberately
+    SQL-expressible so the oracle can check the UDF machinery itself."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def charged_amount(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        # Unrounded on purpose: the same left-associated IEEE-double
+        # product is bit-identical across engines, whereas rounding at a
+        # fixed decimal introduces engine-specific boundary flips.
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        charged_amount("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )

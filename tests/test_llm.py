@@ -1,0 +1,66 @@
+"""LLM-operator tests beyond the oracle: LSH recall vs the exact
+inverted-index pairs, MinHash determinism, ANN-vs-brute-force agreement,
+and the multimodal mapInPandas decode path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from okera_trino_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+from okera_trino_spark.llm.multimodal import _decode_one, decode_media, make_media_frame
+from okera_trino_spark.registry import load_all_queries
+from okera_trino_spark.sources.catalog import load_table
+
+SPECS = load_all_queries()
+
+
+def test_lsh_recall_matches_exact_pairs(spark, sf_dir):
+    """Verified LSH pairs must equal the exact shingle-index pairs —
+    at fixture scale the planted near-dups are far above threshold, so
+    banding (8x4 over 32 hashes) should not lose any."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["q_llm_dedup_ngram"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["q_llm_dedup_near"].fn(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = sorted(map(tuple, minhash_signatures(docs, 8).collect()))
+    s2 = sorted(map(tuple, minhash_signatures(docs, 8).collect()))
+    assert s1 == s2
+
+
+def test_ann_lsh_scores_agree_with_bruteforce(spark, sf_dir):
+    """Every ANN hit must carry the same cosine the brute-force path
+    computes (LSH changes the candidate set, never the scores)."""
+    brute = {r.vec_id: r.cos_sim for r in SPECS["q_llm_similarity"].fn(spark, sf_dir).collect()}
+    ann = SPECS["q_llm_ann_lsh"].fn(spark, sf_dir).collect()
+    assert len(ann) > 0
+    for r in ann:
+        if r.vec_id in brute:
+            assert abs(r.cos_sim - brute[r.vec_id]) < 1e-9
+
+
+def test_multimodal_decode_pipeline(spark, sf_dir):
+    media = make_media_frame(load_table(spark, sf_dir, "documents"))
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # 1:1, no shuffle
+    for r in rows[:20]:
+        assert r.width * r.height <= r.n_bytes
+        assert 0.0 <= r.mean_intensity <= 255.0
+        assert r.modality == "image"
+
+
+def test_multimodal_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        _decode_one(b"\xff\xd8\xff", "jpeg")
