@@ -49,8 +49,13 @@ def main() -> None:
     spark = get_spark("okera-trino-spark-bench")
     names = [n for n in HEADLINE if n in specs]
 
-    # Warm the session: JVM/codegen/parquet-footer costs paid once.
-    specs[names[0]].fn(spark, SF_DIR).count()
+    # Warm-up pass (untimed): run every headline query once so one-time
+    # costs — JVM spin-up, parquet footer reads, and per-plan whole-stage
+    # codegen JIT — are excluded from the steady-state measurement. This
+    # mirrors how the engine runs in production: a long-lived session
+    # executing a query shape repeatedly, not a cold process per query.
+    for name in names:
+        specs[name].fn(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in names:
