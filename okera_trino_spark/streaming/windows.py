@@ -145,6 +145,52 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
 
 
+# --------------------------------------------------------------- S4 watermark
+@query(
+    "q_stream_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
+    """,
+    tags=("streaming",),
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 watermark semantics, batch-checkable form: rows within the
+    watermark horizon of the observed max event time are "on time" —
+    exactly the retention predicate withWatermark applies to streaming
+    state. The streaming form is stream_tumbling_counts below (real
+    watermark, exercised in tests/test_streaming.py)."""
+    e = t(spark, sf_dir, "events")
+    horizon = e.agg((F.max("ts") - F.expr("INTERVAL 6 HOUR")).alias("h"))
+    return (
+        e.join(F.broadcast(horizon), F.col("ts") >= F.col("h"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# ------------------------------------------------------ S6 stream-static join
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 stream-static join, batch-checkable form: events enriched with
+    the customer dim on user_id. In streaming the static side broadcasts
+    per micro-batch with no state (stream_static_join below); the batch
+    plan is the identical broadcast-hash join."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "event_type", "c_name", "c_mktsegment")
+    )
+
+
 # ----------------------------------------------------------- stream builders
 def read_events_stream(spark: SparkSession, source_dir: str,
                        schema: str | None = None) -> DataFrame:
