@@ -25,6 +25,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: family (scan/filter, join, agg, window, sort, set, function, llm).
 HEADLINE = [
     "q_pricing_summary",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q18",
     "q_filter_range",
     "q_join_inner",
     "q_join_broadcast",

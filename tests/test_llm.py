@@ -49,6 +49,20 @@ def test_ann_lsh_scores_agree_with_bruteforce(spark, sf_dir):
             assert abs(r.cos_sim - brute[r.vec_id]) < 1e-9
 
 
+def test_ann_ivf_scores_agree_with_bruteforce(spark, sf_dir):
+    """IVF narrows the candidate set (nprobe cells), never the scores;
+    require meaningful recall of the brute-force top-10 too."""
+    brute = {r.vec_id: r.cos_sim for r in SPECS["q_llm_similarity"].fn(spark, sf_dir).collect()}
+    ann = SPECS["q_llm_ann_ivf"].fn(spark, sf_dir).collect()
+    assert len(ann) > 0
+    hits = 0
+    for r in ann:
+        if r.vec_id in brute:
+            assert abs(r.cos_sim - brute[r.vec_id]) < 1e-9
+            hits += 1
+    assert hits >= 3  # nprobe=2 of k=8 cells must still find a fair share
+
+
 def test_multimodal_decode_pipeline(spark, sf_dir):
     media = make_media_frame(load_table(spark, sf_dir, "documents"))
     decoded = decode_media(media)
