@@ -52,6 +52,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Analyzed-plan memo: (session id, sf_dir, table) → DataFrame. A
+#: DataFrame is an immutable logical plan, so reuse is safe; this is the
+#: Spark-side analogue of the reference's per-query metadata snapshot
+#: cache (RecordServiceMetadata.java:102-107, BoundedCache size 512) —
+#: it saves the file-listing + footer-schema round trip on every
+#: repeated table reference, which at fixture scale is most of a
+#: query's latency and on a cluster is a driver→storage metadata call.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Plain governed-free scan. Catalyst owns splits + pushdown.
 
@@ -65,14 +75,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision at 2^61 magnitudes. DuckDB truncates identically, so the
     oracle agrees to the microsecond.
     """
+    key = (id(spark), sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
+        df = df.withColumn(
             "ts",
             F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
         )
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _TABLE_MEMO[key] = df
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str,
