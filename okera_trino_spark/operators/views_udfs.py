@@ -103,3 +103,41 @@ def q_udf_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         charged_amount("l_extendedprice", "l_discount", "l_tax").alias("charged"),
     )
+
+
+@query(
+    "q_udtf_split",
+    oracle="""
+    SELECT doc_id,
+           unnest(str_split_regex(trim(text), ' +')) AS word,
+           generate_subscripts(str_split_regex(trim(text), ' +'), 1) AS ordinality
+    FROM documents WHERE doc_id < 10
+    """,
+    tags=("udf", "udtf"),
+)
+def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 Python UDTF (table function; Spark 3.5+/4.x): one input row →
+    many output rows, the user-defined analogue of UNNEST. Registered in
+    the session and invoked with LATERAL join syntax, exactly like a
+    Trino table function.
+
+    Row-at-a-time Python is the slow path by design here — the engine's
+    fast path for this exact computation is q_unnest_ordinality
+    (posexplode, JVM codegen); this key verifies the extension surface,
+    and the shared oracle proves both paths agree.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, ordinality: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.strip().split()):
+                yield w, i + 1
+
+    spark.udtf.register("split_words", SplitWords)
+    register_tables(spark, sf_dir, ["documents"])
+    return spark.sql("""
+        SELECT d.doc_id, s.word, s.ordinality
+        FROM documents d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 10
+    """)

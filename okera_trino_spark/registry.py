@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "okera_trino_spark.operators.scalar_fns",
     "okera_trino_spark.operators.nested",
     "okera_trino_spark.operators.analytics",
+    "okera_trino_spark.operators.extras",
     "okera_trino_spark.operators.views_udfs",
     "okera_trino_spark.streaming.windows",
     "okera_trino_spark.llm.dedup",

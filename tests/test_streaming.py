@@ -69,6 +69,40 @@ def test_stream_sessions_run(spark, events_stream_dir):
     q.stop()
 
 
+def test_stream_stateful_profiles_match_batch(spark, sf_dir, events_stream_dir):
+    """applyInPandasWithState running profiles: after one availableNow
+    pass the final state per user must equal the batch groupBy."""
+    from okera_trino_spark.streaming.stateful import stream_user_profiles
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_user_profiles(stream)
+        .writeStream.format("memory").queryName("profile_sink")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a key several times (once per micro-batch);
+    # the LAST emission per key is the final profile.
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 4))
+        for r in spark.sql("SELECT * FROM profile_sink").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+    }
+    assert set(got) == set(batch)
+    # single availableNow trigger at fixture scale → one batch per key,
+    # so last == only emission and totals must match exactly
+    assert got == batch
+    q.stop()
+
+
 def test_stream_dedup_bounded_state(spark, sf_dir, events_stream_dir):
     stream = read_events_stream(spark, events_stream_dir)
     q = _run_stream(stream_dedup(stream), "dedup_sink")
