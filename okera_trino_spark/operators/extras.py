@@ -235,6 +235,75 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS dec_sum,
+           CAST(CAST(CAST(max(l_extendedprice) AS DECIMAL(12,2)) * CAST(0.08 AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS VARCHAR) AS dec_tax,
+           CAST(CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS dec_min
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("function", "decimal"),
+)
+def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(p,s) arithmetic (E29/§1.2): exact fixed-point sum, scaled
+    multiplication, min — the money-math path. Results are rendered
+    through an explicit DECIMAL cast then VARCHAR in BOTH engines, so
+    the comparison pins scale semantics (trailing zeros included), not
+    just numeric value. The fixtures carry no decimal columns, so the
+    cast from double is part of the query on both sides."""
+    li = t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(dec).cast("decimal(18,2)").cast("string").alias("dec_sum"),
+            (F.max("l_extendedprice").cast("decimal(12,2)")
+             * F.lit(0.08).cast("decimal(4,2)"))
+            .cast("decimal(18,4)").cast("string").alias("dec_tax"),
+            F.min(dec).cast("decimal(18,2)").cast("string").alias("dec_min"),
+        )
+    )
+
+
+@query(
+    "q_sort_nulls",
+    oracle="""
+    WITH v(grp, x) AS (
+        VALUES ('a', 3), ('a', NULL), ('a', 1), ('b', NULL),
+               ('b', 7), ('c', 2), ('c', NULL), ('c', 9)
+    )
+    SELECT grp, x,
+           row_number() OVER (ORDER BY x DESC NULLS LAST, grp) AS rn_desc_nl,
+           row_number() OVER (ORDER BY x ASC NULLS FIRST, grp) AS rn_asc_nf
+    FROM v
+    """,
+    tags=("sort", "nulls"),
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering semantics (E17, SURVEY §5.4): DESC NULLS LAST and
+    ASC NULLS FIRST over inline VALUES carrying NULLs (the fixtures are
+    NULL-free). The orderings are materialized as row_numbers so the
+    driver's order-insensitive hash still verifies the ORDER — each
+    row carries its position under both orderings."""
+    from pyspark.sql import Window
+
+    v = spark.createDataFrame(
+        [("a", 3), ("a", None), ("a", 1), ("b", None),
+         ("b", 7), ("c", 2), ("c", None), ("c", 9)],
+        "grp string, x int",
+    )
+    w_desc = Window.orderBy(F.col("x").desc_nulls_last(), F.col("grp"))
+    w_asc = Window.orderBy(F.col("x").asc_nulls_first(), F.col("grp"))
+    return v.select(
+        "grp", "x",
+        F.row_number().over(w_desc).alias("rn_desc_nl"),
+        F.row_number().over(w_asc).alias("rn_asc_nf"),
+    )
+
+
+@query(
     "q_win_dist",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
