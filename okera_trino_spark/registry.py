@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "okera_trino_spark.operators.analytics",
     "okera_trino_spark.operators.extras",
     "okera_trino_spark.operators.asof",
+    "okera_trino_spark.operators.skew",
     "okera_trino_spark.operators.views_udfs",
     "okera_trino_spark.streaming.windows",
     "okera_trino_spark.llm.dedup",

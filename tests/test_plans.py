@@ -47,3 +47,41 @@ def test_count_star_reads_no_columns(spark, sf_dir):
 def test_limit_is_take_ordered(spark, sf_dir):
     df = SPECS["q_limit"].fn(spark, sf_dir)
     assert_plan_contains(df, "TakeOrderedAndProject")
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """q_tpch_q5 (6-way): every dim joins as broadcast-hash; sort-merge
+    never appears — the only shuffle join key is the fact⋈fact one."""
+    plan = plan_string(SPECS["q_tpch_q5"].fn(spark, sf_dir), "formatted")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_composite_topk_is_bounded(spark, sf_dir):
+    plan = plan_string(SPECS["q_tpch_q3"].fn(spark, sf_dir), "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_composite_filters_reach_fact_scan(spark, sf_dir):
+    df = SPECS["q_tpch_q10"].fn(spark, sf_dir)
+    assert_pushed_filters(df, "l_returnflag", "o_orderdate")
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """The as-of join must plan as union + one keyed window sort — a
+    range pair-join (BroadcastNestedLoop / cartesian) must NOT appear."""
+    plan = plan_string(SPECS["q_asof_join"].fn(spark, sf_dir), "formatted")
+    assert "Window" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_agg_is_two_level(spark, sf_dir):
+    """Two HashAggregate pairs: partials on (keys, salt), merge on keys."""
+    plan = plan_string(SPECS["q_agg_salted"].fn(spark, sf_dir), "formatted")
+    # Level-1 partials re-aggregated at level 2: the merge stage's
+    # partial_* functions run over the _p_* partial columns, between
+    # two exchanges.
+    assert "partial_sum(_p_" in plan, plan
+    assert plan.count("Exchange") >= 2, plan
+    assert plan.count("HashAggregate (") >= 4, plan
