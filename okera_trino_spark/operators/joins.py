@@ -208,3 +208,53 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
+
+
+@query(
+    "q_join_range_banded",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS dt_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("join", "range", "custom"),
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 at scale: range join (event pairs of the same user within 30
+    minutes) executed by BANDING — the SCALE.md range-join strategy,
+    here verified equal to the naive range join (the oracle).
+
+    Band = floor(epoch/1800s). Every qualifying pair lands either in
+    the same band or adjacent bands, so probing band and band+1 with a
+    plain EQUI-join on (user_id, band) finds all candidates; the exact
+    range predicate then filters. One hash shuffle instead of the
+    nested-loop pair scan a non-equi condition forces — the row
+    multiplication is bounded by band occupancy (watermark-style time
+    locality), not table size.
+    """
+    e = t(spark, sf_dir, "events")
+    band = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 1800)
+    a = e.select(F.col("event_id").alias("event_a"), "user_id",
+                 F.col("ts").alias("ts_a"), band.alias("band_a"))
+    # Probe both own and next band: b's band is either band_a or band_a+1
+    # for any b within (ts_a, ts_a + 30min].
+    probes = a.withColumn("probe", F.explode(F.array(F.col("band_a"), F.col("band_a") + 1)))
+    b = e.select(F.col("event_id").alias("event_b"), F.col("user_id").alias("user_b"),
+                 F.col("ts").alias("ts_b"), band.alias("band_b"))
+    return (
+        probes.join(b, (F.col("user_id") == F.col("user_b"))
+                    & (F.col("probe") == F.col("band_b")))
+        .filter((F.col("ts_b") > F.col("ts_a"))
+                & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTE")))
+        .select("event_a", "event_b",
+                # DuckDB date_diff('second') counts second-boundary
+                # crossings; truncated-epoch subtraction matches that
+                # (timestampdiff floors the true delta — off by one on
+                # sub-second timestamps).
+                (F.unix_timestamp(F.col("ts_b").cast("timestamp"))
+                 - F.unix_timestamp(F.col("ts_a").cast("timestamp")))
+                .cast("bigint").alias("dt_sec"))
+    )
