@@ -173,3 +173,66 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("doc_id")
         .agg(((F.sum((F.col("pos0") + 1) * word_h)) % 2147483647).cast("bigint").alias("fingerprint"))
     )
+
+
+@query(
+    "q_llm_curation",
+    oracle="""
+    WITH stats AS (
+        SELECT doc_id, lang, source,
+               lower(trim(text)) AS norm_text,
+               len(str_split_regex(trim(text), ' +')) AS n_words,
+               len(list_filter(str_split_regex(trim(text), ' +'),
+                               w -> list_contains(['the','a','of','and','to'], w))) * 1.0
+                 / greatest(len(str_split_regex(trim(text), ' +')), 1) AS stop_ratio
+        FROM documents
+    ), scored AS (
+        SELECT *,
+               round(0.5 * least(n_words, 60) / 60.0 + 0.5 * least(stop_ratio * 5, 1.0), 4)
+                 AS quality
+        FROM stats
+        WHERE n_words BETWEEN 20 AND 80 AND lang = 'en'
+    ), deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, source, n_words, quality
+    FROM deduped WHERE rn = 1 AND quality >= 0.5
+    """,
+    tags=("llm", "text", "pipeline"),
+)
+def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 end-to-end corpus curation — the composed training-data
+    pipeline: quality stats → length/language gate → quality score →
+    exact-dedup (keep lowest doc_id per normalized text) → threshold.
+
+    Every stage is a scan-local expression except the dedup window
+    (one shuffle on the text hash) — the whole pipeline is two stages
+    at any scale. This is the selection shape that feeds tokenization
+    downstream; the score is a deterministic stand-in for model-based
+    quality classifiers (which would slot in as a pandas_udf stage).
+    """
+    d = t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    en_stops = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_ratio = (F.size(F.filter(words, lambda w: F.array_contains(en_stops, w)))
+                  / F.greatest(n_words, F.lit(1)))
+    quality = F.round(
+        0.5 * F.least(n_words, F.lit(60)) / 60.0
+        + 0.5 * F.least(stop_ratio * 5, F.lit(1.0)), 4)
+    scored = (
+        d.select("doc_id", "source", F.lower(F.trim("text")).alias("norm_text"),
+                 n_words.alias("n_words"), quality.alias("quality"),
+                 F.col("lang"))
+        .filter((F.col("n_words") >= 20) & (F.col("n_words") <= 80)
+                & (F.col("lang") == "en"))
+    )
+    from pyspark.sql import Window
+    rn = F.row_number().over(
+        Window.partitionBy("norm_text").orderBy("doc_id"))
+    return (
+        scored.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5))
+        .select("doc_id", "source", "n_words", "quality")
+    )
