@@ -38,6 +38,8 @@ HEADLINE = [
     "q_union_all",
     "q_fn_string",
     "q_stream_tumble",
+    "q_asof_join",
+    "q_llm_curation",
     "q_llm_dedup_exact",
     "q_llm_text_stats",
     "q_llm_similarity",

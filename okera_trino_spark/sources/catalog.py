@@ -289,3 +289,24 @@ class GovernedCatalog:
     @property
     def audit_log(self) -> list[AuditRecord]:
         return list(self._audit)
+
+    # ----------------------------------------------------------------- stats
+    def table_stats(self, name: str) -> dict:
+        """Table statistics for cost-based planning — the connector's
+        TableStatistics surface (row count + total data size,
+        RecordServiceMetadata.java:504-537; modes HMS/Okera collapse to
+        one here since parquet footers are the single source).
+
+        Row count comes from parquet metadata (a footer read, not a
+        scan — the same metadata-only path q_count_star uses); size is
+        the on-disk footprint. On a deployment these feed
+        ``ANALYZE TABLE`` / CBO; AQE consumes runtime sizes regardless.
+        """
+        df = load_table(self.spark, self.sf_dir, name)
+        return {
+            "table": name,
+            "row_count": df.count(),
+            "size_bytes": os.path.getsize(table_path(self.sf_dir, name)),
+            "n_columns": len(df.columns),
+            "stats_mode": self.props.stats_mode,
+        }

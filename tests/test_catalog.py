@@ -82,6 +82,15 @@ def test_listings_capped_and_sorted(cat):
     assert "information_schema" not in cat.list_schemas()
 
 
+def test_table_stats_surface(cat, spark, sf_dir):
+    """C13: row count + byte size + column count, stats-mode tagged."""
+    st = cat.table_stats("nation")
+    assert st["row_count"] == 25
+    assert st["size_bytes"] > 0
+    assert st["n_columns"] == 3
+    assert st["stats_mode"] == "okera"
+
+
 def test_audit_log_records_success_and_failure(cat):
     cat.execute("SELECT count(*) AS n FROM region").collect()
     with pytest.raises(Exception):
