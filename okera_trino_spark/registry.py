@@ -74,8 +74,56 @@ def query(name: str, oracle: str | None = None,
     return deco
 
 
+#: Driver-window priority. The correctness driver records the FIRST 50 keys
+#: of ``queries()`` in iteration order, so this list hand-picks one-or-more
+#: representatives from EVERY SURVEY.md §2 family (§2.1 scan/pushdown, §2.2
+#: joins/aggregates/windows/sorts-sets/subqueries/scalar-fns/nested/views-UDF,
+#: §2.3 streaming, §2.4 LLM ops, §2.5 extensions: TPC-H composites, as-of,
+#: salted-skew agg, applyInPandas). Keys not listed here keep their module
+#: registration order after the priority block — they are still registered,
+#: tested locally by tests/test_oracle_parity.py, and available to the driver.
+_PRIORITY: tuple[str, ...] = (
+    # flagship + scan/pushdown (§2.1)
+    "q_pricing_summary", "q_scan_full", "q_project", "q_filter_range",
+    "q_count_star",
+    # joins (E1–E6, incl. scale-safe banded range join)
+    "q_join_inner", "q_join_left", "q_join_semi", "q_join_broadcast",
+    "q_join_range_banded",
+    # aggregates (E7–E13 + §2.5 salted skew agg)
+    "q_agg_group", "q_agg_rollup", "q_agg_stats", "q_agg_salted",
+    # windows (E14–E16)
+    "q_win_rank", "q_win_frame_range",
+    # sorts / sets (E17–E22)
+    "q_sort_multi", "q_topk", "q_union_all",
+    # subqueries / CTE (E23–E24)
+    "q_subquery_corr", "q_cte",
+    # scalar functions (E25–E29)
+    "q_case_expr", "q_fn_string", "q_fn_date", "q_fn_cast",
+    # nested / complex types (C9–C10, E30–E33)
+    "q_fn_array", "q_unnest", "q_fn_json", "q_scan_nested",
+    # views + UDF surface (C15–C17, E37)
+    "q_view_expand", "q_view_create_read", "q_udf_custom", "q_udtf_split",
+    # streaming (S1–S6)
+    "q_stream_tumble", "q_stream_session", "q_stream_watermark",
+    "q_stream_static_join",
+    # TPC-H composites + as-of + applyInPandas (§2.5)
+    "q_tpch_q3", "q_tpch_q18", "q_asof_join", "q_pandas_group_norm",
+    # LLM data-pipeline ops (§2.4)
+    "q_llm_dedup_exact", "q_llm_dedup_ngram", "q_llm_dedup_near",
+    "q_llm_dedup_embed", "q_llm_similarity", "q_llm_text_stats",
+    "q_llm_langid", "q_llm_curation", "q_llm_multimodal",
+)
+
+
 def load_all_queries() -> dict[str, QuerySpec]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry,
+    reordered so the driver's 50-key correctness window spans every
+    SURVEY.md §2 family (see ``_PRIORITY``)."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return QUERIES
+    missing = [k for k in _PRIORITY if k not in QUERIES]
+    if missing:
+        raise RuntimeError(f"_PRIORITY keys not registered: {missing}")
+    ordered = {k: QUERIES[k] for k in _PRIORITY}
+    ordered.update((k, s) for k, s in QUERIES.items() if k not in ordered)
+    return ordered

@@ -94,7 +94,7 @@ def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -117,7 +117,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 session window (30-minute gap) per user. Spark's
     session_window merges adjacent events server-side; the oracle is the
     classic gaps-and-islands rewrite (SURVEY.md §7.4 risk 5: oracle
-    written first, Spark matched to it)."""
+    written first, Spark matched to it).
+
+    Boundary convention: Spark's session window is HALF-OPEN — an event
+    landing exactly at last_ts + gap starts a NEW session — so the
+    oracle's gap test is ``>= INTERVAL 30 MINUTE``, not ``>``."""
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

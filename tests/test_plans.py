@@ -76,6 +76,15 @@ def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_embed_dedup_has_no_nested_loop_join(spark, sf_dir):
+    """Banded-LSH embed dedup must plan as equi-joins on (band, bucket)
+    and vec_id — the quadratic BroadcastNestedLoop/cartesian pair join
+    is the anti-pattern this operator exists to avoid."""
+    plan = plan_string(SPECS["q_llm_dedup_embed"].fn(spark, sf_dir), "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_salted_agg_is_two_level(spark, sf_dir):
     """Two HashAggregate pairs: partials on (keys, salt), merge on keys."""
     plan = plan_string(SPECS["q_agg_salted"].fn(spark, sf_dir), "formatted")
