@@ -98,7 +98,8 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10 approx_distinct (HLL++). Sketch values are engine-specific
     (Trino/Spark/DuckDB HLLs all differ) → rows-only driver check; the
-    unit test bounds relative error instead (tests/test_aggregates.py)."""
+    unit test bounds |approx − exact| ≤ 3·rsd·exact instead
+    (tests/test_bounds.py)."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")

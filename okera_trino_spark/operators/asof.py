@@ -123,11 +123,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_pandas_group_norm",
     oracle="""
-    SELECT l_returnflag, l_orderkey, l_linenumber,
+    SELECT l_returnflag, l_linestatus,
+           strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           l_orderkey, l_linenumber,
            round((l_extendedprice - avg(l_extendedprice) OVER w)
                  / stddev_samp(l_extendedprice) OVER w, 4) AS price_z
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_returnflag)
+    WINDOW w AS (PARTITION BY l_returnflag, l_linestatus,
+                 date_trunc('month', l_shipdate))
     """,
     tags=("udf", "pandas", "custom"),
 )
@@ -140,9 +143,13 @@ def q_pandas_group_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     to logic SQL can't state (model scoring, per-group fitting).
 
     Scale: one shuffle on the group key; each group must fit one
-    executor's memory — the operator contract documents that, and the
-    group key here (returnflag, 3 groups) is chosen for the fixture;
-    production keys are high-cardinality.
+    executor's memory. The compound key (returnflag, linestatus,
+    ship month) keeps per-group size a bounded fraction of the table as
+    data grows — the month dimension grows with the data's time range,
+    so no group is ever more than ~1/(6·|months|) of the table. A single
+    low-cardinality key would funnel everything into a handful of pandas
+    groups. For truly unbounded groups, bucket further (e.g. add
+    ``l_orderkey % 1024``) and merge moments.
     """
     import pandas as pd
 
@@ -151,6 +158,8 @@ def q_pandas_group_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd = pdf["l_extendedprice"].std(ddof=1)
         return pd.DataFrame({
             "l_returnflag": pdf["l_returnflag"],
+            "l_linestatus": pdf["l_linestatus"],
+            "ship_month": pdf["ship_month"],
             "l_orderkey": pdf["l_orderkey"],
             "l_linenumber": pdf["l_linenumber"],
             "price_z": ((pdf["l_extendedprice"] - mu) / sd).round(4),
@@ -158,10 +167,13 @@ def q_pandas_group_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
-        .groupBy("l_returnflag")
+        li.select("l_returnflag", "l_linestatus",
+                  F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+                  "l_orderkey", "l_linenumber", "l_extendedprice")
+        .groupBy("l_returnflag", "l_linestatus", "ship_month")
         .applyInPandas(
             norm,
-            schema="l_returnflag string, l_orderkey long, l_linenumber int, price_z double",
+            schema=("l_returnflag string, l_linestatus string, ship_month string, "
+                    "l_orderkey long, l_linenumber int, price_z double"),
         )
     )

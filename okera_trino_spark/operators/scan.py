@@ -229,6 +229,7 @@ def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 sampled scan (okera_sampled_* catalogs). Row-fraction sample
     with a fixed seed — deterministic within Spark but engine-specific,
-    so no SQL oracle (driver rows-only check)."""
+    so no SQL oracle (driver rows-only check); the unit test bounds the
+    sampled count within 5σ binomial of fraction·N (tests/test_bounds.py)."""
     li = t(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")

@@ -42,6 +42,12 @@ _BUILD_CONFS: dict[str, str] = {
     "spark.io.compression.codec": "zstd",
     # Nested-struct column pruning reaches the parquet scan.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+    # rejects; read nanos as int64 and rebuild µs timestamps in
+    # load_table (the reference truncates nanos the same way,
+    # RecordServicePageSource.java:353-366). An engine default — set here
+    # rather than mutated mid-session by the table loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -58,8 +64,11 @@ def get_spark(app_name: str = "okera-trino-spark",
     local[N] test runs; a production deployment leaves AQE to coalesce
     from a higher initial value.
     """
+    from okera_trino_spark.sources.audit import install_audit_listener
+
     active = SparkSession.getActiveSession()
     if active is not None:
+        install_audit_listener(active)
         return active
     cpus = default_parallelism()
     builder = (
@@ -72,4 +81,8 @@ def get_spark(app_name: str = "okera-trino-spark",
     )
     for k, v in _BUILD_CONFS.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Engine-level audit (OkeraEventListener parity): every DataFrame
+    # action on this session lands in the execution log.
+    install_audit_listener(spark)
+    return spark

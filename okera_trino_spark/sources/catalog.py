@@ -33,6 +33,7 @@ import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +44,18 @@ TABLE_NAMES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+#: Schema namespaces — the reference models a real catalog tree
+#: (RecordServiceMetadata.java:166-189 listSchemaNames): relational
+#: fixtures live in ``default``; the LLM-pipeline tables get their own
+#: namespace. ``information_schema`` exists but is engine-internal and
+#: never listed (RecordServiceMetadata.java:82,549-553).
+SCHEMAS: dict[str, list[str]] = {
+    "default": ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events"],
+    "llm": ["documents", "embeddings"],
+}
+HIDDEN_SCHEMAS = ("information_schema",)
+
 # Reference listing caps (RecordServiceMetadata.java:84-85).
 MAX_SCHEMAS_LISTED = 100
 MAX_TABLES_LISTED = 50
@@ -52,14 +65,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: Analyzed-plan memo: (session id, sf_dir, table) → DataFrame. A
+#: Analyzed-plan memo: session → {(sf_dir, table) → DataFrame}. A
 #: DataFrame is an immutable logical plan, so reuse is safe; this is the
 #: Spark-side analogue of the reference's per-query metadata snapshot
 #: cache (RecordServiceMetadata.java:102-107, BoundedCache size 512) —
 #: it saves the file-listing + footer-schema round trip on every
 #: repeated table reference, which at fixture scale is most of a
 #: query's latency and on a cluster is a driver→storage metadata call.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+#: WeakKeyDictionary: entries (and their pinned plans) die with the
+#: session — an ``id(spark)`` key could be reused by a new session after
+#: GC and hand out DataFrames bound to a dead one.
+_TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,11 +91,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision at 2^61 magnitudes. DuckDB truncates identically, so the
     oracle agrees to the microsecond.
     """
-    key = (id(spark), sf_dir, name)
-    memo = _TABLE_MEMO.get(key)
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    memo = per_session.get((sf_dir, name))
     if memo is not None:
         return memo
     if name == "events":
+        # nanosAsLong is an engine default (session._BUILD_CONFS); set it
+        # here too — runtime-settable — so externally built sessions (the
+        # driver supplies its own) read events identically.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         df = df.withColumn(
@@ -88,7 +107,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
-    _TABLE_MEMO[key] = df
+    per_session[(sf_dir, name)] = df
     return df
 
 
@@ -176,18 +195,50 @@ class GovernedCatalog:
         self._views: dict[str, str] = {}  # view name -> SQL text (external views)
         self._audit: list[AuditRecord] = []
         self._next_query_id = 0
+        self._delegations: dict[str, set[str]] = {}  # delegate -> allowed targets
+        #: per-user metadata/stats cache with TTL; 0 disables caching —
+        #: the reference's default (RecordServiceMetadata.java:97-107,
+        #: okera.metadata.cache.ttl defaulting to disabled).
+        self.stats_ttl_seconds: float = 0.0
+        self._stats_cache: dict[tuple[str, str], tuple[float, dict]] = {}
 
     # ------------------------------------------------------------- listings
     def list_schemas(self) -> list[str]:
-        """information_schema is engine-internal, never listed
-        (RecordServiceMetadata.java:82,549-553)."""
-        return ["default"][:MAX_SCHEMAS_LISTED]
+        """All schema namespaces, capped at 100 per listing
+        (RecordServiceMetadata.java:84). ``information_schema`` is
+        engine-internal, never listed (:82,549-553)."""
+        visible = [s for s in sorted(SCHEMAS) if s not in HIDDEN_SCHEMAS]
+        return visible[:MAX_SCHEMAS_LISTED]
 
-    def list_tables(self) -> list[str]:
-        return sorted(TABLE_NAMES)[:MAX_TABLES_LISTED]
+    def list_tables(self, schema: str | None = None) -> list[str]:
+        """Tables of one schema, or of every visible schema when
+        ``schema`` is None (the wildcard listing the reference caps at
+        50, RecordServiceMetadata.java:85)."""
+        if schema is not None:
+            if schema in HIDDEN_SCHEMAS or schema not in SCHEMAS:
+                return []
+            return sorted(SCHEMAS[schema])[:MAX_TABLES_LISTED]
+        names = [f"{s}.{t}" for s in self.list_schemas() for t in sorted(SCHEMAS[s])]
+        return names[:MAX_TABLES_LISTED]
 
     def list_views(self) -> list[str]:
         return sorted(self._views)[:MAX_TABLES_LISTED]
+
+    def resolve(self, name: str) -> tuple[str, str]:
+        """Resolve a bare or ``schema.table`` name to (schema, table).
+        Bare names search schemas in listing order — the reference
+        resolves against the session schema then the catalog tree."""
+        if "." in name:
+            schema, table = name.split(".", 1)
+            if schema not in SCHEMAS or table not in SCHEMAS[schema]:
+                raise KeyError(f"no such table: {name}")
+            return schema, table
+        for schema in sorted(SCHEMAS):
+            if name in SCHEMAS[schema]:
+                return schema, name
+        if name in self._views:
+            return "default", name
+        raise KeyError(f"no such table: {name}")
 
     def table_schema(self, name: str, user: str | None = None):
         """Visible schema after column authorization — unauthorized columns
@@ -198,9 +249,26 @@ class GovernedCatalog:
     def set_policy(self, user: str, table: str, policy: TablePolicy) -> None:
         self._policies.setdefault(user, {})[table] = policy
 
+    # ----------------------------------------------------------- delegation
+    def allow_delegation(self, delegate: str, target: str) -> None:
+        """Grant ``delegate`` the right to run reads as ``target`` — the
+        reference's canDelegate check on the connected system identity
+        (RecordServiceUtil.java:494-503, OkeraAuthenticator delegation)."""
+        self._delegations.setdefault(delegate, set()).add(target)
+
+    def can_delegate(self, delegate: str, target: str) -> bool:
+        return delegate == target or target in self._delegations.get(delegate, set())
+
     # ---------------------------------------------------------------- reads
-    def read(self, name: str, user: str | None = None) -> DataFrame:
+    def read(self, name: str, user: str | None = None,
+             on_behalf_of: str | None = None) -> DataFrame:
         """Governed scan: policy column-prune + row-filter + sampling + limit.
+
+        ``name`` may be bare or ``schema.table`` qualified (multi-db tree,
+        RecordServiceMetadata.java:166-189). ``on_behalf_of`` runs the read
+        as another identity — allowed only through the delegation gate
+        (RecordServiceUtil.java:494-503); the effective user's policies
+        then apply.
 
         Order matters and is chosen so every stage stays pushdown-friendly:
         filter and select go first (Catalyst collapses them into the scan),
@@ -208,9 +276,15 @@ class GovernedCatalog:
         nothing executes here.
         """
         user = user or self.props.user
+        if on_behalf_of is not None:
+            if not self.can_delegate(user, on_behalf_of):
+                raise PermissionError(
+                    f"{user!r} may not delegate as {on_behalf_of!r}")
+            user = on_behalf_of
         if name in self._views:
-            df = self.expand_view(name)
+            df = self.expand_view(name, user=user)
         else:
+            _, name = self.resolve(name)
             df = load_table(self.spark, self.sf_dir, name)
         policy = self._policies.get(user, {}).get(name)
         if policy is not None:
@@ -258,55 +332,94 @@ class GovernedCatalog:
             raise ValueError(f"no such view: {name}")
         del self._views[name]
 
-    def expand_view(self, name: str) -> DataFrame:
-        """Expand stored view SQL against the governed tables
-        (read path: RecordServiceMetadata.java:392-444)."""
-        register_tables(self.spark, self.sf_dir)
+    def _register_governed(self, user: str) -> None:
+        """Register every table as a temp view of its GOVERNED DataFrame
+        for ``user`` — the SQL path then sees exactly what the policy
+        allows (column prune + row filter + sampling + limit), matching
+        the reference's server-side enforcement on every read
+        (RecordServiceMetadata.java:109-118 internal views, :804 column
+        authz). Temp views are session-global state; each call stamps the
+        current user's governance, mirroring one-query-one-identity."""
+        for schema in SCHEMAS.values():
+            for name in schema:
+                self.read(name, user=user).createOrReplaceTempView(name)
+
+    def expand_view(self, name: str, user: str | None = None) -> DataFrame:
+        """Expand stored view SQL against the GOVERNED tables
+        (read path: RecordServiceMetadata.java:392-444) — view expansion
+        must not bypass the expanding user's policies."""
+        self._register_governed(user or self.props.user)
         return self.spark.sql(self._views[name])
 
     # ---------------------------------------------------------------- audit
     def execute(self, sql: str, user: str | None = None) -> DataFrame:
-        """Run SQL with audit logging (OkeraEventListener.java:26-67 field
-        set: id, user, timing, success, error, query text)."""
-        register_tables(self.spark, self.sf_dir)
+        """Run SQL as ``user`` with audit logging. The tables visible to
+        the query are the user's GOVERNED reads — column authorization
+        and row filters apply on this path exactly as on ``read()``
+        (previously the SQL path saw raw temp views and silently
+        bypassed policy)."""
+        user = user or self.props.user
+        self._register_governed(user)
         qid = self._next_query_id
         self._next_query_id += 1
         start = time.time()
         try:
             df = self.spark.sql(sql)
             self._audit.append(AuditRecord(
-                query_id=qid, user=user or self.props.user, sql=sql,
+                query_id=qid, user=user, sql=sql,
                 start_time=start, elapsed_ms=(time.time() - start) * 1000.0,
                 success=True))
             return df
         except Exception as exc:  # noqa: BLE001 — audit then re-raise
             self._audit.append(AuditRecord(
-                query_id=qid, user=user or self.props.user, sql=sql,
+                query_id=qid, user=user, sql=sql,
                 start_time=start, elapsed_ms=(time.time() - start) * 1000.0,
                 success=False, error=str(exc)))
             raise
 
     @property
     def audit_log(self) -> list[AuditRecord]:
+        """SQL-path submission records (query text + user). Engine-level
+        per-execution records — every DataFrame action on the session,
+        captured by the QueryExecutionListener in sources/audit.py — are
+        exposed via :meth:`execution_log`."""
         return list(self._audit)
 
+    def execution_log(self):
+        """Engine-level audit: every execution on this session (DataFrame
+        API included), from the registered QueryExecutionListener —
+        OkeraEventListener.java:26-67 parity."""
+        from okera_trino_spark.sources.audit import execution_log
+        return execution_log(self.spark)
+
     # ----------------------------------------------------------------- stats
-    def table_stats(self, name: str) -> dict:
+    def table_stats(self, name: str, user: str | None = None) -> dict:
         """Table statistics for cost-based planning — the connector's
         TableStatistics surface (row count + total data size,
         RecordServiceMetadata.java:504-537; modes HMS/Okera collapse to
         one here since parquet footers are the single source).
 
-        Row count comes from parquet metadata (a footer read, not a
-        scan — the same metadata-only path q_count_star uses); size is
-        the on-disk footprint. On a deployment these feed
-        ``ANALYZE TABLE`` / CBO; AQE consumes runtime sizes regardless.
+        METADATA-ONLY: the row count is read from the parquet footer via
+        pyarrow — no Spark job, no scan (a stats call must never cost a
+        full pass over 100 TB). Results go through a per-user TTL cache
+        (``stats_ttl_seconds``; 0 = disabled, the reference's default —
+        RecordServiceMetadata.java:97-107).
         """
-        df = load_table(self.spark, self.sf_dir, name)
-        return {
+        user = user or self.props.user
+        _, name = self.resolve(name)
+        if self.stats_ttl_seconds > 0:
+            hit = self._stats_cache.get((user, name))
+            if hit is not None and time.time() - hit[0] < self.stats_ttl_seconds:
+                return dict(hit[1])
+        import pyarrow.parquet as pq
+        meta = pq.ParquetFile(table_path(self.sf_dir, name)).metadata
+        stats = {
             "table": name,
-            "row_count": df.count(),
+            "row_count": meta.num_rows,
             "size_bytes": os.path.getsize(table_path(self.sf_dir, name)),
-            "n_columns": len(df.columns),
+            "n_columns": meta.num_columns,
             "stats_mode": self.props.stats_mode,
         }
+        if self.stats_ttl_seconds > 0:
+            self._stats_cache[(user, name)] = (time.time(), stats)
+        return dict(stats)

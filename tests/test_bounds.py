@@ -1,0 +1,48 @@
+"""Statistical assertions for the two rows-only driver keys — "no SQL
+oracle" must not mean "no assertion":
+
+- q_agg_approx_distinct: HLL++ sketch values are engine-specific, but
+  the estimate must sit within the sketch's own error bound of the
+  exact distinct count.
+- q_sample: which rows a seeded Bernoulli sample keeps is
+  engine-specific, but the sampled row COUNT must sit inside binomial
+  bounds of fraction·N.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from okera_trino_spark.registry import load_all_queries
+from okera_trino_spark.sources.catalog import load_table
+
+SPECS = load_all_queries()
+
+
+def test_approx_distinct_within_sketch_error(spark, sf_dir):
+    exact = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {r.o_orderstatus: r.approx_customers
+              for r in SPECS["q_agg_approx_distinct"].fn(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    rsd = 0.01  # matches the query's rsd parameter
+    for status, ex in exact.items():
+        # 3σ of the sketch's relative standard deviation, floor of 3 for
+        # tiny groups where HLL is exact-or-off-by-rounding.
+        tol = max(3.0, 3 * rsd * ex)
+        assert abs(approx[status] - ex) <= tol, (status, approx[status], ex)
+
+
+def test_sample_count_within_binomial_bounds(spark, sf_dir):
+    n = load_table(spark, sf_dir, "lineitem").count()
+    got = SPECS["q_sample"].fn(spark, sf_dir).count()
+    p = 0.1  # matches the query's sample fraction
+    sigma = math.sqrt(n * p * (1 - p))
+    assert abs(got - n * p) <= 5 * sigma, (got, n * p, sigma)

@@ -91,6 +91,123 @@ def test_table_stats_surface(cat, spark, sf_dir):
     assert st["stats_mode"] == "okera"
 
 
+def test_multi_db_listing_and_qualified_reads(cat):
+    """Real schema namespaces: default (relational) + llm (documents/
+    embeddings); information_schema hidden; qualified and bare reads
+    resolve to the same plan-producing table."""
+    assert cat.list_schemas() == ["default", "llm"]
+    assert cat.list_tables("llm") == ["documents", "embeddings"]
+    assert cat.list_tables("default") == sorted(
+        ["region", "nation", "customer", "supplier", "part",
+         "orders", "lineitem", "events"])
+    assert cat.list_tables("information_schema") == []
+    assert cat.list_tables("no_such_schema") == []
+    assert "llm.documents" in cat.list_tables()
+    assert cat.read("llm.documents").columns == cat.read("documents").columns
+    assert cat.resolve("embeddings") == ("llm", "embeddings")
+    with pytest.raises(KeyError):
+        cat.read("default.documents")  # documents lives in llm, not default
+
+
+def test_execute_enforces_policies(cat):
+    """The SQL path must apply the same governance as read(): a user
+    whose policy hides columns/rows cannot see them via execute()."""
+    cat.set_policy("alice", "orders", TablePolicy(
+        allowed_columns=["o_orderkey", "o_orderstatus"],
+        row_filter="o_orderstatus = 'F'"))
+    got = cat.execute(
+        "SELECT DISTINCT o_orderstatus FROM orders", user="alice").collect()
+    assert [r.o_orderstatus for r in got] == ["F"]
+    with pytest.raises(Exception):  # hidden column is absent, not masked
+        cat.execute("SELECT o_totalprice FROM orders", user="alice").collect()
+    # another user (no policy) sees everything again
+    statuses = {r.o_orderstatus for r in cat.execute(
+        "SELECT DISTINCT o_orderstatus FROM orders", user="bob").collect()}
+    assert len(statuses) > 1
+
+
+def test_view_expansion_enforces_policies(cat):
+    cat.set_policy("alice", "orders", TablePolicy(row_filter="o_orderstatus = 'F'"))
+    cat.create_view("v_status", "SELECT DISTINCT o_orderstatus FROM orders")
+    rows = cat.read("v_status", user="alice").collect()
+    assert [r.o_orderstatus for r in rows] == ["F"]
+
+
+def test_delegation_gate(cat):
+    """RecordServiceUtil.java:494-503: reads on behalf of another
+    identity require an explicit delegation grant; the target user's
+    policies then apply."""
+    cat.set_policy("alice", "customer", TablePolicy(allowed_columns=["c_custkey"]))
+    with pytest.raises(PermissionError):
+        cat.read("customer", user="svc", on_behalf_of="alice")
+    cat.allow_delegation("svc", "alice")
+    df = cat.read("customer", user="svc", on_behalf_of="alice")
+    assert df.columns == ["c_custkey"]  # alice's policy, not svc's
+    assert cat.can_delegate("svc", "alice")
+    assert not cat.can_delegate("svc", "bob")
+    assert cat.can_delegate("alice", "alice")  # self is always allowed
+
+
+def test_table_stats_is_metadata_only_and_ttl_cached(cat, monkeypatch):
+    """Stats must come from parquet footers (no Spark job) and honor the
+    per-user TTL cache (0 = disabled, the reference default)."""
+    import okera_trino_spark.sources.catalog as catmod
+
+    # metadata-only: poison load_table — stats must not touch it
+    monkeypatch.setattr(catmod, "load_table",
+                        lambda *a, **k: (_ for _ in ()).throw(AssertionError(
+                            "table_stats ran a scan")))
+    st = cat.table_stats("nation")
+    assert st["row_count"] == 25
+    # TTL disabled by default: every call recomputes (mutating the cache
+    # dict between calls proves nothing is served from it)
+    assert cat.stats_ttl_seconds == 0.0
+    cat._stats_cache[("root", "nation")] = (9e18, {"row_count": -1})
+    assert cat.table_stats("nation")["row_count"] == 25
+    # TTL on: second call is served from cache
+    cat.stats_ttl_seconds = 300.0
+    cat._stats_cache.clear()
+    first = cat.table_stats("nation", user="alice")
+    cat._stats_cache[("alice", "nation")] = (
+        cat._stats_cache[("alice", "nation")][0], {**first, "row_count": 77})
+    assert cat.table_stats("nation", user="alice")["row_count"] == 77
+    # per-user: bob's entry is separate and recomputed
+    assert cat.table_stats("nation", user="bob")["row_count"] == 25
+
+
+def test_execution_listener_captures_dataframe_api(spark, sf_dir, cat):
+    """OkeraEventListener parity: a DataFrame-API query that never
+    touches GovernedCatalog.execute still lands in the engine-level
+    execution log (queryId/user/action/timing/success)."""
+    import time as _time
+
+    from okera_trino_spark.sources.audit import (
+        execution_log,
+        install_audit_listener,
+        set_audit_user,
+    )
+    from okera_trino_spark.sources.catalog import load_table
+
+    assert install_audit_listener(spark)  # idempotent if session.py did it
+    set_audit_user(spark, "df_user")
+    before = len(execution_log(spark))
+    load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
+    rec = None
+    for _ in range(100):  # listener bus is async — poll up to 10s
+        log = execution_log(spark)
+        if len(log) > before:
+            rec = log[-1]
+            break
+        _time.sleep(0.1)
+    assert rec is not None, "no execution record arrived"
+    assert rec.user == "df_user"
+    assert rec.success and rec.error is None
+    assert rec.action  # collectToPython / count / ...
+    assert rec.elapsed_ms >= 0 and rec.query_id >= 0
+    assert cat.execution_log()[-1].query_id == rec.query_id
+    set_audit_user(spark, "root")
+
+
 def test_audit_log_records_success_and_failure(cat):
     cat.execute("SELECT count(*) AS n FROM region").collect()
     with pytest.raises(Exception):
