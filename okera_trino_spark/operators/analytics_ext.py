@@ -1,0 +1,396 @@
+"""Extended composite analytics — the rest of the TPC-H-shaped workload.
+
+Round 1 covered Q1/Q3/Q4/Q5/Q10/Q18 (operators/analytics.py). This
+module widens the composite surface to the remaining TPC-H query shapes
+expressible over the reduced fixture schema (FIXTURES.md: no partsupp,
+no shipmode/commitdate/receiptdate/container columns), because the
+reference's deployed surface is "whatever SQL Trino runs over the
+connector" (README.md:74-90) — breadth of whole-query shapes is the
+parity target, not just isolated operators.
+
+Each query keeps the scale discipline of analytics.py:
+- dims (part/supplier/customer/nation/region) broadcast explicitly;
+  the only shuffle joins are fact⋈fact (orders⋈lineitem);
+- every filter sits on the scan so pushdown/pruning reach parquet;
+- single-row global aggregates still produce deterministic output;
+- computed columns aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import r4, t
+from okera_trino_spark.registry import query
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ------------------------------------------------------ Q6 forecast revenue
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("composite", "scan", "agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan+filter+global agg.
+
+    The whole WHERE clause is scan-local — all three predicates reach the
+    parquet reader (PushedFilters + row-group min/max pruning on
+    l_shipdate), so at 100 TB this reads only the matching year's row
+    groups and three columns. No shuffle at all until the single-row
+    final agg merge.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+
+
+# ---------------------------------------------------- Q7 volume shipping
+_N1, _N2 = "NATION_1", "NATION_2"
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '{_N1}' AND n2.n_name = '{_N2}')
+            OR (n1.n_name = '{_N2}' AND n2.n_name = '{_N1}'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year. Exercises a disjunctive join-level predicate over
+    two broadcast nation dims plus the orders⋈lineitem shuffle join.
+
+    Plan shape: supplier/customer/nation all broadcast; the nation-pair
+    disjunction is evaluated post-join on broadcast columns (cheap), and
+    the date filter is pushed to the lineitem scan.
+    """
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    pair = (
+        ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
+        | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(r4(F.sum(_rev())).alias("revenue"))
+    )
+
+
+# ------------------------------------------------- Q8 national market share
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = '{_N1}' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY o_year
+    """,
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): share of one supplier-nation in
+    an importing region's consumption of one part type, by order year —
+    an 8-table star with a conditional-aggregate ratio.
+
+    Plan shape: every dim broadcasts; orders⋈lineitem is the lone
+    shuffle; the part-type and region filters prune their broadcast
+    sides before the join, so the fact rows that survive are a small
+    slice of the table at any scale.
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    li = t(spark, sf_dir, "lineitem")
+    vol = _rev()
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(r4(
+            F.sum(F.when(F.col("nation") == _N1, vol).otherwise(F.lit(0.0)))
+            / F.sum(vol)
+        ).alias("mkt_share"))
+    )
+
+
+# -------------------------------------------- Q13 customer order distribution
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): how many customers placed
+    k orders, including k=0 — the outer-join-then-double-aggregate shape
+    (a LEFT join whose unmatched rows carry the zero bucket, so a plain
+    inner join would silently drop them).
+
+    Plan shape: count-per-customer shuffles on c_custkey; the second agg
+    shuffles |distinct counts| rows — negligible. The join-level filter
+    on priority is applied to the orders scan (pushed) because it sits
+    in the ON clause of the outer join's preserved side.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# ---------------------------------------------------- Q14 promotion effect
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+           / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("composite", "join", "agg"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percent of one month's revenue from
+    PROMO parts — a broadcast dim join + conditional-aggregate ratio.
+
+    Plan shape: one-month shipdate filter is pushed to the fact scan
+    (row-group pruning makes this a ~1/84th scan of the table); part
+    broadcasts; single-row result, no shuffle beyond the final merge.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz")))
+    p = t(spark, sf_dir, "part")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0)))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(r4(F.lit(100.0) * promo / F.sum(_rev())).alias("promo_revenue"))
+    )
+
+
+# ------------------------------------------------------- Q15 top supplier
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_rev, 4) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    tags=("composite", "subquery", "agg"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum quarterly
+    revenue — a derived aggregate reused twice (once for the max, once
+    for the rows), the classic view + scalar-subquery shape.
+
+    Plan shape: one shuffle to aggregate revenue per supplier
+    (|suppliers| rows); the max is a second single-row agg over that
+    small frame, broadcast back as a join filter. Spark reuses the
+    aggregated exchange for both consumers (ReusedExchange), so the fact
+    table is scanned once.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_rev"))
+    )
+    top = revenue.agg(F.max("total_rev").alias("max_rev"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", r4(F.col("total_rev")).alias("total_revenue"))
+    )
+
+
+# ------------------------------------------- Q17 small-quantity-order revenue
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size < 10
+      AND l.l_quantity < a.half_avg_qty
+    """,
+    tags=("composite", "subquery", "agg"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from orders of a
+    brand's small parts at quantities below half the part's average — the
+    correlated-scalar-subquery shape, decorrelated into a per-part
+    aggregate join (exactly what Catalyst's RewriteCorrelatedScalarQuery
+    produces, stated explicitly here so the plan is the point).
+
+    Plan shape: the per-part average is one shuffle on l_partkey; the
+    re-join to lineitem co-partitions on the same key (no extra
+    exchange); part is a filtered broadcast. At 100 TB the brand+size
+    filter would also be semi-joined into the avg subquery to skip
+    aggregating parts that can't qualify — Spark's AQE does not do this
+    automatically, so the avg is computed over all parts (documented
+    trade-off; the aggregate output is |parts| rows, still small).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10))
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(r4(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------- Q19 disjunctive revenue
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("composite", "join", "filter"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): three OR'd brand/size/quantity
+    predicate branches spanning both join sides — the disjunctive
+    pushdown stress test.
+
+    Plan shape: Catalyst cannot push the cross-side OR below the join,
+    but it DOES derive the single-side implications (p_brand IN (...) on
+    the part scan, l_quantity BETWEEN 1 AND 40 on the lineitem scan) via
+    constraint propagation, so both scans still prune. Part broadcasts;
+    the residual OR evaluates post-join on in-memory columns.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .agg(r4(F.sum(_rev())).alias("revenue"))
+    )

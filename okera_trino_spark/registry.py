@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "okera_trino_spark.operators.scalar_fns",
     "okera_trino_spark.operators.nested",
     "okera_trino_spark.operators.analytics",
+    "okera_trino_spark.operators.analytics_ext",
     "okera_trino_spark.operators.extras",
     "okera_trino_spark.operators.asof",
     "okera_trino_spark.operators.skew",
