@@ -1,0 +1,172 @@
+"""Duplicate-cluster resolution — connected components over the
+near-dup pair graph (SURVEY.md §2.4 training-data hygiene).
+
+Pairwise dedup (llm/dedup.py) emits EDGES: (doc_a, doc_b, jaccard).
+Curation needs CLUSTERS: if A~B and B~C, all three are one duplicate
+group with one canonical survivor, even when A~C was never scored.
+That's connected components — an inherently iterative computation (no
+single SQL join expresses transitive closure), implemented here as
+distributed min-label propagation, the standard Spark shape for
+large-graph components (each iteration is one join + one aggregate;
+O(diameter) rounds).
+
+The oracle IS SQL-expressible via DuckDB's recursive CTE, so this
+iterative operator still gets a full driver value-check — the recursion
+happens oracle-side, the Spark side converges by fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.llm.dedup import shingle_index
+from okera_trino_spark.operators._util import t
+from okera_trino_spark.registry import query
+
+JACCARD_THRESHOLD = 0.5
+
+#: Shared with the q_llm_dedup_ngram oracle: 3-word shingles, DuckDB
+#: inclusive list slicing.
+_PAIRS_SQL = f"""
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(str_split_regex(trim(text), ' +')) - 1, 1)),
+                   i -> array_to_string((str_split_regex(trim(text), ' +'))[i:i+2], ' ')))) AS shingle
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT h.doc_a, h.doc_b
+        FROM hits h
+        JOIN cnt ca ON h.doc_a = ca.doc_id
+        JOIN cnt cb ON h.doc_b = cb.doc_id
+        WHERE h.common * 1.0 / (ca.n + cb.n - h.common) >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+def ngram_pairs(spark: SparkSession, sf_dir: str,
+                threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-dup edges: 3-shingle Jaccard ≥ threshold via the inverted
+    shingle index (same computation as q_llm_dedup_ngram, re-used here
+    as the graph's edge source)."""
+    d = t(spark, sf_dir, "documents")
+    sh = shingle_index(d, 3)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    hits = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+    return (
+        hits.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Distributed min-label propagation: every node starts as its own
+    label; each round a node takes the min of its own and its neighbors'
+    labels; fixpoint = components. Returns (doc_id, cluster_id).
+
+    Scale: each round is one shuffle join (edges ⋈ labels on node id)
+    plus one aggregate — no driver-side graph state; the convergence
+    check is a single count per round (an O(rounds) action cost,
+    sanctioned like IVF's constant-size codebook collects). Rounds are
+    bounded by component DIAMETER, and duplicate clusters are
+    near-cliques (diameter ≤ ~3), so the loop terminates in a handful of
+    rounds regardless of corpus size. ``localCheckpoint`` truncates the
+    lineage each round so the plan doesn't grow exponentially.
+    """
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))) \
+        .localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")) \
+        .localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("n_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.n_id, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                        ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q_llm_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           count(*) AS cluster_size,
+           min(doc_id) AS canonical_doc_id
+    FROM comp
+    GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the ngram-Jaccard
+    near-dup graph, reporting every multi-document cluster with its size
+    and canonical (minimum) doc_id — the survivor the curation pipeline
+    keeps. Transitive closure means A~B~C clusters together even when
+    A~C was never scored.
+
+    Spark side converges by iterative min-label propagation
+    (``connected_components``); the oracle computes the same closure
+    with a recursive CTE — an iterative operator with a full value
+    oracle, not a rows-only check.
+    """
+    d = t(spark, sf_dir, "documents")
+    comp = connected_components(d.select("doc_id"),
+                                ngram_pairs(spark, sf_dir))
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"),
+             F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("cluster_size") > 1)
+    )

@@ -1,0 +1,101 @@
+"""Benchmark decontamination — SURVEY.md §2.4 training-data hygiene.
+
+A training corpus must not contain benchmark/eval text: before
+training, every train document is checked for long-n-gram overlap with
+the benchmark set, and flagged docs are dropped or audited. This is the
+standard decontamination pass of large-scale pipeline curation (n-gram
+collision against held-out sets), expressed Spark-first.
+
+The fixture has no separate benchmark table, so the op treats one
+``source`` partition of ``documents`` as the benchmark set and the rest
+as the training corpus — the real deployment swaps in an actual eval
+table on the benchmark side; the plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.llm.dedup import shingle_index
+from okera_trino_spark.operators._util import r4, t
+from okera_trino_spark.registry import query
+
+#: Fixture stand-in for the benchmark/eval set.
+BENCH_SOURCE = "src0"
+#: Shingle width: 5-word n-grams — long enough that shared shingles mean
+#: copied text, short enough to survive small edits between copies.
+NGRAM_K = 5
+#: Flag a train doc when it shares at least this many distinct 5-grams
+#: with one benchmark doc.
+MIN_COMMON = 10
+
+
+@query(
+    "q_llm_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(str_split_regex(trim(text), ' +')) - {NGRAM_K - 2}, 1)),
+                   i -> array_to_string((str_split_regex(trim(text), ' +'))[i:i+{NGRAM_K - 1}], ' ')))) AS shingle
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, count(*) AS n FROM sh WHERE source <> '{BENCH_SOURCE}' GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT tr.doc_id AS train_doc_id, be.doc_id AS bench_doc_id,
+               count(*) AS n_common
+        FROM sh tr
+        JOIN sh be ON tr.shingle = be.shingle
+        WHERE tr.source <> '{BENCH_SOURCE}' AND be.source = '{BENCH_SOURCE}'
+        GROUP BY 1, 2
+    )
+    SELECT h.train_doc_id, h.bench_doc_id, h.n_common,
+           round(h.n_common * 1.0 / c.n, 4) AS containment
+    FROM hits h JOIN cnt c ON h.train_doc_id = c.doc_id
+    WHERE h.n_common >= {MIN_COMMON}
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥MIN_COMMON
+    distinct 5-word n-grams with any benchmark doc, with the containment
+    ratio (|∩| / |train shingles|) for triage.
+
+    Scale: the benchmark side is orders of magnitude smaller than the
+    corpus (evals are KBs–MBs; the corpus is the 100 TB), so its shingle
+    index BROADCASTS — the train side is then a map-side hash probe with
+    NO shuffle of corpus data at all; only the surviving (train, bench)
+    hit pairs aggregate. Compare: shuffling the corpus's shingle index
+    would move ~|words| rows per doc. The per-doc shingle counts reuse
+    the same single corpus pass (Catalyst reuses the scan; both branches
+    are scan-local explodes).
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source",
+                  F.explode(shingle_index_cols(F.col("text"))).alias("shingle"))
+    train = sh.filter(F.col("source") != BENCH_SOURCE)
+    bench = (sh.filter(F.col("source") == BENCH_SOURCE)
+             .select(F.col("doc_id").alias("bench_doc_id"), "shingle"))
+    cnt = train.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "bench_doc_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= MIN_COMMON)
+    )
+    return (
+        hits.join(cnt, hits.train_doc_id == cnt.doc_id)
+        .select("train_doc_id", "bench_doc_id", "n_common",
+                r4(F.col("n_common") / F.col("n")).alias("containment"))
+    )
+
+
+def shingle_index_cols(text_col) -> F.Column:
+    """Distinct NGRAM_K-word shingles of ``text_col`` (JVM higher-order
+    fns; empty array for docs shorter than NGRAM_K words — same guard as
+    llm/dedup._shingles)."""
+    from okera_trino_spark.llm.dedup import _shingles
+    return _shingles(text_col, NGRAM_K)

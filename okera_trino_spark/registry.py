@@ -55,6 +55,8 @@ _QUERY_MODULES = [
     "okera_trino_spark.operators.views_udfs",
     "okera_trino_spark.streaming.windows",
     "okera_trino_spark.llm.dedup",
+    "okera_trino_spark.llm.clusters",
+    "okera_trino_spark.llm.contamination",
     "okera_trino_spark.llm.similarity",
     "okera_trino_spark.llm.text",
     "okera_trino_spark.llm.multimodal",

@@ -152,3 +152,44 @@ def test_multimodal_decode_pipeline(spark, sf_dir):
 def test_multimodal_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError, match="jpeg"):
         _decode_one(b"\xff\xd8\xff", "jpeg")
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B and B~C must cluster A,B,C together even though A~C is not an
+    edge; isolated nodes stay their own singleton component."""
+    from okera_trino_spark.llm.clusters import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dup_clusters_consistent_with_pair_graph(spark, sf_dir):
+    """Every near-dup pair's endpoints must land in the same cluster,
+    and every reported cluster must be > 1 doc (singletons filtered)."""
+    from okera_trino_spark.llm.clusters import connected_components, ngram_pairs
+
+    comp = {r.doc_id: r.cluster_id
+            for r in connected_components(
+                load_table(spark, sf_dir, "documents").select("doc_id"),
+                ngram_pairs(spark, sf_dir)).collect()}
+    pairs = ngram_pairs(spark, sf_dir).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert comp[r.doc_a] == comp[r.doc_b]
+    sizes = SPECS["q_llm_dup_clusters"].fn(spark, sf_dir).collect()
+    assert all(r.cluster_size > 1 for r in sizes)
+    assert all(r.canonical_doc_id == r.cluster_id for r in sizes)
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle index must broadcast — the corpus side of
+    the probe join must not shuffle (no nested-loop join either)."""
+    from okera_trino_spark.plans.explain import assert_plan_contains, plan_string
+
+    df = SPECS["q_llm_decontaminate"].fn(spark, sf_dir)
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert "BroadcastNestedLoopJoin" not in plan_string(df)
