@@ -53,3 +53,33 @@ def test_csv_requires_schema(spark, tmp_out):
 def test_bad_format_rejected(spark, tmp_out):
     with pytest.raises(ValueError, match="unsupported"):
         read_source(spark, "avro", tmp_out)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """The 100-TB fact⋈fact answer: both sides bucketed on the join key
+    → SortMergeJoin with NO Exchange on either side (broadcast disabled
+    to prove it's the bucketing, not dim-size, that removes the
+    shuffle). SCALE.md joins section documents this as the deployment
+    strategy for repeated orderkey joins."""
+    from okera_trino_spark.sources.formats import write_bucketed_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(o, "b_orders", ["o_orderkey"], 8,
+                         sort_cols=["o_orderkey"])
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8,
+                         sort_cols=["l_orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        expect = (o.join(li, o.o_orderkey == li.l_orderkey)).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
