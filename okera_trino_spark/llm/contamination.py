@@ -74,8 +74,7 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are scan-local explodes).
     """
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "source",
-                  F.explode(shingle_index_cols(F.col("text"))).alias("shingle"))
+    sh = shingle_index(d, NGRAM_K, extra_cols=("source",))
     train = sh.filter(F.col("source") != BENCH_SOURCE)
     bench = (sh.filter(F.col("source") == BENCH_SOURCE)
              .select(F.col("doc_id").alias("bench_doc_id"), "shingle"))
@@ -91,11 +90,3 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_doc_id", "bench_doc_id", "n_common",
                 r4(F.col("n_common") / F.col("n")).alias("containment"))
     )
-
-
-def shingle_index_cols(text_col) -> F.Column:
-    """Distinct NGRAM_K-word shingles of ``text_col`` (JVM higher-order
-    fns; empty array for docs shorter than NGRAM_K words — same guard as
-    llm/dedup._shingles)."""
-    from okera_trino_spark.llm.dedup import _shingles
-    return _shingles(text_col, NGRAM_K)

@@ -31,15 +31,20 @@ def _words(col) -> Column:
     return F.split(F.trim(col), " +")
 
 
-def _shingles(col, k: int = 3) -> Column:
-    """Distinct k-word shingles: slice the word array at every start
-    position (higher-order functions; JVM-side, no UDF).
+def _shingles_of_words(words: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of an already-materialized words array:
+    slice at every start position (higher-order functions; JVM-side, no
+    UDF). ``words`` MUST be a bound column (not a nested split(...)
+    expression): this expression references it ~|words| times, and
+    whole-stage codegen does not common-subexpression-eliminate across
+    higher-order-function lambda boundaries — an inline split() here
+    re-ran the regex once per slice, a measured 5× slowdown on the
+    shingle pipeline.
 
     Docs with fewer than k words yield an EMPTY shingle set (matching the
     DuckDB oracle) — without the guard, ``sequence(1, n-(k-1))`` would
     descend (stop < start) and ``slice(..., 0, k)`` throws
     INVALID_PARAMETER_VALUE.START on any 1–2-word doc."""
-    words = _words(col)
     n = F.size(words)
     return F.when(
         n >= k,
@@ -52,11 +57,24 @@ def _shingles(col, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_index(docs: DataFrame, k: int = 3) -> DataFrame:
+def _shingles(col, k: int = 3) -> Column:
+    """k-word shingles straight off a text column — convenience form for
+    single-use contexts (tests); hot paths go through shingle_index,
+    which materializes the words array once per row first."""
+    return _shingles_of_words(_words(col), k)
+
+
+def shingle_index(docs: DataFrame, k: int = 3,
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Inverted index: (doc_id, shingle) exploded — the join key for
-    set-similarity without pairwise comparison."""
-    return docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"), k)).alias("shingle")
+    set-similarity without pairwise comparison. Projects the split words
+    array into a real column first so the k slice references resolve to
+    one attribute read, not k regex splits (see _shingles_of_words)."""
+    words = docs.select("doc_id", *extra_cols,
+                        _words(F.col("text")).alias("_w"))
+    return words.select(
+        "doc_id", *extra_cols,
+        F.explode(_shingles_of_words(F.col("_w"), k)).alias("shingle"),
     )
 
 
