@@ -53,11 +53,14 @@ def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio — the standard cheap quality filters for corpus curation.
     Entirely scan-local (no shuffle): at 100 TB this is a map-only pass."""
     d = t(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    n_words = F.size(words)
-    en_stops = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-    n_stops = F.size(F.filter(words, lambda w: F.array_contains(en_stops, w)))
-    return d.select(
+    # Materialize the split once: the stats below reference the words
+    # array 4 times, and codegen does not CSE an inline split() across
+    # those references (measured 5x on the shingle pipeline, llm/dedup).
+    w = d.select("doc_id", "text", _words(F.col("text")).alias("_w"))
+    n_words = F.size(F.col("_w"))
+    en_stops = F.array(*[F.lit(s) for s in _STOPWORDS["en"]])
+    n_stops = F.size(F.filter(F.col("_w"), lambda x: F.array_contains(en_stops, x)))
+    return w.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
         n_words.alias("n_words"),
@@ -99,8 +102,9 @@ def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 language ID by stopword voting with a deterministic
     tie-break order (en > de > fr > es). Map-only; no shuffle."""
     d = t(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    v = _lang_votes(words)
+    w = d.select("doc_id", "lang", _words(F.col("text")).alias("_w"))
+    d = w
+    v = _lang_votes(F.col("_w"))
     best = F.greatest(v["en"], v["de"], v["fr"], v["es"])
     pred = (
         F.when(best == 0, "und")
@@ -213,10 +217,11 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality classifiers (which would slot in as a pandas_udf stage).
     """
     d = t(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    n_words = F.size(words)
-    en_stops = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-    stop_ratio = (F.size(F.filter(words, lambda w: F.array_contains(en_stops, w)))
+    d = d.select("doc_id", "source", "lang", "text",
+                 _words(F.col("text")).alias("_w"))
+    n_words = F.size(F.col("_w"))
+    en_stops = F.array(*[F.lit(s) for s in _STOPWORDS["en"]])
+    stop_ratio = (F.size(F.filter(F.col("_w"), lambda x: F.array_contains(en_stops, x)))
                   / F.greatest(n_words, F.lit(1)))
     quality = F.round(
         0.5 * F.least(n_words, F.lit(60)) / 60.0

@@ -247,3 +247,65 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("supp_keys")
         )
     )
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 0), 4) AS urgent,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 0), 4) AS high,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 0), 4) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "pivot"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rotate o_orderpriority values into columns of per-status
+    price sums. Spark's groupBy().pivot() with an EXPLICIT value list —
+    without it Spark runs an extra distinct-values job first, a full
+    pass over the table a 100-TB query can't afford. Plans as one hash
+    aggregate (each pivot cell a conditional agg); the oracle states the
+    same query as portable conditional aggregation.
+    """
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .sum("o_totalprice")
+    )
+    return piv.select(
+        "o_orderstatus",
+        r4(F.coalesce(F.col("`1-URGENT`"), F.lit(0.0))).alias("urgent"),
+        r4(F.coalesce(F.col("`2-HIGH`"), F.lit(0.0))).alias("high"),
+        r4(F.coalesce(F.col("`5-LOW`"), F.lit(0.0))).alias("low"),
+    )
+
+
+@query(
+    "q_agg_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, round(val, 4) AS val
+    FROM (
+        SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    WHERE p_partkey <= 100
+    """,
+    tags=("agg", "pivot"),
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): melt measure columns into (metric, val)
+    rows via DataFrame.unpivot — one scan-local expand, no shuffle and
+    no per-column self-union (the oracle's UNION ALL form reads the
+    table once per measure; at 100 TB the single-scan expand wins).
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return (
+        p.select("p_partkey", F.col("p_retailprice").alias("retail"),
+                 F.col("p_size").cast("double").alias("size"))
+        .unpivot(["p_partkey"], ["retail", "size"], "metric", "v")
+        .select("p_partkey", "metric", r4(F.col("v")).alias("val"))
+    )
