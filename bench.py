@@ -28,6 +28,7 @@ HEADLINE = [
     "q_pricing_summary",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q8",
     "q_tpch_q18",
     "q_filter_range",
     "q_join_inner",
@@ -43,6 +44,8 @@ HEADLINE = [
     "q_llm_curation",
     "q_llm_dedup_exact",
     "q_llm_dedup_near",
+    "q_llm_dup_clusters",
+    "q_llm_decontaminate",
     "q_llm_text_stats",
     "q_llm_similarity",
 ]

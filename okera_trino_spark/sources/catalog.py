@@ -127,6 +127,18 @@ def register_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
+def _masked(col: str, kind: str) -> Column:
+    """Mask expression for one governed column (see TablePolicy.column_masks)."""
+    c = F.col(col)
+    if kind == "hash":
+        return F.sha2(c.cast("string"), 256)
+    if kind == "partial":
+        return F.concat(F.substring(c.cast("string"), 1, 2), F.lit("***"))
+    if kind == "null":
+        return F.lit(None).cast("string")
+    raise ValueError(f"unknown mask kind {kind!r}; one of hash/partial/null")
+
+
 @dataclass
 class AuditRecord:
     """One query-completion audit event.
@@ -146,14 +158,28 @@ class AuditRecord:
 
 @dataclass
 class TablePolicy:
-    """Per-table governance: visible columns and a row filter.
+    """Per-table governance: visible columns, a row filter, and column
+    masks.
 
     ``allowed_columns=None`` means all columns visible. ``row_filter`` is a
     SQL boolean expression evaluated against the table's columns — the
     "internal view" the reference's planner applies server-side.
+    ``column_masks`` maps column → mask kind; the Okera server rewrites
+    governed columns before the connector ever sees bytes (the connector
+    surface is schema-only, RecordServiceMetadata.java:770-815), so the
+    Spark-side analogue is a projection transform applied at read:
+
+    - ``"hash"``: sha2-256 hex (join-stable pseudonymization — equal
+      inputs stay equal, so governed keys still join);
+    - ``"partial"``: first 2 chars + ``***`` (human-debuggable redaction);
+    - ``"null"``: value nulled, column retained (schema-stable).
+
+    All three are scan-local expressions: masking costs one projection,
+    never a shuffle, and Catalyst still prunes/pushes around it.
     """
     allowed_columns: list[str] | None = None
     row_filter: str | None = None
+    column_masks: dict[str, str] | None = None
 
 
 @dataclass
@@ -293,6 +319,12 @@ class GovernedCatalog:
             if policy.allowed_columns is not None:
                 visible = [c for c in df.columns if c in set(policy.allowed_columns)]
                 df = df.select(*visible)
+            if policy.column_masks:
+                df = df.select(*[
+                    _masked(c, policy.column_masks[c]).alias(c)
+                    if c in policy.column_masks else F.col(c)
+                    for c in df.columns
+                ])
         frac = self._sample_fraction(name)
         if frac is not None:
             df = df.sample(fraction=frac, seed=42)

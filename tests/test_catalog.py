@@ -219,3 +219,36 @@ def test_audit_log_records_success_and_failure(cat):
     assert not bad.success and bad.error
     assert bad.query_id == ok.query_id + 1
     assert ok.user == "root"
+
+
+def test_column_masks_apply_per_user(cat):
+    """Column masks: hash is join-stable pseudonymization, partial is
+    prefix+***, null keeps the column with no values; other users see
+    raw data; masking composes with row filters on the same policy."""
+    from okera_trino_spark.sources.catalog import TablePolicy
+
+    cat.set_policy("alice", "customer", TablePolicy(
+        row_filter="c_custkey <= 10",
+        column_masks={"c_name": "hash", "c_mktsegment": "partial",
+                      "c_acctbal": "null"}))
+    rows = cat.read("customer", user="alice").collect()
+    assert rows and all(r.c_custkey <= 10 for r in rows)
+    import hashlib
+    raw = {r.c_custkey: r for r in cat.read("customer", user="bob")
+           .filter("c_custkey <= 10").collect()}
+    for r in rows:
+        assert r.c_name == hashlib.sha256(
+            raw[r.c_custkey].c_name.encode()).hexdigest()
+        assert r.c_mktsegment == raw[r.c_custkey].c_mktsegment[:2] + "***"
+        assert r.c_acctbal is None
+    # hash mask is deterministic → governed keys still join to themselves
+    a = cat.read("customer", user="alice").select("c_name")
+    assert a.join(a, "c_name").count() >= a.count()
+
+
+def test_unknown_mask_kind_rejected(cat):
+    from okera_trino_spark.sources.catalog import TablePolicy
+
+    cat.set_policy("eve", "region", TablePolicy(column_masks={"r_name": "rot13"}))
+    with pytest.raises(ValueError, match="mask kind"):
+        cat.read("region", user="eve")
