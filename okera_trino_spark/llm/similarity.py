@@ -200,3 +200,65 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
         .limit(10)
     )
+
+
+N_PROBES = 5
+KNN_K = 3
+
+
+@query(
+    "q_llm_knn_join",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+        SELECT p.probe_id, e.vec_id, e.label,
+               round(CAST(list_cosine_similarity(e.embedding, p.qv) AS DOUBLE), 4) AS cos_sim
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id >= {N_PROBES}
+    )
+    SELECT probe_id, vec_id, label, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {KNN_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 k-NN JOIN: exact top-k neighbors for EVERY probe in a probe
+    set (not one query vector) — the batch retrieval shape behind
+    RAG-corpus linking and embedding-dedup candidate scoring.
+
+    Plan: the probe set broadcasts (probes ≪ corpus); scoring is a
+    map-side cross product over the broadcast (corpus scanned ONCE for
+    all probes); per-probe top-k is a window row_number over probe_id —
+    one shuffle of (corpus × probes) scored rows keyed by probe_id.
+    Ranks order on the 4dp-rounded score (ties by vec_id) so FP noise
+    can't flip ranks between engines. At 100 TB with a large probe set,
+    the same plan holds with the LSH bucket key added to the join (see
+    q_llm_ann_lsh) so each probe scores one bucket instead of the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        e.filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= N_PROBES)
+        .crossJoin(probes)
+        .select("probe_id", "vec_id", "label",
+                F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= KNN_K)
+        .select("probe_id", "vec_id", "label", "cos_sim")
+    )

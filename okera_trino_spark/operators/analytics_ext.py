@@ -394,3 +394,65 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(branch)
         .agg(r4(F.sum(_rev())).alias("revenue"))
     )
+
+
+# ------------------------------------------------------ events funnel
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT f.user_id, min(e.ts) AS first_purchase
+        FROM fv f
+        JOIN events e ON e.user_id = f.user_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts > f.first_view
+        GROUP BY f.user_id
+    )
+    SELECT f.user_id,
+           strftime(f.first_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+           strftime(p.first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+           CASE WHEN p.first_purchase IS NULL THEN 0
+                WHEN p.first_purchase <= f.first_view + INTERVAL 1 HOUR
+                THEN 1 ELSE 0 END AS converted_1h
+    FROM fv f LEFT JOIN fp p ON f.user_id = p.user_id
+    """,
+    tags=("composite", "events", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel over the event stream: per user, first 'view'
+    then the first 'purchase' strictly after it, flagging 1-hour
+    conversion — the behavioral-analytics shape (funnel/retention)
+    engines bolt onto event tables.
+
+    Plan: two aggregates on user_id plus a self-join, all sharing the
+    user_id shuffle key — Catalyst co-partitions the pipeline after the
+    first exchange, so the funnel costs one effective shuffle of the
+    events table however many funnel stages are chained. The 1-hour gate is
+    plain timestamp+interval comparison — exact microsecond arithmetic
+    in both engines (DuckDB date_diff counts boundary crossings and is
+    avoided; unix_micros rejects TIMESTAMP_NTZ).
+    """
+    ev = t(spark, sf_dir, "events")
+    fv = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    fp = (
+        fv.join(ev, (ev.user_id == fv.user_id)
+                & (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_view")))
+        .groupBy(fv.user_id.alias("u2"))
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    joined = fv.join(fp, fv.user_id == fp.u2, "left")
+    converted = F.when(F.col("first_purchase").isNull(), 0).when(
+        F.col("first_purchase") <= F.col("first_view") + F.expr("INTERVAL 1 HOUR"),
+        1).otherwise(0)
+    return joined.select(
+        "user_id",
+        F.date_format("first_view", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        F.date_format("first_purchase", "yyyy-MM-dd HH:mm:ss").alias("first_purchase"),
+        converted.alias("converted_1h"),
+    )
