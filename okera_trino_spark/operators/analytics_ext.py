@@ -285,11 +285,16 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the rows), the classic view + scalar-subquery shape.
 
     Plan shape: one shuffle to aggregate revenue per supplier
-    (|suppliers| rows); the max is a second single-row agg over that
-    small frame, broadcast back as a join filter. Spark reuses the
-    aggregated exchange for both consumers (ReusedExchange), so the fact
-    table is scanned once.
+    (|suppliers| rows); the max-filter is a GLOBAL WINDOW over that
+    already-aggregated frame — |suppliers| rows through one partition,
+    trivially small — so the fact table is scanned and aggregated
+    exactly once. (The naive two-branch form — aggregate once for the
+    max, again for the rows — does NOT get ReuseExchange'd by Catalyst
+    because the subtrees differ, and scans lineitem twice; verified via
+    explain, hence this single-pipeline shape.)
     """
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
@@ -297,10 +302,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).alias("total_rev"))
     )
-    top = revenue.agg(F.max("total_rev").alias("max_rev"))
+    max_rev = F.max("total_rev").over(Window.partitionBy())
     s = t(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(top), F.col("total_rev") == F.col("max_rev"))
+        revenue.withColumn("max_rev", max_rev)
+        .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", r4(F.col("total_rev")).alias("total_revenue"))
     )
