@@ -462,3 +462,47 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_purchase", "yyyy-MM-dd HH:mm:ss").alias("first_purchase"),
         converted.alias("converted_1h"),
     )
+
+
+# --------------------------------------------- Q22 global sales opportunity
+@query(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c.c_nationkey AS cntrycode,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    tags=("composite", "subquery", "antijoin"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: well-funded
+    customers (balance above the positive-balance average) with no
+    urgent orders, grouped by nation — the scalar-subquery +
+    NOT-EXISTS-anti-join composite.
+
+    Plan shape: the scalar average is a single-row aggregate broadcast
+    into the filter; the NOT EXISTS is a left-anti hash join against the
+    filtered orders scan (priority filter pushed). The anti join
+    shuffles on custkey only for rows already past the balance filter —
+    predicate order matters and Catalyst keeps the cheap filter first.
+    """
+    c = t(spark, sf_dir, "customer")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"),
+             r4(F.sum("c_acctbal")).alias("totacctbal"))
+    )
