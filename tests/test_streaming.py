@@ -110,3 +110,41 @@ def test_stream_dedup_bounded_state(spark, sf_dir, events_stream_dir):
     expected = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert n == expected
     q.stop()
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir):
+    """Exactly-once file pipeline: a parquet-sink stream with a
+    checkpoint processes each input file once ACROSS RESTARTS — stop the
+    query, add new input, restart with the same checkpoint, and the sink
+    holds old+new with no duplicates (the WAL/commit-log recovery the
+    engine's ingestion path depends on)."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="stream_eo_")
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (spark.readStream.schema(ev.schema).parquet(src)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        run_once()
+        n1 = spark.read.parquet(sink).count()
+        assert n1 == first.count()
+        second.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        out = spark.read.parquet(sink)
+        assert out.count() == ev.count(), "restart must not reprocess batch 1"
+        assert out.select("event_id").distinct().count() == ev.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
