@@ -111,10 +111,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_static_join",
     # TPC-H composites + as-of + applyInPandas (§2.5)
     "q_tpch_q3", "q_tpch_q18", "q_asof_join", "q_pandas_group_norm",
-    # LLM data-pipeline ops (§2.4)
+    # LLM data-pipeline ops (§2.4). q_llm_curation composes the
+    # text-stats + langid logic, so those two keys yield their window
+    # slots to the round-2 additions (dup clustering, decontamination)
+    # and keep local-parity coverage.
     "q_llm_dedup_exact", "q_llm_dedup_ngram", "q_llm_dedup_near",
-    "q_llm_dedup_embed", "q_llm_similarity", "q_llm_text_stats",
-    "q_llm_langid", "q_llm_curation", "q_llm_multimodal",
+    "q_llm_dedup_embed", "q_llm_similarity", "q_llm_dup_clusters",
+    "q_llm_decontaminate", "q_llm_curation", "q_llm_multimodal",
 )
 
 
