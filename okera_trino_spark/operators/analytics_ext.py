@@ -18,7 +18,7 @@ Each query keeps the scale discipline of analytics.py:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from okera_trino_spark.operators._util import r4, t
@@ -505,4 +505,78 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(F.count("*").alias("numcust"),
              r4(F.sum("c_acctbal")).alias("totacctbal"))
+    )
+
+
+# ------------------------------------------ hypertable rollup with gap-fill
+_GF_START, _GF_END = "2024-01-01 00:00:00", "2024-01-30 23:00:00"
+
+
+@query(
+    "q_events_gapfill",
+    oracle=f"""
+    WITH spine AS (
+        SELECT u.user_id, g.bucket
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u
+        CROSS JOIN (SELECT unnest(generate_series(
+            TIMESTAMP '{_GF_START}', TIMESTAMP '{_GF_END}',
+            INTERVAL 1 HOUR)) AS bucket) g
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               count(*) AS n_events, sum(value) AS sum_value
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    )
+    SELECT s.user_id,
+           strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           coalesce(h.n_events, 0) AS n_events,
+           round(coalesce(h.sum_value, 0.0), 4) AS sum_value,
+           round(coalesce(
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0.0), 4) AS sum_value_locf
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.bucket = h.bucket
+    """,
+    tags=("composite", "events", "timeseries", "custom"),
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup with gap-fill: hourly per-user buckets over a
+    fixed spine INCLUDING empty hours (zero-filled counts) plus a
+    carried-forward last-observation value — the time-series resample /
+    LOCF operator (feature-store backfills, monitoring rollups) that
+    neither Trino nor Spark ships natively.
+
+    Composition: the dense spine is generated (sequence + explode — no
+    scan, |users|×|hours| rows created executor-side), the rollup is one
+    groupBy on (user, hour), and both sides join on user_id+bucket; the
+    LOCF is a running window per user. Two shuffles total (rollup, then
+    spine join/window share the user partitioning) at any scale; the
+    spine never exceeds users × horizon regardless of event volume.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.lit(_GF_START).cast("timestamp_ntz"),
+            F.lit(_GF_END).cast("timestamp_ntz"),
+            F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    joined = spine.join(hourly, ["user_id", "bucket"], "left")
+    locf = F.last("sum_value", ignorenulls=True).over(
+        Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        r4(F.coalesce("sum_value", F.lit(0.0))).alias("sum_value"),
+        r4(F.coalesce(locf, F.lit(0.0))).alias("sum_value_locf"),
     )
