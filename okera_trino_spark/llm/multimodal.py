@@ -115,3 +115,82 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("payload")).alias("payload_md5"),
         F.col("media_meta.modality").alias("modality"),
     )
+
+
+# ------------------------------------------------- frame sampling / resize
+FRAME_BYTES = 64      #: fake-video convention: 1 frame = 64 payload chars
+                      #  (chars, not bytes: DuckDB substring is varchar-only,
+                      #  and char slicing agrees across engines for any UTF-8)
+SAMPLE_EVERY = 4      #: keep every 4th frame
+
+
+@query(
+    "q_llm_frame_sample",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id, text, length(text) // {FRAME_BYTES} AS n_frames
+        FROM documents
+    )
+    SELECT m.doc_id, f.frame_idx,
+           md5(substring(m.text, f.frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+             AS frame_md5
+    FROM media m
+    JOIN (SELECT unnest(range(0, 1000, {SAMPLE_EVERY})) AS frame_idx) f
+      ON f.frame_idx < m.n_frames
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 frame sampling: treat the payload as fixed-size frames and
+    keep every SAMPLE_EVERY-th one — the video keyframe-extraction shape
+    (one output row per sampled frame). Entirely JVM expressions:
+    sequence + explode for indices, substring on binary for the slice —
+    NO Python worker in the loop (a codec-backed variant would swap the
+    substring for mapInPandas like decode_media; the row shape and
+    partition behavior are identical).
+
+    Scale: one scan-local expand per doc, |frames|/4 rows out, no
+    shuffle; column pruning means only sampled payloads are sliced.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_frames = (F.char_length("text") / FRAME_BYTES).cast("int")
+    idx = F.explode(
+        F.when(n_frames > 0,
+               F.sequence(F.lit(0), n_frames - 1, F.lit(SAMPLE_EVERY)))
+        .otherwise(F.array().cast("array<int>"))
+    ).alias("frame_idx")
+    frames = d.select("doc_id", "text", idx)
+    frame = F.expr(f"substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+    return frames.select("doc_id", "frame_idx",
+                         F.md5(F.encode(frame, "UTF-8")).alias("frame_md5"))
+
+
+RESIZE_SCHEMA = "doc_id BIGINT, width INT, height INT, payload BINARY"
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched resize: mapInPandas, 1:1 rows, bounded memory.
+    raw-fake codec resizes by deterministic byte striding to exactly
+    target_w*target_h bytes (repeating the payload if too short); a real
+    image codec (PIL thumbnail) drops in at the marked line."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h
+        for pdf in batches:
+            out = []
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                raw = bytes(payload)
+                if meta["codec"] != "raw-fake":
+                    # Real resize would be: PIL.Image.open(...).resize(...)
+                    raise NotImplementedError(
+                        f"codec {meta['codec']!r}: media codecs unavailable")
+                reps = (n // max(len(raw), 1)) + 1
+                out.append((raw * reps)[:n])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array([target_w] * len(pdf), dtype="int32"),
+                "height": pd.array([target_h] * len(pdf), dtype="int32"),
+                "payload": out,
+            })
+
+    return media.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

@@ -193,3 +193,17 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     df = SPECS["q_llm_decontaminate"].fn(spark, sf_dir)
     assert_plan_contains(df, "BroadcastHashJoin")
     assert "BroadcastNestedLoopJoin" not in plan_string(df)
+
+
+def test_resize_media_deterministic_shape(spark, sf_dir):
+    """Resize plumbing: 1:1 rows, exact target byte count, deterministic
+    payload bytes across runs."""
+    from okera_trino_spark.llm.multimodal import make_media_frame, resize_media
+
+    media = make_media_frame(load_table(spark, sf_dir, "documents")).limit(20)
+    out = resize_media(media, 8, 8).collect()
+    assert len(out) == 20
+    assert all(len(bytes(r.payload)) == 64 for r in out)
+    assert all((r.width, r.height) == (8, 8) for r in out)
+    again = {r.doc_id: bytes(r.payload) for r in resize_media(media, 8, 8).collect()}
+    assert {r.doc_id: bytes(r.payload) for r in out} == again
