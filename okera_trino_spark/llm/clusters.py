@@ -20,61 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from okera_trino_spark.llm.dedup import shingle_index
+from okera_trino_spark.llm.dedup import (
+    NGRAM_THRESHOLD,
+    ngram_jaccard_pairs,
+    ngram_pairs_sql,
+)
 from okera_trino_spark.operators._util import t
 from okera_trino_spark.registry import query
 
-JACCARD_THRESHOLD = 0.5
-
-#: Shared with the q_llm_dedup_ngram oracle: 3-word shingles, DuckDB
-#: inclusive list slicing.
-_PAIRS_SQL = f"""
-    sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(1, greatest(len(str_split_regex(trim(text), ' +')) - 1, 1)),
-                   i -> array_to_string((str_split_regex(trim(text), ' +'))[i:i+2], ' ')))) AS shingle
-        FROM documents
-    ),
-    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    hits AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT h.doc_a, h.doc_b
-        FROM hits h
-        JOIN cnt ca ON h.doc_a = ca.doc_id
-        JOIN cnt cb ON h.doc_b = cb.doc_id
-        WHERE h.common * 1.0 / (ca.n + cb.n - h.common) >= {JACCARD_THRESHOLD}
-    )
-"""
-
 
 def ngram_pairs(spark: SparkSession, sf_dir: str,
-                threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Near-dup edges: 3-shingle Jaccard ≥ threshold via the inverted
-    shingle index (same computation as q_llm_dedup_ngram, re-used here
-    as the graph's edge source)."""
-    d = t(spark, sf_dir, "documents")
-    sh = shingle_index(d, 3)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    hits = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
-    return (
-        hits.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
-    )
+                threshold: float = NGRAM_THRESHOLD) -> DataFrame:
+    """Near-dup edges: the EXACT q_llm_dedup_ngram pair computation
+    (shared helper in llm/dedup.py — one source of truth for shingle
+    width, split regex, and threshold), projected to graph edges."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=threshold
+    ).select("doc_a", "doc_b")
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
@@ -121,14 +83,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # Unconverged labels are silently-wrong clusters (a diameter-K chain
+    # needs K rounds); fail loudly rather than report bogus components.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter; raise it for chain-shaped graphs")
 
 
 @query(
     "q_llm_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_PAIRS_SQL},
+    WITH RECURSIVE {ngram_pairs_sql()},
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL

@@ -105,10 +105,16 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- L2 n-gram Jaccard
-@query(
-    "q_llm_dedup_ngram",
-    oracle="""
-    WITH sh AS (
+NGRAM_THRESHOLD = 0.5
+
+
+def ngram_pairs_sql(threshold: float = NGRAM_THRESHOLD) -> str:
+    """Canonical DuckDB CTE fragment for the 3-shingle Jaccard pair set
+    (defines ``pairs(doc_a, doc_b, jaccard)``). Single source of truth
+    shared by the q_llm_dedup_ngram oracle and the q_llm_dup_clusters
+    oracle — the SQL and the Spark helper below must never drift."""
+    return f"""
+    sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    range(1, greatest(len(str_split_regex(trim(text), ' +')) - 1, 1)),
@@ -116,18 +122,50 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (
+    hits AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT h.doc_a, h.doc_b,
+               round(h.common * 1.0 / (ca.n + cb.n - h.common), 4) AS jaccard
+        FROM hits h
+        JOIN cnt ca ON h.doc_a = ca.doc_id
+        JOIN cnt cb ON h.doc_b = cb.doc_id
+        WHERE h.common * 1.0 / (ca.n + cb.n - h.common) >= {threshold}
+    )"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
+                        threshold: float = NGRAM_THRESHOLD) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jaccard) via the inverted shingle
+    index — the Spark twin of ngram_pairs_sql; shared by the registered
+    ngram key and the dup-cluster edge source."""
+    sh = shingle_index(docs, k)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    hits = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
     )
-    SELECT p.doc_a, p.doc_b,
-           round(p.common * 1.0 / (ca.n + cb.n - p.common), 4) AS jaccard
-    FROM pairs p
-    JOIN cnt ca ON p.doc_a = ca.doc_id
-    JOIN cnt cb ON p.doc_b = cb.doc_id
-    WHERE p.common * 1.0 / (ca.n + cb.n - p.common) >= 0.5
-    """,
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+    return (
+        hits.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+@query(
+    "q_llm_dedup_ngram",
+    oracle=f"WITH {ngram_pairs_sql()}\n    SELECT doc_a, doc_b, jaccard FROM pairs",
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,26 +178,7 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-capped (df cutoff) to bound skew. This exact-index form is
     the verifier behind the MinHash candidates below.
     """
-    d = t(spark, sf_dir, "documents")
-    sh = shingle_index(d, 3)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
-    jac = F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
-    return (
-        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
-    )
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------- L2 MinHash + LSH

@@ -135,6 +135,8 @@ SAMPLE_EVERY = 4      #: keep every 4th frame
            md5(substring(m.text, f.frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
              AS frame_md5
     FROM media m
+    -- spine cap: 1000 frames = {FRAME_BYTES}k chars/doc, ~100x the
+    -- fixture max (9 frames); regenerate if docs ever grow past it
     JOIN (SELECT unnest(range(0, 1000, {SAMPLE_EVERY})) AS frame_idx) f
       ON f.frame_idx < m.n_frames
     """,

@@ -101,9 +101,8 @@ def _lang_votes(words: Column) -> dict[str, Column]:
 def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 language ID by stopword voting with a deterministic
     tie-break order (en > de > fr > es). Map-only; no shuffle."""
-    d = t(spark, sf_dir, "documents")
-    w = d.select("doc_id", "lang", _words(F.col("text")).alias("_w"))
-    d = w
+    d = t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", _words(F.col("text")).alias("_w"))
     v = _lang_votes(F.col("_w"))
     best = F.greatest(v["en"], v["de"], v["fr"], v["es"])
     pred = (

@@ -156,13 +156,17 @@ def q_pandas_group_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["l_extendedprice"].mean()
         sd = pdf["l_extendedprice"].std(ddof=1)
+        # Nullable Float64: a single-row group has sd = NaN in pandas but
+        # stddev_samp = NULL in SQL — Arrow maps pd.NA to a true SQL NULL,
+        # where a raw float64 NaN would surface as NaN (oracle mismatch).
+        z = ((pdf["l_extendedprice"] - mu) / sd).round(4).astype("Float64")
         return pd.DataFrame({
             "l_returnflag": pdf["l_returnflag"],
             "l_linestatus": pdf["l_linestatus"],
             "ship_month": pdf["ship_month"],
             "l_orderkey": pdf["l_orderkey"],
             "l_linenumber": pdf["l_linenumber"],
-            "price_z": ((pdf["l_extendedprice"] - mu) / sd).round(4),
+            "price_z": z,
         })
 
     li = t(spark, sf_dir, "lineitem")

@@ -43,18 +43,20 @@ class ExecutionRecord:
 
 #: session -> list[ExecutionRecord]; dies with the session.
 _SESSION_LOGS: WeakKeyDictionary = WeakKeyDictionary()
-#: session -> (listener, current user); strong ref keeps the py4j callback
-#: object alive for the session's lifetime (stored on a weak session key).
+#: session -> listener; the weak session key lets entries (and their
+#: pinned records) die with the session, while the value keeps the py4j
+#: callback object alive for exactly that lifetime.
 _LISTENERS: WeakKeyDictionary = WeakKeyDictionary()
+_ATEXIT_INSTALLED = False
 
 
 def set_audit_user(spark: SparkSession, user: str) -> None:
     """Identity attributed to subsequent DataFrame-API executions (the
     reference resolves this from the authenticated session; here identity
     is an input, per SURVEY §4.1 auth scoping)."""
-    entry = _LISTENERS.get(spark)
-    if entry is not None:
-        entry[0]._user = user
+    listener = _LISTENERS.get(spark)
+    if listener is not None:
+        listener._user = user
 
 
 def execution_log(spark: SparkSession) -> list[ExecutionRecord]:
@@ -112,6 +114,7 @@ def install_audit_listener(spark: SparkSession) -> bool:
     gateway can't start one (e.g. Spark Connect), audit degrades to the
     SQL-path log in GovernedCatalog and this returns False.
     """
+    global _ATEXIT_INSTALLED
     if spark in _LISTENERS:
         return True
     try:
@@ -122,26 +125,28 @@ def install_audit_listener(spark: SparkSession) -> bool:
         listener = _QueryExecutionListener(records)
         spark._jsparkSession.listenerManager().register(listener)
         _SESSION_LOGS[spark] = records
-        _LISTENERS[spark] = (listener, "root")
+        _LISTENERS[spark] = listener
         # Unregister at interpreter exit: the JVM's async listener bus
         # outlives the py4j callback server during Python teardown, and a
         # post-teardown onSuccess callback logs a JVM-side
-        # Py4JNetworkException per event (harmless but noisy — and a
-        # crash risk if the gateway is mid-shutdown).
-        atexit.register(_unregister, spark)
+        # Py4JNetworkException per event. ONE process-wide hook walking
+        # the weak dict — registering per session would pin every session
+        # object in atexit's argument list and defeat the weak keying.
+        if not _ATEXIT_INSTALLED:
+            atexit.register(_unregister_all)
+            _ATEXIT_INSTALLED = True
         return True
     except Exception:  # noqa: BLE001 — audit is best-effort on exotic backends
         return False
 
 
-def _unregister(spark: SparkSession) -> None:
-    entry = _LISTENERS.get(spark)
-    if entry is None:
-        return
-    try:
-        sc = spark.sparkContext
-        if sc._jsc is not None:  # session still alive
-            spark._jsparkSession.listenerManager().unregister(entry[0])
-    except Exception:  # noqa: BLE001 — exit path must never raise
-        pass
-    _LISTENERS.pop(spark, None)
+def _unregister_all() -> None:
+    for spark in list(_LISTENERS.keys()):
+        listener = _LISTENERS.pop(spark, None)
+        if listener is None:
+            continue
+        try:
+            if spark.sparkContext._jsc is not None:  # session still alive
+                spark._jsparkSession.listenerManager().unregister(listener)
+        except Exception:  # noqa: BLE001 — exit path must never raise
+            pass

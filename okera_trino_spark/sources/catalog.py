@@ -111,6 +111,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Bumped on every raw (ungoverned) temp-view registration; part of the
+#: GovernedCatalog._register_governed memo key so interleaved raw
+#: registrations can never be mistaken for current governed views.
+_RAW_REGISTRATIONS = 0
+
+
 def register_tables(spark: SparkSession, sf_dir: str,
                     names: list[str] | None = None) -> dict[str, DataFrame]:
     """Register fixture tables as temp views (idempotent) and return them.
@@ -119,6 +125,8 @@ def register_tables(spark: SparkSession, sf_dir: str,
     where SQL is the clearer declaration; Catalyst compiles both API
     styles to the same plans.
     """
+    global _RAW_REGISTRATIONS
+    _RAW_REGISTRATIONS += 1
     out: dict[str, DataFrame] = {}
     for name in names or TABLE_NAMES:
         df = load_table(spark, sf_dir, name)
@@ -222,6 +230,11 @@ class GovernedCatalog:
         self._audit: list[AuditRecord] = []
         self._next_query_id = 0
         self._delegations: dict[str, set[str]] = {}  # delegate -> allowed targets
+        #: governed temp-view registration memo: (user, policy epoch) of
+        #: the views currently registered on the session — back-to-back
+        #: queries by the same user skip the 10-table re-registration.
+        self._policy_epoch = 0
+        self._registered_for: tuple[str, int, int] | None = None
         #: per-user metadata/stats cache with TTL; 0 disables caching —
         #: the reference's default (RecordServiceMetadata.java:97-107,
         #: okera.metadata.cache.ttl defaulting to disabled).
@@ -274,6 +287,7 @@ class GovernedCatalog:
     # ------------------------------------------------------------- policies
     def set_policy(self, user: str, table: str, policy: TablePolicy) -> None:
         self._policies.setdefault(user, {})[table] = policy
+        self._policy_epoch += 1  # invalidate registered governed views
 
     # ----------------------------------------------------------- delegation
     def allow_delegation(self, delegate: str, target: str) -> None:
@@ -371,10 +385,16 @@ class GovernedCatalog:
         the reference's server-side enforcement on every read
         (RecordServiceMetadata.java:109-118 internal views, :804 column
         authz). Temp views are session-global state; each call stamps the
-        current user's governance, mirroring one-query-one-identity."""
+        current user's governance, mirroring one-query-one-identity.
+        Re-registration is skipped when the same user's views are already
+        current (memo invalidated by set_policy)."""
+        key = (user, self._policy_epoch, _RAW_REGISTRATIONS)
+        if self._registered_for == key:
+            return
         for schema in SCHEMAS.values():
             for name in schema:
                 self.read(name, user=user).createOrReplaceTempView(name)
+        self._registered_for = key
 
     def expand_view(self, name: str, user: str | None = None) -> DataFrame:
         """Expand stored view SQL against the GOVERNED tables
