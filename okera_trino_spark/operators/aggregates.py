@@ -309,3 +309,32 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot(["p_partkey"], ["retail", "size"], "metric", "v")
         .select("p_partkey", "metric", r4(F.col("v")).alias("val"))
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() marker columns on a rollup — how consumers tell a real
+    NULL group key from a subtotal row (E11 companion; Trino and Spark
+    share the bit semantics). Same single-shuffle rollup plan as
+    q_agg_rollup; the markers are free metadata from the expand node."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+    )

@@ -126,3 +126,27 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_similar_size"),
         r4(F.sum("p_retailprice").over(w)).alias("sum_price_band"),
     )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    WHERE o_orderkey <= 5000
+    """,
+    tags=("window",),
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 companion: ntile bucketing (quartiles of price within order
+    status). Deterministic under ties because the ORDER BY ends in the
+    unique key — ntile assigns by row position, so tie order must be
+    pinned for cross-engine agreement."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
