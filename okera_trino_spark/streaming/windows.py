@@ -251,3 +251,60 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """S6: stream-static join — the static side is broadcast per
     micro-batch; no state is kept."""
     return events.join(F.broadcast(dim), on=on, how="inner")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purch_id, v.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purch_time
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext stream-stream interval join, batch-checkable form: each view
+    pairs with the same user's purchases within the next 30 minutes. In
+    streaming BOTH sides are unbounded; the watermark + time-range
+    condition lets Spark GC join state past the horizon
+    (stream_stream_join below runs the identical transform as a real
+    micro-batch query in tests/test_streaming.py).
+
+    Scale: state per key is bounded by (watermark + interval) of events,
+    independent of stream length — the interval bound is what makes an
+    unbounded self-join feasible at all.
+    """
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purch_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purch_ts"))
+    return (
+        v.join(p, (F.col("user_id") == F.col("p_user"))
+               & (F.col("purch_ts") >= F.col("view_ts"))
+               & (F.col("purch_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")))
+        .select("view_id", "purch_id", "user_id",
+                F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+                F.date_format("purch_ts", "yyyy-MM-dd HH:mm:ss").alias("purch_time"))
+    )
+
+
+def stream_stream_join(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S-ext: stream-stream interval join with watermarks on BOTH sides —
+    view→purchase pairing within 30 minutes. Join state for each side is
+    dropped once the watermark passes the interval bound."""
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("view_ts")).withWatermark("view_ts", watermark)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purch_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purch_ts")).withWatermark("purch_ts", watermark)
+    return v.join(
+        p, (F.col("user_id") == F.col("p_user"))
+        & (F.col("purch_ts") >= F.col("view_ts"))
+        & (F.col("purch_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")))

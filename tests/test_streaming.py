@@ -148,3 +148,31 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir):
         assert out.select("event_id").distinct().count() == ev.count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join over one availableNow pass must equal
+    the batch interval join on the same data."""
+    from okera_trino_spark.streaming.windows import stream_stream_join
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_stream_join(stream)
+        .writeStream.format("memory").queryName("ss_join_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.view_id, r.purch_id)
+           for r in spark.sql("SELECT view_id, purch_id FROM ss_join_sink").collect()}
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    v = ev.filter("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id", "ts AS view_ts")
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purch_id", "user_id AS p_user", "ts AS purch_ts")
+    batch = {(r.view_id, r.purch_id) for r in v.join(
+        p, (F.col("user_id") == F.col("p_user"))
+        & (F.col("purch_ts") >= F.col("view_ts"))
+        & (F.col("purch_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES"))
+    ).collect()}
+    assert got == batch and len(batch) > 0
+    q.stop()
