@@ -351,14 +351,23 @@ class GovernedCatalog:
 
         Byte-exact "scan only the last N bytes" semantics
         (RecordServiceConfig.java:404-422) are a property of the reference's
-        wire protocol; the Spark-native equivalent derives fraction =
-        cap / on-disk size and lets the scan sample row groups.
+        wire protocol; the Spark-native equivalent derives the fraction
+        against the UNCOMPRESSED data size from the parquet footer — the
+        cap governs decoded bytes handed to the engine, which is what the
+        reference's worker meters — so fraction·N rows ≈ cap bytes of
+        actual data regardless of the file's compression ratio. Footer
+        read only; no scan.
         """
         cap = self.props.sampling_bytes or self.sample_bytes
         if cap is None:
             return None
-        size = os.path.getsize(table_path(self.sf_dir, name))
-        return min(1.0, cap / max(size, 1))
+        import pyarrow.parquet as pq
+        meta = pq.ParquetFile(table_path(self.sf_dir, name)).metadata
+        data_bytes = sum(meta.row_group(i).total_byte_size
+                         for i in range(meta.num_row_groups))
+        if data_bytes <= 0:  # footer reports nothing — fall back to disk size
+            data_bytes = os.path.getsize(table_path(self.sf_dir, name))
+        return min(1.0, cap / max(data_bytes, 1))
 
     # ---------------------------------------------------------------- views
     def create_view(self, name: str, sql: str, replace: bool = False) -> None:
