@@ -41,6 +41,7 @@ HEADLINE = [
     "q_fn_string",
     "q_stream_tumble",
     "q_asof_join",
+    "q_events_gapfill",
     "q_llm_curation",
     "q_llm_dedup_exact",
     "q_llm_dedup_near",
