@@ -252,3 +252,17 @@ def test_unknown_mask_kind_rejected(cat):
     cat.set_policy("eve", "region", TablePolicy(column_masks={"r_name": "rot13"}))
     with pytest.raises(ValueError, match="mask kind"):
         cat.read("region", user="eve")
+
+
+def test_metadata_sql_surface(cat):
+    """SHOW TABLES / DESCRIBE through the governed SQL path (SURVEY
+    3.2 metadata lifecycle) — and DESCRIBE reflects the caller's column
+    authorization, not the raw schema."""
+    tables = {r.tableName for r in cat.execute("SHOW TABLES").collect()}
+    assert {"orders", "lineitem", "documents"} <= tables
+    cols = {r.col_name for r in cat.execute("DESCRIBE orders").collect()}
+    assert "o_orderkey" in cols and "o_totalprice" in cols
+    cat.set_policy("carol", "orders", TablePolicy(allowed_columns=["o_orderkey"]))
+    carol_cols = {r.col_name
+                  for r in cat.execute("DESCRIBE orders", user="carol").collect()}
+    assert carol_cols == {"o_orderkey"}
