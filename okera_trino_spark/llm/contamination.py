@@ -90,3 +90,56 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_doc_id", "bench_doc_id", "n_common",
                 r4(F.col("n_common") / F.col("n")).alias("containment"))
     )
+
+
+# ------------------------------------------------------------- PII scrubbing
+#: Ordered redaction patterns (email first: digit runs inside an email
+#: must redact as part of the email, not as bare numbers).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("number", r"[0-9]+", "[NUM]"),
+]
+
+
+@query(
+    "q_llm_pii_scrub",
+    oracle=r"""
+    SELECT event_id,
+           regexp_replace(
+               regexp_replace(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]+', '[NUM]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(props,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(regexp_replace(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]+')) AS INT) AS n_numbers
+    FROM events
+    WHERE event_id < 5000
+    """,
+    tags=("llm", "curation", "governance"),
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus PII scrubbing: ordered regex redaction (emails,
+    then numeric runs) with per-class counts for the audit trail — the
+    standard pre-training scrub pass, and the text-side twin of the
+    catalog's column masks (TablePolicy.column_masks).
+
+    Map-only: every redaction is a scan-local regexp_replace chain, no
+    shuffle, whole-stage codegen end to end. Order matters and is fixed:
+    digits inside an email must be consumed by the email pattern, so
+    counts are computed on the progressively-scrubbed text.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    email_re = PII_PATTERNS[0][1]
+    num_re = PII_PATTERNS[1][1]
+    after_email = F.regexp_replace("props", email_re, "[EMAIL]")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(after_email, num_re, "[NUM]").alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(props, '{email_re}', 0)"))
+         .cast("int").alias("n_emails"),
+        F.size(F.expr(
+            f"regexp_extract_all(regexp_replace(props, '{email_re}', '[EMAIL]'), "
+            f"'{num_re}', 0)")).cast("int").alias("n_numbers"),
+    )
