@@ -338,3 +338,21 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
     )
+
+
+@query("q_agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino approx_percentile parity: t-digest-style sketch quantiles
+    (Spark's approx_percentile, accuracy 10000 → rank error ≤ N/10000).
+    Sketch internals are engine-specific → rows-only driver check; the
+    unit test brackets each estimate between exact neighboring quantiles
+    (tests/test_bounds.py). One partial+final agg; the sketch (not the
+    data) crosses the wire, so the shuffle is |groups|·sketch-size."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("p50"),
+            F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("p95"),
+        )
+    )

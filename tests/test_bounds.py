@@ -46,3 +46,26 @@ def test_sample_count_within_binomial_bounds(spark, sf_dir):
     p = 0.1  # matches the query's sample fraction
     sigma = math.sqrt(n * p * (1 - p))
     assert abs(got - n * p) <= 5 * sigma, (got, n * p, sigma)
+
+
+def test_approx_percentile_within_rank_bounds(spark, sf_dir):
+    """Each sketch estimate must land between the exact quantiles one
+    rank-error band to either side (accuracy 10000 → band 1e-4, widened
+    10x for safety)."""
+    exact = {
+        r.o_orderstatus: (r.p45, r.p55, r.p90, r.p99)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, 0.45)").alias("p45"),
+             F.expr("percentile(o_totalprice, 0.55)").alias("p55"),
+             F.expr("percentile(o_totalprice, 0.90)").alias("p90"),
+             F.expr("percentile(o_totalprice, 0.99)").alias("p99"))
+        .collect()
+    }
+    approx = {r.o_orderstatus: (r.p50, r.p95)
+              for r in SPECS["q_agg_approx_percentile"].fn(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for status, (p45, p55, p90, p99) in exact.items():
+        p50, p95 = approx[status]
+        assert p45 <= p50 <= p55, (status, p50, p45, p55)
+        assert p90 <= p95 <= p99, (status, p95, p90, p99)
