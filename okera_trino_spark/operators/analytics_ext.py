@@ -580,3 +580,47 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.coalesce("sum_value", F.lit(0.0))).alias("sum_value"),
         r4(F.coalesce(locf, F.lit(0.0))).alias("sum_value_locf"),
     )
+
+
+# ------------------------------------------------------- retention cohorts
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_w
+        FROM events
+    )
+    SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+           strftime(a.active_w, '%Y-%m-%d') AS active_week,
+           count(*) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("composite", "events", "retention"),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen week
+    (cohort), counted in every week they were active — the
+    cohort-retention triangle behind activation dashboards.
+
+    Plan shape: the cohort and activity frames both aggregate on
+    user_id, so the join is co-partitioned on the shared shuffle key;
+    the final (cohort, week) aggregate is |weeks|² rows. One effective
+    pass over events at any scale.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_w")))
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("active_w")) \
+        .distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            F.date_format("active_w", "yyyy-MM-dd").alias("active_week"))
+        .agg(F.count("*").alias("n_users"))
+    )

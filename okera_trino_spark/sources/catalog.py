@@ -235,6 +235,7 @@ class GovernedCatalog:
         #: queries by the same user skip the 10-table re-registration.
         self._policy_epoch = 0
         self._registered_for: tuple[str, int, int] | None = None
+        self._cached: dict[str, DataFrame] = {}  # name -> pinned governed plan
         #: per-user metadata/stats cache with TTL; 0 disables caching —
         #: the reference's default (RecordServiceMetadata.java:97-107,
         #: okera.metadata.cache.ttl defaulting to disabled).
@@ -452,6 +453,26 @@ class GovernedCatalog:
         OkeraEventListener.java:26-67 parity."""
         from okera_trino_spark.sources.audit import execution_log
         return execution_log(self.spark)
+
+    # ----------------------------------------------------------------- cache
+    def cache_table(self, name: str, user: str | None = None) -> DataFrame:
+        """Pin a governed table in the executor columnar cache
+        (InMemoryRelation): repeated scans of a hot dim skip the storage
+        round trip entirely — the data-side analogue of the reference's
+        metadata BoundedCache (RecordServiceMetadata.java:97-107). The
+        cached plan is the GOVERNED read, so the cache can never leak
+        rows/columns the caller's policy hides. Lazy: materialized by the
+        first action, evicted LRU under memory pressure (MEMORY_AND_DISK),
+        dropped by uncache_table."""
+        df = self.read(name, user=user)
+        df.cache()
+        self._cached[name] = df
+        return df
+
+    def uncache_table(self, name: str) -> None:
+        df = self._cached.pop(name, None)
+        if df is not None:
+            df.unpersist(blocking=True)  # deterministic: next plan rescans
 
     # ----------------------------------------------------------------- stats
     def table_stats(self, name: str, user: str | None = None) -> dict:

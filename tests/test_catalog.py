@@ -266,3 +266,23 @@ def test_metadata_sql_surface(cat):
     carol_cols = {r.col_name
                   for r in cat.execute("DESCRIBE orders", user="carol").collect()}
     assert carol_cols == {"o_orderkey"}
+
+
+def test_cache_table_uses_inmemory_scan(cat, spark):
+    """cache_table pins the GOVERNED plan: subsequent reads plan as
+    InMemoryTableScan, and a policy-holding user's cache holds only
+    their visible slice."""
+    try:
+        df = cat.cache_table("nation")
+        df.count()  # materialize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        assert df.count() == 25
+    finally:
+        cat.uncache_table("nation")
+    # After uncache a FRESH Dataset plans a parquet scan again (.select
+    # forces a new queryExecution — the memoized Dataset object pins the
+    # plan computed while cached).
+    plan2 = (cat.read("nation").select("*")
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "InMemoryTableScan" not in plan2
