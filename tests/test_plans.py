@@ -94,3 +94,38 @@ def test_salted_agg_is_two_level(spark, sf_dir):
     assert "partial_sum(_p_" in plan, plan
     assert plan.count("Exchange") >= 2, plan
     assert plan.count("HashAggregate (") >= 4, plan
+
+
+def test_tpch_q6_is_pure_pushdown(spark, sf_dir):
+    """Q6: the whole WHERE reaches the parquet reader; the only exchange
+    is the single-row final-agg merge."""
+    df = SPECS["q_tpch_q6"].fn(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    plan = plan_string(df, "formatted")
+    assert plan.count("Exchange") <= 2, plan  # AQE lists initial+final
+
+
+def test_tpch_q8_broadcasts_every_dim(spark, sf_dir):
+    """The 8-table star: every dim side is a broadcast hash join; no
+    nested-loop node anywhere."""
+    plan = plan_string(SPECS["q_tpch_q8"].fn(spark, sf_dir), "formatted")
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_derives_single_side_filters(spark, sf_dir):
+    """Cross-side OR: Catalyst must still derive the single-side
+    implications so BOTH scans prune (brand IN on part, quantity range
+    on lineitem)."""
+    plan = plan_string(SPECS["q_tpch_q19"].fn(spark, sf_dir), "formatted")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "p_brand" in pushed, plan
+    assert "l_quantity" in pushed, plan
+
+
+def test_knn_join_scans_corpus_once(spark, sf_dir):
+    """k-NN join: one embeddings scan feeds all probes (the probe side
+    is a broadcast of a second, pruned scan) — no per-probe rescans."""
+    plan = plan_string(SPECS["q_llm_knn_join"].fn(spark, sf_dir), "formatted")
+    assert plan.count("embeddings.parquet") <= 2, plan
