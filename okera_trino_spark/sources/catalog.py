@@ -414,13 +414,21 @@ class GovernedCatalog:
         return self.spark.sql(self._views[name])
 
     # ---------------------------------------------------------------- audit
-    def execute(self, sql: str, user: str | None = None) -> DataFrame:
+    def execute(self, sql: str, user: str | None = None,
+                on_behalf_of: str | None = None) -> DataFrame:
         """Run SQL as ``user`` with audit logging. The tables visible to
         the query are the user's GOVERNED reads — column authorization
         and row filters apply on this path exactly as on ``read()``
         (previously the SQL path saw raw temp views and silently
-        bypassed policy)."""
+        bypassed policy). ``on_behalf_of`` goes through the same
+        delegation gate as ``read()`` — the effective user's policies
+        govern AND are the audited identity."""
         user = user or self.props.user
+        if on_behalf_of is not None:
+            if not self.can_delegate(user, on_behalf_of):
+                raise PermissionError(
+                    f"{user!r} may not delegate as {on_behalf_of!r}")
+            user = on_behalf_of
         self._register_governed(user)
         qid = self._next_query_id
         self._next_query_id += 1

@@ -286,3 +286,17 @@ def test_cache_table_uses_inmemory_scan(cat, spark):
     plan2 = (cat.read("nation").select("*")
              ._jdf.queryExecution().executedPlan().toString())
     assert "InMemoryTableScan" not in plan2
+
+
+def test_execute_delegation_gate(cat):
+    """SQL-path delegation: same grant gate as read(); the target's
+    policies govern and the audit records the effective identity."""
+    cat.set_policy("dave", "orders", TablePolicy(row_filter="o_orderstatus = 'O'"))
+    with pytest.raises(PermissionError):
+        cat.execute("SELECT count(*) AS n FROM orders",
+                    user="svc2", on_behalf_of="dave")
+    cat.allow_delegation("svc2", "dave")
+    n = cat.execute("SELECT count(DISTINCT o_orderstatus) AS n FROM orders",
+                    user="svc2", on_behalf_of="dave").collect()[0].n
+    assert n == 1  # dave's row filter applied
+    assert cat.audit_log[-1].user == "dave"
