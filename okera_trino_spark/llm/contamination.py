@@ -133,13 +133,17 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
     email_re = PII_PATTERNS[0][1]
     num_re = PII_PATTERNS[1][1]
+    # Column-API regex only — embedding the pattern in an F.expr SQL
+    # string would eat the '\.' escape (SQL literal unescaping) and
+    # silently corrupt the pattern.
     after_email = F.regexp_replace("props", email_re, "[EMAIL]")
-    return ev.select(
+    stage = ev.select(
+        "event_id", "props", after_email.alias("_after_email"))
+    return stage.select(
         "event_id",
-        F.regexp_replace(after_email, num_re, "[NUM]").alias("scrubbed"),
-        F.size(F.expr(f"regexp_extract_all(props, '{email_re}', 0)"))
+        F.regexp_replace("_after_email", num_re, "[NUM]").alias("scrubbed"),
+        F.size(F.regexp_extract_all("props", F.lit(email_re), F.lit(0)))
          .cast("int").alias("n_emails"),
-        F.size(F.expr(
-            f"regexp_extract_all(regexp_replace(props, '{email_re}', '[EMAIL]'), "
-            f"'{num_re}', 0)")).cast("int").alias("n_numbers"),
+        F.size(F.regexp_extract_all("_after_email", F.lit(num_re), F.lit(0)))
+         .cast("int").alias("n_numbers"),
     )

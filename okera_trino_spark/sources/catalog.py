@@ -135,6 +135,26 @@ def register_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
+#: (sf_dir, name) -> uncompressed data bytes; fixture files are immutable,
+#: so one footer read per table per process (read_metadata: no open handle).
+_DATA_BYTES_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _uncompressed_bytes(sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    hit = _DATA_BYTES_MEMO.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+    meta = pq.read_metadata(table_path(sf_dir, name))
+    data_bytes = sum(meta.row_group(i).total_byte_size
+                     for i in range(meta.num_row_groups))
+    if data_bytes <= 0:  # footer reports nothing — fall back to disk size
+        data_bytes = os.path.getsize(table_path(sf_dir, name))
+    _DATA_BYTES_MEMO[key] = data_bytes
+    return data_bytes
+
+
 def _masked(col: str, kind: str) -> Column:
     """Mask expression for one governed column (see TablePolicy.column_masks)."""
     c = F.col(col)
@@ -289,6 +309,18 @@ class GovernedCatalog:
     def set_policy(self, user: str, table: str, policy: TablePolicy) -> None:
         self._policies.setdefault(user, {})[table] = policy
         self._policy_epoch += 1  # invalidate registered governed views
+        self.uncache_table(table)  # a pinned pre-policy slice must not survive
+
+    def _effective_user(self, user: str | None, on_behalf_of: str | None) -> str:
+        """Resolve the governing identity through the delegation gate
+        (RecordServiceUtil.java:494-503) — shared by read() and execute()."""
+        user = user or self.props.user
+        if on_behalf_of is not None:
+            if not self.can_delegate(user, on_behalf_of):
+                raise PermissionError(
+                    f"{user!r} may not delegate as {on_behalf_of!r}")
+            user = on_behalf_of
+        return user
 
     # ----------------------------------------------------------- delegation
     def allow_delegation(self, delegate: str, target: str) -> None:
@@ -316,12 +348,7 @@ class GovernedCatalog:
         sample next, limit last. All stages are lazy DataFrame transforms —
         nothing executes here.
         """
-        user = user or self.props.user
-        if on_behalf_of is not None:
-            if not self.can_delegate(user, on_behalf_of):
-                raise PermissionError(
-                    f"{user!r} may not delegate as {on_behalf_of!r}")
-            user = on_behalf_of
+        user = self._effective_user(user, on_behalf_of)
         if name in self._views:
             df = self.expand_view(name, user=user)
         else:
@@ -362,13 +389,7 @@ class GovernedCatalog:
         cap = self.props.sampling_bytes or self.sample_bytes
         if cap is None:
             return None
-        import pyarrow.parquet as pq
-        meta = pq.ParquetFile(table_path(self.sf_dir, name)).metadata
-        data_bytes = sum(meta.row_group(i).total_byte_size
-                         for i in range(meta.num_row_groups))
-        if data_bytes <= 0:  # footer reports nothing — fall back to disk size
-            data_bytes = os.path.getsize(table_path(self.sf_dir, name))
-        return min(1.0, cap / max(data_bytes, 1))
+        return min(1.0, cap / max(_uncompressed_bytes(self.sf_dir, name), 1))
 
     # ---------------------------------------------------------------- views
     def create_view(self, name: str, sql: str, replace: bool = False) -> None:
@@ -422,17 +443,21 @@ class GovernedCatalog:
         (previously the SQL path saw raw temp views and silently
         bypassed policy). ``on_behalf_of`` goes through the same
         delegation gate as ``read()`` — the effective user's policies
-        govern AND are the audited identity."""
-        user = user or self.props.user
-        if on_behalf_of is not None:
-            if not self.can_delegate(user, on_behalf_of):
-                raise PermissionError(
-                    f"{user!r} may not delegate as {on_behalf_of!r}")
-            user = on_behalf_of
-        self._register_governed(user)
+        govern AND are the audited identity. A DENIED delegation is
+        itself audited (success=False) before it raises — failed access
+        attempts must not be invisible."""
         qid = self._next_query_id
         self._next_query_id += 1
         start = time.time()
+        try:
+            user = self._effective_user(user, on_behalf_of)
+        except PermissionError as exc:
+            self._audit.append(AuditRecord(
+                query_id=qid, user=user or self.props.user, sql=sql,
+                start_time=start, elapsed_ms=0.0,
+                success=False, error=str(exc)))
+            raise
+        self._register_governed(user)
         try:
             df = self.spark.sql(sql)
             self._audit.append(AuditRecord(
@@ -471,7 +496,9 @@ class GovernedCatalog:
         cached plan is the GOVERNED read, so the cache can never leak
         rows/columns the caller's policy hides. Lazy: materialized by the
         first action, evicted LRU under memory pressure (MEMORY_AND_DISK),
-        dropped by uncache_table."""
+        dropped by uncache_table (and by set_policy — a pinned
+        pre-policy slice must not outlive its policy)."""
+        self.uncache_table(name)  # don't orphan a previously pinned plan
         df = self.read(name, user=user)
         df.cache()
         self._cached[name] = df
@@ -502,7 +529,7 @@ class GovernedCatalog:
             if hit is not None and time.time() - hit[0] < self.stats_ttl_seconds:
                 return dict(hit[1])
         import pyarrow.parquet as pq
-        meta = pq.ParquetFile(table_path(self.sf_dir, name)).metadata
+        meta = pq.read_metadata(table_path(self.sf_dir, name))
         stats = {
             "table": name,
             "row_count": meta.num_rows,

@@ -300,3 +300,15 @@ def test_execute_delegation_gate(cat):
                     user="svc2", on_behalf_of="dave").collect()[0].n
     assert n == 1  # dave's row filter applied
     assert cat.audit_log[-1].user == "dave"
+
+
+def test_denied_delegation_is_audited(cat):
+    """A denied on_behalf_of attempt must leave a success=False audit
+    record — failed access probes are not invisible."""
+    before = len(cat.audit_log)
+    with pytest.raises(PermissionError):
+        cat.execute("SELECT 1 AS x", user="mallory", on_behalf_of="alice")
+    rec = cat.audit_log[-1]
+    assert len(cat.audit_log) == before + 1
+    assert rec.user == "mallory" and not rec.success
+    assert "delegate" in (rec.error or "")
