@@ -240,3 +240,51 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5))
         .select("doc_id", "source", "n_words", "quality")
     )
+
+
+PACK_BUDGET = 512  # token budget per packed training sequence
+
+
+@query(
+    "q_llm_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(str_split_regex(trim(text), ' +')) AS n_tokens
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM runs
+    """,
+    tags=("llm", "text", "packing"),
+)
+def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs by
+    running cumulative token count — the sample-packing step that turns
+    a curated corpus into dense training sequences (greedy streaming
+    packing; docs may straddle a boundary and be split downstream).
+
+    Scale: the running sum is a single global-ORDER window — fine here
+    because packing REQUIRES a total order anyway; at 100 TB the order
+    key becomes (shard, doc_id) and the window partitions by shard, so
+    each shard packs independently (embarrassingly parallel) with at
+    most one underfull pack per shard. Everything else is map-only.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(_words(F.col("text"))).alias("n_tokens"))
+    cum = F.sum("n_tokens").over(
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return toks.select(
+        "doc_id", "n_tokens",
+        ((cum - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
+    )

@@ -624,3 +624,78 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("active_w", "yyyy-MM-dd").alias("active_week"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------- table profiling
+@query(
+    "q_profile_orders",
+    oracle="""
+    SELECT 'o_custkey' AS col, count(*) AS n_rows,
+           count(o_custkey) AS n_nonnull,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(round(min(o_custkey), 4) AS VARCHAR) AS min_v,
+           CAST(round(max(o_custkey), 4) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(round(min(o_totalprice), 4) AS VARCHAR),
+           CAST(round(max(o_totalprice), 4) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    """,
+    tags=("composite", "profile", "stats"),
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column row/non-null/distinct counts
+    plus min/max — the ANALYZE-style profile a catalog publishes for CBO
+    and data-quality monitoring (C13's per-column extension).
+
+    Plan shape: ONE aggregate computes every column's stats in a single
+    pass (count/countDistinct/min/max per column in one agg node —
+    Spark expands the multi-distinct into one Expand + aggregate), then
+    a scan-free unpivot to rows. The oracle's UNION ALL reads the table
+    once per column; the single-pass form is the 100-TB shape.
+    """
+    o = t(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+    )
+    def num(c):
+        # Canonical numeric rendering matching DuckDB round(x,4)::VARCHAR,
+        # which always yields a DOUBLE ("149.0" even for integer inputs).
+        return F.expr(f"CAST(round(CAST({c} AS DOUBLE), 4) AS STRING)")
+    rows = [
+        F.struct(F.lit("o_custkey").alias("col"), F.col("n_rows"),
+                 F.col("nn_custkey").alias("n_nonnull"),
+                 F.col("nd_custkey").alias("n_distinct"),
+                 num("min_custkey").alias("min_v"), num("max_custkey").alias("max_v")),
+        F.struct(F.lit("o_totalprice").alias("col"), F.col("n_rows"),
+                 F.col("nn_price").alias("n_nonnull"),
+                 F.col("nd_price").alias("n_distinct"),
+                 num("min_price").alias("min_v"), num("max_price").alias("max_v")),
+        F.struct(F.lit("o_orderstatus").alias("col"), F.col("n_rows"),
+                 F.col("nn_status").alias("n_nonnull"),
+                 F.col("nd_status").alias("n_distinct"),
+                 F.col("min_status").alias("min_v"), F.col("max_status").alias("max_v")),
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.col", "s.n_rows", "s.n_nonnull", "s.n_distinct",
+                "s.min_v", "s.max_v")
+    )
