@@ -288,3 +288,27 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens",
         ((cum - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
     )
+
+
+#: Target per-language keep fractions for corpus rebalancing: downsample
+#: the dominant language, keep the rest.
+STRATA_FRACTIONS = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+
+
+@query("q_llm_stratified", oracle=None, tags=("llm", "curation", "sampling"))
+def q_llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus sampling: per-language keep fractions via
+    sampleBy (stratified Bernoulli, fixed seed) — the rebalancing step
+    that stops one dominant language/domain from swamping a training
+    mix. Which rows are kept is engine-specific → rows-only driver
+    check; tests/test_bounds.py bounds each stratum's kept count within
+    binomial noise of fraction·|stratum|.
+
+    Scale: map-only (a per-row Bernoulli draw keyed by the stratum
+    column); no shuffle, composes with the curation pipeline upstream.
+    """
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.sampleBy("lang", fractions=STRATA_FRACTIONS, seed=42)
+        .select("doc_id", "lang", "source")
+    )

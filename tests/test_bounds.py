@@ -69,3 +69,20 @@ def test_approx_percentile_within_rank_bounds(spark, sf_dir):
         p50, p95 = approx[status]
         assert p45 <= p50 <= p55, (status, p50, p45, p55)
         assert p90 <= p95 <= p99, (status, p95, p90, p99)
+
+
+def test_stratified_sample_within_binomial_bounds(spark, sf_dir):
+    from okera_trino_spark.llm.text import STRATA_FRACTIONS
+
+    totals = {r.lang: r.n for r in
+              load_table(spark, sf_dir, "documents")
+              .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in
+            SPECS["q_llm_stratified"].fn(spark, sf_dir)
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in totals.items():
+        p = STRATA_FRACTIONS[lang]
+        expect = n * p
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(kept.get(lang, 0) - expect) <= max(5 * sigma, 1), (
+            lang, kept.get(lang, 0), expect)
