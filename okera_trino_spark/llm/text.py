@@ -178,9 +178,9 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_curation",
-    oracle="""
+#: Curation oracle body, shared with the full-pipeline key below
+#: (defines the final SELECT over CTEs — wrap with WITH ... AS (...)).
+_CURATION_SQL = """
     WITH stats AS (
         SELECT doc_id, lang, source,
                lower(trim(text)) AS norm_text,
@@ -201,9 +201,10 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, n_words, quality
     FROM deduped WHERE rn = 1 AND quality >= 0.5
-    """,
-    tags=("llm", "text", "pipeline"),
-)
+"""
+
+
+@query("q_llm_curation", oracle=_CURATION_SQL, tags=("llm", "text", "pipeline"))
 def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 end-to-end corpus curation — the composed training-data
     pipeline: quality stats → length/language gate → quality score →
@@ -311,4 +312,44 @@ def q_llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.sampleBy("lang", fractions=STRATA_FRACTIONS, seed=42)
         .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "q_llm_pipeline",
+    oracle=f"""
+    WITH curated AS ({_CURATION_SQL}),
+    runs AS (
+        SELECT doc_id, n_words, quality,
+               sum(n_words) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM curated
+    )
+    SELECT doc_id, n_words, quality,
+           CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM runs
+    """,
+    tags=("llm", "text", "pipeline", "packing"),
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-to-training-sequences pipeline in one plan:
+    quality gate → language filter → score → exact dedup → threshold
+    (q_llm_curation) → sequence packing into PACK_BUDGET-token bins
+    (q_llm_pack) — what a training-data job actually submits.
+
+    Plan shape: curation is two stages (scan-local expressions + one
+    dedup-window shuffle); packing adds one ordered window over the
+    SURVIVORS only (a small fraction of the corpus). Composing the
+    stages in one DataFrame lets Catalyst pipeline them — no
+    materialization between 'curate' and 'pack'.
+    """
+    from pyspark.sql import Window
+
+    cur = q_llm_curation(spark, sf_dir).select("doc_id", "n_words", "quality")
+    cum = F.sum("n_words").over(
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return cur.select(
+        "doc_id", "n_words", "quality",
+        ((cum - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
     )
