@@ -43,6 +43,7 @@ HEADLINE = [
     "q_asof_join",
     "q_events_gapfill",
     "q_llm_curation",
+    "q_llm_pipeline",
     "q_llm_dedup_exact",
     "q_llm_dedup_near",
     "q_llm_dup_clusters",
