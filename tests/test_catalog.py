@@ -312,3 +312,26 @@ def test_denied_delegation_is_audited(cat):
     assert len(cat.audit_log) == before + 1
     assert rec.user == "mallory" and not rec.success
     assert "delegate" in (rec.error or "")
+
+
+def test_policy_never_leaks_columns_property(cat):
+    """Property: for ANY allowed-column subset, the governed read's
+    visible columns are exactly the allowed ∩ physical set, in physical
+    order — on both the DataFrame and SQL paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    phys = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+    @settings(max_examples=15, deadline=None)
+    @given(allowed=st.sets(st.sampled_from(phys), min_size=1))
+    def check(allowed):
+        cat.set_policy("prop_user", "orders", TablePolicy(
+            allowed_columns=sorted(allowed)))
+        expect = [c for c in phys if c in allowed]
+        assert cat.read("orders", user="prop_user").columns == expect
+        sql_cols = cat.execute("SELECT * FROM orders", user="prop_user").columns
+        assert sql_cols == expect
+
+    check()

@@ -129,3 +129,24 @@ def test_knn_join_scans_corpus_once(spark, sf_dir):
     is a broadcast of a second, pruned scan) — no per-probe rescans."""
     plan = plan_string(SPECS["q_llm_knn_join"].fn(spark, sf_dir), "formatted")
     assert plan.count("embeddings.parquet") <= 2, plan
+
+
+def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
+    """Global invariant: NO registered query plans a row-at-a-time
+    Python UDF (BatchEvalPython). The only Python in any plan is
+    Arrow-batched (pandas UDF / applyInPandas / mapInPandas /
+    applyInPandasWithState) — keys that intentionally use those are
+    allowed; everything else must be pure JVM."""
+    # q_udtf_split: the explicitly-labeled slow-path UDTF surface check
+    # (its fast posexplode twin shares the oracle). q_udf_current_db:
+    # the reference's own current_database() UDF (C17) — a constant over
+    # ONE literal row, registered the way the plugin registers it.
+    exempt = {"q_udtf_split", "q_udf_current_db"}
+    offenders = []
+    for name, spec in SPECS.items():
+        if name in exempt:
+            continue
+        plan = plan_string(spec.fn(spark, sf_dir), "simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-Python UDF in plans: {offenders}"
