@@ -29,6 +29,7 @@ RecordServicePageSource.java / RecordServiceSplitManagerImpl.java).
 
 from __future__ import annotations
 
+import itertools
 import os
 import time
 from dataclasses import dataclass, field
@@ -115,6 +116,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: GovernedCatalog._register_governed memo key so interleaved raw
 #: registrations can never be mistaken for current governed views.
 _RAW_REGISTRATIONS = 0
+
+#: SESSION-GLOBAL governed-view registration stamp: session → (catalog
+#: serial, user, policy epoch, raw registrations) of the views currently
+#: registered on that session's temp-view namespace. Temp views are
+#: session state, so the stamp must live with the session, not the
+#: catalog instance — with an instance-local memo, catalog B could skip
+#: re-registration while catalog A's governed views (different
+#: user/policies) are what's actually registered, silently running B's
+#: SQL under A's governance. Serials are monotonic (never reused after
+#: GC, unlike id()).
+_GOVERNED_STAMP: WeakKeyDictionary = WeakKeyDictionary()
+_CATALOG_SERIAL = itertools.count()
 
 
 def register_tables(spark: SparkSession, sf_dir: str,
@@ -239,23 +252,29 @@ class GovernedCatalog:
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  catalog_name: str = "okera",
-                 sample_bytes: int | None = None) -> None:
+                 sample_bytes: int | None = None,
+                 sample_mode: str = "fraction") -> None:
         self.spark = spark
         self.sf_dir = sf_dir
         self.catalog_name = catalog_name
         self.sample_bytes = sample_bytes
+        if sample_mode not in ("fraction", "prefix"):
+            raise ValueError(f"sample_mode must be fraction|prefix, got {sample_mode!r}")
+        self.sample_mode = sample_mode
         self.props = SessionProperties()
         self._policies: dict[str, dict[str, TablePolicy]] = {}  # user -> table -> policy
         self._views: dict[str, str] = {}  # view name -> SQL text (external views)
         self._audit: list[AuditRecord] = []
         self._next_query_id = 0
         self._delegations: dict[str, set[str]] = {}  # delegate -> allowed targets
-        #: governed temp-view registration memo: (user, policy epoch) of
-        #: the views currently registered on the session — back-to-back
-        #: queries by the same user skip the 10-table re-registration.
+        #: governed temp-view registration memo: this catalog's identity
+        #: in the session-global _GOVERNED_STAMP — back-to-back queries
+        #: by the same user through the same catalog skip the 10-table
+        #: re-registration; any other catalog instance touching the
+        #: session invalidates the skip (see _GOVERNED_STAMP).
         self._policy_epoch = 0
-        self._registered_for: tuple[str, int, int] | None = None
-        self._cached: dict[str, DataFrame] = {}  # name -> pinned governed plan
+        self._serial = next(_CATALOG_SERIAL)
+        self._cached: dict[tuple[str, str], DataFrame] = {}  # (user, name) -> pinned governed plan
         #: per-user metadata/stats cache with TTL; 0 disables caching —
         #: the reference's default (RecordServiceMetadata.java:97-107,
         #: okera.metadata.cache.ttl defaulting to disabled).
@@ -284,10 +303,15 @@ class GovernedCatalog:
     def list_views(self) -> list[str]:
         return sorted(self._views)[:MAX_TABLES_LISTED]
 
-    def resolve(self, name: str) -> tuple[str, str]:
+    def resolve(self, name: str, allow_views: bool = True) -> tuple[str, str]:
         """Resolve a bare or ``schema.table`` name to (schema, table).
         Bare names search schemas in listing order — the reference
-        resolves against the session schema then the catalog tree."""
+        resolves against the session schema then the catalog tree.
+
+        ``allow_views=False`` restricts resolution to physical tables:
+        callers that would otherwise hand a view name to a parquet-path
+        API (table_stats) get a clean KeyError instead of a pyarrow
+        FileNotFoundError on a nonexistent path."""
         if "." in name:
             schema, table = name.split(".", 1)
             if schema not in SCHEMAS or table not in SCHEMAS[schema]:
@@ -296,7 +320,7 @@ class GovernedCatalog:
         for schema in sorted(SCHEMAS):
             if name in SCHEMAS[schema]:
                 return schema, name
-        if name in self._views:
+        if allow_views and name in self._views:
             return "default", name
         raise KeyError(f"no such table: {name}")
 
@@ -349,7 +373,8 @@ class GovernedCatalog:
         nothing executes here.
         """
         user = self._effective_user(user, on_behalf_of)
-        if name in self._views:
+        is_view = name in self._views
+        if is_view:
             df = self.expand_view(name, user=user)
         else:
             _, name = self.resolve(name)
@@ -367,29 +392,52 @@ class GovernedCatalog:
                     if c in policy.column_masks else F.col(c)
                     for c in df.columns
                 ])
-        frac = self._sample_fraction(name)
-        if frac is not None:
-            df = df.sample(fraction=frac, seed=42)
+        if not is_view:
+            # Views skip the outer byte-cap: their BASE tables are read
+            # through governed (and therefore sampled) temp views during
+            # expansion — capping again here would double-sample.
+            cap = self.props.sampling_bytes or self.sample_bytes
+            if cap is not None:
+                if self.sample_mode == "prefix":
+                    df = df.limit(self._prefix_rows(name, cap))
+                else:
+                    frac = min(1.0, cap / max(
+                        _uncompressed_bytes(self.sf_dir, name), 1))
+                    df = df.sample(fraction=frac, seed=42)
         if self.props.limit is not None:
             df = df.limit(self.props.limit)
         return df
 
-    def _sample_fraction(self, name: str) -> float | None:
-        """Translate the reference's byte cap into a row-sample fraction.
+    def _prefix_rows(self, name: str, cap: int) -> int:
+        """BYTE-EXACT sampled-scan cap: the deterministic row prefix whose
+        decoded size fits ``cap`` uncompressed bytes — the reference's
+        actual semantics (a sampled catalog scans up to
+        sample_max_data_size bytes and stops,
+        RecordServiceConfig.java:404-422), vs the ``fraction`` mode's
+        Bernoulli approximation.
 
-        Byte-exact "scan only the last N bytes" semantics
-        (RecordServiceConfig.java:404-422) are a property of the reference's
-        wire protocol; the Spark-native equivalent derives the fraction
-        against the UNCOMPRESSED data size from the parquet footer — the
-        cap governs decoded bytes handed to the engine, which is what the
-        reference's worker meters — so fraction·N rows ≈ cap bytes of
-        actual data regardless of the file's compression ratio. Footer
-        read only; no scan.
+        Footer-only arithmetic: whole row groups that fit, plus a
+        pro-rata slice of the first row group that doesn't (row groups
+        store uncompressed byte size + row count — exact per-group, only
+        the final partial group is interpolated). The resulting
+        ``df.limit(n)`` is a pushed limit: Spark stops scanning once n
+        rows are produced, so the cap governs bytes READ, not just bytes
+        returned — the distributed equivalent of the reference's
+        stop-at-N-bytes worker loop.
         """
-        cap = self.props.sampling_bytes or self.sample_bytes
-        if cap is None:
-            return None
-        return min(1.0, cap / max(_uncompressed_bytes(self.sf_dir, name), 1))
+        import pyarrow.parquet as pq
+        meta = pq.read_metadata(table_path(self.sf_dir, name))
+        rows, used = 0, 0
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            if used + rg.total_byte_size <= cap:
+                rows += rg.num_rows
+                used += rg.total_byte_size
+            else:
+                avg = max(rg.total_byte_size / max(rg.num_rows, 1), 1e-9)
+                rows += int((cap - used) / avg)
+                break
+        return max(min(rows, meta.num_rows), 0)
 
     # ---------------------------------------------------------------- views
     def create_view(self, name: str, sql: str, replace: bool = False) -> None:
@@ -417,15 +465,18 @@ class GovernedCatalog:
         (RecordServiceMetadata.java:109-118 internal views, :804 column
         authz). Temp views are session-global state; each call stamps the
         current user's governance, mirroring one-query-one-identity.
-        Re-registration is skipped when the same user's views are already
-        current (memo invalidated by set_policy)."""
-        key = (user, self._policy_epoch, _RAW_REGISTRATIONS)
-        if self._registered_for == key:
+        Re-registration is skipped only when THIS catalog's views for the
+        same user are what the session currently holds — the stamp is
+        session-global (_GOVERNED_STAMP), so another catalog instance (or
+        a raw register_tables call) invalidates the skip and the next
+        execute re-registers under the correct governance."""
+        key = (self._serial, user, self._policy_epoch, _RAW_REGISTRATIONS)
+        if _GOVERNED_STAMP.get(self.spark) == key:
             return
         for schema in SCHEMAS.values():
             for name in schema:
                 self.read(name, user=user).createOrReplaceTempView(name)
-        self._registered_for = key
+        _GOVERNED_STAMP[self.spark] = key
 
     def expand_view(self, name: str, user: str | None = None) -> DataFrame:
         """Expand stored view SQL against the GOVERNED tables
@@ -497,44 +548,93 @@ class GovernedCatalog:
         rows/columns the caller's policy hides. Lazy: materialized by the
         first action, evicted LRU under memory pressure (MEMORY_AND_DISK),
         dropped by uncache_table (and by set_policy — a pinned
-        pre-policy slice must not outlive its policy)."""
-        self.uncache_table(name)  # don't orphan a previously pinned plan
+        pre-policy slice must not outlive its policy). Pins are keyed by
+        (user, table): two users caching the same table hold independent
+        governed slices and never evict each other."""
+        user = user or self.props.user
+        self.uncache_table(name, user=user)  # don't orphan a previously pinned plan
         df = self.read(name, user=user)
         df.cache()
-        self._cached[name] = df
+        self._cached[(user, name)] = df
         return df
 
-    def uncache_table(self, name: str) -> None:
-        df = self._cached.pop(name, None)
-        if df is not None:
-            df.unpersist(blocking=True)  # deterministic: next plan rescans
+    def uncache_table(self, name: str, user: str | None = None) -> None:
+        """Drop pinned slices of ``name``: one user's when ``user`` is
+        given, every user's otherwise (the set_policy invalidation path —
+        a policy change must evict ALL stale slices of the table)."""
+        keys = [(user, name)] if user is not None else [
+            k for k in self._cached if k[1] == name]
+        for k in keys:
+            df = self._cached.pop(k, None)
+            if df is not None:
+                df.unpersist(blocking=True)  # deterministic: next plan rescans
 
     # ----------------------------------------------------------------- stats
     def table_stats(self, name: str, user: str | None = None) -> dict:
         """Table statistics for cost-based planning — the connector's
-        TableStatistics surface (row count + total data size,
+        TableStatistics surface: row count, total data size, AND
+        per-column data sizes + null counts (the reference populates
+        ColumnStatistics.dataSize per column for the CBO,
         RecordServiceMetadata.java:504-537; modes HMS/Okera collapse to
         one here since parquet footers are the single source).
 
-        METADATA-ONLY: the row count is read from the parquet footer via
+        METADATA-ONLY: everything comes from the parquet footer via
         pyarrow — no Spark job, no scan (a stats call must never cost a
         full pass over 100 TB). Results go through a per-user TTL cache
         (``stats_ttl_seconds``; 0 = disabled, the reference's default —
         RecordServiceMetadata.java:97-107).
+
+        POLICY-SCOPED: stats answer for what the caller may see. Columns
+        hidden by a column-authz policy are absent from ``columns`` and
+        ``n_columns``; a user whose policy row-filters the table gets
+        ``row_count``/``size_bytes``/per-column sizes of None (exact
+        full-table cardinality would disclose how many rows the filter
+        hides) with ``policy_filtered: True`` so planners degrade to
+        unknown-stats behavior. Views are rejected with KeyError (stats
+        are a physical-table surface).
         """
         user = user or self.props.user
-        _, name = self.resolve(name)
+        _, name = self.resolve(name, allow_views=False)
         if self.stats_ttl_seconds > 0:
             hit = self._stats_cache.get((user, name))
             if hit is not None and time.time() - hit[0] < self.stats_ttl_seconds:
                 return dict(hit[1])
         import pyarrow.parquet as pq
         meta = pq.read_metadata(table_path(self.sf_dir, name))
+        policy = self._policies.get(user, {}).get(name)
+        allowed = None if policy is None else policy.allowed_columns
+        filtered = bool(policy is not None and policy.row_filter)
+        columns: dict[str, dict] = {}
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            for j in range(rg.num_columns):
+                chunk = rg.column(j)
+                col = chunk.path_in_schema.split(".", 1)[0]
+                if allowed is not None and col not in allowed:
+                    continue
+                entry = columns.setdefault(col, {
+                    "compressed_bytes": 0, "uncompressed_bytes": 0,
+                    "null_count": 0})
+                entry["compressed_bytes"] += chunk.total_compressed_size
+                entry["uncompressed_bytes"] += chunk.total_uncompressed_size
+                st = chunk.statistics
+                if entry["null_count"] is not None and st is not None \
+                        and st.has_null_count:
+                    entry["null_count"] += st.null_count
+                else:  # any chunk without stats → null count unknown
+                    entry["null_count"] = None
+        if filtered:  # degrade: sizes/counts would leak hidden rows
+            for entry in columns.values():
+                entry.update({"compressed_bytes": None,
+                              "uncompressed_bytes": None, "null_count": None})
         stats = {
             "table": name,
-            "row_count": meta.num_rows,
-            "size_bytes": os.path.getsize(table_path(self.sf_dir, name)),
-            "n_columns": meta.num_columns,
+            "row_count": None if filtered else meta.num_rows,
+            "size_bytes": None if filtered
+            else os.path.getsize(table_path(self.sf_dir, name)),
+            "n_columns": len(columns),
+            "columns": columns,
+            "policy_filtered": filtered,
             "stats_mode": self.props.stats_mode,
         }
         if self.stats_ttl_seconds > 0:

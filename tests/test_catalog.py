@@ -61,6 +61,51 @@ def test_sampled_catalog_reads_fraction(spark, sf_dir):
     assert 0 < sampled < full
 
 
+def test_sampled_prefix_catalog_is_byte_exact(spark, sf_dir):
+    """C6 byte-exact mode: the cap maps to a DETERMINISTIC row prefix
+    from footer row-group arithmetic (the reference's stop-at-N-bytes
+    semantics, RecordServiceConfig.java:404-422), planned as a pushed
+    limit — unlike the Bernoulli ``fraction`` mode."""
+    import pyarrow.parquet as pq
+
+    from okera_trino_spark.sources.catalog import table_path
+
+    cap = 10 * 1024
+    cat = GovernedCatalog(spark, sf_dir, catalog_name="okera_sampled_10kb",
+                          sample_bytes=cap, sample_mode="prefix")
+    n = cat.read("lineitem").count()
+    full = GovernedCatalog(spark, sf_dir).read("lineitem").count()
+    assert 0 < n < full
+    assert cat.read("lineitem").count() == n  # deterministic, not Bernoulli
+    assert n == cat._prefix_rows("lineitem", cap)
+    # byte-exact: the prefix's pro-rata decoded size lands on the cap
+    # (exact at row-group granularity; final group interpolated)
+    meta = pq.read_metadata(table_path(sf_dir, "lineitem"))
+    total = sum(meta.row_group(i).total_byte_size
+                for i in range(meta.num_row_groups))
+    est = n / meta.num_rows * total
+    rg0 = meta.row_group(0)
+    assert abs(est - cap) <= max(rg0.total_byte_size / max(rg0.num_rows, 1), 64)
+    # and the plan carries the limit (scan stops early), not a sample op
+    plan = cat.read("lineitem")._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan and "Sample" not in plan
+    with pytest.raises(ValueError, match="sample_mode"):
+        GovernedCatalog(spark, sf_dir, sample_mode="bogus")
+
+
+def test_sampled_catalog_views_sample_base_tables_once(spark, sf_dir):
+    """A view read under a sampled catalog must not crash on the view
+    name (no parquet footer exists for it) and must not double-sample:
+    the cap applies to the BASE tables through their governed temp
+    views; the view output passes through untouched."""
+    cat = GovernedCatalog(spark, sf_dir, sample_bytes=10 * 1024)
+    cat.create_view("v_li_n", "SELECT count(*) AS n FROM lineitem")
+    n = cat.read("v_li_n").collect()[0].n
+    full = GovernedCatalog(spark, sf_dir).read("lineitem").count()
+    assert 0 < n < full
+    cat.drop_view("v_li_n")
+
+
 def test_view_lifecycle_and_errors(cat):
     cat.create_view("v1", "SELECT r_name FROM region")
     assert "v1" in cat.list_views()
@@ -83,12 +128,92 @@ def test_listings_capped_and_sorted(cat):
 
 
 def test_table_stats_surface(cat, spark, sf_dir):
-    """C13: row count + byte size + column count, stats-mode tagged."""
+    """C13: row count + byte size + column count + PER-COLUMN data
+    sizes/null counts from the footer (the reference's per-column
+    ColumnStatistics.dataSize, RecordServiceMetadata.java:504-537)."""
     st = cat.table_stats("nation")
     assert st["row_count"] == 25
     assert st["size_bytes"] > 0
     assert st["n_columns"] == 3
     assert st["stats_mode"] == "okera"
+    assert not st["policy_filtered"]
+    assert set(st["columns"]) == {"n_nationkey", "n_name", "n_regionkey"}
+    for entry in st["columns"].values():
+        assert entry["compressed_bytes"] > 0
+        assert entry["uncompressed_bytes"] >= entry["compressed_bytes"] // 20
+        assert entry["null_count"] == 0  # fixtures have no NULL keys
+
+
+def test_table_stats_policy_scoped(cat):
+    """Stats answer for what the caller may see: hidden columns absent;
+    a row-filtered user gets degraded (None) counts — exact full-table
+    cardinality must not disclose how many rows the filter hides."""
+    cat.set_policy("alice", "nation", TablePolicy(
+        allowed_columns=["n_name"], row_filter="n_regionkey = 0"))
+    st = cat.table_stats("nation", user="alice")
+    assert st["policy_filtered"]
+    assert st["row_count"] is None and st["size_bytes"] is None
+    assert set(st["columns"]) == {"n_name"} and st["n_columns"] == 1
+    assert st["columns"]["n_name"]["compressed_bytes"] is None
+    # column-prune WITHOUT a row filter keeps exact sizes, fewer columns
+    cat.set_policy("carol2", "nation", TablePolicy(allowed_columns=["n_name"]))
+    st2 = cat.table_stats("nation", user="carol2")
+    assert not st2["policy_filtered"] and st2["row_count"] == 25
+    assert set(st2["columns"]) == {"n_name"}
+    assert st2["columns"]["n_name"]["compressed_bytes"] > 0
+    # other users unaffected
+    assert cat.table_stats("nation", user="bob")["row_count"] == 25
+
+
+def test_table_stats_rejects_views(cat):
+    """A view name must fail with a clean KeyError — not a pyarrow
+    FileNotFoundError on a fabricated parquet path."""
+    cat.create_view("v_stats", "SELECT n_name FROM nation")
+    with pytest.raises(KeyError, match="no such table"):
+        cat.table_stats("v_stats")
+
+
+def test_governed_stamp_is_session_global(spark, sf_dir):
+    """Two catalog instances on ONE session: instance B must never skip
+    re-registration while instance A's governed views are current — that
+    would run B's SQL under A's policies (silent policy bypass)."""
+    cat_a = GovernedCatalog(spark, sf_dir)
+    cat_b = GovernedCatalog(spark, sf_dir)
+    cat_a.set_policy("gsu", "orders", TablePolicy(row_filter="o_orderstatus = 'F'"))
+    full = cat_b.execute(
+        "SELECT count(DISTINCT o_orderstatus) AS n FROM orders",
+        user="gsu").collect()[0].n
+    assert full > 1  # cat_b holds no policy for gsu
+    filtered = cat_a.execute(
+        "SELECT count(DISTINCT o_orderstatus) AS n FROM orders",
+        user="gsu").collect()[0].n
+    assert filtered == 1
+    # cat_b again, same user: its memo key matches its LAST registration,
+    # but the session now holds cat_a's views — must re-register.
+    again = cat_b.execute(
+        "SELECT count(DISTINCT o_orderstatus) AS n FROM orders",
+        user="gsu").collect()[0].n
+    assert again == full
+
+
+def test_listing_caps_at_boundary(cat, monkeypatch):
+    """The 100-schema/50-table listing caps (RecordServiceMetadata.java:
+    84-85) exercised AT the boundary with a synthetic 120-schema /
+    60-table registry — the fixture registry (2 schemas) never reaches
+    them."""
+    import okera_trino_spark.sources.catalog as catmod
+
+    big = {f"s{i:03d}": [f"t{j:02d}" for j in range(60)] for i in range(120)}
+    big["information_schema"] = ["hidden_t"]
+    monkeypatch.setattr(catmod, "SCHEMAS", big)
+    schemas = cat.list_schemas()
+    assert len(schemas) == 100
+    assert schemas[0] == "s000" and schemas[-1] == "s099"  # 101st cut
+    assert "information_schema" not in schemas
+    tables = cat.list_tables("s000")
+    assert len(tables) == 50 and tables[-1] == "t49"  # 51st cut
+    wildcard = cat.list_tables()
+    assert len(wildcard) == 50 and all("." in n for n in wildcard)
 
 
 def test_multi_db_listing_and_qualified_reads(cat):
@@ -286,6 +411,22 @@ def test_cache_table_uses_inmemory_scan(cat, spark):
     plan2 = (cat.read("nation").select("*")
              ._jdf.queryExecution().executedPlan().toString())
     assert "InMemoryTableScan" not in plan2
+
+
+def test_cache_table_per_user_slices(cat):
+    """Pins are keyed (user, table): two users caching the same table
+    hold independent governed slices; caching does not evict the other
+    user's pin, and set_policy evicts every user's slice."""
+    cat.set_policy("cu_a", "nation", TablePolicy(row_filter="n_regionkey = 0"))
+    try:
+        df_a = cat.cache_table("nation", user="cu_a")
+        df_b = cat.cache_table("nation", user="cu_b")
+        assert df_a.count() == 5 and df_b.count() == 25
+        assert ("cu_a", "nation") in cat._cached  # b's cache kept a's pin
+        assert ("cu_b", "nation") in cat._cached
+    finally:
+        cat.uncache_table("nation")  # no user → every slice dropped
+    assert not any(k[1] == "nation" for k in cat._cached)
 
 
 def test_execute_delegation_gate(cat):

@@ -43,7 +43,12 @@ def test_embed_dedup_precision_and_fixture_recall(spark):
     construction (exact re-score); recall is 100% on this fixture by
     plane-seed choice — both asserted, so a fixture regen that breaks
     recall fails HERE rather than at the driver."""
-    sf = "/root/testdata/sf0.1"
+    import os
+
+    from tests.conftest import SF_DIR
+    sf = os.path.join(os.path.dirname(SF_DIR.rstrip(os.sep)), "sf0.1")
+    if not os.path.isdir(sf):
+        pytest.skip(f"sf0.1 fixture not present under {os.path.dirname(sf)}")
     e = load_table(spark, sf, "embeddings")
     brute = {(r.vec_a, r.vec_b): r.cos_sim for r in embed_all_pairs(e).collect()}
     lsh = {(r.vec_a, r.vec_b): r.cos_sim for r in embed_near_dups(e).collect()}
