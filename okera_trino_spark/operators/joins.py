@@ -63,6 +63,31 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 right outer join — the mirror of q_join_left with the orders
+    side NULL-extended instead: every customer survives; order columns
+    are NULL where no order clears the ON-clause price predicate.
+
+    Scale: identical shuffle profile to the left join (Catalyst plans
+    right-outer as the flipped left-outer); the ON-clause predicate
+    prunes the streamed side before the join."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000)
+    return orders.join(cust, cond, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
     "q_join_full",
     oracle="""
     SELECT cn.nationkey AS c_nation, cn.n_cust, sn.nationkey AS s_nation, sn.n_supp
