@@ -268,27 +268,33 @@ def _word_hash16() -> Column:
     ) % 65536
 
 
-@query(
-    "q_llm_dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS word
-        FROM documents
-    ), hashed AS (
-        SELECT doc_id,
-               (length(word) * 2654435761 + ascii(substr(word, 1, 1)) * 97) % 65536 AS h
-        FROM toks
-    )
+def simhash_sql() -> str:
+    """Canonical DuckDB SELECT producing (doc_id, simhash) — shared by
+    the fingerprint oracle and the Hamming-pairing oracle below so the
+    two can never drift."""
+    return f"""
     SELECT doc_id,
            CAST(sum(CASE WHEN bit_votes > 0 THEN power_of_two ELSE 0 END) AS BIGINT) AS simhash
     FROM (
         SELECT doc_id, b.b AS bit_pos, CAST(2 ** b.b AS BIGINT) AS power_of_two,
                sum(CASE WHEN (h // CAST(2 ** b.b AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS bit_votes
-        FROM hashed CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
+        FROM (
+            SELECT doc_id,
+                   (length(word) * 2654435761 + ascii(substr(word, 1, 1)) * 97) % 65536 AS h
+            FROM (
+                SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS word
+                FROM documents
+            )
+        ) hashed CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
         GROUP BY doc_id, b.b
     )
     GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "q_llm_dedup_simhash",
+    oracle=simhash_sql(),
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +322,71 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return per_doc.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+#: Max Hamming distance for a SimHash near-dup pair, and the band split
+#: that finds them: SIMHASH_PAIR_BANDS > SIMHASH_K chunks ⇒ by
+#: pigeonhole any pair within distance K matches EXACTLY on at least one
+#: chunk — banding has perfect recall, so the banded equi-join + exact
+#: distance filter returns the IDENTICAL set an all-pairs scan would.
+SIMHASH_K = 3
+SIMHASH_PAIR_BANDS = 4
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_PAIR_BANDS
+
+
+@query(
+    "q_llm_dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_K}
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SimHash near-dup PAIRING: candidate pairs at Hamming distance
+    ≤ SIMHASH_K between fingerprints, found without an all-pairs scan —
+    the step the fingerprint key above feeds (the reference surface is
+    the full near-dup family; SimHash pairing closes it).
+
+    The banding trick used for MinHash and embeddings, a third time: the
+    16-bit fingerprint splits into 4 chunks of 4 bits; a pair within
+    Hamming 3 must agree exactly on ≥ 1 chunk (pigeonhole), so
+    candidates come from a (band, chunk) EQUI-join — one shuffle on the
+    chunk value, never O(n²) — then the exact popcount(xor) filter
+    keeps true pairs. Equality with the all-pairs definition is exact
+    (perfect recall by construction), which is precisely what the
+    all-pairs oracle checks. Fingerprints are constant-width, so the
+    join payload is 2 longs per row at any corpus size.
+    """
+    fp = q_llm_dedup_simhash(spark, sf_dir)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("band"),
+            F.shiftright("simhash", c * _CHUNK_BITS)
+             .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1)).alias("chunk"),
+        )
+        for c in range(SIMHASH_PAIR_BANDS)
+    ])
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(chunks).alias("bc")
+    ).select("doc_id", "simhash",
+             F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.chunk") == F.col("y.chunk"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash").alias("sim_a"), F.col("y.simhash").alias("sim_b"))
+        .distinct()  # a pair may collide in several chunks
+        .filter(hamming <= SIMHASH_K)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
 
 
 # ------------------------------------------------- L2 embedding-cosine dedup

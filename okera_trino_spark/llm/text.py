@@ -244,23 +244,30 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 512  # token budget per packed training sequence
+#: Packing shards: each shard packs independently (embarrassingly
+#: parallel) at the cost of at most one underfull pack per shard. 8 at
+#: fixture scale; at 100 TB this scales with the cluster (e.g. 10k) —
+#: waste stays shards/total_packs ≈ 0. Derived from doc_id so the DuckDB
+#: oracle reproduces the assignment exactly.
+PACK_SHARDS = 8
 
 
 @query(
     "q_llm_pack",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, len(str_split_regex(trim(text), ' +')) AS n_tokens
+        SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+               len(str_split_regex(trim(text), ' +')) AS n_tokens
         FROM documents
     ),
     runs AS (
-        SELECT doc_id, n_tokens,
-               sum(n_tokens) OVER (ORDER BY doc_id
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM toks
     )
     SELECT doc_id, n_tokens,
-           CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
+           CAST(shard * 1000000 + (cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
     FROM runs
     """,
     tags=("llm", "text", "packing"),
@@ -271,23 +278,26 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     a curated corpus into dense training sequences (greedy streaming
     packing; docs may straddle a boundary and be split downstream).
 
-    Scale: the running sum is a single global-ORDER window — fine here
-    because packing REQUIRES a total order anyway; at 100 TB the order
-    key becomes (shard, doc_id) and the window partitions by shard, so
-    each shard packs independently (embarrassingly parallel) with at
-    most one underfull pack per shard. Everything else is map-only.
+    Scale: the running sum partitions by a shard key (doc_id mod
+    PACK_SHARDS), so every shard packs independently in its own window
+    partition — no global-order single-reducer window anywhere (the
+    suite-wide guard in tests/test_plans.py enforces this). Global pack
+    ids are shard * 10^6 + the shard-local running pack, disjoint by
+    construction. Cost: ≤ one underfull pack per shard.
     """
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.size(_words(F.col("text"))).alias("n_tokens"))
+        "doc_id", (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(_words(F.col("text"))).alias("n_tokens"))
     cum = F.sum("n_tokens").over(
-        Window.orderBy("doc_id")
+        Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return toks.select(
         "doc_id", "n_tokens",
-        ((cum - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col("shard") * 1_000_000
+         + ((cum - 1) / PACK_BUDGET).cast("long")).cast("long").alias("pack_id"),
     )
 
 
@@ -320,13 +330,14 @@ def q_llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH curated AS ({_CURATION_SQL}),
     runs AS (
-        SELECT doc_id, n_words, quality,
-               sum(n_words) OVER (ORDER BY doc_id
+        SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, n_words, quality,
+               sum(n_words) OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                   ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM curated
     )
     SELECT doc_id, n_words, quality,
-           CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
+           CAST(shard * 1000000 + (cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
     FROM runs
     """,
     tags=("llm", "text", "pipeline", "packing"),
@@ -338,18 +349,21 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_llm_pack) — what a training-data job actually submits.
 
     Plan shape: curation is two stages (scan-local expressions + one
-    dedup-window shuffle); packing adds one ordered window over the
-    SURVIVORS only (a small fraction of the corpus). Composing the
-    stages in one DataFrame lets Catalyst pipeline them — no
+    dedup-window shuffle); packing adds one SHARD-PARTITIONED window
+    over the SURVIVORS only (a small fraction of the corpus) — like
+    q_llm_pack, no global-order window anywhere in the plan. Composing
+    the stages in one DataFrame lets Catalyst pipeline them — no
     materialization between 'curate' and 'pack'.
     """
     from pyspark.sql import Window
 
     cur = q_llm_curation(spark, sf_dir).select("doc_id", "n_words", "quality")
+    cur = cur.withColumn("shard", F.col("doc_id") % PACK_SHARDS)
     cum = F.sum("n_words").over(
-        Window.orderBy("doc_id")
+        Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return cur.select(
         "doc_id", "n_words", "quality",
-        ((cum - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col("shard") * 1_000_000
+         + ((cum - 1) / PACK_BUDGET).cast("long")).cast("long").alias("pack_id"),
     )

@@ -29,16 +29,55 @@ from okera_trino_spark.registry import query
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E17 multi-key sort with NULLS LAST. The driver's hash is
-    order-insensitive, so the sort position is materialized as a
-    row_number over the same ordering — making order itself checkable.
-    (The unpartitioned window is the *test* fixture; a production global
-    sort is `orderBy(...)`, a range-shuffled SortExec.)"""
+    order-insensitive, so the sort position is materialized per row —
+    making order itself checkable — via the SCALABLE two-phase global
+    row-number (global_sort_positions below): range shuffle + per-range
+    row_number + constant-size offsets. No partition-less Window
+    anywhere (suite-wide guard, tests/test_plans.py)."""
     cust = t(spark, sf_dir, "customer")
     bal = F.nullif(F.col("c_acctbal"), F.lit(0.0))
-    w = Window.orderBy(bal.desc_nulls_last(), F.col("c_mktsegment").asc(), F.col("c_custkey"))
-    return cust.select(
-        "c_custkey", "c_mktsegment", bal.alias("bal"),
-        F.row_number().over(w).alias("sort_pos"),
+    pre = cust.select("c_custkey", "c_mktsegment", bal.alias("bal"))
+    return global_sort_positions(
+        pre,
+        F.col("bal").desc_nulls_last(), F.col("c_mktsegment").asc(),
+        F.col("c_custkey"),
+    )
+
+
+def global_sort_positions(df: DataFrame, *order_cols,
+                          n_ranges: int = 32,
+                          pos_col: str = "sort_pos") -> DataFrame:
+    """Total-order position for every row, the way it scales: the
+    canonical two-phase global row-number (the reference engine sorts
+    globally on the coordinator; a 1000-executor global window would
+    funnel 100 TB through ONE reducer).
+
+    1. range-shuffle on the sort key (sampled split points — the same
+       exchange a global ORDER BY plans), so range i's rows all precede
+       range i+1's;
+    2. row_number WITHIN each range partition (parallel);
+    3. add each range's starting offset — a constant-size (≤ n_ranges
+       rows) count-per-range job folded into a broadcast map literal.
+
+    The per-range counts job is one extra scan-and-count action, O(1)
+    driver data — same sanctioned shape as the IVF codebook collect
+    (llm/similarity.py). Positions are deterministic regardless of where
+    the sampled split points land: they're the global rank under a
+    total order."""
+    ranged = df.repartitionByRange(n_ranges, *order_cols) \
+        .withColumn("_range", F.spark_partition_id())
+    counts = sorted(
+        (r["_range"], r["n"]) for r in
+        ranged.groupBy("_range").agg(F.count("*").alias("n")).collect())
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets += [F.lit(pid), F.lit(acc)]
+        acc += n
+    off = F.element_at(F.create_map(*offsets), F.col("_range")) if offsets else F.lit(0)
+    w = Window.partitionBy("_range").orderBy(*order_cols)
+    return (
+        ranged.withColumn(pos_col, (F.row_number().over(w) + off).cast("int"))
+        .drop("_range")
     )
 
 

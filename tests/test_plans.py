@@ -131,6 +131,50 @@ def test_knn_join_scans_corpus_once(spark, sf_dir):
     assert plan.count("embeddings.parquet") <= 2, plan
 
 
+def test_simhash_pairs_is_banded_equi_join(spark, sf_dir):
+    """SimHash Hamming pairing must plan as the (band, chunk) equi-join —
+    never the all-pairs nested-loop its oracle is written as."""
+    plan = plan_string(SPECS["q_llm_dedup_simhash_pairs"].fn(spark, sf_dir), "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_no_partitionless_window_in_any_registered_plan(spark, sf_dir):
+    """Global invariant: NO registered query plans a Window without a
+    PARTITION BY over unbounded input — the single-reducer scale-killer
+    (the whole frame funnels through one task). Exemptions are only
+    windows whose input is bounded by construction:
+
+    - q_sort_nulls: 8 inline literal rows (NULL-ordering semantics key);
+    - q_tpch_q15: max-filter window over the already-aggregated
+      per-supplier revenue frame (|suppliers| rows, docstring-documented
+      single-scan shape).
+
+    Notably NOT exempt: the packing keys (q_llm_pack / q_llm_pipeline,
+    shard-partitioned) and q_sort_multi (two-phase global row-number)."""
+    exempt = {"q_sort_nulls", "q_tpch_q15"}
+
+    def partitionless(df):
+        found = []
+
+        def walk(node):
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                found.append(node.nodeName())
+            for i in range(node.children().length()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return found
+
+    offenders = []
+    for name, spec in SPECS.items():
+        if name in exempt:
+            continue
+        if partitionless(spec.fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, f"partition-less Window in plans: {offenders}"
+
+
 def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
     """Global invariant: NO registered query plans a row-at-a-time
     Python UDF (BatchEvalPython). The only Python in any plan is
