@@ -85,39 +85,42 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
+#: ROUND-3 ROTATION: the r1/r2 windows drove 78 keys green; this window
+#: hands its 50 slots to the keys that have NEVER had a driver row
+#: (round-1/2 additions past the old window) plus this round's two new
+#: keys — after r3 the union covers 128/133 registered keys. No canary
+#: slots: every candidate canary already has a green driver row, the
+#: flagship is smoke-checked via entry() every round regardless, and all
+#: 133 keys remain gated by tests/test_oracle_parity.py (the identical
+#: comparison) locally. Leftovers (never driver-checked, local-only):
+#: the three rows-only sampling/ANN keys (q_llm_ann_ivf/ann_lsh/
+#: q_llm_stratified — bounds-tested), q_agg_approx_percentile (bounds-
+#: tested), and q_llm_text_stats (benched since r1).
 _PRIORITY: tuple[str, ...] = (
-    # flagship + scan/pushdown (§2.1)
-    "q_pricing_summary", "q_scan_full", "q_project", "q_filter_range",
-    "q_count_star",
-    # joins (E1–E6, incl. scale-safe banded range join)
-    "q_join_inner", "q_join_left", "q_join_semi", "q_join_broadcast",
-    "q_join_range_banded",
-    # aggregates (E7–E13 + §2.5 salted skew agg)
-    "q_agg_group", "q_agg_rollup", "q_agg_stats", "q_agg_salted",
-    # windows (E14–E16)
-    "q_win_rank", "q_win_frame_range",
-    # sorts / sets (E17–E22)
-    "q_sort_multi", "q_topk", "q_union_all",
-    # subqueries / CTE (E23–E24)
-    "q_subquery_corr", "q_cte",
-    # scalar functions (E25–E29)
-    "q_case_expr", "q_fn_string", "q_fn_date", "q_fn_cast",
-    # nested / complex types (C9–C10, E30–E33)
-    "q_fn_array", "q_unnest", "q_fn_json", "q_scan_nested",
-    # views + UDF surface (C15–C17, E37)
-    "q_view_expand", "q_view_create_read", "q_udf_custom", "q_udtf_split",
-    # streaming (S1–S6)
-    "q_stream_tumble", "q_stream_session", "q_stream_watermark",
-    "q_stream_static_join",
-    # TPC-H composites + as-of + applyInPandas (§2.5)
-    "q_tpch_q3", "q_tpch_q18", "q_asof_join", "q_pandas_group_norm",
-    # LLM data-pipeline ops (§2.4). q_llm_curation composes the
-    # text-stats + langid logic, so those two keys yield their window
-    # slots to the round-2 additions (dup clustering, decontamination)
-    # and keep local-parity coverage.
-    "q_llm_dedup_exact", "q_llm_dedup_ngram", "q_llm_dedup_near",
-    "q_llm_dedup_embed", "q_llm_similarity", "q_llm_dup_clusters",
-    "q_llm_decontaminate", "q_llm_curation", "q_llm_multimodal",
+    # TPC-H composites never driver-checked (§2.5)
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q19", "q_tpch_q22",
+    # events analytics + profiling (§2.5)
+    "q_events_funnel", "q_events_gapfill", "q_events_retention",
+    "q_profile_orders",
+    # scalar/extras fn surface (E25–E29 tails)
+    "q_fn_math", "q_fn_map", "q_fn_struct", "q_fn_regex", "q_fn_bitwise",
+    "q_fn_try", "q_fn_url", "q_fn_interval", "q_fn_decimal",
+    # aggregate tails (E11, E34)
+    "q_agg_pivot", "q_agg_unpivot", "q_agg_grouping_id", "q_agg_minmax_by",
+    "q_agg_bool", "q_agg_listagg",
+    # window/sort/nested/UDF tails (E14, E17, E30, C17)
+    "q_win_ntile", "q_win_dist", "q_sort_nulls", "q_unnest_ordinality",
+    "q_udf_current_db",
+    # streaming tails (S2, S5, S6 extension)
+    "q_stream_slide", "q_stream_dedup", "q_stream_stream_join",
+    # LLM keys never driver-checked (§2.4)
+    "q_llm_knn_join", "q_llm_pii_scrub", "q_llm_pack", "q_llm_pipeline",
+    "q_llm_frame_sample", "q_llm_dedup_simhash", "q_llm_tokens",
+    "q_llm_fingerprint", "q_llm_langid",
+    # new this round (E2 right outer; SimHash Hamming pairing)
+    "q_join_right", "q_llm_dedup_simhash_pairs",
 )
 
 
