@@ -29,6 +29,7 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q8",
+    "q_tpch_q13",
     "q_tpch_q18",
     "q_filter_range",
     "q_join_inner",
@@ -42,6 +43,7 @@ HEADLINE = [
     "q_stream_tumble",
     "q_asof_join",
     "q_events_gapfill",
+    "q_events_retention",
     "q_llm_curation",
     "q_llm_pipeline",
     "q_llm_dedup_exact",
