@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "okera_trino_spark.operators.nested",
     "okera_trino_spark.operators.analytics",
     "okera_trino_spark.operators.analytics_ext",
+    "okera_trino_spark.operators.tpch_full",
     "okera_trino_spark.operators.extras",
     "okera_trino_spark.operators.asof",
     "okera_trino_spark.operators.skew",

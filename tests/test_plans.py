@@ -131,6 +131,17 @@ def test_knn_join_scans_corpus_once(spark, sf_dir):
     assert plan.count("embeddings.parquet") <= 2, plan
 
 
+def test_tpch_completion_broadcasts_dims_no_nested_loop(spark, sf_dir):
+    """The Q2/Q9/Q21 completion keys keep the suite's join discipline:
+    dims broadcast-hash, no nested-loop/cartesian node anywhere (Q21's
+    double-self-reference in particular must stay window-based)."""
+    for key, min_bhj in [("q_tpch_q2", 2), ("q_tpch_q9", 3), ("q_tpch_q21", 2)]:
+        plan = plan_string(SPECS[key].fn(spark, sf_dir), "formatted")
+        assert plan.count("BroadcastHashJoin") >= min_bhj, (key, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert "CartesianProduct" not in plan, key
+
+
 def test_simhash_pairs_is_banded_equi_join(spark, sf_dir):
     """SimHash Hamming pairing must plan as the (band, chunk) equi-join —
     never the all-pairs nested-loop its oracle is written as."""
