@@ -178,6 +178,68 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_llm_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, str_split_regex(trim(text), ' +') AS words
+        FROM documents
+    ), g AS (
+        SELECT doc_id, words,
+               CASE WHEN len(words) >= 3
+                    THEN list_transform(range(1, len(words) - 1),
+                                        i -> array_to_string(words[i:i+2], ' '))
+                    ELSE [] END AS grams
+        FROM w
+    ), fr AS (
+        SELECT doc_id,
+               round((greatest(len(words) - 2, 0) - len(list_distinct(grams))) * 1.0
+                     / greatest(greatest(len(words) - 2, 0), 1), 4) AS dup_gram_frac,
+               round((len(words) - len(list_distinct(words))) * 1.0
+                     / greatest(len(words), 1), 4) AS dup_word_frac
+        FROM g
+    )
+    SELECT doc_id, dup_gram_frac, dup_word_frac,
+           (dup_gram_frac > 0.2 OR dup_word_frac > 0.5) AS flagged
+    FROM fr
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 repetition filter (the Gopher-style intra-document duplication
+    gate): fraction of duplicated 3-gram occurrences and duplicated word
+    occurrences per document, with a flag at the standard-ish
+    thresholds — boilerplate/looped text scores high and gets culled
+    before training.
+
+    Entirely scan-local (no shuffle; map-only at 100 TB): the words and
+    grams arrays are materialized as bound columns ONCE each (the
+    codegen-CSE-across-lambdas discipline, see _shingles_of_words), and
+    all four outputs are arithmetic over their sizes. The flag compares
+    ROUNDED fractions so engine float order can't flip a boundary doc.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words(F.col("text")).alias("_w"))
+    n = F.size(F.col("_w"))
+    grams = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2),
+                    lambda i: F.array_join(F.slice(F.col("_w"), i, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w.select("doc_id", "_w", grams.alias("_g"))
+    n = F.size(F.col("_w"))
+    n_grams = F.greatest(F.size(F.col("_g")), F.lit(0))
+    dup_gram = r4((n_grams - F.size(F.array_distinct(F.col("_g"))))
+                  / F.greatest(n_grams, F.lit(1)))
+    dup_word = r4((n - F.size(F.array_distinct(F.col("_w"))))
+                  / F.greatest(n, F.lit(1)))
+    out = g.select(
+        "doc_id", dup_gram.alias("dup_gram_frac"), dup_word.alias("dup_word_frac"))
+    return out.withColumn(
+        "flagged",
+        (F.col("dup_gram_frac") > 0.2) | (F.col("dup_word_frac") > 0.5))
+
+
 #: Curation oracle body, shared with the full-pipeline key below
 #: (defines the final SELECT over CTEs — wrap with WITH ... AS (...)).
 _CURATION_SQL = """

@@ -1,0 +1,64 @@
+"""Behavioral tests for the two-phase global row-number
+(`global_sort_positions`) — the scalable replacement for an
+unpartitioned ranking window.
+
+The subtle risk in the two-phase form: the per-range counts job and the
+final job evaluate `repartitionByRange` + `spark_partition_id()` in TWO
+separate Spark jobs, so range boundary sampling must be deterministic
+across them or offsets would attach to the wrong ranges. These tests
+pin exact rank correctness (vs a Python sort) and run-to-run
+determinism on data large enough to occupy many ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators.sorts_sets import global_sort_positions
+
+
+def _expected_positions(rows, keyfn):
+    ordered = sorted(rows, key=keyfn)
+    return {r[0]: i + 1 for i, r in enumerate(ordered)}
+
+
+def test_positions_match_python_rank_across_many_ranges(spark):
+    """500 rows through 8 range partitions, DESC NULLS LAST + tiebreak:
+    every position equals the rank a single-process sort assigns."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([None, round(rng.uniform(-100, 100), 3)]))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = global_sort_positions(
+        df, F.col("v").desc_nulls_last(), F.col("id"), n_ranges=8)
+    got = {r.id: r.sort_pos for r in out.collect()}
+    # DESC NULLS LAST: non-nulls descending, then nulls; ties impossible
+    # (id is in the key)
+    expect = _expected_positions(
+        rows, lambda r: (r[1] is None, -(r[1] or 0.0), r[0]))
+    assert got == expect
+    assert sorted(got.values()) == list(range(1, 501))  # a true permutation
+
+
+def test_positions_are_deterministic_across_jobs(spark):
+    """Two independent evaluations (each running its own counts job +
+    final job) must produce identical positions — range boundary
+    sampling is seeded deterministically."""
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.hash("id") % 1000).alias("v"))
+    a = {r.id: r.sort_pos for r in global_sort_positions(
+        df, F.col("v").asc(), F.col("id"), n_ranges=16).collect()}
+    b = {r.id: r.sort_pos for r in global_sort_positions(
+        df, F.col("v").asc(), F.col("id"), n_ranges=16).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 2001))
+
+
+def test_single_range_degenerates_to_plain_row_number(spark):
+    """n_ranges=1 must still be correct (offset map has one entry)."""
+    df = spark.createDataFrame([(1, "b"), (2, "a"), (3, "c")], "id long, s string")
+    got = {r.id: r.sort_pos for r in global_sort_positions(
+        df, F.col("s").asc(), n_ranges=1).collect()}
+    assert got == {2: 1, 1: 2, 3: 3}
