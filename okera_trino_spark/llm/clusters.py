@@ -136,3 +136,51 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("cluster_size") > 1)
     )
+
+
+@query(
+    "q_llm_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {ngram_pairs_sql()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, d.lang, d.source, s.cluster_size
+    FROM comp c
+    JOIN sizes s USING (cluster_id)
+    JOIN documents d ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLICATION — the kept-set materialization: every document
+    that survives near-dup clustering (the canonical minimum-id member
+    of its component; singletons survive as their own head), annotated
+    with its cluster size. q_llm_dup_clusters reports the duplicate
+    groups; this key emits the corpus a training run actually consumes
+    after dropping the non-canonical members.
+
+    Scale: components via the same O(diameter)-round label propagation;
+    the apply step is two key-partitioned joins (sizes on cluster_id,
+    attributes on doc_id) — no new shuffle shapes beyond the CC loop.
+    """
+    d = t(spark, sf_dir, "documents")
+    comp = connected_components(d.select("doc_id"),
+                                ngram_pairs(spark, sf_dir))
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "cluster_size")
+    )

@@ -262,3 +262,51 @@ def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_K)
         .select("probe_id", "vec_id", "label", "cos_sim")
     )
+
+
+# ------------------------------------------------ embedding quantization
+@query(
+    "q_llm_quantize",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           round(s.scale, 4) AS scale_r4,
+           CASE WHEN s.scale > 0
+                THEN list_transform(e.embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT))
+                ELSE list_transform(e.embedding, x -> 0) END AS q
+    FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
+    """,
+    tags=("llm", "similarity", "quantize"),
+)
+def q_llm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale =
+    max|x|/127, elements mapped by floor(x/scale + 0.5) — the storage/
+    bandwidth-compression step an ANN index over 100 TB of embeddings
+    runs before bucketing (4x smaller vectors, distance error bounded by
+    scale/2 per element).
+
+    Engine-exactness: both engines read float32 and promote to float64
+    (exact), max is order-independent, and the SAME floor(+0.5) formula
+    runs on both sides — so the int codes match bit-for-bit and the
+    oracle checks them exactly. Map-only; no shuffle; whole-stage
+    codegen (aggregate/transform higher-order functions, no UDF).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    maxabs = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
+    w = e.select("vec_id", "embedding", (maxabs / 127.0).alias("scale"))
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast("int")),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    return w.select(
+        "vec_id", F.round("scale", 4).alias("scale_r4"), q.alias("q"))

@@ -240,6 +240,45 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dup_gram_frac") > 0.2) | (F.col("dup_word_frac") > 0.5))
 
 
+@query(
+    "q_llm_vocab",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS word
+        FROM documents
+    )
+    SELECT word, count(*) AS n, count(DISTINCT doc_id) AS df
+    FROM toks
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 100
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def q_llm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 vocabulary building: top-100 corpus terms with occurrence
+    count and document frequency — the term-statistics pass that seeds
+    tokenizer training and df-based stopword/hot-shingle cutoffs.
+
+    Scale: explode → groupBy(word) with map-side partial aggregation
+    (the shuffle carries one row per DISTINCT word per partition, not
+    per token) → TakeOrderedAndProject for the top-k. Ties at the
+    cutoff break on the word itself, so the result is deterministic in
+    both engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word")) \
+        .filter(F.col("word") != "")
+    return (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("n"),
+             F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(100)
+    )
+
+
 #: Curation oracle body, shared with the full-pipeline key below
 #: (defines the final SELECT over CTEs — wrap with WITH ... AS (...)).
 _CURATION_SQL = """

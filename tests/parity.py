@@ -17,6 +17,11 @@ FLOAT_ABS_TOL = 1e-9
 
 
 def _canon_value(v):
+    import numpy as np
+    if isinstance(v, np.ndarray):  # DuckDB returns list columns as ndarrays
+        return "[" + ",".join(_canon_value(x) for x in v.tolist()) + "]"
+    if isinstance(v, np.generic):  # numpy scalar → native (repr-stable)
+        v = v.item()
     if v is None:
         return "<NULL>"
     if isinstance(v, float):
