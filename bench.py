@@ -31,6 +31,7 @@ HEADLINE = [
     "q_tpch_q8",
     "q_tpch_q13",
     "q_tpch_q18",
+    "q_tpch_q21",
     "q_filter_range",
     "q_join_inner",
     "q_join_broadcast",
@@ -51,6 +52,7 @@ HEADLINE = [
     "q_llm_dup_clusters",
     "q_llm_decontaminate",
     "q_llm_text_stats",
+    "q_llm_vocab",
     "q_llm_similarity",
 ]
 

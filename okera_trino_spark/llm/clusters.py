@@ -65,23 +65,26 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             .groupBy(F.col("dst").alias("n_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # Min-propagation only ever DECREASES a label, so "changed" is
+        # simply new < old — computed inline during the propagation join
+        # (the old form re-joined new labels against old ones, a whole
+        # extra shuffle join per round just for the convergence check).
+        new_min = F.least(F.col("cluster_id"),
+                          F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
         new_labels = (
             labels.join(nbr, labels.doc_id == nbr.n_id, "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster_id"),
-                        F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                        ).alias("cluster_id"),
+                new_min.alias("new_cluster_id"),
+                (new_min < F.col("cluster_id")).alias("_changed"),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        # counts over the already-materialized checkpoint partitions —
+        # no scan of the lineage, no join
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             return labels
     # Unconverged labels are silently-wrong clusters (a diameter-K chain
