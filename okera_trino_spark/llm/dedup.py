@@ -188,7 +188,21 @@ N_BANDS = 8  # 8 bands x 4 rows: P(candidate) ≈ 1-(1-j^4)^8 — steep at j≈0
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of xxhash64(seed, s)
-    for each of n_hashes seeds — one groupBy, signature width constant."""
+    for each of n_hashes seeds — explode + one 32-agg groupBy (shuffle
+    payload: 32 longs per doc).
+
+    Deliberately NOT the "obvious" zero-shuffle form
+    (``array_min(transform(_sh, s -> xxhash64(seed, s)))`` x 32 over a
+    materialized shingles column): Catalyst's CollapseProject inlines
+    the bound ``_sh`` expression into every one of the 32 signature
+    expressions and codegen does not CSE across lambda boundaries, so
+    the whole shingle pipeline (slice/array_join per position) re-runs
+    32x per row — measured 5x SLOWER than this exploded form at sf0.1
+    (8.7s vs 1.7s for the near-dup key). The explode materializes each
+    shingle exactly once; the groupBy shuffle it costs is tiny next to
+    that. (Also note: an arity-2 lambda like ``lambda s, i=seed:``
+    makes F.transform bind the second parameter to the ELEMENT INDEX,
+    not the closure default — a silent wrong-seed trap.)"""
     sh = shingle_index(docs, 3)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
