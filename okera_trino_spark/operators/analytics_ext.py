@@ -699,3 +699,44 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.col", "s.n_rows", "s.n_nonnull", "s.n_distinct",
                 "s.min_v", "s.max_v")
     )
+
+
+# ----------------------------------------------- per-group outlier detection
+@query(
+    "q_events_outliers",
+    oracle="""
+    WITH st AS (
+        SELECT event_type, avg(value) AS m, stddev_samp(value) AS s
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r4,
+           round((e.value - st.m) / st.s, 4) AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE abs(round((e.value - st.m) / st.s, 4)) > 3
+    """,
+    tags=("events", "analytics", "outliers"),
+)
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection over the events stream: events
+    whose value deviates > 3 sigma from their event-type's mean — the
+    data-quality screen that precedes metric aggregation.
+
+    Scale shape: per-type moments via one map-side-combined groupBy
+    (|event_types| rows out), BROADCAST back onto the fact scan, filter
+    inline — deliberately NOT a Window.partitionBy(event_type), whose
+    per-type partitions grow unboundedly with data volume (the
+    agg+broadcast form never materializes a type's events in one task).
+    The outlier predicate compares the ROUNDED z-score in both engines
+    so float last-bit order can't flip a boundary event.
+    """
+    e = t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s"))
+    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type",
+                F.round("value", 4).alias("value_r4"), "z")
+    )
