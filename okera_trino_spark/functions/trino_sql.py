@@ -1,0 +1,423 @@
+"""Trino-SQL *string* front end — the day-one migration surface.
+
+The reference's users submit Trino SQL text and the engine executes it
+(reference README.md:74-90 shows the catalog session; views are stored
+as Trino SQL, RecordServiceMetadata.java:378-444). The per-function
+shims in ``trino_compat.py`` cover the DataFrame path; this module
+covers the *string* path: ``execute_trino(spark, sql)`` rewrites the
+Trino dialect onto Spark SQL and runs it — so a query that runs against
+the reference today runs here unchanged.
+
+Design: a char-level scanner splits the statement into single-quoted
+string literals, double-quoted identifiers (Trino identifier quoting →
+Spark backticks; Spark would parse ``"x"`` as a string literal),
+comments, and code. Literals and comments are masked behind atomic
+placeholders while the dialect rewrites run over the full statement —
+so a literal like ``'strpos'`` can never be rewritten, yet structural
+rewrites still see across literal arguments (``date_add('day', …)``,
+``TRY(CAST(x AS t))`` with string args inside) — then restored
+verbatim.
+Everything compiles to Spark builtins — JVM-side, codegen-friendly,
+never a Python UDF — and then Catalyst owns the plan exactly as if the
+query had been written in Spark SQL directly.
+
+Coverage (each divergence is tested in tests/test_trino_sql.py):
+  - function renames: strpos→instr, approx_distinct→
+    approx_count_distinct, json_extract_scalar/json_extract→
+    get_json_object, arbitrary→any_value, random→rand,
+    format_datetime→date_format, to_unixtime→unix_timestamp,
+    day_of_year/doy→dayofyear, week/week_of_year→weekofyear
+  - argument-order/structural forms: date_add('unit', n, ts)→
+    timestampadd(UNIT, n, ts); date_diff('unit', a, b)→
+    timestampdiff(UNIT, a, b); TRY(CAST(x AS t))→TRY_CAST(x AS t);
+    day_of_week/dow(x)→(weekday(x)+1) (Trino is ISO Monday=1; Spark's
+    dayofweek is Sunday=1, weekday is Monday=0); CROSS JOIN
+    UNNEST(arr) AS a(c)→LATERAL VIEW explode(arr) a AS c
+  - syntax: "ident"→`ident`; FETCH FIRST n ROWS ONLY→LIMIT n;
+    CAST(... AS VARCHAR/VARBINARY/DOUBLE PRECISION)→STRING/BINARY/
+    DOUBLE
+  - unsupported-with-clear-error: TRY(expr) for non-CAST exprs and
+    UNNEST ... WITH ORDINALITY raise TrinoSqlUnsupported naming the
+    construct, never silently mis-translate.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from okera_trino_spark.sources.catalog import register_tables
+
+
+class TrinoSqlUnsupported(Exception):
+    """A Trino construct this rewriter refuses to guess at."""
+
+
+# ---------------------------------------------------------------- scanner
+
+def _segments(sql: str):
+    """Yield (kind, text) with kind in {code, string, ident, comment}.
+
+    Trino lexing rules: strings are single-quoted with '' escape;
+    identifiers are double-quoted with "" escape; -- line and /* */
+    block comments.
+    """
+    i, n = 0, len(sql)
+    code_start = i
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            if code_start < i:
+                yield ("code", sql[code_start:i])
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            yield ("string", sql[i:j + 1])
+            i = j + 1
+            code_start = i
+        elif c == '"':
+            if code_start < i:
+                yield ("code", sql[code_start:i])
+            j = i + 1
+            while j < n:
+                if sql[j] == '"' and j + 1 < n and sql[j + 1] == '"':
+                    j += 2
+                elif sql[j] == '"':
+                    break
+                else:
+                    j += 1
+            yield ("ident", sql[i:j + 1])
+            i = j + 1
+            code_start = i
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            if code_start < i:
+                yield ("code", sql[code_start:i])
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            yield ("comment", sql[i:j])
+            i = j
+            code_start = i
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            if code_start < i:
+                yield ("code", sql[code_start:i])
+            j = sql.find("*/", i + 2)
+            j = n - 2 if j < 0 else j
+            yield ("comment", sql[i:j + 2])
+            i = j + 2
+            code_start = i
+        else:
+            i += 1
+    if code_start < n:
+        yield ("code", sql[code_start:n])
+
+
+def _find_close(s: str, open_idx: int) -> int:
+    """Index of the ')' matching s[open_idx] == '(' — runs on MASKED
+    text, where string literals are atomic placeholders with no parens."""
+    depth, j, n = 0, open_idx, len(s)
+    while j < n:
+        c = s[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise TrinoSqlUnsupported(f"unbalanced parentheses after offset {open_idx}")
+
+
+# ------------------------------------------------------------- rewrites
+
+#: Pure renames: same arity, same argument order, same semantics.
+_RENAMES = {
+    "strpos": "instr",
+    "approx_distinct": "approx_count_distinct",
+    "json_extract_scalar": "get_json_object",
+    "json_extract": "get_json_object",
+    "arbitrary": "any_value",
+    "random": "rand",
+    "format_datetime": "date_format",
+    "to_unixtime": "unix_timestamp",
+    "day_of_year": "dayofyear",
+    "doy": "dayofyear",
+    "week_of_year": "weekofyear",
+    "week": "weekofyear",
+    "day_of_month": "dayofmonth",
+}
+
+_RENAME_RE = re.compile(
+    r"\b(" + "|".join(sorted(_RENAMES, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE)
+
+# date_add('day', 3, ts) → timestampadd(DAY, 3, ts); date_diff likewise.
+# Matches the MASKED form: the unit literal is a placeholder whose index
+# resolves through the stash.
+_DATE_ARITH_RE = re.compile(
+    r"\b(date_add|date_diff)\s*\(\s*'\x00(\d+)\x00'\s*,", re.IGNORECASE)
+
+_CAST_TYPE_RE = re.compile(
+    r"\bAS\s+(VARCHAR(?:\s*\(\s*\d+\s*\))?|VARBINARY|DOUBLE\s+PRECISION)\b",
+    re.IGNORECASE)
+_CAST_TYPE_MAP = {"VARCHAR": "STRING", "VARBINARY": "BINARY",
+                  "DOUBLE PRECISION": "DOUBLE"}
+
+_FETCH_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE)
+
+_DOW_RE = re.compile(r"\b(day_of_week|dow)\s*\(", re.IGNORECASE)
+_TRY_RE = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
+_UNNEST_RE = re.compile(
+    r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+_UNNEST_TAIL_RE = re.compile(
+    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+
+
+def _rewrite_dow(code: str) -> str:
+    """day_of_week(x) / dow(x) → (weekday(x) + 1) — ISO Monday=1."""
+    while True:
+        m = _DOW_RE.search(code)
+        if not m:
+            return code
+        open_idx = m.end() - 1
+        close = _find_close(code, open_idx)
+        inner = code[open_idx + 1:close]
+        code = (code[:m.start()] + f"(weekday({inner}) + 1)"
+                + code[close + 1:])
+
+
+def _rewrite_try(code: str) -> str:
+    """TRY(CAST(x AS t)) → TRY_CAST(x AS t); other TRY(...) → error."""
+    while True:
+        m = _TRY_RE.search(code)
+        if not m:
+            return code
+        open_idx = m.end() - 1
+        close = _find_close(code, open_idx)
+        inner = code[open_idx + 1:close].strip()
+        cm = re.match(r"CAST\s*\(", inner, re.IGNORECASE)
+        if not cm or _find_close(inner, cm.end() - 1) != len(inner) - 1:
+            raise TrinoSqlUnsupported(
+                "TRY(expr) is only supported for TRY(CAST(x AS t)) — "
+                "Spark has no generic expression-level TRY; rewrite with "
+                "try_cast/try_divide/try_add explicitly")
+        body = inner[cm.end():-1]
+        code = (code[:m.start()] + f"TRY_CAST({body})" + code[close + 1:])
+
+
+def _rewrite_unnest(code: str) -> str:
+    """CROSS JOIN UNNEST(arr) AS a(c) → LATERAL VIEW explode(arr) a AS c."""
+    while True:
+        m = _UNNEST_RE.search(code)
+        if not m:
+            return code
+        open_idx = m.end() - 1
+        close = _find_close(code, open_idx)
+        arr = code[open_idx + 1:close]
+        tail = _UNNEST_TAIL_RE.match(code, close + 1)
+        if not tail:
+            raise TrinoSqlUnsupported(
+                "CROSS JOIN UNNEST requires the AS alias(column) form "
+                "(multi-column and ordinality-free unnest aliases only)")
+        if tail.group(1):
+            raise TrinoSqlUnsupported(
+                "UNNEST ... WITH ORDINALITY: rewrite with posexplode "
+                "(note Trino ordinality is 1-based; posexplode is 0-based)")
+        alias, colname = tail.group(2), tail.group(3)
+        code = (code[:m.start()]
+                + f" LATERAL VIEW explode({arr}) {alias} AS {colname} "
+                + code[tail.end():])
+
+
+#: Trino's TIMESTAMP '...' literal is timezone-LESS (TIMESTAMP(3)
+#: without tz); Spark's is session-zoned, so the faithful translation is
+#: TIMESTAMP_NTZ '...' — which also matches the NTZ the parquet
+#: fixtures load as. Matches against the masked-literal form.
+_TS_LITERAL_RE = re.compile(r"\bTIMESTAMP(\s*)(?='\x00\d+\x00')", re.IGNORECASE)
+
+_STRING_PH_RE = re.compile(r"'\x00(\d+)\x00'")
+_COMMENT_PH_RE = re.compile(r"\x01(\d+)\x01")
+
+
+def _rewrite_code(code: str, stash: list[str]) -> str:
+    """Dialect rewrites over the full masked statement. ``stash[k]`` is
+    the original text behind placeholder k (string literals keep their
+    quotes)."""
+    code = _rewrite_try(code)
+    code = _rewrite_unnest(code)
+    code = _DATE_ARITH_RE.sub(
+        lambda m: ("timestampadd(" if m.group(1).lower() == "date_add"
+                   else "timestampdiff(")
+        + stash[int(m.group(2))][1:-1].upper() + ",",
+        code)
+    code = _rewrite_dow(code)
+    code = _RENAME_RE.sub(
+        lambda m: _RENAMES[m.group(1).lower()] + "(", code)
+    code = _CAST_TYPE_RE.sub(
+        lambda m: "AS " + _CAST_TYPE_MAP[
+            re.sub(r"\s*\(.*\)", "", re.sub(r"\s+", " ", m.group(1).upper()))],
+        code)
+    code = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", code)
+    code = _TS_LITERAL_RE.sub(r"TIMESTAMP_NTZ\1", code)
+    return code
+
+
+def rewrite_trino_sql(sql: str) -> str:
+    """Rewrite a Trino-dialect SQL string to Spark SQL (pure text)."""
+    if "\x00" in sql or "\x01" in sql:
+        raise TrinoSqlUnsupported("NUL/SOH bytes in SQL text")
+    stash: list[str] = []
+    masked_parts = []
+    for kind, text in _segments(sql):
+        if kind == "string":
+            masked_parts.append(f"'\x00{len(stash)}\x00'")
+            stash.append(text)
+        elif kind == "comment":
+            masked_parts.append(f"\x01{len(stash)}\x01")
+            stash.append(text)
+        elif kind == "ident":
+            # "x""y" → `x"y`: Trino doubles quotes to escape; backtick
+            # content needs `` for literal backticks (none produced here).
+            masked_parts.append("`" + text[1:-1].replace('""', '"') + "`")
+        else:
+            masked_parts.append(text)
+    code = _rewrite_code("".join(masked_parts), stash)
+    code = _STRING_PH_RE.sub(lambda m: stash[int(m.group(1))], code)
+    code = _COMMENT_PH_RE.sub(lambda m: stash[int(m.group(1))], code)
+    return code
+
+
+def execute_trino(spark: SparkSession, sql: str,
+                  sf_dir: str | None = None) -> DataFrame:
+    """Run a Trino-dialect SQL string on Spark.
+
+    When ``sf_dir`` is given, the fixture tables are registered as temp
+    views first (idempotent), so reference queries run verbatim against
+    the same catalog names. Returns the lazily-planned DataFrame —
+    Catalyst applies pushdown/pruning/join planning to the rewritten
+    query exactly as to native Spark SQL.
+    """
+    if sf_dir is not None:
+        register_tables(spark, sf_dir)
+    return spark.sql(rewrite_trino_sql(sql))
+
+
+# ------------------------------------------------------ registered keys
+# Two end-to-end keys exercise the STRING path the way a migrating
+# reference user would: submit Trino SQL text, get oracle-matched rows.
+
+from okera_trino_spark.registry import query  # noqa: E402
+
+#: Composite analytics in pure Trino dialect: timezone-less TIMESTAMP
+#: literal, date_add('unit', n, ts) argument order, strpos, a
+#: double-quoted identifier alias, and FETCH FIRST pagination.
+TRINO_SQL_COMPOSITE = """
+SELECT o_orderpriority AS "Priority",
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < date_add('month', 6, TIMESTAMP '1995-01-01 00:00:00')
+  AND strpos(o_orderstatus, 'F') = 0
+GROUP BY o_orderpriority
+ORDER BY "Priority"
+FETCH FIRST 10 ROWS ONLY
+"""
+
+#: Scalar-function gauntlet in Trino dialect over events:
+#: json_extract_scalar, ISO day_of_week, date_diff('unit', a, b),
+#: TRY(CAST(...)), CAST(... AS VARCHAR).
+TRINO_SQL_FNS = """
+SELECT event_id,
+       json_extract_scalar(props, '$.k') AS k_raw,
+       TRY(CAST(json_extract_scalar(props, '$.k') AS INTEGER)) AS k_int,
+       day_of_week(ts) AS dow,
+       date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hours_in,
+       CAST(user_id AS VARCHAR) AS user_str
+FROM events
+WHERE event_type IS NOT NULL
+ORDER BY event_id
+"""
+
+#: UNNEST lateral form + rename shims over documents.
+TRINO_SQL_UNNEST = """
+SELECT w AS word, count(*) AS n
+FROM documents
+CROSS JOIN UNNEST(split(text, ' ')) AS t(w)
+WHERE strpos(w, 'scan') > 0
+GROUP BY w
+"""
+
+
+@query(
+    "q_trino_sql",
+    oracle="""
+    SELECT o_orderpriority AS "Priority",
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 6 MONTH
+      AND strpos(o_orderstatus, 'F') = 0
+    GROUP BY o_orderpriority
+    ORDER BY 1
+    LIMIT 10
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino-SQL STRING front end (What's-missing #1): the reference's
+    users submit Trino SQL text (README.md:74-90); this key submits a
+    composite Trino-dialect statement — TIMESTAMP literal (tz-less),
+    date_add('month', 6, ts), strpos, "quoted" identifier, FETCH FIRST —
+    through execute_trino and must oracle-match. The rewrite is pure
+    text onto spark.sql, so Catalyst sees a native plan (filter pushdown
+    on o_orderdate reaches the parquet scan)."""
+    return execute_trino(spark, TRINO_SQL_COMPOSITE, sf_dir)
+
+
+@query(
+    "q_trino_sql_fns",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_raw,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           isodow(ts) AS dow,
+           date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hours_in,
+           CAST(user_id AS VARCHAR) AS user_str
+    FROM events
+    WHERE event_type IS NOT NULL
+    ORDER BY event_id
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino scalar shims through the STRING path: json_extract_scalar →
+    get_json_object, day_of_week → ISO weekday()+1 (Trino Monday=1 vs
+    Spark dayofweek Sunday=1), date_diff('hour', a, b) → timestampdiff,
+    TRY(CAST(..)) → TRY_CAST, CAST(.. AS VARCHAR) → STRING. All compile
+    to JVM builtins — zero Python UDFs in the rewritten plan."""
+    return execute_trino(spark, TRINO_SQL_FNS, sf_dir)
+
+
+@query(
+    "q_trino_sql_unnest",
+    oracle="""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+    WHERE strpos(w, 'scan') > 0
+    GROUP BY w
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino CROSS JOIN UNNEST(arr) AS t(c) → LATERAL VIEW explode —
+    the lateral form every Trino array query uses, through the string
+    path with a rename shim (strpos) applied inside the lateral."""
+    return execute_trino(spark, TRINO_SQL_UNNEST, sf_dir)

@@ -106,20 +106,41 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- L2 n-gram Jaccard
 NGRAM_THRESHOLD = 0.5
+#: Shingle document-frequency cap: a shingle appearing in d docs emits
+#: d²/2 rows on ONE shuffle key in the inverted-index self-join, so an
+#: uncapped corpus-common ("boilerplate") shingle is a straight hot-key
+#: OOM at 100 TB. Shingles with DF > cap carry no near-dup signal at
+#: Jaccard ≥ 0.5 anyway — they are shared by construction — so both
+#: engines drop them BEFORE computing |A|, |B| and |∩| (the metric is
+#: defined over the capped shingle universe; Spark and DuckDB apply the
+#: identical cutoff, see ngram_pairs_sql). The cap is an ABSOLUTE count
+#: so the worst single-key fan-out is bounded at cap²/2 ≈ 500k rows
+#: regardless of corpus size. Fixture max DF is 25 (measured, all SFs),
+#: so at test scale the cap provably drops nothing — pure scale
+#: insurance, zero behavioral drift.
+NGRAM_MAX_DF = 1000
 
 
-def ngram_pairs_sql(threshold: float = NGRAM_THRESHOLD) -> str:
+def ngram_pairs_sql(threshold: float = NGRAM_THRESHOLD,
+                    max_df: int = NGRAM_MAX_DF) -> str:
     """Canonical DuckDB CTE fragment for the 3-shingle Jaccard pair set
     (defines ``pairs(doc_a, doc_b, jaccard)``). Single source of truth
     shared by the q_llm_dedup_ngram oracle and the q_llm_dup_clusters
     oracle — the SQL and the Spark helper below must never drift."""
     return f"""
-    sh AS (
+    sh0 AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    range(1, greatest(len(str_split_regex(trim(text), ' +')) - 1, 1)),
                    i -> array_to_string((str_split_regex(trim(text), ' +'))[i:i+2], ' ')))) AS shingle
         FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh0
+        ) WHERE df <= {max_df}
     ),
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     hits AS (
@@ -138,11 +159,24 @@ def ngram_pairs_sql(threshold: float = NGRAM_THRESHOLD) -> str:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
-                        threshold: float = NGRAM_THRESHOLD) -> DataFrame:
+                        threshold: float = NGRAM_THRESHOLD,
+                        max_df: int = NGRAM_MAX_DF) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b, jaccard) via the inverted shingle
     index — the Spark twin of ngram_pairs_sql; shared by the registered
-    ngram key and the dup-cluster edge source."""
+    ngram key and the dup-cluster edge source.
+
+    The DF cap is a count window PARTITIONED BY shingle — the same
+    hash-partitioning the self-join below shuffles on, so Catalyst
+    reuses one exchange for the cap and both join sides instead of
+    paying an extra shuffle for the frequency filter."""
+    from pyspark.sql import Window
+
     sh = shingle_index(docs, k)
+    sh = (
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -174,9 +208,10 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard = |∩| / (|A| + |B| - |∩|), threshold 0.5.
 
     Scale: the self-join shuffles on the shingle — pairs never
-    materialize unless they share a shingle, and hot shingles can be
-    frequency-capped (df cutoff) to bound skew. This exact-index form is
-    the verifier behind the MinHash candidates below.
+    materialize unless they share a shingle, and shingles with document
+    frequency > NGRAM_MAX_DF are dropped before the join (both engines),
+    bounding any single key's fan-out at cap²/2. This exact-index form
+    is the verifier behind the MinHash candidates below.
     """
     return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
 

@@ -351,6 +351,14 @@ PACK_BUDGET = 512  # token budget per packed training sequence
 #: waste stays shards/total_packs ≈ 0. Derived from doc_id so the DuckDB
 #: oracle reproduces the assignment exactly.
 PACK_SHARDS = 8
+#: Per-shard pack-id stride: global pack_id = shard * PACK_STRIDE +
+#: shard-local pack index. The local index is cum_tokens // PACK_BUDGET
+#: ≤ shard_tokens / PACK_BUDGET, so ids stay collision-free while every
+#: shard holds < 2^40 packs ≈ 1.1e12 — at 512 tokens/pack that is
+#: ~5.6e14 tokens *per shard*, far beyond a 100 TB corpus split over
+#: PACK_SHARDS. The product shard * PACK_STRIDE < PACK_SHARDS * 2^40
+#: also fits int64 for any realistic shard count (< 2^23 shards).
+PACK_STRIDE = 1 << 40
 
 
 @query(
@@ -368,7 +376,7 @@ PACK_SHARDS = 8
         FROM toks
     )
     SELECT doc_id, n_tokens,
-           CAST(shard * 1000000 + (cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
+           CAST(shard * {PACK_STRIDE} + (cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
     FROM runs
     """,
     tags=("llm", "text", "packing"),
@@ -383,8 +391,9 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     PACK_SHARDS), so every shard packs independently in its own window
     partition — no global-order single-reducer window anywhere (the
     suite-wide guard in tests/test_plans.py enforces this). Global pack
-    ids are shard * 10^6 + the shard-local running pack, disjoint by
-    construction. Cost: ≤ one underfull pack per shard.
+    ids are shard * PACK_STRIDE + the shard-local running pack —
+    collision-free under the capacity bound documented at PACK_STRIDE.
+    Cost: ≤ one underfull pack per shard.
     """
     from pyspark.sql import Window
 
@@ -397,7 +406,7 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return toks.select(
         "doc_id", "n_tokens",
-        (F.col("shard") * 1_000_000
+        (F.col("shard") * PACK_STRIDE
          + ((cum - 1) / PACK_BUDGET).cast("long")).cast("long").alias("pack_id"),
     )
 
@@ -438,7 +447,7 @@ def q_llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM curated
     )
     SELECT doc_id, n_words, quality,
-           CAST(shard * 1000000 + (cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
+           CAST(shard * {PACK_STRIDE} + (cum - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
     FROM runs
     """,
     tags=("llm", "text", "pipeline", "packing"),
@@ -465,6 +474,6 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return cur.select(
         "doc_id", "n_words", "quality",
-        (F.col("shard") * 1_000_000
+        (F.col("shard") * PACK_STRIDE
          + ((cum - 1) / PACK_BUDGET).cast("long")).cast("long").alias("pack_id"),
     )

@@ -61,11 +61,22 @@ def global_sort_positions(df: DataFrame, *order_cols,
 
     The per-range counts job is one extra scan-and-count action, O(1)
     driver data — same sanctioned shape as the IVF codebook collect
-    (llm/similarity.py). Positions are deterministic regardless of where
-    the sampled split points land: they're the global rank under a
-    total order."""
+    (llm/similarity.py).
+
+    CRITICAL: the range shuffle is materialized ONCE (localCheckpoint)
+    before either consumer runs. RangePartitioner samples its split
+    points per job; without the checkpoint the counts job and the window
+    job can observe DIFFERENT boundaries once the sampler subsamples
+    (≳100k rows/partition), attaching offsets to the wrong ranges —
+    silently duplicated/missing positions. Measured live at 300k rows /
+    2 input partitions before the fix (tests/test_global_sort.py pins
+    the regime). The checkpoint is one dataset-sized materialization —
+    the same price a sort-merge shuffle already pays — and truncates
+    lineage so the window job re-reads shuffled blocks instead of
+    re-scanning + re-sampling."""
     ranged = df.repartitionByRange(n_ranges, *order_cols) \
-        .withColumn("_range", F.spark_partition_id())
+        .withColumn("_range", F.spark_partition_id()) \
+        .localCheckpoint()
     counts = sorted(
         (r["_range"], r["n"]) for r in
         ranged.groupBy("_range").agg(F.count("*").alias("n")).collect())
@@ -76,7 +87,7 @@ def global_sort_positions(df: DataFrame, *order_cols,
     off = F.element_at(F.create_map(*offsets), F.col("_range")) if offsets else F.lit(0)
     w = Window.partitionBy("_range").orderBy(*order_cols)
     return (
-        ranged.withColumn(pos_col, (F.row_number().over(w) + off).cast("int"))
+        ranged.withColumn(pos_col, (F.row_number().over(w) + off).cast("long"))
         .drop("_range")
     )
 

@@ -61,6 +61,7 @@ _QUERY_MODULES = [
     "okera_trino_spark.llm.similarity",
     "okera_trino_spark.llm.text",
     "okera_trino_spark.llm.multimodal",
+    "okera_trino_spark.functions.trino_sql",
 ]
 
 

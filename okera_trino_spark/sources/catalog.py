@@ -38,6 +38,7 @@ from weakref import WeakKeyDictionary
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Fixture tables (TESTDATA.md). One parquet file per table.
 TABLE_NAMES = [
@@ -82,15 +83,26 @@ _TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Plain governed-free scan. Catalyst owns splits + pushdown.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright (PARQUET_TYPE_ILLEGAL). The engine adopts the
-    reference's own semantics — truncate nanos to micros
-    (RecordServicePageSource.java:353-366, drops the 4 nano bytes) — by
-    reading nanos as int64 (legacy conf, runtime-settable) and rebuilding
-    a TIMESTAMP_NTZ via integer microsecond arithmetic. Integer ``div``
-    (not ``/``) matters: double division of epoch-nanos loses sub-µs
-    precision at 2^61 magnitudes. DuckDB truncates identically, so the
-    oracle agrees to the microsecond.
+    ``events.ts`` has shipped in two fixture shapes and the loader must
+    accept both — the fixture generator is not under this repo's
+    control:
+
+    * parquet TIMESTAMP(NANOS) — Spark's reader rejects it outright
+      (PARQUET_TYPE_ILLEGAL), so with the ``nanosAsLong`` legacy conf it
+      arrives as int64 epoch-nanos. The engine adopts the reference's
+      own semantics — truncate nanos to micros
+      (RecordServicePageSource.java:353-366, drops the 4 nano bytes) —
+      rebuilding a TIMESTAMP_NTZ via integer microsecond arithmetic.
+      Integer ``div`` (not ``/``) matters: double division of
+      epoch-nanos loses sub-µs precision at 2^61 magnitudes.
+    * parquet timestamp[us] — arrives as TIMESTAMP_NTZ (or TIMESTAMP if
+      the file is UTC-adjusted) and needs no rebuild; at most a
+      reinterpret-cast to NTZ so downstream window/interval arithmetic
+      and the DuckDB oracle see identical wall-clock values.
+
+    The dtype is sniffed from the analyzed schema, so a fixture
+    regeneration switching shapes cannot break the engine
+    (tests/test_catalog.py::test_events_ts_fixture_shapes covers both).
     """
     per_session = _TABLE_MEMO.setdefault(spark, {})
     memo = per_session.get((sf_dir, name))
@@ -99,13 +111,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # nanosAsLong is an engine default (session._BUILD_CONFS); set it
         # here too — runtime-settable — so externally built sessions (the
-        # driver supplies its own) read events identically.
+        # driver supplies its own) read events identically. Harmless for
+        # micros fixtures: the conf only affects TIMESTAMP(NANOS) columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        df = df.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+            )
+        elif isinstance(ts_type, T.TimestampType):
+            # UTC-adjusted micros: reinterpret as session-local wall clock
+            # (sessions run UTC) so both fixture shapes yield NTZ.
+            df = df.withColumn("ts", F.to_timestamp_ntz("ts"))
+        # TimestampNTZType: already the canonical shape — pass through.
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     per_session[(sf_dir, name)] = df

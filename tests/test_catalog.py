@@ -476,3 +476,42 @@ def test_policy_never_leaks_columns_property(cat):
         assert sql_cols == expect
 
     check()
+
+
+def test_events_ts_fixture_shapes(spark, tmp_path):
+    """Fixture-shape contract: load_table must yield identical
+    TIMESTAMP_NTZ values for events.ts whether the parquet stores
+    timestamp[ns] (read as int64 via nanosAsLong) or timestamp[us]
+    (read natively). A driver-side fixture regeneration switching shapes
+    zeroed round 4; this pins both shapes forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from okera_trino_spark.sources.catalog import load_table
+
+    base_us = [1_704_067_200_123_456, 1_704_070_800_987_654, 1_704_074_400_000_001]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+        "props": pa.array(['{"k":1}'] * 3),
+    }
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    for d in (nanos_dir, micros_dir):
+        d.mkdir()
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([u * 1000 for u in base_us],
+                                         pa.timestamp("ns"))}),
+        str(nanos_dir / "events.parquet"))
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(base_us, pa.timestamp("us"))}),
+        str(micros_dir / "events.parquet"))
+
+    out = {}
+    for label, d in (("nanos", nanos_dir), ("micros", micros_dir)):
+        df = load_table(spark, str(d), "events")
+        assert str(df.schema["ts"].dataType) == "TimestampNTZType()", label
+        out[label] = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+    assert out["nanos"] == out["micros"]

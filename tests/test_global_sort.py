@@ -62,3 +62,28 @@ def test_single_range_degenerates_to_plain_row_number(spark):
     got = {r.id: r.sort_pos for r in global_sort_positions(
         df, F.col("s").asc(), n_ranges=1).collect()}
     assert got == {2: 1, 1: 2, 3: 3}
+
+
+def test_subsampled_regime_positions_form_permutation(spark):
+    """The regime that broke before the localCheckpoint fix: enough rows
+    per input partition (300k rows / 2 partitions) that RangePartitioner
+    SUBSAMPLES instead of taking everything, so two independent jobs
+    would sample different split points. Positions must still form an
+    exact permutation of 1..N — duplicated/missing positions are the
+    silent-corruption signature of per-job boundary drift."""
+    n = 300_000
+    df = (
+        spark.range(0, n, numPartitions=2)
+        .select(F.col("id"), (F.hash("id") % 100_000).alias("v"))
+    )
+    out = global_sort_positions(df, F.col("v").asc(), F.col("id"), n_ranges=32)
+    pos = [r.sort_pos for r in out.select("sort_pos").collect()]
+    assert sorted(pos) == list(range(1, n + 1))
+
+
+def test_positions_long_typed(spark):
+    """sort_pos is BIGINT — at 100 TB row counts exceed int32, and the
+    DuckDB oracle's ROW_NUMBER() is BIGINT so schema parity needs it."""
+    df = spark.createDataFrame([(1, 5), (2, 3)], "id long, v long")
+    out = global_sort_positions(df, F.col("v").asc(), n_ranges=2)
+    assert dict(out.dtypes)["sort_pos"] == "bigint"

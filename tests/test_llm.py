@@ -212,3 +212,34 @@ def test_resize_media_deterministic_shape(spark, sf_dir):
     assert all((r.width, r.height) == (8, 8) for r in out)
     again = {r.doc_id: bytes(r.payload) for r in resize_media(media, 8, 8).collect()}
     assert {r.doc_id: bytes(r.payload) for r in out} == again
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """Shingles above the DF cap must be excluded from BOTH the pair
+    join and the per-doc shingle counts — the hot-key d² fan-out guard.
+    Construct a corpus where a boilerplate shingle is shared by every
+    doc: with the cap it contributes nothing, so two docs whose only
+    overlap is boilerplate are NOT a pair, while true near-dups still
+    score on their remaining shingles."""
+    from okera_trino_spark.llm.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply"
+    rows = (
+        [(i, f"{boiler} unique words {i} alpha beta gamma") for i in range(10)]
+        + [(100, f"{boiler} identical tail one two three"),
+           (101, f"{boiler} identical tail one two three")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, max_df=5).collect()}
+    # Every capped-out shingle came from the shared boilerplate prefix
+    # (12 docs > cap 5); docs 0..9 share ONLY boilerplate → no pairs.
+    assert all(p == (100, 101) for p in got), got
+    # 100/101 are identical → Jaccard 1.0 over their surviving shingles.
+    assert got[(100, 101)] == 1.0
+    # Sanity: uncapped, the boilerplate shingles alone cross no 0.5
+    # threshold either, but the capped run must also not UNDERCOUNT the
+    # true pair (cap applies to |A|,|B| and |∩| symmetrically).
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard
+                for r in ngram_jaccard_pairs(docs, max_df=10**9).collect()}
+    assert (100, 101) in uncapped

