@@ -87,42 +87,47 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-3 ROTATION: the r1/r2 windows drove 78 keys green; this window
-#: hands its 50 slots to the keys that have NEVER had a driver row
-#: (round-1/2 additions past the old window) plus this round's two new
-#: keys — after r3 the union covers 128/133 registered keys. No canary
-#: slots: every candidate canary already has a green driver row, the
-#: flagship is smoke-checked via entry() every round regardless, and all
-#: 133 keys remain gated by tests/test_oracle_parity.py (the identical
-#: comparison) locally. Leftovers (never driver-checked, local-only):
-#: the three rows-only sampling/ANN keys (q_llm_ann_ivf/ann_lsh/
-#: q_llm_stratified — bounds-tested), q_agg_approx_percentile (bounds-
-#: tested), and q_llm_text_stats (benched since r1).
+#: ROUND-5 ROTATION (the rotation round 3's verdict ordered and round 4
+#: never executed). Slots, in order:
+#:   1) the 17 keys that have NEVER had a driver row (all remaining
+#:      tpch_full composites + 8 LLM keys + q_events_outliers +
+#:      q_agg_approx_percentile) — closes the verification union at
+#:      148/148 registered keys;
+#:   2) the 3 stale-error keys (errored r1/r2, fixed, never re-driven);
+#:   3) keys whose implementation or oracle CHANGED this round and so
+#:      re-enter the window per the round-4 verdict rule (q_sort_multi
+#:      localCheckpoint rewrite; pack-id stride; ngram DF cap feeds the
+#:      ngram/cluster family);
+#:   4) the 3 new Trino-SQL string-path keys;
+#:   5) the 8 keys the r4 loader bug turned red — prove the fix to the
+#:      driver — plus the other events-dependent keys that went red in
+#:      the local parity sweep (views, streams, nested/JSON, as-of,
+#:      banded join);
+#:   6) leftover slots: the §2.5 extension keys last driven in r2
+#:      (pandas UDF/UDTF, salted agg).
 _PRIORITY: tuple[str, ...] = (
-    # TPC-H composites never driver-checked (§2.5)
-    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
-    "q_tpch_q19", "q_tpch_q22",
-    # events analytics + profiling (§2.5)
+    # 1) never driver-checked
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
+    "q_tpch_q20", "q_tpch_q21",
+    "q_llm_vocab", "q_llm_quantize", "q_llm_repetition", "q_llm_dedup_apply",
+    "q_llm_text_stats", "q_llm_stratified", "q_llm_ann_ivf", "q_llm_ann_lsh",
+    "q_events_outliers", "q_agg_approx_percentile",
+    # 2) stale errors (r1/r2), never re-driven
+    "q_sample", "q_agg_approx_distinct", "q_llm_dedup_near",
+    # 3) rewritten this round
+    "q_sort_multi", "q_llm_pack", "q_llm_pipeline",
+    "q_llm_dedup_ngram", "q_llm_dup_clusters",
+    # 4) new: Trino-SQL string front end
+    "q_trino_sql", "q_trino_sql_fns", "q_trino_sql_unnest",
+    # 5) r4 loader-bug reds — prove the fix
     "q_events_funnel", "q_events_gapfill", "q_events_retention",
-    "q_profile_orders",
-    # scalar/extras fn surface (E25–E29 tails)
-    "q_fn_math", "q_fn_map", "q_fn_struct", "q_fn_regex", "q_fn_bitwise",
-    "q_fn_try", "q_fn_url", "q_fn_interval", "q_fn_decimal",
-    # aggregate tails (E11, E34)
-    "q_agg_pivot", "q_agg_unpivot", "q_agg_grouping_id", "q_agg_minmax_by",
-    "q_agg_bool", "q_agg_listagg",
-    # window/sort/nested/UDF tails (E14, E17, E30, C17)
-    "q_win_ntile", "q_win_dist", "q_sort_nulls", "q_unnest_ordinality",
-    "q_udf_current_db",
-    # streaming tails (S2, S5, S6 extension)
-    "q_stream_slide", "q_stream_dedup", "q_stream_stream_join",
-    # LLM keys never driver-checked (§2.4)
-    "q_llm_knn_join", "q_llm_pii_scrub", "q_llm_pack", "q_llm_pipeline",
-    "q_llm_frame_sample", "q_llm_dedup_simhash", "q_llm_tokens",
-    "q_llm_fingerprint", "q_llm_langid",
-    # new this round (E2 right outer; SimHash Hamming pairing)
-    "q_join_right", "q_llm_dedup_simhash_pairs",
+    "q_fn_interval", "q_stream_slide", "q_stream_dedup",
+    "q_stream_stream_join", "q_llm_pii_scrub",
+    "q_scan_nested", "q_fn_json", "q_asof_join", "q_join_range_banded",
+    "q_stream_tumble", "q_stream_session", "q_stream_watermark",
+    "q_stream_static_join", "q_view_expand", "q_view_create_read",
+    # 6) extension keys last driven in r2
+    "q_udf_custom", "q_udtf_split", "q_pandas_group_norm", "q_agg_salted",
 )
 
 
