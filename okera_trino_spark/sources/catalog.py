@@ -273,11 +273,16 @@ class GovernedCatalog:
     def __init__(self, spark: SparkSession, sf_dir: str,
                  catalog_name: str = "okera",
                  sample_bytes: int | None = None,
-                 sample_mode: str = "fraction") -> None:
+                 sample_mode: str = "fraction",
+                 authenticator=None) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
         self.catalog_name = catalog_name
         self.sample_bytes = sample_bytes
+        #: C19 auth hook (sources/auth.py). None → unauthenticated
+        #: library use; set one and call login() to gate the session
+        #: identity through password/token verification.
+        self.authenticator = authenticator
         if sample_mode not in ("fraction", "prefix"):
             raise ValueError(f"sample_mode must be fraction|prefix, got {sample_mode!r}")
         self.sample_mode = sample_mode
@@ -365,6 +370,22 @@ class GovernedCatalog:
                     f"{user!r} may not delegate as {on_behalf_of!r}")
             user = on_behalf_of
         return user
+
+    # ----------------------------------------------------------- login/auth
+    def login(self, user: str, secret: str) -> str:
+        """Authenticate and adopt the principal as the session identity
+        (C19 — the library counterpart of the reference's
+        PasswordAuthenticator session establishment,
+        password/OkeraAuthenticator.java:112-120). Requires an
+        ``authenticator`` (sources/auth.py); raises AuthenticationError
+        on denial, leaving the current identity untouched."""
+        if self.authenticator is None:
+            raise RuntimeError(
+                "no authenticator configured — pass "
+                "GovernedCatalog(authenticator=PasswordAuthenticator(...))")
+        principal = self.authenticator.authenticate(user, secret)
+        self.props.user = principal
+        return principal
 
     # ----------------------------------------------------------- delegation
     def allow_delegation(self, delegate: str, target: str) -> None:
