@@ -150,6 +150,12 @@ _RENAMES = {
     "week_of_year": "weekofyear",
     "week": "weekofyear",
     "day_of_month": "dayofmonth",
+    "codepoint": "ascii",
+    "chr": "char",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
 }
 
 _RENAME_RE = re.compile(
@@ -245,12 +251,163 @@ _STRING_PH_RE = re.compile(r"'\x00(\d+)\x00'")
 _COMMENT_PH_RE = re.compile(r"\x01(\d+)\x01")
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split an argument list on depth-0 commas (masked text — string
+    literals are atomic placeholders, so parens inside them can't skew
+    the depth)."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _rewrite_calls(code: str, name: str, fn) -> str:
+    """Rewrite every call of ``name`` via ``fn(args) -> str | None``
+    (None = leave the call unchanged). Runs right-to-left so nested
+    calls of the same function rewrite correctly."""
+    pat = re.compile(r"\b" + name + r"\s*\(", re.IGNORECASE)
+    matches = list(pat.finditer(code))
+    for m in reversed(matches):
+        open_idx = m.end() - 1
+        close = _find_close(code, open_idx)
+        args = _split_top_level(code[open_idx + 1:close])
+        new = fn([a.strip() for a in args])
+        if new is not None:
+            code = code[:m.start()] + new + code[close + 1:]
+    return code
+
+
+#: Trino (MySQL-style) datetime %-tokens → Java SimpleDateFormat-style
+#: patterns (the subset with an exact Spark equivalent; anything else
+#: raises rather than silently reformatting).
+_MYSQL_DT_TOKENS = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M", "%d": "dd", "%e": "d",
+    "%H": "HH", "%k": "H", "%h": "hh", "%I": "hh", "%i": "mm", "%s": "ss",
+    "%S": "ss", "%p": "a", "%W": "EEEE", "%a": "EEE", "%b": "MMM",
+    "%M": "MMMM", "%j": "DDD", "%T": "HH:mm:ss", "%%": "%",
+}
+
+_JAVA_LETTERS_RE = re.compile(r"[A-Za-z]+")
+
+
+def _mysql_fmt_to_java(fmt: str) -> str:
+    """Convert a Trino date_format/date_parse %-pattern to the Java
+    pattern Spark's date_format/to_timestamp take. Literal letters in
+    the input must be quoted for Java patterns; unknown % tokens are an
+    error, not a guess."""
+    out, i, n = [], 0, len(fmt)
+    while i < n:
+        if fmt[i] == "%":
+            tok = fmt[i:i + 2]
+            if tok not in _MYSQL_DT_TOKENS:
+                raise TrinoSqlUnsupported(
+                    f"date pattern token {tok!r} has no exact Spark equivalent")
+            out.append(_MYSQL_DT_TOKENS[tok])
+            i += 2
+        else:
+            j = i
+            while j < n and fmt[j] != "%":
+                j += 1
+            lit = fmt[i:j]
+            # quote any letter runs so Java doesn't treat them as patterns
+            out.append(_JAVA_LETTERS_RE.sub(lambda m: f"'{m.group(0)}'", lit))
+            i = j
+    return "".join(out)
+
+
+_REGEX_META = re.compile(r"[.^$*+?()\[\]{}|\\]")
+
+
+def _structural_rewrites(code: str, stash: list[str]) -> str:
+    """Call-shape rewrites that need argument access (masked text)."""
+
+    def _lit(arg: str) -> str | None:
+        """If arg is exactly one string-literal placeholder, return its
+        unquoted text, else None."""
+        m = re.fullmatch(r"'\x00(\d+)\x00'", arg)
+        if not m:
+            return None
+        return stash[int(m.group(1))][1:-1].replace("''", "'")
+
+    def requote(text: str) -> str:
+        return "'" + text.replace("'", "''") + "'"
+
+    # Trino regexp_extract(s, p) returns the WHOLE match; Spark's
+    # 3rd argument defaults to group 1, so the 2-arg form needs ", 0".
+    code = _rewrite_calls(code, "regexp_extract",
+                          lambda a: f"regexp_extract({', '.join(a)}, 0)"
+                          if len(a) == 2 else None)
+    # Trino sha256/sha512 return VARBINARY; Spark's sha2 returns the hex
+    # STRING, so unhex restores binary-for-binary semantics (to_hex of
+    # the result then round-trips exactly).
+    code = _rewrite_calls(code, "sha256",
+                          lambda a: f"unhex(sha2({a[0]}, 256))" if len(a) == 1 else None)
+    code = _rewrite_calls(code, "sha512",
+                          lambda a: f"unhex(sha2({a[0]}, 512))" if len(a) == 1 else None)
+    # bitwise_*(a, b) → infix operators
+    for name, op in (("bitwise_and", "&"), ("bitwise_or", "|"),
+                     ("bitwise_xor", "^")):
+        code = _rewrite_calls(code, name,
+                              lambda a, op=op: f"(({a[0]}) {op} ({a[1]}))"
+                              if len(a) == 2 else None)
+    code = _rewrite_calls(code, "bitwise_not",
+                          lambda a: f"(~({a[0]}))" if len(a) == 1 else None)
+
+    # Trino split(s, delim) splits on a LITERAL delimiter; Spark's
+    # second argument is a REGEX. Escape metachars when the delimiter is
+    # a literal; a computed delimiter can't be translated faithfully.
+    def _split_fn(a):
+        if len(a) not in (2, 3):
+            return None
+        lit = _lit(a[1])
+        if lit is None:
+            raise TrinoSqlUnsupported(
+                "split() with a non-literal delimiter: Trino splits on a "
+                "literal, Spark on a regex — rewrite explicitly")
+        escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
+        # Spark's SQL string literals consume one backslash layer
+        # ('\.'→'.'), so the regex's backslashes must be doubled in the
+        # emitted literal text.
+        escaped = escaped.replace("\\", "\\\\")
+        rest = f", {a[2]}" if len(a) == 3 else ""
+        return f"split({a[0]}, {requote(escaped)}{rest})"
+
+    code = _rewrite_calls(code, "split", _split_fn)
+
+    # Trino date_format/date_parse use MySQL %-patterns; Spark's
+    # date_format/to_timestamp take Java patterns.
+    def _datefmt(spark_name):
+        def fn(a):
+            if len(a) != 2:
+                return None
+            lit = _lit(a[1])
+            if lit is None:
+                raise TrinoSqlUnsupported(
+                    f"{spark_name}: non-literal %-pattern cannot be translated")
+            if "%" not in lit:
+                return None  # already a Java pattern (or pure literal)
+            return f"{spark_name}({a[0]}, {requote(_mysql_fmt_to_java(lit))})"
+        return fn
+
+    code = _rewrite_calls(code, "date_format", _datefmt("date_format"))
+    code = _rewrite_calls(code, "date_parse", _datefmt("to_timestamp"))
+    return code
+
+
 def _rewrite_code(code: str, stash: list[str]) -> str:
     """Dialect rewrites over the full masked statement. ``stash[k]`` is
     the original text behind placeholder k (string literals keep their
     quotes)."""
     code = _rewrite_try(code)
     code = _rewrite_unnest(code)
+    code = _structural_rewrites(code, stash)
     code = _DATE_ARITH_RE.sub(
         lambda m: ("timestampadd(" if m.group(1).lower() == "date_add"
                    else "timestampdiff(")

@@ -528,7 +528,8 @@ class GovernedCatalog:
 
     # ---------------------------------------------------------------- audit
     def execute(self, sql: str, user: str | None = None,
-                on_behalf_of: str | None = None) -> DataFrame:
+                on_behalf_of: str | None = None,
+                dialect: str = "spark") -> DataFrame:
         """Run SQL as ``user`` with audit logging. The tables visible to
         the query are the user's GOVERNED reads — column authorization
         and row filters apply on this path exactly as on ``read()``
@@ -537,7 +538,13 @@ class GovernedCatalog:
         delegation gate as ``read()`` — the effective user's policies
         govern AND are the audited identity. A DENIED delegation is
         itself audited (success=False) before it raises — failed access
-        attempts must not be invisible."""
+        attempts must not be invisible.
+
+        ``dialect="trino"`` accepts Trino-dialect SQL text — the form
+        the reference's users actually submit (README.md:74-90) —
+        rewritten onto Spark SQL by functions/trino_sql.py BEFORE
+        planning, so governance applies identically on both dialects.
+        The audit log records the ORIGINAL text the user submitted."""
         qid = self._next_query_id
         self._next_query_id += 1
         start = time.time()
@@ -551,7 +558,13 @@ class GovernedCatalog:
             raise
         self._register_governed(user)
         try:
-            df = self.spark.sql(sql)
+            if dialect == "trino":
+                from okera_trino_spark.functions.trino_sql import rewrite_trino_sql
+                df = self.spark.sql(rewrite_trino_sql(sql))
+            elif dialect == "spark":
+                df = self.spark.sql(sql)
+            else:
+                raise ValueError(f"dialect must be spark|trino, got {dialect!r}")
             self._audit.append(AuditRecord(
                 query_id=qid, user=user, sql=sql,
                 start_time=start, elapsed_ms=(time.time() - start) * 1000.0,

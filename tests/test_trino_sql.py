@@ -112,3 +112,70 @@ def test_rewrite_with_ordinality_raises():
 def test_rewrite_comment_preserved():
     out = rewrite_trino_sql("SELECT 1 -- strpos(a, b)\nFROM t")
     assert "-- strpos(a, b)" in out
+
+
+def test_governed_execute_trino_dialect(spark, sf_dir):
+    """Trino-dialect text through the GOVERNED path: column policies
+    apply to the rewritten query exactly as to native Spark SQL, and the
+    audit log records the original Trino text."""
+    from okera_trino_spark.sources.catalog import GovernedCatalog, TablePolicy
+
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.set_policy("analyst", "orders", TablePolicy(
+        allowed_columns=["o_orderkey", "o_orderdate"]))
+    trino = ("SELECT o_orderkey, date_add('day', 30, o_orderdate) AS due "
+             "FROM orders ORDER BY o_orderkey FETCH FIRST 5 ROWS ONLY")
+    out = cat.execute(trino, user="analyst", dialect="trino")
+    assert out.columns == ["o_orderkey", "due"]
+    assert len(out.collect()) == 5
+    assert cat.audit_log[-1].sql == trino          # original dialect audited
+    # the policy hides o_totalprice from the same user on this path
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="o_totalprice|UNRESOLVED"):
+        cat.execute("SELECT o_totalprice FROM orders",
+                    user="analyst", dialect="trino").collect()
+
+
+# Second wave of dialect coverage: divergent-semantics functions.
+CASES2 = [
+    ("regexp_extract_whole_match",
+     "SELECT doc_id, regexp_extract(text, 'b[a-z]+h') AS m FROM documents ORDER BY doc_id",
+     "SELECT doc_id, regexp_extract(text, 'b[a-z]+h', 0) AS m FROM documents ORDER BY doc_id"),
+    ("sha256_hex",
+     "SELECT o_orderkey, to_hex(sha256(CAST(o_orderstatus AS VARBINARY))) AS h "
+     "FROM orders ORDER BY o_orderkey LIMIT 50",
+     "SELECT o_orderkey, upper(sha256(o_orderstatus)) AS h "
+     "FROM orders ORDER BY o_orderkey LIMIT 50"),
+    ("bitwise_fns",
+     "SELECT o_orderkey, bitwise_and(o_orderkey, 255) AS a, bitwise_or(o_orderkey, 16) AS o, "
+     "bitwise_xor(o_orderkey, 85) AS x FROM orders ORDER BY o_orderkey LIMIT 100",
+     "SELECT o_orderkey, o_orderkey & 255 AS a, o_orderkey | 16 AS o, "
+     "xor(o_orderkey, 85) AS x FROM orders ORDER BY o_orderkey LIMIT 100"),
+    ("split_literal_dot",
+     # Trino split('a.b.c', '.') = ['a','b','c']; a naive Spark regex
+     # split on '.' would produce empty strings.
+     "SELECT split('a.b.c', '.') AS parts",
+     "SELECT str_split('a.b.c', '.') AS parts"),
+    ("date_format_mysql_pattern",
+     "SELECT event_id, date_format(ts, '%Y-%m-%d %H:%i') AS d FROM events ORDER BY event_id",
+     "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M') AS d FROM events ORDER BY event_id"),
+    ("date_parse_mysql_pattern",
+     "SELECT date_parse('2024-03-05 07:30:00', '%Y-%m-%d %H:%i:%s') AS ts",
+     "SELECT TIMESTAMP '2024-03-05 07:30:00' AS ts"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES2])
+def test_trino_statement_matches_oracle_wave2(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino2:{name}")
+
+
+def test_unknown_date_token_raises():
+    with pytest.raises(TrinoSqlUnsupported, match="no exact Spark"):
+        rewrite_trino_sql("SELECT date_format(ts, '%x') FROM events")
+
+
+def test_split_nonliteral_delimiter_raises():
+    with pytest.raises(TrinoSqlUnsupported, match="non-literal"):
+        rewrite_trino_sql("SELECT split(text, other_col) FROM documents")
