@@ -563,6 +563,57 @@ def q_trino_sql_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_trino(spark, TRINO_SQL_FNS, sf_dir)
 
 
+#: TPC-H Q1 as a Trino user writes it (interval arithmetic via the
+#: Trino date_add form; aggregates rounded identically on both sides so
+#: the value hash is float-stable across engines).
+TRINO_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= date_add('day', -90, TIMESTAMP '1998-12-01 00:00:00')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "q_trino_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00' - INTERVAL 90 DAY
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("trino", "sql", "dialect", "tpch"),
+)
+def q_trino_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration story end-to-end: TPC-H Q1 in Trino dialect text —
+    the pricing-summary query every reference deployment runs — through
+    execute_trino, hash-matched against the ANSI oracle. The rewritten
+    plan is the SAME Catalyst plan as the native flagship
+    (q_pricing_summary): l_shipdate pushed to the parquet scan,
+    map-side partial aggregation, one merge exchange
+    (tests/test_trino_sql.py::test_trino_q1_plan_pushdown asserts it).
+    """
+    return execute_trino(spark, TRINO_SQL_TPCH_Q1, sf_dir)
+
+
 @query(
     "q_trino_sql_unnest",
     oracle="""

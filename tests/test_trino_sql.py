@@ -179,3 +179,15 @@ def test_unknown_date_token_raises():
 def test_split_nonliteral_delimiter_raises():
     with pytest.raises(TrinoSqlUnsupported, match="non-literal"):
         rewrite_trino_sql("SELECT split(text, other_col) FROM documents")
+
+
+def test_trino_q1_plan_pushdown(spark, sf_dir):
+    """The Trino-dialect rewrite must cost NOTHING at plan level: the
+    l_shipdate predicate (written via Trino date_add) still reaches the
+    parquet scan, and the aggregate is partial+final (one shuffle)."""
+    from okera_trino_spark.functions.trino_sql import q_trino_tpch_q1
+    from okera_trino_spark.plans.explain import assert_pushed_filters, plan_string
+
+    df = q_trino_tpch_q1(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate")
+    assert "HashAggregate" in plan_string(df, "formatted")
