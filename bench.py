@@ -26,6 +26,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: family (scan/filter, join, agg, window, sort, set, function, llm).
 HEADLINE = [
     "q_pricing_summary",
+    # Same logical query submitted as Trino-dialect TEXT: measures that
+    # the string front end costs nothing at execution time (the rewrite
+    # is pure text; the Catalyst plan matches the flagship's).
+    "q_trino_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q8",

@@ -19,12 +19,14 @@ def test_queries_and_oracles_aligned(spark):
     assert len(qs) > 0
 
 
-def test_driver_window_is_the_r3_rotation():
+def test_driver_window_is_the_r5_rotation():
     """The correctness driver records only the first 50 keys of queries().
-    Round 3 rotates the window to keys with no driver row in ANY prior
-    round (r1/r2 already drove 78 keys green): assert every window key is
-    previously unchecked, every one has a SQL oracle (full green
-    possible), and the union r1∪r2∪r3-window covers ≥123 keys."""
+    The round-5 window closes the verification union: every registered
+    key must have a driver row in r1-r4 OR a slot in this window, the
+    never-checked/stale-error/rewritten/new keys must all be inside it,
+    and rows-only keys may hold a slot ONLY if they are in the
+    never-driver-checked set (their weaker rows-run check is still their
+    first driver signal)."""
     import json
     import os
 
@@ -33,15 +35,20 @@ def test_driver_window_is_the_r3_rotation():
     window = list(entrymod.queries())[:50]
     assert len(window) == 50
     specs = load_all_queries()
-    no_oracle = [k for k in window if specs[k].oracle is None]
-    assert not no_oracle, f"rows-only keys waste window slots: {no_oracle}"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    checked: set[str] = set()   # keys with at least one NON-ERROR row
+    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+                "CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
         p = os.path.join(repo, rnd)
         if os.path.exists(p):
             with open(p) as f:
-                checked |= set(json.load(f))
-    overlap = [k for k in window if k in checked]
-    assert not overlap, f"window slots wasted on already-checked keys: {overlap}"
-    assert len(checked | set(window)) >= 123
+                for key, row in json.load(f).items():
+                    if row.get("err") is None:
+                        checked.add(key)
+    # union closure: every registered key checked before or in-window
+    uncovered = [k for k in specs if k not in checked and k not in window]
+    assert not uncovered, f"keys with no driver signal ever: {uncovered}"
+    # rows-only keys occupy slots only for their first-ever driver row
+    wasted = [k for k in window
+              if specs[k].oracle is None and k in checked]
+    assert not wasted, f"rows-only slots wasted on checked keys: {wasted}"
