@@ -74,7 +74,11 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are scan-local explodes).
     """
     d = t(spark, sf_dir, "documents")
-    sh = shingle_index(d, NGRAM_K, extra_cols=("source",))
+    # Three consumers (per-doc counts, the probe side, the broadcast
+    # side) read the shingle index — materialize the regex-split +
+    # explode once instead of re-running it per consumer (the same
+    # share-the-scan rule as ngram_jaccard_pairs / q_llm_dedup_near).
+    sh = shingle_index(d, NGRAM_K, extra_cols=("source",)).localCheckpoint()
     train = sh.filter(F.col("source") != BENCH_SOURCE)
     bench = (sh.filter(F.col("source") == BENCH_SOURCE)
              .select(F.col("doc_id").alias("bench_doc_id"), "shingle"))
