@@ -177,6 +177,14 @@ _CAST_TYPE_MAP = {"VARCHAR": "STRING", "VARBINARY": "BINARY",
 _FETCH_RE = re.compile(
     r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE)
 
+#: Trino TABLESAMPLE BERNOULLI(p) → Spark TABLESAMPLE (p PERCENT)
+#: (row-level Bernoulli in both engines). SYSTEM(p) is block sampling
+#: in Trino; Spark's PERCENT form is the closest semantic (per-row) —
+#: still a sound sample, so it maps rather than errors.
+_TABLESAMPLE_RE = re.compile(
+    r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)",
+    re.IGNORECASE)
+
 _DOW_RE = re.compile(r"\b(day_of_week|dow)\s*\(", re.IGNORECASE)
 _TRY_RE = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
 _UNNEST_RE = re.compile(
@@ -421,6 +429,7 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
             re.sub(r"\s*\(.*\)", "", re.sub(r"\s+", " ", m.group(1).upper()))],
         code)
     code = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", code)
+    code = _TABLESAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", code)
     code = _TS_LITERAL_RE.sub(r"TIMESTAMP_NTZ\1", code)
     return code
 

@@ -191,3 +191,39 @@ def test_trino_q1_plan_pushdown(spark, sf_dir):
     df = q_trino_tpch_q1(spark, sf_dir)
     assert_pushed_filters(df, "l_shipdate")
     assert "HashAggregate" in plan_string(df, "formatted")
+
+
+def test_tablesample_bernoulli(spark, sf_dir):
+    """Trino TABLESAMPLE BERNOULLI(p) → Spark (p PERCENT): row-level
+    Bernoulli in both engines; assert binomial-plausible kept count."""
+    df = execute_trino(
+        spark, "SELECT o_orderkey FROM orders TABLESAMPLE BERNOULLI(10)",
+        sf_dir)
+    n = df.count()
+    total = execute_trino(spark, "SELECT count(*) AS n FROM orders").collect()[0].n
+    assert 0 < n < total
+    assert abs(n / total - 0.10) < 0.05   # ±5pp of the 10% target
+
+
+def test_rewrite_never_touches_literals_property():
+    """Property: for ANY string literal content, the rewrite emits the
+    literal byte-for-byte and applies renames only outside it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # Printable text without the masking sentinels; quotes get doubled
+    # per Trino escaping when embedded.
+    lit = st.text(
+        st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(lit)
+    def check(s):
+        embedded = s.replace("'", "''")
+        sql = f"SELECT strpos(col, '{embedded}') AS p FROM t"
+        out = rewrite_trino_sql(sql)
+        assert f"'{embedded}'" in out          # literal intact
+        assert out.startswith("SELECT instr(col, ")  # rename applied
+
+    check()
