@@ -196,3 +196,77 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             })
 
     return media.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+# ----------------------------------------------------- feature extraction
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, mean_byte DOUBLE, std_byte DOUBLE, "
+    "printable_ratio DOUBLE"
+)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over opaque payloads — the L5 step between
+    decode and model input: per-payload byte statistics computed with
+    VECTORIZED numpy over Arrow batches (mapInPandas). This is the
+    reference shape for real featurizers (CLIP embeddings, mel
+    spectrograms): payload bytes → fixed-width numeric features, 1:1
+    rows, no shuffle, bounded batch memory. The numpy path is the
+    point — per-element Python loops over payload bytes would be
+    100×+ slower at real payload sizes.
+    """
+    import numpy as np
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n, mean, std, printable = [], [], [], []
+            for payload in pdf["payload"]:
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                k = a.size
+                n.append(k)
+                mean.append(float(a.mean()) if k else 0.0)
+                std.append(float(a.std()) if k else 0.0)
+                printable.append(
+                    float(((a >= 32) & (a < 127)).mean()) if k else 0.0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pd.array(n, dtype="int64"),
+                "mean_byte": mean,
+                "std_byte": std,
+                "printable_ratio": printable,
+            })
+
+    return media.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "q_llm_media_features",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, ascii(c) AS b
+        FROM (SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents)
+    )
+    SELECT doc_id,
+           count(*) AS n_bytes,
+           round(avg(b), 4) AS mean_byte,
+           round(stddev_pop(b), 4) AS std_byte,
+           round(avg(CASE WHEN b >= 32 AND b < 127 THEN 1.0 ELSE 0.0 END), 4)
+               AS printable_ratio
+    FROM chars GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "features"),
+)
+def q_llm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 feature extraction, value-checked: byte statistics of every
+    payload through the Arrow-batched featurizer, compared against a
+    char-level DuckDB oracle (payloads are UTF-8 of the ASCII fixture
+    text, so byte values == char codes — asserted in tests). Rounded to
+    4dp on both sides for float stability."""
+    media = make_media_frame(t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media)
+    return feats.select(
+        "doc_id", "n_bytes",
+        F.round("mean_byte", 4).alias("mean_byte"),
+        F.round("std_byte", 4).alias("std_byte"),
+        F.round("printable_ratio", 4).alias("printable_ratio"),
+    )

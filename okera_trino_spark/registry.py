@@ -117,9 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     # 3) rewritten this round
     "q_sort_multi", "q_llm_pack", "q_llm_pipeline",
     "q_llm_dedup_ngram", "q_llm_dup_clusters",
-    # 4) new: Trino-SQL string front end
+    # 4) new: Trino-SQL string front end + L5 feature extraction
     "q_trino_sql", "q_trino_sql_fns", "q_trino_sql_unnest",
-    "q_trino_tpch_q1",
+    "q_trino_tpch_q1", "q_llm_media_features",
     # 5) r4 loader-bug reds — prove the fix
     "q_events_funnel", "q_events_gapfill", "q_events_retention",
     "q_fn_interval", "q_stream_slide", "q_stream_dedup",
@@ -127,9 +127,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_nested", "q_fn_json", "q_asof_join", "q_join_range_banded",
     "q_stream_tumble", "q_stream_session", "q_stream_watermark",
     "q_stream_static_join", "q_view_expand", "q_view_create_read",
-    # 6) extension keys last driven in r2 (q_agg_salted yielded its slot
-    # to the new Trino Q1 key — new keys outrank green-in-r2 re-checks)
-    "q_udf_custom", "q_udtf_split", "q_pandas_group_norm",
+    # 6) extension keys last driven in r2 (q_agg_salted and q_udtf_split
+    # yielded their slots to the new Q1/feature keys — new keys outrank
+    # green-in-r2 re-checks)
+    "q_udf_custom", "q_pandas_group_norm",
 )
 
 

@@ -243,3 +243,28 @@ def test_ngram_hot_shingle_cap(spark):
     uncapped = {(r.doc_a, r.doc_b): r.jaccard
                 for r in ngram_jaccard_pairs(docs, max_df=10**9).collect()}
     assert (100, 101) in uncapped
+
+
+def test_media_feature_extraction_contract(spark):
+    """The Arrow featurizer handles empty payloads, preserves row
+    cardinality 1:1, and its byte stats equal a straight Python
+    reference on hand-built payloads."""
+    from okera_trino_spark.llm.multimodal import extract_media_features
+
+    rows = [(1, b"abcABC"), (2, b""), (3, bytes([0, 255, 128, 32]))]
+    media = spark.createDataFrame(
+        [(i, bytearray(p), {"modality": "image", "codec": "raw-fake",
+                            "n_bytes": len(p)}) for i, p in rows],
+        "doc_id long, payload binary, "
+        "media_meta struct<modality:string,codec:string,n_bytes:int>")
+    out = {r.doc_id: r for r in extract_media_features(media).collect()}
+    assert len(out) == 3
+    for doc_id, payload in rows:
+        r = out[doc_id]
+        assert r.n_bytes == len(payload)
+        if payload:
+            assert abs(r.mean_byte - sum(payload) / len(payload)) < 1e-9
+            assert abs(r.printable_ratio
+                       - sum(32 <= b < 127 for b in payload) / len(payload)) < 1e-9
+        else:
+            assert r.mean_byte == 0.0 and r.std_byte == 0.0
