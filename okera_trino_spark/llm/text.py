@@ -477,3 +477,50 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("shard") * PACK_STRIDE
          + ((cum - 1) / PACK_BUDGET).cast("long")).cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "q_llm_entropy",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS word_entropy,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) < 3.0 AS flagged
+    FROM wc GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 word-entropy quality gate: Shannon entropy of each document's
+    word distribution — the standard gibberish/boilerplate screen (a
+    looping or template doc concentrates mass on few words → low
+    entropy; natural prose at fixture lengths sits well above 3 bits).
+
+    The entropy decomposes as H = log2(n) − Σ c·log2(c) / n, so ONE
+    aggregation pass computes it from (sum c, sum c·log2 c) — both
+    map-side combinable; the shuffle carries one (doc, word) count row
+    per distinct word, the same profile as vocabulary building. The
+    flag compares the ROUNDED value (repetition-gate precedent) so
+    engine float ordering can't flip a boundary doc.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+            .filter(F.col("word") != ""))
+    wc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("_n"),
+        F.sum(F.col("c") * F.log2("c")).alias("_clog"))
+    h = F.round(F.log2("_n") - F.col("_clog") / F.col("_n"), 4)
+    return agg.select(
+        "doc_id",
+        F.col("_n").alias("n_words"),
+        h.alias("word_entropy"),
+        (h < 3.0).alias("flagged"),
+    )

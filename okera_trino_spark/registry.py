@@ -126,7 +126,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_stream_join", "q_llm_pii_scrub",
     "q_scan_nested", "q_fn_json", "q_asof_join", "q_join_range_banded",
     "q_stream_tumble", "q_stream_session", "q_stream_watermark",
-    "q_stream_static_join", "q_view_expand", "q_view_create_read",
+    "q_stream_static_join", "q_view_expand",
+    # (q_view_create_read — green r2, re-verified locally — yielded its
+    # re-check slot to the new q_llm_entropy key)
+    "q_llm_entropy",
     # 6) extension keys last driven in r2 (q_agg_salted and q_udtf_split
     # yielded their slots to the new Q1/feature keys — new keys outrank
     # green-in-r2 re-checks)
