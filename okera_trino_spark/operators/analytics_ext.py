@@ -740,3 +740,74 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type",
                 F.round("value", 4).alias("value_r4"), "z")
     )
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    tags=("composite", "events", "session"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization — the gap-based session assignment every
+    clickstream pipeline runs (the batch twin of the streaming session
+    window S3): a new session starts when a user's inter-event gap
+    exceeds 30 minutes; a running sum of the session-start markers
+    numbers each user's sessions; per-session rollup reports size,
+    start, duration.
+
+    Gap and duration are computed in MICROSECONDS on both engines:
+    second-granularity arithmetic would truncate on the Spark side but
+    boundary-count on the DuckDB side — exact integer microseconds is
+    the one representation both agree on at the fixture's timestamp
+    resolution.
+
+    Scale: both windows partition by user_id (bounded per-user event
+    counts — no unbounded partition) and share one exchange+sort (same
+    partitioning and ordering); the rollup shuffles on
+    (user_id, session_seq). Deterministic tie-break via event_id for
+    equal timestamps.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.col("_us") - F.lag("_us").over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.select("user_id", "ts", "event_id", epoch_us.alias("_us"))
+        .withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(run))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+             (F.max("_us") - F.min("_us")).alias("duration_us"))
+    )

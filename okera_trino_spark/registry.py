@@ -125,7 +125,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_fn_interval", "q_stream_slide", "q_stream_dedup",
     "q_stream_stream_join", "q_llm_pii_scrub",
     "q_scan_nested", "q_fn_json", "q_asof_join", "q_join_range_banded",
-    "q_stream_tumble", "q_stream_session", "q_stream_watermark",
+    "q_stream_tumble", "q_stream_session",
+    # (q_stream_watermark — green r2, re-verified locally — yielded its
+    # re-check slot to the new q_events_sessionize key)
+    "q_events_sessionize",
     "q_stream_static_join", "q_view_expand",
     # (q_view_create_read — green r2, re-verified locally — yielded its
     # re-check slot to the new q_llm_entropy key)
