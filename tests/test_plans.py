@@ -205,3 +205,32 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-Python UDF in plans: {offenders}"
+
+
+def test_ngram_pairs_materialize_shingle_index_once(spark, sf_dir):
+    """The ngram pair join's three consumers (counts + both self-join
+    sides) must read the CHECKPOINTED shingle index, not re-scan
+    documents.parquet per consumer — the plan shows only ExistingRDD
+    scans, zero parquet scans."""
+    plan = plan_string(SPECS["q_llm_dedup_ngram"].fn(spark, sf_dir), "formatted")
+    assert "documents.parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_connected_components_state_is_touched_nodes_only(spark):
+    """CC iterates over edge-touched nodes; isolated nodes rejoin only
+    when asked — per-round state bounded by |V(edges)|, not |corpus|."""
+    from okera_trino_spark.llm.clusters import connected_components
+
+    from pyspark.sql import functions as F
+
+    nodes = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long")
+    touched = connected_components(nodes, edges, include_isolated=False)
+    got = {r.doc_id: r.cluster_id for r in touched.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+    full = connected_components(nodes, edges, include_isolated=True)
+    allg = {r.doc_id: r.cluster_id for r in full.collect()}
+    assert len(allg) == 10
+    assert all(allg[i] == i for i in (3, 4, 7, 8, 9))   # identity singletons
