@@ -326,3 +326,43 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.percent_rank().over(w)).alias("pct_rank"),
         r4(F.cume_dist().over(w)).alias("cume"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 21
+                ELSE CAST(1 + floor(o_totalprice / 30000.0) AS BIGINT) END AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("aggregate", "profile"),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket semantics: bucket 0 =
+    underflow, num+1 = overflow) — the distribution-profiling aggregate
+    behind stats pages, CBO histograms, and skew diagnosis. The bucket
+    arithmetic is written EXPLICITLY and identically on both engines
+    (DuckDB has no width_bucket; the same double division + floor on
+    both sides makes the boundary behavior bit-identical). Partial
+    aggregation keeps the shuffle at |buckets| rows — profiling a
+    100 TB column moves 22 rows."""
+    o = t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice")
+    bucket = (
+        F.when(v < 0, F.lit(0))
+        .when(v >= 600000, F.lit(21))
+        .otherwise((F.floor(v / 30000.0) + 1))
+    ).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("o_totalprice"), 4).alias("lo"),
+             F.round(F.max("o_totalprice"), 4).alias("hi"))
+        .orderBy("bucket")
+    )
