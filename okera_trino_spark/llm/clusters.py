@@ -65,6 +65,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     near-cliques (diameter ≤ ~3), so the loop terminates in a handful of
     rounds regardless of corpus size. ``localCheckpoint`` truncates the
     lineage each round so the plan doesn't grow exponentially.
+
+    Negative result (measured, do not retry): advancing TWO propagation
+    steps per materialized round (convergence-check on the inner step,
+    halving action count) is ~1.6× SLOWER at sf0.1 — the
+    un-checkpointed mid-step labels are referenced twice in the
+    double-step plan (neighbor-join input AND join base) and Catalyst
+    does not reuse the exchange across those references, so the first
+    step's join+agg runs twice per round, outweighing the saved job.
     """
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))) \
