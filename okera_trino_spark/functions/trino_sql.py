@@ -367,6 +367,12 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                               if len(a) == 2 else None)
     code = _rewrite_calls(code, "bitwise_not",
                           lambda a: f"(~({a[0]}))" if len(a) == 1 else None)
+    # Trino MAP(keys_array, values_array) constructor → map_from_arrays
+    # (Spark's own map() takes interleaved k1, v1, ...; Trino's MAP
+    # always takes two arrays, so the 2-arg form is unambiguous).
+    code = _rewrite_calls(code, "map",
+                          lambda a: f"map_from_arrays({a[0]}, {a[1]})"
+                          if len(a) == 2 else None)
 
     # Trino split(s, delim) splits on a LITERAL delimiter; Spark's
     # second argument is a REGEX. Escape metachars when the delimiter is
@@ -409,10 +415,101 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     return code
 
 
+def _find_close_bracket(s: str, open_idx: int) -> int:
+    """Index of the ']' matching s[open_idx] == '[' (masked text)."""
+    depth, j, n = 0, open_idx, len(s)
+    while j < n:
+        c = s[j]
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise TrinoSqlUnsupported(f"unbalanced brackets after offset {open_idx}")
+
+
+_ARRAY_LITERAL_RE = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def _rewrite_array_literals(code: str) -> str:
+    """Trino ARRAY[x, y, z] → Spark array(x, y, z). Innermost-first via
+    re-scanning after each replacement (nested literals shrink the
+    remaining match set each pass)."""
+    while True:
+        m = _ARRAY_LITERAL_RE.search(code)
+        if not m:
+            return code
+        open_idx = m.end() - 1
+        close = _find_close_bracket(code, open_idx)
+        inner = code[open_idx + 1:close]
+        code = code[:m.start()] + "array(" + inner + ")" + code[close + 1:]
+
+
+_SUBSCRIPT_HEAD_RE = re.compile(r"[A-Za-z0-9_.`]$")
+
+
+def _rewrite_subscripts(code: str) -> str:
+    """Trino ``expr[i]`` element access → ``element_at(expr, i)``.
+
+    THE off-by-one trap of Trino→Spark migration: Trino subscripts are
+    1-based, Spark's bracket subscript is 0-based — the same text
+    silently reads the neighboring element. Spark's element_at is
+    1-based, matching Trino exactly (including negative = from end for
+    arrays, and map key access semantics).
+
+    The preceding expression is recognized textually: an identifier /
+    qualified / backticked name, a ')' (call or parenthesized expr —
+    matched back to its '('), or a ']' already rewritten away. Runs
+    after ARRAY-literal rewriting, so every remaining '[' preceded by
+    an expression tail is a subscript.
+    """
+    while True:
+        # leftmost subscript whose head is an expression tail
+        pos = -1
+        for m in re.finditer(r"\[", code):
+            i = m.start()
+            head = code[:i].rstrip()
+            if head and (_SUBSCRIPT_HEAD_RE.search(head) or head.endswith(")")):
+                pos = i
+                break
+        if pos < 0:
+            return code
+        close = _find_close_bracket(code, pos)
+        index = code[pos + 1:close]
+        head_end = len(code[:pos].rstrip())
+        head = code[:head_end]
+        if head.endswith(")"):
+            # walk back over the balanced call/paren group + its name
+            depth, j = 0, head_end - 1
+            while j >= 0:
+                if head[j] == ")":
+                    depth += 1
+                elif head[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            while j > 0 and _SUBSCRIPT_HEAD_RE.search(head[j - 1]):
+                j -= 1
+            expr_start = j
+        else:
+            j = head_end
+            while j > 0 and _SUBSCRIPT_HEAD_RE.search(head[j - 1]):
+                j -= 1
+            expr_start = j
+        expr = code[expr_start:head_end]
+        code = (code[:expr_start] + f"element_at({expr}, {index})"
+                + code[close + 1:])
+
+
 def _rewrite_code(code: str, stash: list[str]) -> str:
     """Dialect rewrites over the full masked statement. ``stash[k]`` is
     the original text behind placeholder k (string literals keep their
     quotes)."""
+    code = _rewrite_array_literals(code)
+    code = _rewrite_subscripts(code)
     code = _rewrite_try(code)
     code = _rewrite_unnest(code)
     code = _structural_rewrites(code, stash)

@@ -227,3 +227,37 @@ def test_rewrite_never_touches_literals_property():
         assert out.startswith("SELECT instr(col, ")  # rename applied
 
     check()
+
+
+# Third wave: array/map literals and the 1-based subscript trap.
+CASES3 = [
+    ("array_literal",
+     "SELECT ARRAY[3, 1, 2] AS a, cardinality(ARRAY[1, 2]) AS n",
+     "SELECT [3, 1, 2] AS a, len([1, 2]) AS n"),
+    ("subscript_one_based",
+     # THE migration trap: Trino arr[1] is the FIRST element; Spark's
+     # bracket subscript is 0-based. element_at restores Trino indexing.
+     "SELECT ARRAY['first', 'second', 'third'][1] AS x",
+     "SELECT (['first', 'second', 'third'])[1] AS x"),
+    ("subscript_on_column_expr",
+     "SELECT doc_id, split(text, ' ')[2] AS second_word "
+     "FROM documents ORDER BY doc_id",
+     "SELECT doc_id, str_split(text, ' ')[2] AS second_word "
+     "FROM documents ORDER BY doc_id"),
+    ("subscript_chained",
+     "SELECT ARRAY[ARRAY[10, 20], ARRAY[30]][1][2] AS x",
+     "SELECT ([[10, 20], [30]])[1][2] AS x"),
+    ("map_constructor_access",
+     "SELECT MAP(ARRAY['a', 'b'], ARRAY[1, 2])['b'] AS v",
+     # DuckDB map access yields a LIST of values; [1] unwraps it.
+     "SELECT ((MAP(['a', 'b'], [1, 2]))['b'])[1] AS v"),
+    ("nested_array_in_fn",
+     "SELECT cardinality(ARRAY[ARRAY[1], ARRAY[2, 3]]) AS n",
+     "SELECT len([[1], [2, 3]]) AS n"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES3])
+def test_trino_statement_matches_oracle_wave3(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino3:{name}")
