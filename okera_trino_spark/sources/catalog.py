@@ -121,14 +121,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
             )
-        elif isinstance(ts_type, T.TimestampType):
-            # UTC-adjusted micros: reinterpret as session-local wall clock
-            # (sessions run UTC) so both fixture shapes yield NTZ.
-            df = df.withColumn("ts", F.to_timestamp_ntz("ts"))
-        # TimestampNTZType: already the canonical shape — pass through.
+        # TimestampType/TimestampNTZType: handled by the normalize pass.
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
+    df = _normalize_timestamps(df)
     per_session[(sf_dir, name)] = df
+    return df
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Canonicalize every session-zoned TIMESTAMP column to
+    TIMESTAMP_NTZ wall-clock. The fixture generator (driver-owned, not
+    this repo's) has already switched parquet timestamp encodings once
+    mid-build; if it ever writes isAdjustedToUTC=true micros, Spark
+    reads TimestampType while DuckDB renders the same instants as
+    UTC wall-clock — this reinterpret (sessions pin UTC, session.py)
+    keeps both engines on identical wall-clock values for ANY fixture
+    shape. A no-op (plan-identical) when all timestamps already load
+    as NTZ, which is the current shape for every table."""
+    tz_cols = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, T.TimestampType)]
+    for c in tz_cols:
+        df = df.withColumn(c, F.to_timestamp_ntz(c))
     return df
 
 

@@ -515,3 +515,36 @@ def test_events_ts_fixture_shapes(spark, tmp_path):
         assert str(df.schema["ts"].dataType) == "TimestampNTZType()", label
         out[label] = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
     assert out["nanos"] == out["micros"]
+
+
+def test_all_tables_timestamps_normalized_to_ntz(spark, sf_dir, tmp_path):
+    """Every fixture table's timestamp columns load as TIMESTAMP_NTZ,
+    and a UTC-adjusted (isAdjustedToUTC=true) parquet re-encoding of the
+    same wall-clock values loads IDENTICALLY — the generalized
+    fixture-shape insurance beyond events.ts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from okera_trino_spark.sources.catalog import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        for f in df.schema.fields:
+            assert "TimestampType" not in type(f.dataType).__name__ or \
+                   type(f.dataType).__name__ == "TimestampNTZType", \
+                   (name, f.name, f.dataType)
+
+    # orders with o_orderdate re-encoded as UTC-adjusted micros
+    base = pq.read_table(f"{sf_dir}/orders.parquet")
+    idx = base.schema.get_field_index("o_orderdate")
+    utc_col = base.column(idx).cast(pa.timestamp("us", tz="UTC"))
+    utc = base.set_column(idx, pa.field("o_orderdate", pa.timestamp("us", tz="UTC")), utc_col)
+    d = tmp_path / "utcorders"
+    d.mkdir()
+    pq.write_table(utc, str(d / "orders.parquet"))
+    a = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate") \
+        .orderBy("o_orderkey").limit(50).collect()
+    b = load_table(spark, str(d), "orders").select("o_orderkey", "o_orderdate") \
+        .orderBy("o_orderkey").limit(50).collect()
+    assert [(r.o_orderkey, r.o_orderdate) for r in a] == \
+           [(r.o_orderkey, r.o_orderdate) for r in b]
