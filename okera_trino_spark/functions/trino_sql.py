@@ -373,6 +373,10 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(code, "map",
                           lambda a: f"map_from_arrays({a[0]}, {a[1]})"
                           if len(a) == 2 else None)
+    # Trino ROW(a, b) anonymous-struct constructor → struct(a, b)
+    # (fields get positional names in both engines).
+    code = _rewrite_calls(code, "row",
+                          lambda a: f"struct({', '.join(a)})" if a else None)
 
     # Trino split(s, delim) splits on a LITERAL delimiter; Spark's
     # second argument is a REGEX. Escape metachars when the delimiter is

@@ -261,3 +261,12 @@ CASES3 = [
 def test_trino_statement_matches_oracle_wave3(name, trino, duck, spark, sf_dir, oracle):
     df = execute_trino(spark, trino, sf_dir)
     check_query(df, oracle, duck or trino, name=f"trino3:{name}")
+
+
+def test_row_constructor_rewrite(spark, sf_dir):
+    """Trino ROW(a, b) → struct(a, b); field access via the rewritten
+    subscriptless dot path is out of dialect scope, so assert the
+    constructed values positionally."""
+    df = execute_trino(spark, "SELECT ROW(1, 'x') AS r", sf_dir)
+    r = df.collect()[0].r
+    assert tuple(r) == (1, "x")
