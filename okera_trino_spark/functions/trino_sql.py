@@ -508,10 +508,17 @@ def _rewrite_subscripts(code: str) -> str:
                 + code[close + 1:])
 
 
+_AT_TIME_ZONE_RE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
+
+
 def _rewrite_code(code: str, stash: list[str]) -> str:
     """Dialect rewrites over the full masked statement. ``stash[k]`` is
     the original text behind placeholder k (string literals keep their
     quotes)."""
+    if _AT_TIME_ZONE_RE.search(code):
+        raise TrinoSqlUnsupported(
+            "AT TIME ZONE is not translatable (Spark has no zoned-timestamp "
+            "expression syntax) — rewrite with convert_timezone(src, dst, ts)")
     code = _rewrite_array_literals(code)
     code = _rewrite_subscripts(code)
     code = _rewrite_try(code)

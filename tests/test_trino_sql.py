@@ -270,3 +270,8 @@ def test_row_constructor_rewrite(spark, sf_dir):
     df = execute_trino(spark, "SELECT ROW(1, 'x') AS r", sf_dir)
     r = df.collect()[0].r
     assert tuple(r) == (1, "x")
+
+
+def test_at_time_zone_raises_named_error():
+    with pytest.raises(TrinoSqlUnsupported, match="convert_timezone"):
+        rewrite_trino_sql("SELECT ts AT TIME ZONE 'America/New_York' FROM events")
