@@ -495,14 +495,26 @@ class GovernedCatalog:
         return max(min(rows, meta.num_rows), 0)
 
     # ---------------------------------------------------------------- views
-    def create_view(self, name: str, sql: str, replace: bool = False) -> None:
+    def create_view(self, name: str, sql: str, replace: bool = False,
+                    dialect: str = "spark") -> None:
         """Store SQL text; re-analyzed at read (external-view flavor,
         RecordServiceMetadata.java:288-349). The reference escapes the SQL
         for embedding in DDL (:304-311); storing text directly is the
         Spark-native equivalent — the session catalog re-analyzes on read.
-        ``replace`` mirrors the drop-then-create path (:332-336)."""
+        ``replace`` mirrors the drop-then-create path (:332-336).
+
+        ``dialect="trino"`` stores Trino-dialect view text — the
+        reference's actual view storage format (views are Trino SQL in
+        its catalog, RecordServiceMetadata.java:392-444) — rewritten
+        onto Spark SQL at every expansion, so a migrated view definition
+        works verbatim."""
         if name in self._views and not replace:
             raise ValueError(f"view already exists: {name}")
+        if dialect == "trino":
+            from okera_trino_spark.functions.trino_sql import rewrite_trino_sql
+            sql = rewrite_trino_sql(sql)
+        elif dialect != "spark":
+            raise ValueError(f"dialect must be spark|trino, got {dialect!r}")
         self._views[name] = sql
 
     def drop_view(self, name: str, if_exists: bool = True) -> None:

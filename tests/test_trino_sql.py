@@ -275,3 +275,28 @@ def test_row_constructor_rewrite(spark, sf_dir):
 def test_at_time_zone_raises_named_error():
     with pytest.raises(TrinoSqlUnsupported, match="convert_timezone"):
         rewrite_trino_sql("SELECT ts AT TIME ZONE 'America/New_York' FROM events")
+
+
+def test_trino_dialect_view_with_policies(spark, sf_dir):
+    """A view DEFINED in Trino dialect (the reference's view storage
+    format) expands through the rewriter under the expanding user's
+    policies: row filter and column mask both apply to the dialect
+    view's output."""
+    from okera_trino_spark.sources.catalog import GovernedCatalog, TablePolicy
+
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.create_view("late_orders", """
+        SELECT o_orderkey, o_custkey,
+               date_add('day', 90, o_orderdate) AS due
+        FROM orders
+        WHERE strpos(o_orderstatus, 'F') > 0
+        FETCH FIRST 100 ROWS ONLY
+    """, dialect="trino")
+    cat.set_policy("masked", "orders", TablePolicy(
+        row_filter="o_orderkey % 2 = 0",
+        column_masks={"o_custkey": "null"}))
+    out = cat.read("late_orders", user="masked").collect()
+    assert len(out) > 0
+    assert all(r.o_orderkey % 2 == 0 for r in out)       # row filter applied
+    assert all(r.o_custkey is None for r in out)         # mask applied
+    assert all(r.due is not None for r in out)           # dialect expr ran
