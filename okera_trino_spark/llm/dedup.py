@@ -178,12 +178,18 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     sh = (
         sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("_df") <= max_df)
-        .drop("_df")
         .localCheckpoint()
     )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # A df=1 shingle joins only with itself (doc_a < doc_b excludes it),
+    # so it can contribute NOTHING to the pair join — but it still counts
+    # toward |A|/|B| above. On a real corpus singleton shingles are the
+    # long tail of the index; pruning them from the join sides (free —
+    # _df is already materialized for the cap) shrinks the self-join
+    # input without changing a single output row.
+    joinable = sh.filter(F.col("_df") >= 2).drop("_df")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     hits = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
