@@ -26,19 +26,30 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     approx_count_distinct, json_extract_scalar/json_extract→
     get_json_object, arbitrary→any_value, random→rand,
     format_datetime→date_format, to_unixtime→unix_timestamp,
-    day_of_year/doy→dayofyear, week/week_of_year→weekofyear
+    day_of_year/doy→dayofyear, week/week_of_year→weekofyear,
+    levenshtein_distance→levenshtein, starts_with/ends_with→
+    startswith/endswith, is_nan→isnan, zip→arrays_zip
   - argument-order/structural forms: date_add('unit', n, ts)→
     timestampadd(UNIT, n, ts); date_diff('unit', a, b)→
     timestampdiff(UNIT, a, b); TRY(CAST(x AS t))→TRY_CAST(x AS t);
     day_of_week/dow(x)→(weekday(x)+1) (Trino is ISO Monday=1; Spark's
-    dayofweek is Sunday=1, weekday is Monday=0); CROSS JOIN
-    UNNEST(arr) AS a(c)→LATERAL VIEW explode(arr) a AS c
+    dayofweek is Sunday=1, weekday is Monday=0); map_agg(k, v)→
+    map_from_entries(collect_list(struct(k, v))); json_parse/
+    json_format→identity (JSON is a string in Spark); 1-arg
+    from_unixtime→timestamp_seconds (Trino returns a timestamp,
+    Spark's own from_unixtime a string)
+  - lateral UNNEST family: UNNEST(arr) AS a(c)→LATERAL VIEW explode;
+    UNNEST(m) AS t(k, v) map form→explode(map); UNNEST(a, b) AS
+    t(x, y) positional zip→inline(arrays_zip(a, b)) (NULL-pads to the
+    longest input, same as Trino); WITH ORDINALITY→1-based
+    inline(transform(arr, (x, i) -> struct(x, i + 1)))
   - syntax: "ident"→`ident`; FETCH FIRST n ROWS ONLY→LIMIT n;
     CAST(... AS VARCHAR/VARBINARY/DOUBLE PRECISION)→STRING/BINARY/
     DOUBLE
-  - unsupported-with-clear-error: TRY(expr) for non-CAST exprs and
-    UNNEST ... WITH ORDINALITY raise TrinoSqlUnsupported naming the
-    construct, never silently mis-translate.
+  - unsupported-with-clear-error: TRY(expr) for non-CAST exprs,
+    non-literal split()/date-format patterns, AT TIME ZONE, and
+    unnest arg/column-count mismatches raise TrinoSqlUnsupported
+    naming the construct, never silently mis-translate.
 """
 
 from __future__ import annotations
@@ -156,6 +167,13 @@ _RENAMES = {
     "from_hex": "unhex",
     "to_base64": "base64",
     "from_base64": "unbase64",
+    "levenshtein_distance": "levenshtein",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "is_nan": "isnan",
+    # Trino zip(a, b, …) → array<row>; Spark arrays_zip pads with NULL
+    # to the longest input exactly like Trino.
+    "zip": "arrays_zip",
 }
 
 _RENAME_RE = re.compile(
@@ -190,7 +208,8 @@ _TRY_RE = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
 _UNNEST_RE = re.compile(
     r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
 _UNNEST_TAIL_RE = re.compile(
-    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)",
+    re.IGNORECASE)
 
 
 def _rewrite_dow(code: str) -> str:
@@ -226,26 +245,56 @@ def _rewrite_try(code: str) -> str:
 
 
 def _rewrite_unnest(code: str) -> str:
-    """CROSS JOIN UNNEST(arr) AS a(c) → LATERAL VIEW explode(arr) a AS c."""
+    """Trino's lateral UNNEST family → Spark LATERAL VIEW generators.
+
+    Shapes (arg count vs alias-column count decides the generator):
+      - ``UNNEST(arr) AS t(c)`` → ``explode(arr) t AS c``
+      - ``UNNEST(a, b, …) AS t(x, y, …)`` (positional zip, Trino pads
+        the shorter arrays with NULL) → ``inline(arrays_zip(a, b, …))``
+        — Spark's arrays_zip pads to the longest length the same way.
+      - ``UNNEST(m) AS t(k, v)`` (ONE argument, TWO columns = Trino map
+        unnest) → ``explode(m) t AS k, v`` (Spark's map explode yields
+        the same two columns). An array-of-row expanded this way fails
+        analysis loudly (explode of array yields one column) — rewrite
+        those as multi-arg UNNEST over the fields.
+      - ``UNNEST(arr) WITH ORDINALITY AS t(c, ord)`` → ``inline(
+        transform(arr, (x, i) -> struct(x, CAST(i + 1 AS BIGINT))))`` —
+        1-based like Trino, and a plain higher-order expression so the
+        plan stays whole-stage codegen.
+    """
     while True:
         m = _UNNEST_RE.search(code)
         if not m:
             return code
         open_idx = m.end() - 1
         close = _find_close(code, open_idx)
-        arr = code[open_idx + 1:close]
+        args = _split_top_level(code[open_idx + 1:close])
         tail = _UNNEST_TAIL_RE.match(code, close + 1)
         if not tail:
             raise TrinoSqlUnsupported(
-                "CROSS JOIN UNNEST requires the AS alias(column) form "
-                "(multi-column and ordinality-free unnest aliases only)")
-        if tail.group(1):
+                "CROSS JOIN UNNEST requires the AS alias(columns...) form")
+        alias = tail.group(2)
+        cols = [c.strip() for c in tail.group(3).split(",")]
+        if tail.group(1):  # WITH ORDINALITY — last alias column is 1-based
+            if len(args) != 1 or len(cols) != 2:
+                raise TrinoSqlUnsupported(
+                    "UNNEST ... WITH ORDINALITY is supported for a single "
+                    "array with AS t(col, ord) aliasing")
+            gen = (f"inline(transform({args[0]}, "
+                   f"(__x, __i) -> struct(__x, CAST(__i + 1 AS BIGINT))))")
+        elif len(args) == 1 and len(cols) == 1:
+            gen = f"explode({args[0]})"
+        elif len(args) == 1 and len(cols) == 2:
+            # Trino map unnest: one MAP argument, (key, value) columns.
+            gen = f"explode({args[0]})"
+        elif len(args) == len(cols) and len(args) >= 2:
+            gen = f"inline(arrays_zip({', '.join(args)}))"
+        else:
             raise TrinoSqlUnsupported(
-                "UNNEST ... WITH ORDINALITY: rewrite with posexplode "
-                "(note Trino ordinality is 1-based; posexplode is 0-based)")
-        alias, colname = tail.group(2), tail.group(3)
+                f"UNNEST with {len(args)} arguments and {len(cols)} alias "
+                "columns has no Spark translation")
         code = (code[:m.start()]
-                + f" LATERAL VIEW explode({arr}) {alias} AS {colname} "
+                + f" LATERAL VIEW {gen} {alias} AS {', '.join(cols)} "
                 + code[tail.end():])
 
 
@@ -377,6 +426,23 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     # (fields get positional names in both engines).
     code = _rewrite_calls(code, "row",
                           lambda a: f"struct({', '.join(a)})" if a else None)
+    # Trino map_agg(k, v) aggregate → entries-collect + map build. (Rows
+    # with a NULL key are kept by collect_list but map_from_entries
+    # rejects NULL keys as Trino's map_agg does — same failure surface.)
+    code = _rewrite_calls(code, "map_agg",
+                          lambda a: "map_from_entries(collect_list("
+                                    f"struct({a[0]}, {a[1]})))"
+                          if len(a) == 2 else None)
+    # Spark has no JSON type: json stays a string end-to-end, so Trino's
+    # json_parse/json_format round-trip is the identity here.
+    for name in ("json_parse", "json_format"):
+        code = _rewrite_calls(code, name,
+                              lambda a: f"({a[0]})" if len(a) == 1 else None)
+    # Trino from_unixtime returns a TIMESTAMP; Spark's returns a STRING.
+    # timestamp_seconds is the semantic match (epoch seconds → timestamp).
+    code = _rewrite_calls(code, "from_unixtime",
+                          lambda a: f"timestamp_seconds({a[0]})"
+                          if len(a) == 1 else None)
 
     # Trino split(s, delim) splits on a LITERAL delimiter; Spark's
     # second argument is a REGEX. Escape metachars when the delimiter is
@@ -613,19 +679,24 @@ SELECT event_id,
        TRY(CAST(json_extract_scalar(props, '$.k') AS INTEGER)) AS k_int,
        day_of_week(ts) AS dow,
        date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hours_in,
-       CAST(user_id AS VARCHAR) AS user_str
+       CAST(user_id AS VARCHAR) AS user_str,
+       CAST(levenshtein_distance(event_type, 'click') AS INTEGER) AS lev,
+       starts_with(event_type, 'cl') AS is_cl
 FROM events
 WHERE event_type IS NOT NULL
 ORDER BY event_id
 """
 
-#: UNNEST lateral form + rename shims over documents.
+#: UNNEST lateral family over documents: plain explode, WITH ORDINALITY
+#: (1-based), and the multi-argument positional zip with NULL padding —
+#: the three lateral shapes Trino array queries use.
 TRINO_SQL_UNNEST = """
-SELECT w AS word, count(*) AS n
+SELECT w AS word, ord, wu AS word_upper, count(*) AS n
 FROM documents
-CROSS JOIN UNNEST(split(text, ' ')) AS t(w)
-WHERE strpos(w, 'scan') > 0
-GROUP BY w
+CROSS JOIN UNNEST(split(text, ' ')) WITH ORDINALITY AS t(w, ord)
+CROSS JOIN UNNEST(ARRAY[w, 'pad'], ARRAY[upper(w)]) AS t2(wz, wu)
+WHERE strpos(w, 'scan') > 0 AND wu IS NOT NULL
+GROUP BY w, ord, wu
 """
 
 
@@ -664,7 +735,9 @@ def q_trino_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
            isodow(ts) AS dow,
            date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hours_in,
-           CAST(user_id AS VARCHAR) AS user_str
+           CAST(user_id AS VARCHAR) AS user_str,
+           CAST(levenshtein(event_type, 'click') AS INTEGER) AS lev,
+           starts_with(event_type, 'cl') AS is_cl
     FROM events
     WHERE event_type IS NOT NULL
     ORDER BY event_id
@@ -734,15 +807,24 @@ def q_trino_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_trino_sql_unnest",
     oracle="""
-    SELECT w AS word, count(*) AS n
-    FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
-    WHERE strpos(w, 'scan') > 0
-    GROUP BY w
+    SELECT u.w AS word, u.ord, upper(u.w) AS word_upper, count(*) AS n
+    FROM documents,
+    LATERAL (SELECT unnest(str_split(text, ' ')) AS w,
+                    unnest(generate_series(1, len(str_split(text, ' '))))
+                        AS ord) u
+    WHERE strpos(u.w, 'scan') > 0
+    GROUP BY u.w, u.ord, upper(u.w)
     """,
     tags=("trino", "sql", "dialect"),
 )
 def q_trino_sql_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trino CROSS JOIN UNNEST(arr) AS t(c) → LATERAL VIEW explode —
-    the lateral form every Trino array query uses, through the string
-    path with a rename shim (strpos) applied inside the lateral."""
+    """The Trino lateral-UNNEST family through the string path: plain
+    ``UNNEST(arr) AS t(c)`` → explode, ``WITH ORDINALITY`` → 1-based
+    inline(transform(…)) (Trino ordinality is 1-based; Spark posexplode
+    would be 0-based, so the rewrite builds the ordinal itself), and the
+    multi-arg positional zip ``UNNEST(a, b) AS t(x, y)`` →
+    inline(arrays_zip(a, b)) — whose NULL padding to the longest input
+    (asserted via the 'pad'/NULL row the filter removes) matches Trino.
+    The oracle reproduces the surviving rows with DuckDB's lateral
+    unnest + generate_series ordinal."""
     return execute_trino(spark, TRINO_SQL_UNNEST, sf_dir)

@@ -103,10 +103,15 @@ def test_rewrite_generic_try_raises():
         rewrite_trino_sql("SELECT TRY(1/0) FROM t")
 
 
-def test_rewrite_with_ordinality_raises():
-    with pytest.raises(TrinoSqlUnsupported):
+def test_rewrite_unnest_shape_mismatch_raises():
+    # 2 arguments, 3 alias columns: no Spark translation exists.
+    with pytest.raises(TrinoSqlUnsupported, match="alias"):
         rewrite_trino_sql(
-            "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS x(v, i)")
+            "SELECT * FROM t CROSS JOIN UNNEST(a, b) AS x(u, v, w)")
+    # ordinality over a zip is out of scope (single-array form only).
+    with pytest.raises(TrinoSqlUnsupported, match="ORDINALITY"):
+        rewrite_trino_sql(
+            "SELECT * FROM t CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS x(u, v, i)")
 
 
 def test_rewrite_comment_preserved():
@@ -261,6 +266,74 @@ CASES3 = [
 def test_trino_statement_matches_oracle_wave3(name, trino, duck, spark, sf_dir, oracle):
     df = execute_trino(spark, trino, sf_dir)
     check_query(df, oracle, duck or trino, name=f"trino3:{name}")
+
+
+# Fourth wave: the lateral-UNNEST family + renamed scalar additions.
+CASES4 = [
+    ("unnest_with_ordinality",
+     # Trino ordinality is 1-based; rewritten to inline(transform(...)).
+     "SELECT doc_id, w, ord FROM documents "
+     "CROSS JOIN UNNEST(split(text, ' ')) WITH ORDINALITY AS t(w, ord) "
+     "WHERE strpos(w, 'merge') > 0 ORDER BY doc_id, ord",
+     "SELECT doc_id, u.w, u.ord FROM documents, "
+     "LATERAL (SELECT unnest(str_split(text, ' ')) AS w, "
+     "unnest(generate_series(1, len(str_split(text, ' ')))) AS ord) u "
+     "WHERE strpos(u.w, 'merge') > 0 ORDER BY doc_id, u.ord"),
+    ("unnest_zip_two_arrays",
+     # positional zip pads the shorter array with NULL in both engines.
+     "SELECT x, y FROM (SELECT 1 AS one) "
+     "CROSS JOIN UNNEST(ARRAY['a', 'b', 'c'], ARRAY[10, 20]) AS t(x, y) "
+     "ORDER BY x",
+     "SELECT z.s[1] AS x, z.s[2] AS y FROM (SELECT 1 AS one), "
+     "LATERAL (SELECT unnest(list_zip(['a', 'b', 'c'], [10, 20])) AS s) z "
+     "ORDER BY x"),
+    ("unnest_map_form",
+     "SELECT k, v FROM (SELECT 1 AS one) "
+     "CROSS JOIN UNNEST(MAP(ARRAY['a', 'b'], ARRAY[1, 2])) AS t(k, v) "
+     "ORDER BY k",
+     "SELECT u.e.key AS k, u.e.value AS v FROM (SELECT 1 AS one), "
+     "LATERAL (SELECT unnest(map_entries(MAP(['a', 'b'], [1, 2]))) AS e) u "
+     "ORDER BY k"),
+    ("levenshtein_startswith",
+     "SELECT doc_id, CAST(levenshtein_distance(lang, 'en') AS INTEGER) AS lev, "
+     "starts_with(lang, 'e') AS e FROM documents ORDER BY doc_id",
+     "SELECT doc_id, CAST(levenshtein(lang, 'en') AS INTEGER) AS lev, "
+     "starts_with(lang, 'e') AS e FROM documents ORDER BY doc_id"),
+    ("map_agg_rewrite",
+     "SELECT CAST(cardinality(map_agg(o_orderkey, o_totalprice)) AS BIGINT) AS n "
+     "FROM orders WHERE o_orderkey <= 100",
+     "SELECT count(*) AS n FROM orders WHERE o_orderkey <= 100"),
+    ("json_parse_identity",
+     "SELECT json_extract_scalar(json_parse(props), '$.k') AS k "
+     "FROM events ORDER BY event_id LIMIT 100",
+     "SELECT json_extract_string(props, '$.k') AS k "
+     "FROM events ORDER BY event_id LIMIT 100"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES4])
+def test_trino_statement_matches_oracle_wave4(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino4:{name}")
+
+
+def test_zip_rename_semantics(spark, sf_dir):
+    """Trino zip → arrays_zip: positional pairing, NULL-padded to the
+    longest input (struct field names differ across engines, so this is
+    asserted value-wise rather than via the oracle hash)."""
+    df = execute_trino(
+        spark,
+        "SELECT zip(ARRAY[1, 2, 3], ARRAY['a', 'b']) AS z", sf_dir)
+    z = df.collect()[0].z
+    assert [tuple(s) for s in z] == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_from_unixtime_returns_timestamp(spark, sf_dir):
+    """Trino from_unixtime returns a TIMESTAMP (Spark's own returns a
+    string) — the rewrite maps the 1-arg form to timestamp_seconds."""
+    df = execute_trino(spark, "SELECT from_unixtime(3600) AS t", sf_dir)
+    row = df.collect()[0]
+    assert row.t.hour == 1 and row.t.year == 1970
 
 
 def test_row_constructor_rewrite(spark, sf_dir):
