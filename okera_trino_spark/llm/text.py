@@ -411,6 +411,81 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source mixing weights (keep probability per source tier). A real
+#: training mix assigns each corpus source a sampling rate — boilerplate
+#: web crawl down-weighted, curated sources kept whole. The fixture's
+#: sources are src0..src19; the tier formula (suffix % 4 + 1) · 0.25
+#: yields the 0.25 / 0.5 / 0.75 / 1.0 ladder and is reproduced
+#: arithmetically in the DuckDB oracle. All four tier values are exact
+#: binary doubles, so the threshold compare is bit-identical across
+#: engines.
+MIX_WEIGHTS = {f"src{i}": (i % 4 + 1) * 0.25 for i in range(20)}
+MIX_SEED = 42
+
+
+def mix_corpus(df: DataFrame, weights: dict[str, float],
+               seed: int = MIX_SEED) -> DataFrame:
+    """Weighted corpus mixing: keep each row of ``df`` with its source's
+    sampling rate, DETERMINISTICALLY — the keep decision is a pure
+    function of (doc_id, seed), not an RNG draw, so re-runs, AQE
+    re-plans, and speculative tasks all keep the same rows, and two
+    engines agree exactly (unlike ``sample``/``sampleBy``).
+
+    u01 = first-8-hex-digits(md5(doc_id ":" seed)) / 2^32 — uniform on
+    [0, 1); keep iff u01 < weight(source). Map-only: no shuffle, no UDF;
+    the weight table rides along as a literal map in the plan. At
+    100 TB this is the front gate of the training pipeline — each
+    executor filters its own splits, and downstream curation sees only
+    the mixed subset.
+    """
+    pairs = [x for kv in sorted(weights.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    u01 = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.lit(str(seed)))), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0))
+    return df.filter(u01 < F.element_at(F.create_map(*pairs), F.col("source")))
+
+
+@query(
+    "q_llm_mix",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    WHERE (('0x' || substr(md5(doc_id || ':{MIX_SEED}'), 1, 8))::UBIGINT
+           / 4294967296.0)
+          < ((CAST(substr(source, 4) AS INT) % 4 + 1) * 0.25)
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "sampling", "mixing"),
+)
+def q_llm_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing (the Pile/Dolma-style mixture
+    step): every source keeps a deterministic md5-bucket fraction of its
+    documents per MIX_WEIGHTS. The key returns the per-source audit a
+    mixing run reports — kept count, kept characters, and an id
+    checksum — hash-matched against DuckDB computing the same md5
+    buckets, which verifies the exact kept SET, not just its size.
+
+    Scale: the filter is map-only over the corpus scan; the audit agg
+    shuffles one row per source. The kept subset itself
+    (``mix_corpus``) feeds the curation pipeline without any extra
+    pass."""
+    d = t(spark, sf_dir, "documents")
+    kept = mix_corpus(d, MIX_WEIGHTS)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"),
+             F.sum("doc_id").alias("id_checksum"))
+        .orderBy("source")
+    )
+
+
 #: Target per-language keep fractions for corpus rebalancing: downsample
 #: the dominant language, keep the rest.
 STRATA_FRACTIONS = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}

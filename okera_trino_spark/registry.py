@@ -133,11 +133,10 @@ _PRIORITY: tuple[str, ...] = (
     # (q_view_create_read — green r2, re-verified locally — yielded its
     # re-check slot to the new q_llm_entropy key)
     "q_llm_entropy",
-    # 6) one extension re-check (last driven r2) + the new histogram key
-    # (q_agg_salted/q_udtf_split/q_pandas_group_norm — all green r2,
-    # re-verified locally — yielded slots to new keys, which outrank
-    # green-in-r2 re-checks)
-    "q_udf_custom", "q_agg_histogram",
+    # 6) new keys (outrank green-in-r2 re-checks: q_agg_salted/
+    # q_udtf_split/q_pandas_group_norm/q_udf_custom — all green r2,
+    # re-verified locally — yielded their slots)
+    "q_llm_mix", "q_agg_histogram",
 )
 
 

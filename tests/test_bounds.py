@@ -86,3 +86,26 @@ def test_stratified_sample_within_binomial_bounds(spark, sf_dir):
         sigma = math.sqrt(n * p * (1 - p))
         assert abs(kept.get(lang, 0) - expect) <= max(5 * sigma, 1), (
             lang, kept.get(lang, 0), expect)
+
+
+def test_mix_corpus_rates_within_binomial_bounds(spark, sf_dir):
+    """mix_corpus keeps ~weight(source) of each source's docs — the md5
+    bucket must behave like a uniform draw (parity already pins the
+    exact kept set; this guards the uniformity of the hash bucket)."""
+    from okera_trino_spark.llm.text import MIX_WEIGHTS, mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {r.source: r.n for r in
+            mix_corpus(docs, MIX_WEIGHTS)
+            .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in totals.items():
+        p = MIX_WEIGHTS[src]
+        expect, sigma = n * p, math.sqrt(n * p * (1 - p))
+        assert abs(kept.get(src, 0) - expect) <= max(5 * sigma, 1), (
+            src, kept.get(src, 0), expect)
+    # determinism: a second evaluation keeps the identical set
+    a = sorted(r.doc_id for r in mix_corpus(docs, MIX_WEIGHTS).select("doc_id").collect())
+    b = sorted(r.doc_id for r in mix_corpus(docs, MIX_WEIGHTS).select("doc_id").collect())
+    assert a == b
