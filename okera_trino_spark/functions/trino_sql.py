@@ -314,9 +314,9 @@ def _split_top_level(s: str) -> list[str]:
     the depth)."""
     parts, depth, start = [], 0, 0
     for i, c in enumerate(s):
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif c == "," and depth == 0:
             parts.append(s[start:i])
@@ -576,6 +576,88 @@ def _rewrite_subscripts(code: str) -> str:
 
 _AT_TIME_ZONE_RE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
 
+_CTAS_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
+    r"(WITH\s*\()?", re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+", re.IGNORECASE)
+
+
+def _rewrite_ddl_head(code: str, stash: list[str]) -> str:
+    """Trino DDL headers → Spark DDL.
+
+    - ``CREATE TABLE t [WITH (format='PARQUET', partitioned_by=
+      ARRAY['c'], bucketed_by=ARRAY['k'], bucket_count=n)] AS …`` →
+      ``CREATE TABLE t USING parquet [PARTITIONED BY (c)] [CLUSTERED BY
+      (k) INTO n BUCKETS] AS …`` — Trino carries the physical layout in
+      WITH-properties; Spark in dedicated clauses. Unknown properties
+      raise rather than silently drop a layout request.
+    - ``CREATE [OR REPLACE] VIEW v AS …`` → temporary view (the fixture
+      tables are session temp views; a permanent Spark view cannot
+      reference them — the governed catalog owns durable views).
+
+    Runs FIRST (before literal/array rewrites) so the raw Trino
+    ARRAY['col'] property form is parsed here.
+    """
+    if _CREATE_VIEW_RE.match(code):
+        return _CREATE_VIEW_RE.sub("CREATE OR REPLACE TEMPORARY VIEW ", code)
+    m = _CTAS_HEAD_RE.match(code)
+    if not m:
+        return code
+    ine = m.group(1) or ""
+    name = m.group(2)
+    clauses = ["USING parquet"]
+    rest_at = m.end()
+    props = None
+    if m.group(3):  # WITH ( … ) property block
+        close = _find_close(code, m.end() - 1)
+        props = code[m.end():close]
+        rest_at = close + 1
+    if not re.match(r"\s*AS\b", code[rest_at:], re.IGNORECASE):
+        # column-definition DDL, not CTAS — pass through untouched (the
+        # reference's CREATE TABLE goes through its planner DDL path,
+        # not the query surface).
+        return code
+    if props is not None:
+        for prop in _split_top_level(props):
+            pm = re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", prop, re.DOTALL)
+            if not pm:
+                raise TrinoSqlUnsupported(f"unparsable table property: {prop!r}")
+            key, val = pm.group(1).lower(), pm.group(2)
+
+            def _cols(v: str) -> str:
+                am = re.fullmatch(r"ARRAY\s*\[(.*)\]", v.strip(),
+                                  re.IGNORECASE | re.DOTALL)
+                if not am:
+                    raise TrinoSqlUnsupported(
+                        f"table property {key} expects ARRAY['col', …]")
+                return ", ".join(
+                    stash[int(n)][1:-1] for n in re.findall(r"'\x00(\d+)\x00'",
+                                                            am.group(1)))
+            if key == "format":
+                fmt = (stash[int(re.search(r"'\x00(\d+)\x00'", val).group(1))]
+                       [1:-1].lower())
+                clauses[0] = f"USING {fmt}"
+            elif key == "partitioned_by":
+                clauses.append(f"PARTITIONED BY ({_cols(val)})")
+            elif key == "bucketed_by":
+                clauses.append(f"CLUSTERED BY ({_cols(val)})")
+            elif key == "bucket_count":
+                clauses.append(f"INTO {val.strip()} BUCKETS")
+            else:
+                raise TrinoSqlUnsupported(
+                    f"CREATE TABLE property {key!r} has no Spark mapping")
+    # CLUSTERED BY must precede INTO n BUCKETS and follow PARTITIONED BY;
+    # property order in the WITH block is free, so sort by clause kind.
+    rank = {"USING": 0, "PARTITIONED": 1, "CLUSTERED": 2, "INTO": 3}
+    clauses.sort(key=lambda c: rank[c.split()[0]])
+    if any(c.startswith("INTO") for c in clauses) != \
+            any(c.startswith("CLUSTERED") for c in clauses):
+        raise TrinoSqlUnsupported(
+            "bucketed_by and bucket_count must be given together")
+    return (f"CREATE TABLE {ine}{name} " + " ".join(clauses)
+            + " " + code[rest_at:])
+
 
 def _rewrite_code(code: str, stash: list[str]) -> str:
     """Dialect rewrites over the full masked statement. ``stash[k]`` is
@@ -585,6 +667,7 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
         raise TrinoSqlUnsupported(
             "AT TIME ZONE is not translatable (Spark has no zoned-timestamp "
             "expression syntax) — rewrite with convert_timezone(src, dst, ts)")
+    code = _rewrite_ddl_head(code, stash)
     code = _rewrite_array_literals(code)
     code = _rewrite_subscripts(code)
     code = _rewrite_try(code)

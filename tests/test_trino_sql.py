@@ -373,3 +373,64 @@ def test_trino_dialect_view_with_policies(spark, sf_dir):
     assert all(r.o_orderkey % 2 == 0 for r in out)       # row filter applied
     assert all(r.o_custkey is None for r in out)         # mask applied
     assert all(r.due is not None for r in out)           # dialect expr ran
+
+
+def test_trino_ctas_with_properties(spark, sf_dir, tmp_path):
+    """Trino CTAS with layout properties → Spark CTAS clauses: the
+    WITH(format, partitioned_by) block becomes USING/PARTITIONED BY and
+    the written table round-trips through the string path."""
+    spark.sql("DROP TABLE IF EXISTS t_ctas_test")
+    execute_trino(spark, """
+        CREATE TABLE t_ctas_test
+        WITH (format = 'PARQUET', partitioned_by = ARRAY['o_orderpriority'])
+        AS SELECT o_orderkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey <= 1000
+    """, sf_dir)
+    try:
+        want = execute_trino(
+            spark, "SELECT count(*) AS n FROM orders WHERE o_orderkey <= 1000",
+            sf_dir).collect()[0].n
+        got = execute_trino(
+            spark, "SELECT count(*) AS n FROM t_ctas_test").collect()[0].n
+        assert got == want and got > 0
+        detail = "\n".join(
+            f"{r.col_name}: {r.data_type}"
+            for r in spark.sql("DESCRIBE TABLE EXTENDED t_ctas_test").collect())
+        assert "o_orderpriority" in detail.split("# Partition Information")[1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ctas_test")
+
+
+def test_trino_create_view_statement(spark, sf_dir):
+    """CREATE [OR REPLACE] VIEW in Trino dialect lands as a session
+    temp view whose body went through the full rewriter."""
+    execute_trino(spark, """
+        CREATE OR REPLACE VIEW v_trino_ddl AS
+        SELECT o_orderkey, date_add('day', 30, o_orderdate) AS due
+        FROM orders WHERE strpos(o_orderstatus, 'F') > 0
+    """, sf_dir)
+    try:
+        out = execute_trino(
+            spark, "SELECT count(*) AS n FROM v_trino_ddl").collect()[0].n
+        assert out > 0
+    finally:
+        spark.catalog.dropTempView("v_trino_ddl")
+
+
+def test_trino_ctas_bucketed(spark, sf_dir):
+    """bucketed_by/bucket_count map to CLUSTERED BY … INTO n BUCKETS —
+    the layout step that deletes the fact-join shuffle at scale."""
+    spark.sql("DROP TABLE IF EXISTS t_ctas_bucketed")
+    execute_trino(spark, """
+        CREATE TABLE t_ctas_bucketed
+        WITH (bucketed_by = ARRAY['o_custkey'], bucket_count = 4)
+        AS SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 500
+    """, sf_dir)
+    try:
+        detail = "\n".join(
+            f"{r.col_name}: {r.data_type}"
+            for r in spark.sql("DESCRIBE TABLE EXTENDED t_ctas_bucketed").collect())
+        assert "Num Buckets: 4" in detail
+        assert "o_custkey" in detail.split("Bucket Columns")[1].splitlines()[0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ctas_bucketed")
