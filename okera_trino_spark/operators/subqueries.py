@@ -143,3 +143,51 @@ def q_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.pri, o.o_orderpriority
         """
     )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE days(d) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT d + 1 FROM days WHERE d < DATE '1995-02-28'
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) AS total
+    FROM days LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = days.d
+    GROUP BY days.d
+    ORDER BY days.d
+    """,
+    tags=("subquery", "recursive"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Trino supports recursive WITH; Spark gained it in
+    4.0) — the calendar-spine pattern: generate every day of a window
+    recursively, LEFT JOIN facts onto the spine so empty days appear as
+    zero rows (the shape gap-filling reports use when no row exists to
+    anchor a sequence() call).
+
+    Scale: the recursion materializes one 59-row spine on the driver
+    side of the plan (each step is a 1-row union — depth bounded by the
+    window, not the data); the spine then BROADCASTS into the left join
+    against the fact scan, so the 100-TB side is scanned once with no
+    shuffle. Day strings are emitted identically by both engines
+    (date_format vs strftime) so the hash compares exactly."""
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-02-28'
+        )
+        SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+               count(o.o_orderkey) AS n_orders,
+               CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) AS total
+        FROM days LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = days.d
+        GROUP BY days.d
+        ORDER BY days.d
+        """
+    )

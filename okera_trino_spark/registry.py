@@ -129,7 +129,10 @@ _PRIORITY: tuple[str, ...] = (
     # (q_stream_watermark — green r2, re-verified locally — yielded its
     # re-check slot to the new q_events_sessionize key)
     "q_events_sessionize",
-    "q_stream_static_join", "q_view_expand",
+    # (q_stream_static_join — green r2, loader-fix already re-proven by
+    # the 8 required red keys above — yielded its slot to the new
+    # q_recursive_cte key)
+    "q_recursive_cte", "q_view_expand",
     # (q_view_create_read — green r2, re-verified locally — yielded its
     # re-check slot to the new q_llm_entropy key)
     "q_llm_entropy",

@@ -303,6 +303,10 @@ CASES4 = [
      "SELECT CAST(cardinality(map_agg(o_orderkey, o_totalprice)) AS BIGINT) AS n "
      "FROM orders WHERE o_orderkey <= 100",
      "SELECT count(*) AS n FROM orders WHERE o_orderkey <= 100"),
+    ("with_recursive_passthrough",
+     "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5) "
+     "SELECT CAST(sum(n) AS BIGINT) AS s FROM t",
+     None),
     ("json_parse_identity",
      "SELECT json_extract_scalar(json_parse(props), '$.k') AS k "
      "FROM events ORDER BY event_id LIMIT 100",
