@@ -581,6 +581,7 @@ _CTAS_HEAD_RE = re.compile(
     r"(WITH\s*\()?", re.IGNORECASE)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+", re.IGNORECASE)
+_MUTATION_RE = re.compile(r"^\s*(DELETE|UPDATE|MERGE)\b", re.IGNORECASE)
 
 
 def _rewrite_ddl_head(code: str, stash: list[str]) -> str:
@@ -599,6 +600,12 @@ def _rewrite_ddl_head(code: str, stash: list[str]) -> str:
     Runs FIRST (before literal/array rewrites) so the raw Trino
     ARRAY['col'] property form is parsed here.
     """
+    if _MUTATION_RE.match(code):
+        raise TrinoSqlUnsupported(
+            f"{_MUTATION_RE.match(code).group(1).upper()} targets immutable "
+            "parquet tables here (the reference connector is read-side too) "
+            "— rewrite as CTAS/INSERT INTO ... SELECT with the mutation "
+            "expressed as a filter/join")
     if _CREATE_VIEW_RE.match(code):
         return _CREATE_VIEW_RE.sub("CREATE OR REPLACE TEMPORARY VIEW ", code)
     m = _CTAS_HEAD_RE.match(code)

@@ -438,3 +438,41 @@ def test_trino_ctas_bucketed(spark, sf_dir):
         assert "o_custkey" in detail.split("Bucket Columns")[1].splitlines()[0]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ctas_bucketed")
+
+
+def test_trino_insert_into_and_describe(spark, sf_dir):
+    """INSERT INTO (identical syntax both dialects) lands through the
+    string path onto a CTAS-created table; DESCRIBE passes through."""
+    spark.sql("DROP TABLE IF EXISTS t_ins_test")
+    execute_trino(spark, """
+        CREATE TABLE t_ins_test AS
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 100
+    """, sf_dir)
+    try:
+        base = execute_trino(
+            spark, "SELECT count(*) AS n FROM t_ins_test").collect()[0].n
+        execute_trino(spark, """
+            INSERT INTO t_ins_test
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey > 100 AND o_orderkey <= 200
+        """)
+        execute_trino(spark, "INSERT INTO t_ins_test VALUES (999999, 1.5)")
+        after = execute_trino(
+            spark, "SELECT count(*) AS n FROM t_ins_test").collect()[0].n
+        plus = execute_trino(
+            spark, "SELECT count(*) AS n FROM orders "
+                   "WHERE o_orderkey > 100 AND o_orderkey <= 200").collect()[0].n
+        assert after == base + plus + 1
+        cols = {r.col_name for r in
+                execute_trino(spark, "DESCRIBE t_ins_test").collect()}
+        assert {"o_orderkey", "o_totalprice"} <= cols
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ins_test")
+
+
+def test_trino_mutations_raise_named_error():
+    for stmt in ("DELETE FROM orders WHERE o_orderkey = 1",
+                 "UPDATE orders SET o_totalprice = 0",
+                 "MERGE INTO orders USING x ON a = b"):
+        with pytest.raises(TrinoSqlUnsupported, match="immutable"):
+            rewrite_trino_sql(stmt)
