@@ -58,6 +58,11 @@ HEADLINE = [
     "q_llm_text_stats",
     "q_llm_vocab",
     "q_llm_similarity",
+    # round 5 additions: the deterministic mixing gate (map-only filter
+    # + tiny audit agg) and the recursive calendar-spine CTE (iterative
+    # execution + broadcast join onto the fact scan).
+    "q_llm_mix",
+    "q_recursive_cte",
 ]
 
 #: Timed steady-state repeats per query; per-query time is the MIN over
