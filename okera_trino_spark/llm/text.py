@@ -413,75 +413,102 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Per-source mixing weights (keep probability per source tier). A real
 #: training mix assigns each corpus source a sampling rate — boilerplate
-#: web crawl down-weighted, curated sources kept whole. The fixture's
-#: sources are src0..src19; the tier formula (suffix % 4 + 1) · 0.25
-#: yields the 0.25 / 0.5 / 0.75 / 1.0 ladder and is reproduced
-#: arithmetically in the DuckDB oracle. All four tier values are exact
-#: binary doubles, so the threshold compare is bit-identical across
-#: engines.
-MIX_WEIGHTS = {f"src{i}": (i % 4 + 1) * 0.25 for i in range(20)}
+#: web crawl down-weighted, curated sources kept whole or UPSAMPLED
+#: (weight > 1 = repeat for extra training epochs). The fixture's
+#: sources are src0..src19; the tier formula (suffix % 5 + 1) · 0.375
+#: yields the 0.375 / 0.75 / 1.125 / 1.5 / 1.875 ladder — two
+#: downsampled tiers, three upsampled — and is reproduced
+#: arithmetically in the DuckDB oracle. Every tier value is an exact
+#: binary double (multiples of 3/8), so the threshold compare is
+#: bit-identical across engines.
+MIX_WEIGHTS = {f"src{i}": (i % 5 + 1) * 0.375 for i in range(20)}
 MIX_SEED = 42
 
 
 def mix_corpus(df: DataFrame, weights: dict[str, float],
                seed: int = MIX_SEED) -> DataFrame:
-    """Weighted corpus mixing: keep each row of ``df`` with its source's
-    sampling rate, DETERMINISTICALLY — the keep decision is a pure
-    function of (doc_id, seed), not an RNG draw, so re-runs, AQE
-    re-plans, and speculative tasks all keep the same rows, and two
-    engines agree exactly (unlike ``sample``/``sampleBy``).
+    """Weighted corpus mixing with upsampling: emit each row of ``df``
+    round(weight(source)) times in EXPECTATION, DETERMINISTICALLY — the
+    keep decision per copy is a pure function of (doc_id, seed, copy),
+    not an RNG draw, so re-runs, AQE re-plans, and speculative tasks
+    all produce the same multiset, and two engines agree exactly
+    (unlike ``sample``/``sampleBy``).
 
-    u01 = first-8-hex-digits(md5(doc_id ":" seed)) / 2^32 — uniform on
-    [0, 1); keep iff u01 < weight(source). Map-only: no shuffle, no UDF;
-    the weight table rides along as a literal map in the plan. At
-    100 TB this is the front gate of the training pipeline — each
-    executor filters its own splits, and downstream curation sees only
-    the mixed subset.
+    A source with weight w yields ceil(w) candidate copies per doc
+    (``mix_copy`` = 1…ceil(w)); copy k survives iff
+    u01(doc_id, seed, k) < w − (k − 1) — so full copies always survive
+    and the fractional tail is one Bernoulli gate. u01 =
+    first-8-hex-digits(md5(doc_id ":" seed ":" k)) / 2^32. Map-only
+    plus a ≤ ceil(max w) row explode: no shuffle, no UDF; the weight
+    table rides along as a literal map in the plan. At 100 TB this is
+    the front gate of the training pipeline — each executor mixes its
+    own splits, and downstream sees only the mixed multiset (dedup runs
+    BEFORE this gate; the copies are intentional epochs).
     """
     pairs = [x for kv in sorted(weights.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    w = F.element_at(F.create_map(*pairs), F.col("source"))
+    out = df.withColumn("_w", w).withColumn(
+        "mix_copy",
+        F.explode(F.sequence(F.lit(1),
+                             F.greatest(F.ceil("_w"), F.lit(1)).cast("int"))))
     u01 = (
         F.conv(F.substring(
             F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
-                              F.lit(str(seed)))), 1, 8), 16, 10)
+                              F.lit(str(seed)), F.col("mix_copy"))), 1, 8),
+               16, 10)
         .cast("bigint") / F.lit(4294967296.0))
-    return df.filter(u01 < F.element_at(F.create_map(*pairs), F.col("source")))
+    return (out.filter(u01 < (F.col("_w") - (F.col("mix_copy") - F.lit(1))))
+            .drop("_w"))
 
 
 @query(
     "q_llm_mix",
     oracle=f"""
+    WITH g AS (
+        SELECT doc_id, source, n_chars,
+               CAST((CAST(substr(source, 4) AS INT) % 5 + 1) * 0.375
+                    AS DOUBLE) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT g.*, u.copy
+        FROM g, LATERAL (SELECT unnest(generate_series(
+                 1, CAST(ceil(g.w) AS INT))) AS copy) u
+    )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           CAST(sum(doc_id) AS BIGINT) AS id_checksum
-    FROM documents
-    WHERE (('0x' || substr(md5(doc_id || ':{MIX_SEED}'), 1, 8))::UBIGINT
+           CAST(sum(doc_id * copy) AS BIGINT) AS id_checksum
+    FROM c
+    WHERE (('0x' || substr(md5(doc_id || ':{MIX_SEED}:' || copy), 1, 8))::UBIGINT
            / 4294967296.0)
-          < ((CAST(substr(source, 4) AS INT) % 4 + 1) * 0.25)
+          < (w - (copy - 1))
     GROUP BY source
     ORDER BY source
     """,
     tags=("llm", "curation", "sampling", "mixing"),
 )
 def q_llm_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-weighted corpus mixing (the Pile/Dolma-style mixture
-    step): every source keeps a deterministic md5-bucket fraction of its
-    documents per MIX_WEIGHTS. The key returns the per-source audit a
-    mixing run reports — kept count, kept characters, and an id
+    """Source-weighted corpus mixing with upsampling (the Pile/Dolma
+    mixture step): every source keeps a deterministic md5-bucket
+    multiple of its documents per MIX_WEIGHTS — down-sampled tiers drop
+    docs, up-sampled tiers (w > 1) repeat docs for extra epochs. The
+    key returns the per-source audit a mixing run reports — kept row
+    count (incl. repeats), kept characters, and a copy-weighted id
     checksum — hash-matched against DuckDB computing the same md5
-    buckets, which verifies the exact kept SET, not just its size.
+    buckets, which verifies the exact kept MULTISET, not just its size.
 
-    Scale: the filter is map-only over the corpus scan; the audit agg
-    shuffles one row per source. The kept subset itself
-    (``mix_corpus``) feeds the curation pipeline without any extra
-    pass."""
+    Scale: the gate is map-only over the corpus scan (explode factor ≤
+    ceil(max weight)); the audit agg shuffles one row per source. The
+    mixed multiset itself (``mix_corpus``) feeds training-shard writes
+    without any extra pass."""
     d = t(spark, sf_dir, "documents")
     kept = mix_corpus(d, MIX_WEIGHTS)
     return (
         kept.groupBy("source")
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_chars").alias("sum_chars"),
-             F.sum("doc_id").alias("id_checksum"))
+             F.sum(F.col("doc_id") * F.col("mix_copy")).alias("id_checksum"))
         .orderBy("source")
     )
 

@@ -89,9 +89,11 @@ def test_stratified_sample_within_binomial_bounds(spark, sf_dir):
 
 
 def test_mix_corpus_rates_within_binomial_bounds(spark, sf_dir):
-    """mix_corpus keeps ~weight(source) of each source's docs — the md5
-    bucket must behave like a uniform draw (parity already pins the
-    exact kept set; this guards the uniformity of the hash bucket)."""
+    """mix_corpus emits ~weight(source) · |source| rows — full copies
+    are deterministic, only the fractional tail is a Bernoulli gate, so
+    the variance comes from the fractional part alone (parity already
+    pins the exact kept multiset; this guards hash-bucket uniformity
+    and the upsampling arithmetic)."""
     from okera_trino_spark.llm.text import MIX_WEIGHTS, mix_corpus
 
     docs = load_table(spark, sf_dir, "documents")
@@ -101,11 +103,20 @@ def test_mix_corpus_rates_within_binomial_bounds(spark, sf_dir):
             mix_corpus(docs, MIX_WEIGHTS)
             .groupBy("source").agg(F.count("*").alias("n")).collect()}
     for src, n in totals.items():
-        p = MIX_WEIGHTS[src]
-        expect, sigma = n * p, math.sqrt(n * p * (1 - p))
+        w = MIX_WEIGHTS[src]
+        frac = w - math.floor(w)
+        expect = n * w
+        sigma = math.sqrt(n * frac * (1 - frac))
         assert abs(kept.get(src, 0) - expect) <= max(5 * sigma, 1), (
             src, kept.get(src, 0), expect)
-    # determinism: a second evaluation keeps the identical set
-    a = sorted(r.doc_id for r in mix_corpus(docs, MIX_WEIGHTS).select("doc_id").collect())
-    b = sorted(r.doc_id for r in mix_corpus(docs, MIX_WEIGHTS).select("doc_id").collect())
-    assert a == b
+    # determinism: a second evaluation produces the identical multiset
+    rows = lambda: sorted((r.doc_id, r.mix_copy) for r in
+                          mix_corpus(docs, MIX_WEIGHTS)
+                          .select("doc_id", "mix_copy").collect())
+    assert rows() == rows()
+    # an upsampled source (w > 1) actually contains repeated docs
+    up = [s for s, w in MIX_WEIGHTS.items() if w > 1][0]
+    copies = mix_corpus(docs, MIX_WEIGHTS).filter(F.col("source") == up)
+    n_rows = copies.count()
+    n_distinct = copies.select("doc_id").distinct().count()
+    assert n_rows > n_distinct
