@@ -225,8 +225,41 @@ def _rewrite_dow(code: str) -> str:
                 + code[close + 1:])
 
 
+_TRY_ARITH_FN = {"/": "try_divide", "+": "try_add",
+                 "-": "try_subtract", "*": "try_multiply"}
+
+
+def _split_top_level_op(s: str) -> tuple[str, str, str] | None:
+    """If ``s`` is ``lhs OP rhs`` with exactly one depth-0 arithmetic
+    operator, return (lhs, op, rhs); else None. '-' is skipped when it
+    reads as a sign (start of expression or right after another
+    operator/'(' /',')."""
+    depth, found = 0, None
+    for i, c in enumerate(s):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in "/+-*":
+            prev = s[:i].rstrip()
+            if c == "-" and (not prev or prev[-1] in "/+-*(,"):
+                continue  # unary minus
+            if found is not None:
+                return None  # more than one top-level op: ambiguous
+            found = i
+    if found is None:
+        return None
+    return s[:found].strip(), s[found], s[found + 1:].strip()
+
+
 def _rewrite_try(code: str) -> str:
-    """TRY(CAST(x AS t)) → TRY_CAST(x AS t); other TRY(...) → error."""
+    """Trino TRY(expr) → the Spark ``try_*`` family.
+
+    TRY(CAST(x AS t)) → TRY_CAST(x AS t); TRY(a / b) and the other
+    single-operator arithmetic forms → try_divide/try_add/try_subtract/
+    try_multiply (same NULL-on-error semantics: division by zero,
+    overflow under ANSI). Anything else raises — Spark has no generic
+    expression-level TRY, and guessing would change error semantics."""
     while True:
         m = _TRY_RE.search(code)
         if not m:
@@ -235,13 +268,20 @@ def _rewrite_try(code: str) -> str:
         close = _find_close(code, open_idx)
         inner = code[open_idx + 1:close].strip()
         cm = re.match(r"CAST\s*\(", inner, re.IGNORECASE)
-        if not cm or _find_close(inner, cm.end() - 1) != len(inner) - 1:
-            raise TrinoSqlUnsupported(
-                "TRY(expr) is only supported for TRY(CAST(x AS t)) — "
-                "Spark has no generic expression-level TRY; rewrite with "
-                "try_cast/try_divide/try_add explicitly")
-        body = inner[cm.end():-1]
-        code = (code[:m.start()] + f"TRY_CAST({body})" + code[close + 1:])
+        if cm and _find_close(inner, cm.end() - 1) == len(inner) - 1:
+            body = inner[cm.end():-1]
+            code = (code[:m.start()] + f"TRY_CAST({body})" + code[close + 1:])
+            continue
+        arith = _split_top_level_op(inner)
+        if arith:
+            lhs, op, rhs = arith
+            code = (code[:m.start()]
+                    + f"{_TRY_ARITH_FN[op]}({lhs}, {rhs})" + code[close + 1:])
+            continue
+        raise TrinoSqlUnsupported(
+            "TRY(expr) is supported for TRY(CAST(x AS t)) and single-"
+            "operator arithmetic (a / b, a + b, a - b, a * b) — rewrite "
+            "other forms with try_cast/try_divide/try_add explicitly")
 
 
 def _rewrite_unnest(code: str) -> str:

@@ -99,8 +99,12 @@ def test_rewrite_leaves_string_literals_alone():
 
 
 def test_rewrite_generic_try_raises():
+    # non-cast, non-arithmetic TRY bodies stay unsupported
     with pytest.raises(TrinoSqlUnsupported):
-        rewrite_trino_sql("SELECT TRY(1/0) FROM t")
+        rewrite_trino_sql("SELECT TRY(concat(a, b)) FROM t")
+    # multi-operator arithmetic is ambiguous without a parser — raises
+    with pytest.raises(TrinoSqlUnsupported):
+        rewrite_trino_sql("SELECT TRY(a / b / c) FROM t")
 
 
 def test_rewrite_unnest_shape_mismatch_raises():
@@ -303,6 +307,13 @@ CASES4 = [
      "SELECT CAST(cardinality(map_agg(o_orderkey, o_totalprice)) AS BIGINT) AS n "
      "FROM orders WHERE o_orderkey <= 100",
      "SELECT count(*) AS n FROM orders WHERE o_orderkey <= 100"),
+    ("try_arithmetic",
+     # Trino TRY(a / b) nulls division-by-zero; Spark try_divide matches.
+     "SELECT o_orderkey, TRY(o_totalprice / (o_orderkey % 3)) AS r "
+     "FROM orders ORDER BY o_orderkey LIMIT 200",
+     "SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 THEN NULL "
+     "ELSE o_totalprice / (o_orderkey % 3) END AS r "
+     "FROM orders ORDER BY o_orderkey LIMIT 200"),
     ("with_recursive_passthrough",
      "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5) "
      "SELECT CAST(sum(n) AS BIGINT) AS s FROM t",
