@@ -487,3 +487,39 @@ def test_trino_mutations_raise_named_error():
                  "MERGE INTO orders USING x ON a = b"):
         with pytest.raises(TrinoSqlUnsupported, match="immutable"):
             rewrite_trino_sql(stmt)
+
+
+def test_subscript_rewrite_property(spark, sf_dir):
+    """Property: random nested ARRAY-literal subscript chains evaluate
+    to the same element Python indexing picks (Trino subscripts are
+    1-based; a 0-based translation would read the neighbor). All cases
+    run in ONE Spark query."""
+    import random
+
+    rng = random.Random(7)
+
+    def gen(depth):
+        if depth == 0:
+            return rng.randint(0, 99)
+        return [gen(depth - 1) for _ in range(rng.randint(1, 4))]
+
+    def trino_lit(v):
+        if isinstance(v, list):
+            return "ARRAY[" + ", ".join(trino_lit(x) for x in v) + "]"
+        return str(v)
+
+    cases = []
+    for i in range(40):
+        depth = rng.randint(1, 3)
+        v = gen(depth)
+        expr, expect = trino_lit(v), v
+        while isinstance(expect, list):
+            idx = rng.randint(1, len(expect))
+            expr += f"[{idx}]"
+            expect = expect[idx - 1]
+        cases.append((f"c{i}", expr, expect))
+
+    sql = "SELECT " + ", ".join(f"{e} AS {n}" for n, e, _ in cases)
+    row = execute_trino(spark, sql, sf_dir).collect()[0]
+    for n, _, expect in cases:
+        assert getattr(row, n) == expect, (n, getattr(row, n), expect)
