@@ -714,6 +714,14 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
         raise TrinoSqlUnsupported(
             "AT TIME ZONE is not translatable (Spark has no zoned-timestamp "
             "expression syntax) — rewrite with convert_timezone(src, dst, ts)")
+    if re.search(r"\bMATCH_RECOGNIZE\b", code, re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            "MATCH_RECOGNIZE has no Spark equivalent — rewrite row-pattern "
+            "logic with window functions (lag/lead + running flags)")
+    if re.search(r"\bGROUPS\s+BETWEEN\b", code, re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            "GROUPS window frames are not supported by Spark — rewrite with "
+            "a RANGE frame over dense_rank or a self-join on the peer group")
     code = _rewrite_ddl_head(code, stash)
     code = _rewrite_array_literals(code)
     code = _rewrite_subscripts(code)

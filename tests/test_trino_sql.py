@@ -307,6 +307,16 @@ CASES4 = [
      "SELECT CAST(cardinality(map_agg(o_orderkey, o_totalprice)) AS BIGINT) AS n "
      "FROM orders WHERE o_orderkey <= 100",
      "SELECT count(*) AS n FROM orders WHERE o_orderkey <= 100"),
+    ("listagg_within_group",
+     # Trino listagg(x, d) WITHIN GROUP (ORDER BY ...) parses natively
+     # in Spark 4 — passthrough, matched against DuckDB string_agg.
+     "SELECT o_orderpriority, listagg(o_orderstatus, ',') "
+     "WITHIN GROUP (ORDER BY o_orderkey) AS st "
+     "FROM orders WHERE o_orderkey <= 40 "
+     "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+     "SELECT o_orderpriority, string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS st "
+     "FROM orders WHERE o_orderkey <= 40 "
+     "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     ("try_arithmetic",
      # Trino TRY(a / b) nulls division-by-zero; Spark try_divide matches.
      "SELECT o_orderkey, TRY(o_totalprice / (o_orderkey % 3)) AS r "
@@ -523,3 +533,24 @@ def test_subscript_rewrite_property(spark, sf_dir):
     row = execute_trino(spark, sql, sf_dir).collect()[0]
     for n, _, expect in cases:
         assert getattr(row, n) == expect, (n, getattr(row, n), expect)
+
+
+def test_trino_explain_passthrough(spark, sf_dir):
+    """EXPLAIN wraps a rewritten body and returns the Spark plan — the
+    migration-debugging loop (what plan did my Trino text become?)."""
+    rows = execute_trino(
+        spark,
+        "EXPLAIN SELECT strpos(o_orderstatus, 'F') FROM orders",
+        sf_dir).collect()
+    plan = rows[0][0]
+    assert "Physical Plan" in plan
+    assert "instr" in plan or "StringInstr" in plan  # shim reached the plan
+
+
+def test_trino_pattern_features_raise_named_errors():
+    with pytest.raises(TrinoSqlUnsupported, match="MATCH_RECOGNIZE"):
+        rewrite_trino_sql("SELECT * FROM t MATCH_RECOGNIZE (PATTERN (A B))")
+    with pytest.raises(TrinoSqlUnsupported, match="GROUPS"):
+        rewrite_trino_sql(
+            "SELECT sum(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING "
+            "AND CURRENT ROW) FROM t")
