@@ -772,18 +772,25 @@ def rewrite_trino_sql(sql: str) -> str:
 
 
 def execute_trino(spark: SparkSession, sql: str,
-                  sf_dir: str | None = None) -> DataFrame:
+                  sf_dir: str | None = None,
+                  params: list | None = None) -> DataFrame:
     """Run a Trino-dialect SQL string on Spark.
 
     When ``sf_dir`` is given, the fixture tables are registered as temp
     views first (idempotent), so reference queries run verbatim against
-    the same catalog names. Returns the lazily-planned DataFrame —
+    the same catalog names. ``params`` binds Trino/JDBC positional ``?``
+    markers (the PREPARE … EXECUTE … USING values) through Spark's own
+    parameterized ``spark.sql`` — values never touch the SQL text, so
+    there is nothing to escape. Returns the lazily-planned DataFrame —
     Catalyst applies pushdown/pruning/join planning to the rewritten
     query exactly as to native Spark SQL.
     """
     if sf_dir is not None:
         register_tables(spark, sf_dir)
-    return spark.sql(rewrite_trino_sql(sql))
+    rewritten = rewrite_trino_sql(sql)
+    if params is not None:
+        return spark.sql(rewritten, args=params)
+    return spark.sql(rewritten)
 
 
 # ------------------------------------------------------ registered keys

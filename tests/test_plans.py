@@ -234,3 +234,12 @@ def test_connected_components_state_is_touched_nodes_only(spark):
     allg = {r.doc_id: r.cluster_id for r in full.collect()}
     assert len(allg) == 10
     assert all(allg[i] == i for i in (3, 4, 7, 8, 9))   # identity singletons
+
+
+def test_recursive_spine_broadcasts(spark, sf_dir):
+    """q_recursive_cte: the 59-row recursive spine must BROADCAST into
+    the join against orders — the fact side is never shuffled for the
+    join (the one Exchange belongs to the day aggregation)."""
+    plan = plan_string(SPECS["q_recursive_cte"].fn(spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -554,3 +554,26 @@ def test_trino_pattern_features_raise_named_errors():
         rewrite_trino_sql(
             "SELECT sum(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING "
             "AND CURRENT ROW) FROM t")
+
+
+def test_trino_positional_params(spark, sf_dir):
+    """Trino/JDBC positional ? markers (PREPARE ... EXECUTE ... USING)
+    bind through Spark's parameterized sql — values never enter the SQL
+    text, and the dialect rewrite still applies around them."""
+    parm = execute_trino(
+        spark,
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderkey <= ? AND strpos(o_orderstatus, ?) > 0",
+        sf_dir, params=[100, "F"]).collect()[0].n
+    lit = execute_trino(
+        spark,
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderkey <= 100 AND strpos(o_orderstatus, 'F') > 0",
+        sf_dir).collect()[0].n
+    assert parm == lit and parm > 0
+    # injection-shaped value stays a value, not SQL
+    inj = execute_trino(
+        spark,
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus = ?",
+        sf_dir, params=["' OR '1'='1"]).collect()[0].n
+    assert inj == 0
