@@ -555,7 +555,8 @@ class GovernedCatalog:
     # ---------------------------------------------------------------- audit
     def execute(self, sql: str, user: str | None = None,
                 on_behalf_of: str | None = None,
-                dialect: str = "spark") -> DataFrame:
+                dialect: str = "spark",
+                params: list | None = None) -> DataFrame:
         """Run SQL as ``user`` with audit logging. The tables visible to
         the query are the user's GOVERNED reads — column authorization
         and row filters apply on this path exactly as on ``read()``
@@ -570,7 +571,10 @@ class GovernedCatalog:
         the reference's users actually submit (README.md:74-90) —
         rewritten onto Spark SQL by functions/trino_sql.py BEFORE
         planning, so governance applies identically on both dialects.
-        The audit log records the ORIGINAL text the user submitted."""
+        ``params`` binds positional ``?`` markers via Spark's
+        parameterized sql on either dialect — values never enter the
+        audited SQL text. The audit log records the ORIGINAL text the
+        user submitted."""
         qid = self._next_query_id
         self._next_query_id += 1
         start = time.time()
@@ -586,11 +590,13 @@ class GovernedCatalog:
         try:
             if dialect == "trino":
                 from okera_trino_spark.functions.trino_sql import rewrite_trino_sql
-                df = self.spark.sql(rewrite_trino_sql(sql))
+                text = rewrite_trino_sql(sql)
             elif dialect == "spark":
-                df = self.spark.sql(sql)
+                text = sql
             else:
                 raise ValueError(f"dialect must be spark|trino, got {dialect!r}")
+            df = (self.spark.sql(text, args=params) if params is not None
+                  else self.spark.sql(text))
             self._audit.append(AuditRecord(
                 query_id=qid, user=user, sql=sql,
                 start_time=start, elapsed_ms=(time.time() - start) * 1000.0,

@@ -577,3 +577,19 @@ def test_trino_positional_params(spark, sf_dir):
         "SELECT count(*) AS n FROM orders WHERE o_orderstatus = ?",
         sf_dir, params=["' OR '1'='1"]).collect()[0].n
     assert inj == 0
+
+
+def test_governed_execute_with_params(spark, sf_dir):
+    """? binding composes with governance: the policy-scoped view is
+    what the parameterized query sees, and the audit records the
+    original marker text (never the bound values)."""
+    from okera_trino_spark.sources.catalog import GovernedCatalog, TablePolicy
+
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.set_policy("analyst", "orders", TablePolicy(
+        allowed_columns=["o_orderkey", "o_orderstatus"]))
+    sql = "SELECT count(*) AS n FROM orders WHERE o_orderkey <= ?"
+    n = cat.execute(sql, user="analyst", dialect="trino",
+                    params=[50]).collect()[0].n
+    assert n > 0
+    assert cat.audit_log[-1].sql == sql  # markers audited, not values
