@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -552,6 +553,44 @@ class GovernedCatalog:
         self._register_governed(user or self.props.user)
         return self.spark.sql(self._views[name])
 
+    #: SET SESSION name → SessionProperties field + value parser. The
+    #: names are the reference's session properties
+    #: (RecordServiceSessionProperties.java:26-59); "sampling_value" is
+    #: the reference's own spelling for the byte cap.
+    _SESSION_PROPS = {
+        "limit": ("limit", int),
+        "sampling_value": ("sampling_bytes", int),
+        "sampling_bytes": ("sampling_bytes", int),
+        "stats_mode": ("stats_mode", str),
+    }
+    _SET_SESSION_RE = re.compile(
+        r"^\s*(SET|RESET)\s+SESSION\s+([\w.]+)(?:\s*=\s*(.+?))?\s*$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _handle_set_session(self, sql: str) -> DataFrame | None:
+        """Trino's SET SESSION / RESET SESSION statements mutate the
+        catalog's SessionProperties (C21) instead of reaching the
+        planner. Returns the confirmation DataFrame, or None when the
+        statement is not a session-property one."""
+        m = self._SET_SESSION_RE.match(sql)
+        if not m:
+            return None
+        verb, name, raw = m.group(1).upper(), m.group(2).lower(), m.group(3)
+        prop = self._SESSION_PROPS.get(name.rsplit(".", 1)[-1])
+        if prop is None:
+            raise ValueError(f"unknown session property: {name}")
+        field, conv = prop
+        if verb == "RESET":
+            value = SessionProperties.__dataclass_fields__[field].default
+        else:
+            if raw is None:
+                raise ValueError(f"SET SESSION {name} requires a value")
+            raw = raw.strip()
+            value = conv(raw[1:-1] if raw[:1] == "'" else raw)
+        setattr(self.props, field, value)
+        return self.spark.sql(
+            "SELECT ? AS property, ? AS value", args=[name, str(value)])
+
     # ---------------------------------------------------------------- audit
     def execute(self, sql: str, user: str | None = None,
                 on_behalf_of: str | None = None,
@@ -585,6 +624,21 @@ class GovernedCatalog:
                 query_id=qid, user=user or self.props.user, sql=sql,
                 start_time=start, elapsed_ms=0.0,
                 success=False, error=str(exc)))
+            raise
+        try:
+            handled = self._handle_set_session(sql)
+            if handled is not None:
+                self._audit.append(AuditRecord(
+                    query_id=qid, user=user, sql=sql,
+                    start_time=start,
+                    elapsed_ms=(time.time() - start) * 1000.0,
+                    success=True))
+                return handled
+        except ValueError:
+            self._audit.append(AuditRecord(
+                query_id=qid, user=user, sql=sql,
+                start_time=start, elapsed_ms=(time.time() - start) * 1000.0,
+                success=False, error="invalid session property"))
             raise
         self._register_governed(user)
         try:

@@ -593,3 +593,24 @@ def test_governed_execute_with_params(spark, sf_dir):
                     params=[50]).collect()[0].n
     assert n > 0
     assert cat.audit_log[-1].sql == sql  # markers audited, not values
+
+
+def test_set_session_properties_on_governed_path(spark, sf_dir):
+    """Trino SET SESSION / RESET SESSION mutate the catalog's C21
+    session properties (the reference's limit / sampling_value /
+    stats_mode), are audited, and take effect on subsequent reads."""
+    from okera_trino_spark.sources.catalog import GovernedCatalog
+
+    cat = GovernedCatalog(spark, sf_dir)
+    out = cat.execute("SET SESSION limit = 7", dialect="trino").collect()
+    assert out[0].property == "limit" and out[0].value == "7"
+    assert cat.props.limit == 7
+    assert len(cat.read("orders").collect()) == 7     # limit applies
+    assert cat.audit_log[-1].sql == "SET SESSION limit = 7"
+    cat.execute("RESET SESSION limit")
+    assert cat.props.limit is None
+    cat.execute("SET SESSION stats_mode = 'spark'")
+    assert cat.props.stats_mode == "spark"
+    with pytest.raises(ValueError, match="unknown session property"):
+        cat.execute("SET SESSION nonsense = 1")
+    assert cat.audit_log[-1].success is False         # denial audited
