@@ -572,6 +572,10 @@ class GovernedCatalog:
         catalog's SessionProperties (C21) instead of reaching the
         planner. Returns the confirmation DataFrame, or None when the
         statement is not a session-property one."""
+        if re.fullmatch(r"\s*SHOW\s+SESSION\s*", sql, re.IGNORECASE):
+            rows = [(n, str(getattr(self.props, f)))
+                    for n, (f, _) in sorted(self._SESSION_PROPS.items())]
+            return self.spark.createDataFrame(rows, "property string, value string")
         m = self._SET_SESSION_RE.match(sql)
         if not m:
             return None

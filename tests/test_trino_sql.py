@@ -611,6 +611,9 @@ def test_set_session_properties_on_governed_path(spark, sf_dir):
     assert cat.props.limit is None
     cat.execute("SET SESSION stats_mode = 'spark'")
     assert cat.props.stats_mode == "spark"
+    shown = {r.property: r.value
+             for r in cat.execute("SHOW SESSION").collect()}
+    assert shown["stats_mode"] == "spark" and shown["limit"] == "None"
     with pytest.raises(ValueError, match="unknown session property"):
         cat.execute("SET SESSION nonsense = 1")
     assert cat.audit_log[-1].success is False         # denial audited
