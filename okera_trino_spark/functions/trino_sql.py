@@ -226,7 +226,8 @@ def _rewrite_dow(code: str) -> str:
 
 
 _TRY_ARITH_FN = {"/": "try_divide", "+": "try_add",
-                 "-": "try_subtract", "*": "try_multiply"}
+                 "-": "try_subtract", "*": "try_multiply",
+                 "%": "try_mod"}
 
 
 def _split_top_level_op(s: str) -> tuple[str, str, str] | None:
@@ -240,9 +241,9 @@ def _split_top_level_op(s: str) -> tuple[str, str, str] | None:
             depth += 1
         elif c in ")]":
             depth -= 1
-        elif depth == 0 and c in "/+-*":
+        elif depth == 0 and c in "/+-*%":
             prev = s[:i].rstrip()
-            if c == "-" and (not prev or prev[-1] in "/+-*(,"):
+            if c == "-" and (not prev or prev[-1] in "/+-*%(,"):
                 continue  # unary minus
             if found is not None:
                 return None  # more than one top-level op: ambiguous

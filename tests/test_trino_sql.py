@@ -617,3 +617,30 @@ def test_set_session_properties_on_governed_path(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown session property"):
         cat.execute("SET SESSION nonsense = 1")
     assert cat.audit_log[-1].success is False         # denial audited
+
+
+# Fifth wave: set operations + grouping sets pass through natively.
+CASES5 = [
+    ("intersect_except",
+     "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+     "INTERSECT "
+     "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+     "EXCEPT "
+     "SELECT o_custkey FROM orders WHERE o_totalprice > 400000",
+     None),
+    ("grouping_sets_passthrough",
+     "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+     "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ",
+     None),
+    ("try_mod",
+     "SELECT o_orderkey, TRY(o_orderkey % (o_orderkey - o_orderkey)) AS m "
+     "FROM orders ORDER BY o_orderkey LIMIT 50",
+     "SELECT o_orderkey, NULL::BIGINT AS m "
+     "FROM orders ORDER BY o_orderkey LIMIT 50"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES5])
+def test_trino_statement_matches_oracle_wave5(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino5:{name}")
