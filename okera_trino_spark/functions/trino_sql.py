@@ -153,9 +153,7 @@ _RENAMES = {
     "json_extract_scalar": "get_json_object",
     "json_extract": "get_json_object",
     "arbitrary": "any_value",
-    "random": "rand",
     "format_datetime": "date_format",
-    "to_unixtime": "unix_timestamp",
     "day_of_year": "dayofyear",
     "doy": "dayofyear",
     "week_of_year": "weekofyear",
@@ -186,11 +184,21 @@ _RENAME_RE = re.compile(
 _DATE_ARITH_RE = re.compile(
     r"\b(date_add|date_diff)\s*\(\s*'\x00(\d+)\x00'\s*,", re.IGNORECASE)
 
+#: Bare type renames only — the length-carrying CAST(x AS VARCHAR(n))
+#: form is rewritten structurally (Trino truncates to n chars; the
+#: faithful Spark form is substring(CAST(x AS STRING), 1, n)) before
+#: this regex runs, so no length form can reach it.
 _CAST_TYPE_RE = re.compile(
-    r"\bAS\s+(VARCHAR(?:\s*\(\s*\d+\s*\))?|VARBINARY|DOUBLE\s+PRECISION)\b",
+    r"\bAS\s+(VARCHAR|VARBINARY|DOUBLE\s+PRECISION)\b(?!\s*\()",
     re.IGNORECASE)
 _CAST_TYPE_MAP = {"VARCHAR": "STRING", "VARBINARY": "BINARY",
                   "DOUBLE PRECISION": "DOUBLE"}
+
+#: CAST(x AS VARCHAR(n)) / TRY_CAST(...) — Trino truncates the string
+#: to n characters; matched against a single CAST argument.
+_CAST_VARCHAR_N_RE = re.compile(
+    r"^(.*\S)\s+AS\s+VARCHAR\s*\(\s*(\d+)\s*\)$",
+    re.IGNORECASE | re.DOTALL)
 
 _FETCH_RE = re.compile(
     r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE)
@@ -436,6 +444,45 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
 
     def requote(text: str) -> str:
         return "'" + text.replace("'", "''") + "'"
+
+    # CAST(x AS VARCHAR(n)) — Trino TRUNCATES to n characters; Spark's
+    # STRING is unbounded, so the faithful form wraps a substring.
+    def _cast_varchar_n(cast_name):
+        def fn(a):
+            if len(a) != 1:
+                return None
+            m = _CAST_VARCHAR_N_RE.match(a[0])
+            if m is None:
+                return None
+            return (f"substring({cast_name}({m.group(1)} AS STRING), "
+                    f"1, {m.group(2)})")
+        return fn
+
+    code = _rewrite_calls(code, "cast", _cast_varchar_n("CAST"))
+    code = _rewrite_calls(code, "try_cast", _cast_varchar_n("TRY_CAST"))
+
+    # Trino random() → uniform double in [0, 1) = Spark rand(); but
+    # random(n) → uniform INTEGER in [0, n), while Spark rand(n) treats
+    # n as a SEED — a silent wrong-values trap, so the 1-arg form maps
+    # to floor(rand() * n) and the 2-arg bounded form raises.
+    def _random_fn(a):
+        if len(a) == 0:
+            return "rand()"
+        if len(a) == 1:
+            return f"CAST(floor(rand() * ({a[0]})) AS BIGINT)"
+        raise TrinoSqlUnsupported(
+            "random(m, n) bounded form has no Spark builtin — rewrite as "
+            "m + CAST(floor(rand() * (n - m)) AS BIGINT)")
+
+    code = _rewrite_calls(code, "random", _random_fn)
+
+    # Trino to_unixtime returns DOUBLE epoch seconds WITH the fraction;
+    # Spark's unix_timestamp returns whole-second BIGINT, so the
+    # fraction-preserving form goes through unix_micros.
+    code = _rewrite_calls(
+        code, "to_unixtime",
+        lambda a: f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 1e6)"
+        if len(a) == 1 else None)
 
     # Trino regexp_extract(s, p) returns the WHOLE match; Spark's
     # 3rd argument defaults to group 1, so the 2-arg form needs ", 0".
@@ -683,8 +730,11 @@ def _rewrite_ddl_head(code: str, stash: list[str]) -> str:
                     stash[int(n)][1:-1] for n in re.findall(r"'\x00(\d+)\x00'",
                                                             am.group(1)))
             if key == "format":
-                fmt = (stash[int(re.search(r"'\x00(\d+)\x00'", val).group(1))]
-                       [1:-1].lower())
+                fm = re.search(r"'\x00(\d+)\x00'", val)
+                if fm is None:
+                    raise TrinoSqlUnsupported(
+                        "table property format expects a string literal")
+                fmt = stash[int(fm.group(1))][1:-1].lower()
                 clauses[0] = f"USING {fmt}"
             elif key == "partitioned_by":
                 clauses.append(f"PARTITIONED BY ({_cols(val)})")

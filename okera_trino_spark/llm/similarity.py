@@ -276,10 +276,12 @@ def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.vec_id,
            round(s.scale, 4) AS scale_r4,
-           CASE WHEN s.scale > 0
-                THEN list_transform(e.embedding,
-                     x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT))
-                ELSE list_transform(e.embedding, x -> 0) END AS q
+           array_to_string(
+               CASE WHEN s.scale > 0
+                    THEN list_transform(e.embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT))
+                    ELSE list_transform(e.embedding, x -> 0) END,
+               ',') AS q
     FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
     """,
     tags=("llm", "similarity", "quantize"),
@@ -296,6 +298,12 @@ def q_llm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on both sides — so the int codes match bit-for-bit and the
     oracle checks them exactly. Map-only; no shuffle; whole-stage
     codegen (aggregate/transform higher-order functions, no UDF).
+
+    The code vector is serialized to a comma-joined string on BOTH
+    sides (``concat_ws`` / ``array_to_string``) because the driver
+    canonicalizer hashes via ``pandas.sort_values``, which cannot hash
+    list-typed cells (r5 red row). Serialization is lossless for int
+    codes, so the check stays bit-exact.
     """
     e = t(spark, sf_dir, "embeddings")
     maxabs = F.aggregate(
@@ -309,4 +317,5 @@ def q_llm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast("int")),
     ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
     return w.select(
-        "vec_id", F.round("scale", 4).alias("scale_r4"), q.alias("q"))
+        "vec_id", F.round("scale", 4).alias("scale_r4"),
+        F.concat_ws(",", q.cast("array<string>")).alias("q"))

@@ -141,3 +141,27 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL split_words(d.text) s
         WHERE d.doc_id < 10
     """)
+
+
+@query(
+    "q_meta_discovery",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('default', 'customer'), ('default', 'events'),
+        ('default', 'lineitem'), ('default', 'nation'),
+        ('default', 'orders'),   ('default', 'part'),
+        ('default', 'region'),   ('default', 'supplier'),
+        ('llm', 'documents'),    ('llm', 'embeddings')
+    ) AS t(namespace, "tableName")
+    """,
+    tags=("catalog", "metadata"),
+)
+def q_meta_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 through the STRING path: ``SHOW TABLES`` answered from the
+    governed registry — the discovery statement every Trino client sends
+    first (RecordServiceMetadata.java:166-282), with the reference's
+    50-table wildcard cap and ``information_schema`` hidden (:84-85,82).
+    Deterministic: the fixture registry is fixed, so the oracle is the
+    literal expected listing."""
+    cat = GovernedCatalog(spark, sf_dir)
+    return cat.execute("SHOW TABLES", dialect="trino")

@@ -50,8 +50,15 @@ def is_likely_token(secret: str) -> bool:
     """Heuristic Bearer-vs-Basic dispatch (OkeraAuthenticator.java:260-266):
     2 or 3 dot-separated parts (JWT shape) AND longer than MIN_TOKEN_LEN.
     A short password containing dots stays Basic; a real JWT always
-    crosses both thresholds."""
+    crosses both thresholds.
+
+    Part counting mirrors Java's ``String.split``, which DROPS trailing
+    empty strings — Python's keeps them, so ``'a.b…x.'`` (one interior
+    dot, trailing dot) must count 2 parts (Basic in the reference), not
+    3 (Bearer)."""
     parts = secret.split(".")
+    while parts and parts[-1] == "":
+        parts.pop()
     if len(parts) not in (2, 3):
         return False
     return len(secret) > MIN_TOKEN_LEN

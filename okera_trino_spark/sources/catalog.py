@@ -595,6 +595,67 @@ class GovernedCatalog:
         return self.spark.sql(
             "SELECT ? AS property, ? AS value", args=[name, str(value)])
 
+    # ------------------------------------------------- metadata statements
+    _SHOW_SCHEMAS_RE = re.compile(
+        r"^\s*SHOW\s+SCHEMAS(?:\s+(?:FROM|IN)\s+[\w.`\"]+)?"
+        r"(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE)
+    _SHOW_TABLES_RE = re.compile(
+        r"^\s*SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w`\"]+))?"
+        r"(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE)
+    _DESCRIBE_RE = re.compile(
+        r"^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+(?:FROM|IN))\s+"
+        r"([\w.`\"]+)\s*$", re.IGNORECASE)
+
+    @staticmethod
+    def _like(pattern: str | None, names: list[str]) -> list[str]:
+        """SQL LIKE filtering for listing statements (%/_ wildcards,
+        case-insensitive — Trino's SHOW ... LIKE semantics)."""
+        if pattern is None:
+            return names
+        rx = re.compile(
+            "^" + re.escape(pattern).replace("%", ".*").replace("_", ".")
+            + "$", re.IGNORECASE)
+        return [n for n in names if rx.match(n)]
+
+    def _handle_metadata(self, sql: str, user: str) -> DataFrame | None:
+        """The catalog-discovery trio every Trino client sends first —
+        SHOW SCHEMAS / SHOW TABLES [FROM db] [LIKE 'p'] / DESCRIBE tbl
+        (reference RecordServiceMetadata.java:166-282) — answered from
+        the GOVERNED registry instead of the raw Spark session catalog:
+        listings apply the reference's 100/50 caps and hide
+        ``information_schema`` (RecordServiceMetadata.java:84-85,82),
+        and DESCRIBE shows the CALLER's visible schema — columns their
+        policy hides are absent, not errored
+        (RecordServiceMetadata.java:804). Output shapes match Spark's
+        own statements (``namespace`` / ``namespace, tableName`` /
+        ``col_name, data_type, comment``) so existing clients parse them
+        unchanged. Returns None when ``sql`` is not a metadata
+        statement."""
+        m = self._SHOW_SCHEMAS_RE.match(sql)
+        if m:
+            rows = [(s,) for s in self._like(m.group(1), self.list_schemas())]
+            return self.spark.createDataFrame(rows, "namespace string")
+        m = self._SHOW_TABLES_RE.match(sql)
+        if m:
+            schema = m.group(1).strip('`"').lower() if m.group(1) else None
+            if schema is not None:
+                names = [(schema, t) for t in self.list_tables(schema)]
+            else:
+                names = [tuple(q.split(".", 1)) for q in self.list_tables()]
+            keep = set(self._like(m.group(2), [t for _, t in names]))
+            rows = [(s, t) for s, t in names if t in keep]
+            return self.spark.createDataFrame(
+                rows, "namespace string, tableName string")
+        m = self._DESCRIBE_RE.match(sql)
+        if m:
+            name = m.group(1).strip('`"')
+            self.resolve(name)  # KeyError on unknown tables, like read()
+            rows = [(f.name, f.dataType.simpleString(), None)
+                    for f in self.table_schema(name, user=user).fields]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string")
+        return None
+
     # ---------------------------------------------------------------- audit
     def execute(self, sql: str, user: str | None = None,
                 on_behalf_of: str | None = None,
@@ -617,7 +678,13 @@ class GovernedCatalog:
         ``params`` binds positional ``?`` markers via Spark's
         parameterized sql on either dialect — values never enter the
         audited SQL text. The audit log records the ORIGINAL text the
-        user submitted."""
+        user submitted.
+
+        Catalog-discovery statements (SHOW SCHEMAS / SHOW TABLES /
+        DESCRIBE — see :meth:`_handle_metadata`) and session-property
+        statements (SET/RESET/SHOW SESSION) are answered from the
+        governed registry on BOTH dialects, before any planner text
+        reaches Spark."""
         qid = self._next_query_id
         self._next_query_id += 1
         start = time.time()
@@ -643,6 +710,21 @@ class GovernedCatalog:
                 query_id=qid, user=user, sql=sql,
                 start_time=start, elapsed_ms=(time.time() - start) * 1000.0,
                 success=False, error="invalid session property"))
+            raise
+        try:
+            handled = self._handle_metadata(sql, user)
+            if handled is not None:
+                self._audit.append(AuditRecord(
+                    query_id=qid, user=user, sql=sql,
+                    start_time=start,
+                    elapsed_ms=(time.time() - start) * 1000.0,
+                    success=True))
+                return handled
+        except KeyError as exc:
+            self._audit.append(AuditRecord(
+                query_id=qid, user=user, sql=sql,
+                start_time=start, elapsed_ms=(time.time() - start) * 1000.0,
+                success=False, error=str(exc)))
             raise
         self._register_governed(user)
         try:

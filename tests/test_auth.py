@@ -108,3 +108,17 @@ def test_catalog_login_requires_authenticator(spark, sf_dir):
 
     with pytest.raises(RuntimeError, match="no authenticator"):
         GovernedCatalog(spark, sf_dir).login("a", "a")
+
+
+def test_token_heuristic_trailing_dot_matches_java_split():
+    """Java's String.split drops trailing empty strings; a >40-char
+    secret with ONE interior dot and a trailing dot is 2 parts in the
+    reference (Basic-shaped ambiguity resolved the same way here)."""
+    from okera_trino_spark.sources.auth import is_likely_token
+
+    base = "a" * 30 + "." + "b" * 30
+    assert is_likely_token(base)            # 2 parts, long: token
+    assert is_likely_token(base + ".")      # trailing dot dropped: still 2
+    assert is_likely_token(base + "...")    # all trailing empties dropped
+    assert not is_likely_token("a" * 50)    # 1 part
+    assert not is_likely_token("a.b.c.d" + "x" * 40)  # 4 parts

@@ -548,3 +548,50 @@ def test_all_tables_timestamps_normalized_to_ntz(spark, sf_dir, tmp_path):
         .orderBy("o_orderkey").limit(50).collect()
     assert [(r.o_orderkey, r.o_orderdate) for r in a] == \
            [(r.o_orderkey, r.o_orderdate) for r in b]
+
+
+# ------------------------------------------------- metadata statements
+# The discovery trio every Trino client sends first, routed through the
+# governed string path (reference RecordServiceMetadata.java:166-282;
+# listing caps :84-85; column authz in DESCRIBE :804).
+
+def test_execute_show_schemas_capped_and_hidden(cat):
+    rows = cat.execute("SHOW SCHEMAS").collect()
+    names = [r.namespace for r in rows]
+    assert names == ["default", "llm"]
+    assert "information_schema" not in names
+    assert cat.audit_log[-1].sql == "SHOW SCHEMAS"
+
+
+def test_execute_show_tables_forms(cat):
+    all_rows = cat.execute("SHOW TABLES").collect()
+    assert {(r.namespace, r.tableName) for r in all_rows} >= {
+        ("default", "orders"), ("default", "lineitem"), ("llm", "documents")}
+    assert len(all_rows) <= MAX_TABLES_LISTED
+    llm = cat.execute("SHOW TABLES FROM llm").collect()
+    assert {r.tableName for r in llm} == {"documents", "embeddings"}
+    like = cat.execute("SHOW TABLES LIKE '%ion'").collect()
+    assert {r.tableName for r in like} == {"nation", "region"}
+
+
+def test_execute_describe_is_policy_filtered(cat):
+    rows = cat.execute("DESCRIBE customer", user="bob").collect()
+    assert [r.col_name for r in rows][:2] == ["c_custkey", "c_name"]
+    cat.set_policy("carol", "customer", TablePolicy(
+        allowed_columns=["c_custkey", "c_name"]))
+    visible = cat.execute("DESCRIBE customer", user="carol").collect()
+    assert [r.col_name for r in visible] == ["c_custkey", "c_name"]
+    # unknown table: audited failure, clean KeyError
+    with pytest.raises(KeyError, match="no such table"):
+        cat.execute("DESCRIBE nope")
+    assert cat.audit_log[-1].success is False
+
+
+def test_execute_metadata_on_trino_dialect(cat):
+    """The trio must work with dialect='trino' — it is how Trino CLIs
+    explore the catalog (reference README.md:74-90)."""
+    rows = cat.execute("SHOW COLUMNS FROM orders", dialect="trino").collect()
+    assert rows[0].col_name == "o_orderkey"
+    assert rows[0].data_type == "bigint"
+    schemas = cat.execute("SHOW SCHEMAS LIKE 'll%'", dialect="trino").collect()
+    assert [r.namespace for r in schemas] == ["llm"]

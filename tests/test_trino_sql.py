@@ -644,3 +644,44 @@ CASES5 = [
 def test_trino_statement_matches_oracle_wave5(name, trino, duck, spark, sf_dir, oracle):
     df = execute_trino(spark, trino, sf_dir)
     check_query(df, oracle, duck or trino, name=f"trino5:{name}")
+
+
+# --------------------------------------------- round-6 divergence fixes
+CASES6 = [
+    ("varchar_n_cast_truncates",
+     # Trino CAST to VARCHAR(n) TRUNCATES to n chars; Spark STRING is
+     # unbounded, so the rewrite wraps a substring.
+     "SELECT o_orderkey, CAST(o_orderpriority AS VARCHAR(3)) AS p3 "
+     "FROM orders ORDER BY o_orderkey LIMIT 100",
+     "SELECT o_orderkey, substring(CAST(o_orderpriority AS VARCHAR), 1, 3) AS p3 "
+     "FROM orders ORDER BY o_orderkey LIMIT 100"),
+    ("try_cast_varchar_n",
+     "SELECT TRY(CAST('abcdef' AS VARCHAR(2))) AS t",
+     "SELECT 'ab' AS t"),
+    ("to_unixtime_fractional",
+     # Trino to_unixtime returns DOUBLE epoch seconds with the fraction.
+     "SELECT event_id, to_unixtime(ts) AS es FROM events ORDER BY event_id LIMIT 200",
+     "SELECT event_id, epoch(ts) AS es FROM events ORDER BY event_id LIMIT 200"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES6])
+def test_trino_statement_matches_oracle_wave6(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino6:{name}")
+
+
+def test_random_rewrite_semantics(spark):
+    """Trino random() → rand(); random(n) must NOT map to rand(n) (seed!)
+    but to a uniform integer in [0, n)."""
+    assert "rand()" in rewrite_trino_sql("SELECT random() AS r")
+    row = spark.sql(rewrite_trino_sql("SELECT random(10) AS r")).collect()[0]
+    assert 0 <= row.r < 10 and isinstance(row.r, int)
+    with pytest.raises(TrinoSqlUnsupported, match="random"):
+        rewrite_trino_sql("SELECT random(5, 10) AS r")
+
+
+def test_ctas_format_nonliteral_raises_named_error():
+    with pytest.raises(TrinoSqlUnsupported, match="format expects"):
+        rewrite_trino_sql(
+            "CREATE TABLE t WITH (format=parquet) AS SELECT 1 AS x")
