@@ -70,6 +70,22 @@ HEADLINE = [
 #: documented in round 1 without hiding real per-query cost.
 REPEATS = 2
 
+#: Host-variance canary: queries whose IMPLEMENTATION has been frozen
+#: since round 3 (pure scan/codegen shapes with no round-over-round
+#: changes), with their round-3 sf0.1 reference times. The emitted
+#: ``host_factor`` = median(current/reference) over this set — a >1
+#: factor means THIS host/run is that much slower than the round-3
+#: measurement, so a query at host_factor x its old time is host noise,
+#: not a regression. Only meaningful at sf0.1 (the reference scale);
+#: omitted otherwise.
+CANARY_REF_R3_SF01 = {
+    "q_fn_string": 0.0824,
+    "q_union_all": 0.0769,
+    "q_topk": 0.1053,
+    "q_filter_range": 0.1392,
+    "q_win_rank": 0.0978,
+}
+
 
 def main() -> None:
     from okera_trino_spark.registry import load_all_queries
@@ -101,14 +117,23 @@ def main() -> None:
         sf: float | str = float(m.group(1)) if m else SF_DIR
     except ValueError:
         sf = SF_DIR
-    print(json.dumps({
+    out = {
         "metric": "headline_total_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "repeats": REPEATS,
         "sf": sf,
-    }))
+    }
+    if sf == 0.1:
+        ratios = sorted(timings[n] / ref for n, ref in
+                        CANARY_REF_R3_SF01.items() if n in timings)
+        if ratios:
+            mid = len(ratios) // 2
+            median = (ratios[mid] if len(ratios) % 2
+                      else (ratios[mid - 1] + ratios[mid]) / 2)
+            out["host_factor"] = round(median, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

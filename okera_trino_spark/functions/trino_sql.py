@@ -24,11 +24,14 @@ query had been written in Spark SQL directly.
 Coverage (each divergence is tested in tests/test_trino_sql.py):
   - function renames: strpos→instr, approx_distinct→
     approx_count_distinct, json_extract_scalar/json_extract→
-    get_json_object, arbitrary→any_value, random→rand,
-    format_datetime→date_format, to_unixtime→unix_timestamp,
+    get_json_object, arbitrary→any_value,
+    format_datetime→date_format,
     day_of_year/doy→dayofyear, week/week_of_year→weekofyear,
     levenshtein_distance→levenshtein, starts_with/ends_with→
     startswith/endswith, is_nan→isnan, zip→arrays_zip
+    (random and to_unixtime are NOT renames: random(n) is a bounded
+    integer, to_unixtime keeps the fraction — both rewritten
+    structurally)
   - argument-order/structural forms: date_add('unit', n, ts)→
     timestampadd(UNIT, n, ts); date_diff('unit', a, b)→
     timestampdiff(UNIT, a, b); TRY(CAST(x AS t))→TRY_CAST(x AS t);
@@ -45,11 +48,19 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     inline(transform(arr, (x, i) -> struct(x, i + 1)))
   - syntax: "ident"→`ident`; FETCH FIRST n ROWS ONLY→LIMIT n;
     CAST(... AS VARCHAR/VARBINARY/DOUBLE PRECISION)→STRING/BINARY/
-    DOUBLE
-  - unsupported-with-clear-error: TRY(expr) for non-CAST exprs,
-    non-literal split()/date-format patterns, AT TIME ZONE, and
-    unnest arg/column-count mismatches raise TrinoSqlUnsupported
-    naming the construct, never silently mis-translate.
+    DOUBLE; CAST(x AS VARCHAR(n))→substring(CAST(x AS STRING), 1, n)
+    (Trino truncates)
+  - time zones: expr AT TIME ZONE 'zone' → convert_timezone(
+    current_timezone(), zone, expr); TIMESTAMP '... +02:00' zoned
+    literals → the UTC instant as TIMESTAMP_NTZ
+  - TRY family: TRY(CAST ..)→TRY_CAST, single-operator arithmetic→
+    try_add/try_subtract/try_multiply/try_divide/try_mod, subscripts→
+    try_element_at, TRY(date_parse)→try_to_timestamp
+  - unsupported-with-clear-error: TRY(expr) beyond the forms above,
+    non-literal split()/date-format patterns, non-literal AT TIME ZONE
+    zones, bounded random(m, n), and unnest arg/column-count
+    mismatches raise TrinoSqlUnsupported naming the construct, never
+    silently mis-translate.
 """
 
 from __future__ import annotations
@@ -261,13 +272,25 @@ def _split_top_level_op(s: str) -> tuple[str, str, str] | None:
     return s[:found].strip(), s[found], s[found + 1:].strip()
 
 
-def _rewrite_try(code: str) -> str:
+#: Single-call TRY targets with a native Spark ``try_`` twin. Keys are
+#: the call names as they appear when _rewrite_try runs: subscripts are
+#: already element_at (the subscript rewrite runs first), date_parse is
+#: still in Trino spelling (structural rewrites run later, so TRY
+#: handles its pattern conversion itself).
+_TRY_CALL_TWINS = {"element_at": "try_element_at",
+                   "to_timestamp": "try_to_timestamp"}
+
+
+def _rewrite_try(code: str, stash: list[str]) -> str:
     """Trino TRY(expr) → the Spark ``try_*`` family.
 
     TRY(CAST(x AS t)) → TRY_CAST(x AS t); TRY(a / b) and the other
     single-operator arithmetic forms → try_divide/try_add/try_subtract/
     try_multiply (same NULL-on-error semantics: division by zero,
-    overflow under ANSI). Anything else raises — Spark has no generic
+    overflow under ANSI); TRY(arr[i]) / TRY(element_at(x, i)) →
+    try_element_at (subscripts rewrite to element_at before TRY runs);
+    TRY(date_parse(s, '%pat')) → try_to_timestamp with the %-pattern
+    converted. Anything else raises — Spark has no generic
     expression-level TRY, and guessing would change error semantics."""
     while True:
         m = _TRY_RE.search(code)
@@ -281,6 +304,29 @@ def _rewrite_try(code: str) -> str:
             body = inner[cm.end():-1]
             code = (code[:m.start()] + f"TRY_CAST({body})" + code[close + 1:])
             continue
+        call = re.match(r"([A-Za-z_]\w*)\s*\(", inner)
+        if call and _find_close(inner, call.end() - 1) == len(inner) - 1:
+            name = call.group(1).lower()
+            body = inner[call.end():-1]
+            twin = _TRY_CALL_TWINS.get(name)
+            if twin is not None:
+                code = (code[:m.start()] + f"{twin}({body})"
+                        + code[close + 1:])
+                continue
+            if name == "date_parse":
+                args = [a.strip() for a in _split_top_level(body)]
+                pm = (re.fullmatch(r"'\x00(\d+)\x00'", args[1])
+                      if len(args) == 2 else None)
+                if pm is None:
+                    raise TrinoSqlUnsupported(
+                        "TRY(date_parse(...)) needs a literal %-pattern")
+                lit = stash[int(pm.group(1))][1:-1].replace("''", "'")
+                java = _mysql_fmt_to_java(lit) if "%" in lit else lit
+                stash.append("'" + java.replace("'", "''") + "'")
+                code = (code[:m.start()]
+                        + f"try_to_timestamp({args[0]}, "
+                        + f"'\x00{len(stash) - 1}\x00')" + code[close + 1:])
+                continue
         arith = _split_top_level_op(inner)
         if arith:
             lhs, op, rhs = arith
@@ -288,9 +334,10 @@ def _rewrite_try(code: str) -> str:
                     + f"{_TRY_ARITH_FN[op]}({lhs}, {rhs})" + code[close + 1:])
             continue
         raise TrinoSqlUnsupported(
-            "TRY(expr) is supported for TRY(CAST(x AS t)) and single-"
-            "operator arithmetic (a / b, a + b, a - b, a * b) — rewrite "
-            "other forms with try_cast/try_divide/try_add explicitly")
+            "TRY(expr) is supported for TRY(CAST(x AS t)), single-operator "
+            "arithmetic (a / b, a + b, a - b, a * b), subscripts "
+            "TRY(x[i]) / TRY(element_at(x, i)), and TRY(date_parse(s, p)) "
+            "— rewrite other forms with the try_* builtins explicitly")
 
 
 def _rewrite_unnest(code: str) -> str:
@@ -663,6 +710,98 @@ def _rewrite_subscripts(code: str) -> str:
 
 
 _AT_TIME_ZONE_RE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
+_AT_TZ_LITERAL_RE = re.compile(
+    r"\s+AT\s+TIME\s+ZONE\s+('\x00\d+\x00')", re.IGNORECASE)
+_MASKED_LIT_TAIL_RE = re.compile(
+    r"(?:(?:TIMESTAMP_NTZ|TIMESTAMP|DATE)\s*)?'\x00\d+\x00'$", re.IGNORECASE)
+
+#: Trino tz-suffixed TIMESTAMP literal content: '<date time> <zone>'
+#: where zone is a [+-]HH:MM offset or a named IANA zone (contains '/',
+#: or the literal UTC/GMT aliases — a bare word could be part of a
+#: datetime, so names are restricted to unambiguous forms).
+_TZ_SUFFIX_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)\s+"
+    r"([+-]\d{2}:\d{2}|[A-Za-z_]+/[A-Za-z_+\-0-9]+|UTC|GMT|Z)$")
+
+
+def _rewrite_tz_literals(code: str, stash: list[str]) -> str:
+    """Trino ``TIMESTAMP '2024-01-15 12:00:00 +02:00'`` (timestamp WITH
+    time zone literal) → the same INSTANT normalized to a UTC
+    TIMESTAMP_NTZ via ``convert_timezone(zone, 'UTC', ntz)``. The engine
+    has no zoned timestamp type (every fixture timestamp is NTZ), so
+    UTC-instant normalization is the faithful comparison-preserving
+    mapping; the zone's display identity is the one thing dropped."""
+    pat = re.compile(r"\bTIMESTAMP\s*'\x00(\d+)\x00'", re.IGNORECASE)
+
+    def sub(m: re.Match) -> str:
+        content = stash[int(m.group(1))][1:-1]
+        tz = _TZ_SUFFIX_RE.match(content)
+        if not tz:
+            return m.group(0)
+        dt_idx, zone_idx = len(stash), len(stash) + 1
+        stash.append(f"'{tz.group(1)}'")
+        zone = "UTC" if tz.group(2) == "Z" else tz.group(2)
+        stash.append(f"'{zone}'")
+        return (f"convert_timezone('\x00{zone_idx}\x00', 'UTC', "
+                f"TIMESTAMP_NTZ '\x00{dt_idx}\x00')")
+
+    return pat.sub(sub, code)
+
+
+def _rewrite_at_time_zone(code: str, stash: list[str]) -> str:
+    """Trino ``expr AT TIME ZONE 'zone'`` → ``convert_timezone(
+    current_timezone(), 'zone', expr)``.
+
+    Trino interprets a zone-less timestamp in the SESSION zone and
+    re-expresses the same instant in the target zone; Spark's
+    convert_timezone(src, dst, ntz) is exactly that wall-clock shift, so
+    the result is the Trino display wall-clock as TIMESTAMP_NTZ. The
+    operand is matched textually (AT binds tighter than arithmetic in
+    Trino's grammar, so only the immediately preceding primary
+    expression is taken): an identifier/qualified name, a balanced call
+    or parenthesized expression, or a (typed) literal. A non-literal
+    zone raises — a dynamic zone cannot be verified not to mean the
+    INTERVAL form, whose semantics differ."""
+    while True:
+        m = _AT_TZ_LITERAL_RE.search(code)
+        if not m:
+            if _AT_TIME_ZONE_RE.search(code):
+                raise TrinoSqlUnsupported(
+                    "AT TIME ZONE with a non-literal zone expression — "
+                    "rewrite with convert_timezone(src, dst, ts)")
+            return code
+        tz = m.group(1)
+        h = code[:m.start()].rstrip()
+        he = len(h)
+        lit = _MASKED_LIT_TAIL_RE.search(h)
+        if lit:
+            start = lit.start()
+        elif h.endswith(")"):
+            depth, j = 0, he - 1
+            while j >= 0:
+                if h[j] == ")":
+                    depth += 1
+                elif h[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            while j > 0 and _SUBSCRIPT_HEAD_RE.search(h[j - 1]):
+                j -= 1
+            start = j
+        elif _SUBSCRIPT_HEAD_RE.search(h):
+            j = he
+            while j > 0 and _SUBSCRIPT_HEAD_RE.search(h[j - 1]):
+                j -= 1
+            start = j
+        else:
+            raise TrinoSqlUnsupported(
+                "AT TIME ZONE operand not recognized — parenthesize the "
+                "expression")
+        expr = h[start:he]
+        code = (code[:start]
+                + f"convert_timezone(current_timezone(), {tz}, {expr})"
+                + code[m.end():])
 
 _CTAS_HEAD_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
@@ -761,10 +900,6 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     """Dialect rewrites over the full masked statement. ``stash[k]`` is
     the original text behind placeholder k (string literals keep their
     quotes)."""
-    if _AT_TIME_ZONE_RE.search(code):
-        raise TrinoSqlUnsupported(
-            "AT TIME ZONE is not translatable (Spark has no zoned-timestamp "
-            "expression syntax) — rewrite with convert_timezone(src, dst, ts)")
     if re.search(r"\bMATCH_RECOGNIZE\b", code, re.IGNORECASE):
         raise TrinoSqlUnsupported(
             "MATCH_RECOGNIZE has no Spark equivalent — rewrite row-pattern "
@@ -776,7 +911,7 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     code = _rewrite_ddl_head(code, stash)
     code = _rewrite_array_literals(code)
     code = _rewrite_subscripts(code)
-    code = _rewrite_try(code)
+    code = _rewrite_try(code, stash)
     code = _rewrite_unnest(code)
     code = _structural_rewrites(code, stash)
     code = _DATE_ARITH_RE.sub(
@@ -793,7 +928,9 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
         code)
     code = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", code)
     code = _TABLESAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", code)
+    code = _rewrite_tz_literals(code, stash)
     code = _TS_LITERAL_RE.sub(r"TIMESTAMP_NTZ\1", code)
+    code = _rewrite_at_time_zone(code, stash)
     return code
 
 
@@ -1024,3 +1161,50 @@ def q_trino_sql_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reproduces the surviving rows with DuckDB's lateral
     unnest + generate_series ordinal."""
     return execute_trino(spark, TRINO_SQL_UNNEST, sf_dir)
+
+
+#: Time-zone surface in pure Trino dialect: AT TIME ZONE with a named
+#: IANA zone (DST boundary visible in the data: summer/winter events
+#: shift by different amounts) and with a fixed offset, plus a
+#: tz-suffixed TIMESTAMP WITH TIME ZONE literal. Results are cast to
+#: ISO strings so both engines hash wall-clock text, not engine-local
+#: datetime representations.
+TRINO_SQL_TZ = """
+SELECT event_id,
+       CAST(date_trunc('second', ts AT TIME ZONE 'America/New_York') AS VARCHAR) AS ny_wall,
+       CAST(date_trunc('second', ts AT TIME ZONE '+05:30') AS VARCHAR) AS ist_wall,
+       CAST(TIMESTAMP '2024-01-15 12:00:00 +02:00' AS VARCHAR) AS fixed_utc,
+       date_diff('hour', TIMESTAMP '2024-01-15 12:00:00 +02:00', ts) AS hrs
+FROM events
+ORDER BY event_id
+"""
+
+
+@query(
+    "q_trino_sql_tz",
+    oracle="""
+    SELECT event_id,
+           strftime(timezone('America/New_York', timezone('UTC', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS ny_wall,
+           strftime(ts + INTERVAL 330 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS ist_wall,
+           '2024-01-15 10:00:00' AS fixed_utc,
+           CAST(trunc(epoch(ts - TIMESTAMP '2024-01-15 10:00:00')
+                / 3600) AS BIGINT) AS hrs
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("trino", "sql", "dialect", "timezone"),
+)
+def q_trino_sql_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dialect's time-zone surface (reference type lattice maps
+    TIMESTAMP_TZ, RecordServiceMetadata.java:669-677): ``expr AT TIME
+    ZONE 'zone'`` → convert_timezone(current_timezone(), zone, expr) —
+    the session zone is UTC, so the result is the Trino display
+    wall-clock — and the ``TIMESTAMP '... +02:00'`` zoned literal
+    normalized to its UTC instant as TIMESTAMP_NTZ. The oracle rebuilds
+    the same wall-clocks with DuckDB's ICU timezone() (named zone,
+    DST-correct across the fixture's date range) and plain interval
+    arithmetic (fixed offset), hash-compared at exact second precision
+    via ISO strings."""
+    return execute_trino(spark, TRINO_SQL_TZ, sf_dir)

@@ -225,11 +225,37 @@ def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
 
 
-@query("q_sample", oracle=None, tags=("scan", "sample"))
+@query(
+    "q_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem LIMIT 1000
+    """,
+    tags=("scan", "sample"),
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 sampled scan (okera_sampled_* catalogs). Row-fraction sample
-    with a fixed seed — deterministic within Spark but engine-specific,
-    so no SQL oracle (driver rows-only check); the unit test bounds the
-    sampled count within 5σ binomial of fraction·N (tests/test_bounds.py)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+    """C6 sampled scan (okera_sampled_* catalogs) in the BYTE-EXACT
+    prefix mode — the reference's actual semantics: scan up to
+    sample_max_data_size uncompressed bytes and stop
+    (RecordServiceConfig.java:404-422). The byte cap is derived from
+    the parquet footer's per-row-group byte/row accounting so the
+    prefix lands on exactly 1000 rows, making the row SET deterministic
+    and DuckDB-reproducible (LIMIT n over the same single-file order) —
+    a hard hash oracle for the sampling machinery, not a rows-only
+    check. The resulting df.limit(n) is a PUSHED limit: Spark stops
+    scanning once n rows are produced, so the cap governs bytes read.
+
+    The fraction mode (Bernoulli row sample, the okera_sampled_*
+    approximation) stays covered by the 5-sigma binomial bounds test in
+    tests/test_bounds.py — which rows a seeded Bernoulli keeps is
+    engine-specific by nature."""
+    import pyarrow.parquet as pq
+
+    from okera_trino_spark.sources.catalog import GovernedCatalog, table_path
+
+    rg = pq.read_metadata(table_path(sf_dir, "lineitem")).row_group(0)
+    avg = rg.total_byte_size / rg.num_rows
+    cat = GovernedCatalog(spark, sf_dir, sample_bytes=int(1000.5 * avg),
+                          sample_mode="prefix")
+    return cat.read("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")

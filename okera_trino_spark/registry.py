@@ -87,59 +87,37 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-5 ROTATION (the rotation round 3's verdict ordered and round 4
-#: never executed). Slots, in order:
-#:   1) the 17 keys that have NEVER had a driver row (all remaining
-#:      tpch_full composites + 8 LLM keys + q_events_outliers +
-#:      q_agg_approx_percentile) — closes the verification union at
-#:      148/148 registered keys;
-#:   2) the 3 stale-error keys (errored r1/r2, fixed, never re-driven);
-#:   3) keys whose implementation or oracle CHANGED this round and so
-#:      re-enter the window per the round-4 verdict rule (q_sort_multi
-#:      localCheckpoint rewrite; pack-id stride; ngram DF cap feeds the
-#:      ngram/cluster family);
-#:   4) the 3 new Trino-SQL string-path keys;
-#:   5) the 8 keys the r4 loader bug turned red — prove the fix to the
-#:      driver — plus the other events-dependent keys that went red in
-#:      the local parity sweep (views, streams, nested/JSON, as-of,
-#:      banded join);
-#:   6) leftover slots: the §2.5 extension keys last driven in r2
-#:      (pandas UDF/UDTF, salted agg).
+#: ROUND-6 ROTATION — freshness, not closure (the union closed in r5:
+#: all 155 then-registered keys have a driver row). Slots, in order:
+#:   1) the r5 red row (quantize — output shape fixed this round) +
+#:      keys whose implementation or oracle CHANGED in r6 (q_sample's
+#:      new byte-exact prefix oracle; the Trino-SQL string keys, whose
+#:      shared rewriter gained VARCHAR(n)/random/to_unixtime/TRY/
+#:      AT TIME ZONE handling) + the NEW r6 keys (metadata discovery,
+#:      tz surface) — new keys must sit in-window to keep the
+#:      test_entry.py union-closure invariant green;
+#:   2) the 26 keys whose only driver row is round 1 — five rounds
+#:      stale, the oldest evidence in the repo;
+#:   3) leftover slots: the oldest r2-only keys (core join/agg/scalar
+#:      family), in module order.
 _PRIORITY: tuple[str, ...] = (
-    # 1) never driver-checked
-    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
-    "q_tpch_q20", "q_tpch_q21",
-    "q_llm_vocab", "q_llm_quantize", "q_llm_repetition", "q_llm_dedup_apply",
-    "q_llm_text_stats", "q_llm_stratified", "q_llm_ann_ivf", "q_llm_ann_lsh",
-    "q_events_outliers", "q_agg_approx_percentile",
-    # 2) stale errors (r1/r2), never re-driven
-    "q_sample", "q_agg_approx_distinct", "q_llm_dedup_near",
-    # 3) rewritten this round
-    "q_sort_multi", "q_llm_pack", "q_llm_pipeline",
-    "q_llm_dedup_ngram", "q_llm_dup_clusters",
-    # 4) new: Trino-SQL string front end + L5 feature extraction
+    # 1) changed or new in r6
+    "q_llm_quantize", "q_sample", "q_meta_discovery", "q_trino_sql_tz",
     "q_trino_sql", "q_trino_sql_fns", "q_trino_sql_unnest",
-    "q_trino_tpch_q1", "q_llm_media_features",
-    # 5) r4 loader-bug reds — prove the fix
-    "q_events_funnel", "q_events_gapfill", "q_events_retention",
-    "q_fn_interval", "q_stream_slide", "q_stream_dedup",
-    "q_stream_stream_join", "q_llm_pii_scrub",
-    "q_scan_nested", "q_fn_json", "q_asof_join", "q_join_range_banded",
-    "q_stream_tumble", "q_stream_session",
-    # (q_stream_watermark — green r2, re-verified locally — yielded its
-    # re-check slot to the new q_events_sessionize key)
-    "q_events_sessionize",
-    # (q_stream_static_join — green r2, loader-fix already re-proven by
-    # the 8 required red keys above — yielded its slot to the new
-    # q_recursive_cte key)
-    "q_recursive_cte", "q_view_expand",
-    # (q_view_create_read — green r2, re-verified locally — yielded its
-    # re-check slot to the new q_llm_entropy key)
-    "q_llm_entropy",
-    # 6) new keys (outrank green-in-r2 re-checks: q_agg_salted/
-    # q_udtf_split/q_pandas_group_norm/q_udf_custom — all green r2,
-    # re-verified locally — yielded their slots)
-    "q_llm_mix", "q_agg_histogram",
+    "q_trino_tpch_q1",
+    # 2) r1-only driver evidence
+    "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
+    "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
+    "q_except_all", "q_filter_in", "q_filter_null", "q_intersect",
+    "q_intersect_all", "q_join_anti", "q_join_cross", "q_join_full",
+    "q_join_theta", "q_limit", "q_offset", "q_scan_wide",
+    "q_subquery_in", "q_subquery_scalar", "q_union_distinct", "q_values",
+    "q_win_frame_rows", "q_win_lag_lead",
+    # 3) oldest r2-only keys
+    "q_agg_group", "q_agg_rollup", "q_agg_salted", "q_agg_stats",
+    "q_case_expr", "q_count_star", "q_cte", "q_filter_range",
+    "q_fn_array", "q_fn_cast", "q_fn_date", "q_fn_string",
+    "q_join_broadcast", "q_join_inner", "q_join_left", "q_join_semi",
 )
 
 

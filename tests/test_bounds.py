@@ -41,11 +41,27 @@ def test_approx_distinct_within_sketch_error(spark, sf_dir):
 
 
 def test_sample_count_within_binomial_bounds(spark, sf_dir):
+    """Fraction-mode sampled catalog (the okera_sampled_* Bernoulli
+    approximation; the q_sample KEY now exercises the byte-exact prefix
+    mode with a hard oracle, so the fraction mode is bounds-checked
+    here directly)."""
+    from okera_trino_spark.sources.catalog import (
+        GovernedCatalog, _uncompressed_bytes)
+
     n = load_table(spark, sf_dir, "lineitem").count()
-    got = SPECS["q_sample"].fn(spark, sf_dir).count()
-    p = 0.1  # matches the query's sample fraction
+    total = _uncompressed_bytes(sf_dir, "lineitem")
+    cap = total // 10
+    cat = GovernedCatalog(spark, sf_dir, sample_bytes=cap)
+    got = cat.read("lineitem").count()
+    p = cap / total
     sigma = math.sqrt(n * p * (1 - p))
     assert abs(got - n * p) <= 5 * sigma, (got, n * p, sigma)
+
+
+def test_sample_prefix_exact_row_count(spark, sf_dir):
+    """The q_sample prefix-mode byte cap is derived to land on exactly
+    1000 rows — the determinism the hash oracle relies on."""
+    assert SPECS["q_sample"].fn(spark, sf_dir).count() == 1000
 
 
 def test_approx_percentile_within_rank_bounds(spark, sf_dir):

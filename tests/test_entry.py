@@ -19,14 +19,14 @@ def test_queries_and_oracles_aligned(spark):
     assert len(qs) > 0
 
 
-def test_driver_window_is_the_r5_rotation():
+def test_driver_window_union_closure():
     """The correctness driver records only the first 50 keys of queries().
-    The round-5 window closes the verification union: every registered
-    key must have a driver row in r1-r4 OR a slot in this window, the
-    never-checked/stale-error/rewritten/new keys must all be inside it,
-    and rows-only keys may hold a slot ONLY if they are in the
-    never-driver-checked set (their weaker rows-run check is still their
-    first driver signal)."""
+    The union closed in round 5 (every then-registered key has a driver
+    row); from round 6 the standing invariants are: every registered key
+    must have a prior driver row OR a slot in the current window (new
+    keys enter in-window), and rows-only keys may not hold a slot once
+    they have a driver row (their weaker check never improves — the slot
+    is wasted freshness)."""
     import json
     import os
 
@@ -36,15 +36,14 @@ def test_driver_window_is_the_r5_rotation():
     assert len(window) == 50
     specs = load_all_queries()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()   # keys with at least one NON-ERROR row
+    checked: set[str] = set()   # keys with at least one driver row
     for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-                "CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
+                "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
+                "CORRECTNESS_r05.json"):
         p = os.path.join(repo, rnd)
         if os.path.exists(p):
             with open(p) as f:
-                for key, row in json.load(f).items():
-                    if row.get("err") is None:
-                        checked.add(key)
+                checked.update(json.load(f))
     # union closure: every registered key checked before or in-window
     uncovered = [k for k in specs if k not in checked and k not in window]
     assert not uncovered, f"keys with no driver signal ever: {uncovered}"

@@ -370,9 +370,14 @@ def test_row_constructor_rewrite(spark, sf_dir):
     assert tuple(r) == (1, "x")
 
 
-def test_at_time_zone_raises_named_error():
-    with pytest.raises(TrinoSqlUnsupported, match="convert_timezone"):
-        rewrite_trino_sql("SELECT ts AT TIME ZONE 'America/New_York' FROM events")
+def test_at_time_zone_rewrites_literal_zone():
+    out = rewrite_trino_sql(
+        "SELECT ts AT TIME ZONE 'America/New_York' FROM events")
+    assert ("convert_timezone(current_timezone(), 'America/New_York', ts)"
+            in out)
+    # non-literal zone keeps the named-error surface
+    with pytest.raises(TrinoSqlUnsupported, match="non-literal zone"):
+        rewrite_trino_sql("SELECT ts AT TIME ZONE tz_col FROM events")
 
 
 def test_trino_dialect_view_with_policies(spark, sf_dir):
@@ -685,3 +690,31 @@ def test_ctas_format_nonliteral_raises_named_error():
     with pytest.raises(TrinoSqlUnsupported, match="format expects"):
         rewrite_trino_sql(
             "CREATE TABLE t WITH (format=parquet) AS SELECT 1 AS x")
+
+
+CASES6B = [
+    ("try_subscript",
+     # Trino TRY over an out-of-range 1-based subscript → NULL.
+     "SELECT doc_id, TRY(split(text, ' ')[2]) AS second_word, "
+     "TRY(split(text, ' ')[100000]) AS beyond "
+     "FROM documents ORDER BY doc_id LIMIT 50",
+     "SELECT doc_id, str_split(text, ' ')[2] AS second_word, "
+     "str_split(text, ' ')[100000] AS beyond "
+     "FROM documents ORDER BY doc_id LIMIT 50"),
+    ("try_date_parse",
+     "SELECT TRY(date_parse('2024-13-45', '%Y-%m-%d')) AS bad, "
+     "TRY(date_parse('2024-03-05', '%Y-%m-%d')) AS good",
+     "SELECT TRY_CAST('2024-13-45' AS TIMESTAMP) AS bad, "
+     "TIMESTAMP '2024-03-05 00:00:00' AS good"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES6B])
+def test_trino_statement_matches_oracle_wave6b(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino6b:{name}")
+
+
+def test_try_unsupported_still_raises():
+    with pytest.raises(TrinoSqlUnsupported, match="TRY"):
+        rewrite_trino_sql("SELECT TRY(upper(x)) FROM t")
