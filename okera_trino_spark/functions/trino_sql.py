@@ -183,6 +183,16 @@ _RENAMES = {
     # Trino zip(a, b, …) → array<row>; Spark arrays_zip pads with NULL
     # to the longest input exactly like Trino.
     "zip": "arrays_zip",
+    # Lambda predicates: Trino any_match/all_match → Spark exists/forall
+    # (none_match is structural: NOT exists). Trino's contains is
+    # array-membership (string search is strpos there), so the rename to
+    # array_contains is always type-correct for Trino input.
+    "any_match": "exists",
+    "all_match": "forall",
+    "contains": "array_contains",
+    # Trino format() is printf-style (Java String.format), same as
+    # Spark's format_string.
+    "format": "format_string",
 }
 
 _RENAME_RE = re.compile(
@@ -599,6 +609,78 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         return f"split({a[0]}, {requote(escaped)}{rest})"
 
     code = _rewrite_calls(code, "split", _split_fn)
+
+    # Trino regexp_split(s, p) → Spark split(s, p) (both regex). MUST
+    # run after the literal-split rewrite above, or the emitted split()
+    # would get its regex delimiter escaped as a literal.
+    code = _rewrite_calls(code, "regexp_split",
+                          lambda a: f"split({', '.join(a)})"
+                          if len(a) == 2 else None)
+    # Trino 2-arg regexp_replace removes matches; Spark requires the
+    # replacement argument.
+    code = _rewrite_calls(code, "regexp_replace",
+                          lambda a: f"regexp_replace({a[0]}, {a[1]}, '')"
+                          if len(a) == 2 else None)
+    # none_match(arr, f) → NOT exists(arr, f)
+    code = _rewrite_calls(code, "none_match",
+                          lambda a: f"(NOT exists({a[0]}, {a[1]}))"
+                          if len(a) == 2 else None)
+    # geometric_mean(x) = exp(avg(ln(x))) — identical domain behavior
+    # (x <= 0 → NULL/NaN propagation in both engines for ln).
+    code = _rewrite_calls(code, "geometric_mean",
+                          lambda a: f"exp(avg(ln({a[0]})))"
+                          if len(a) == 1 else None)
+    # infinity()/nan() constants
+    code = _rewrite_calls(code, "infinity",
+                          lambda a: "CAST('Infinity' AS DOUBLE)"
+                          if len(a) == 1 and a[0] == "" else None)
+    code = _rewrite_calls(code, "nan",
+                          lambda a: "CAST('NaN' AS DOUBLE)"
+                          if len(a) == 1 and a[0] == "" else None)
+
+    # Trino truncate(x) rounds toward zero keeping the DOUBLE type;
+    # Spark floor/ceil return BIGINT, so re-cast. The 2-arg decimal
+    # form has no faithful one-liner (scale-preserving decimal trunc)
+    # — named error.
+    def _truncate_fn(a):
+        if len(a) == 1:
+            return (f"CAST(CASE WHEN ({a[0]}) < 0 THEN ceil({a[0]}) "
+                    f"ELSE floor({a[0]}) END AS DOUBLE)")
+        raise TrinoSqlUnsupported(
+            "truncate(x, n) decimal-scale form — rewrite with "
+            "floor/ceil at the target scale explicitly")
+
+    code = _rewrite_calls(code, "truncate", _truncate_fn)
+
+    # URL family → Spark parse_url parts.
+    for name, part in (("url_extract_protocol", "PROTOCOL"),
+                       ("url_extract_host", "HOST"),
+                       ("url_extract_path", "PATH"),
+                       ("url_extract_query", "QUERY"),
+                       ("url_extract_fragment", "REF")):
+        code = _rewrite_calls(
+            code, name,
+            lambda a, part=part: f"parse_url({a[0]}, '{part}')"
+            if len(a) == 1 else None)
+    # Trino url_extract_port returns BIGINT. Spark 4's parse_url PORT
+    # part yields NULL (the java.net.URI-based extractor dropped it), so
+    # the port is taken by regex from the authority instead.
+    code = _rewrite_calls(
+        code, "url_extract_port",
+        lambda a: ("CAST(nullif(regexp_extract("
+                   f"{a[0]}, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?"
+                   "[^/:?#]*:([0-9]+)', 1), '') AS BIGINT)")
+        if len(a) == 1 else None)
+    code = _rewrite_calls(code, "url_extract_parameter",
+                          lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})"
+                          if len(a) == 2 else None)
+    # UTF-8 codec pair
+    code = _rewrite_calls(code, "to_utf8",
+                          lambda a: f"encode({a[0]}, 'UTF-8')"
+                          if len(a) == 1 else None)
+    code = _rewrite_calls(code, "from_utf8",
+                          lambda a: f"decode({a[0]}, 'UTF-8')"
+                          if len(a) == 1 else None)
 
     # Trino date_format/date_parse use MySQL %-patterns; Spark's
     # date_format/to_timestamp take Java patterns.
@@ -1208,3 +1290,51 @@ def q_trino_sql_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (fixed offset), hash-compared at exact second precision
     via ISO strings."""
     return execute_trino(spark, TRINO_SQL_TZ, sf_dir)
+
+
+#: Wave-7 function breadth in one statement: lambda predicates
+#: (any_match/all_match/none_match), cardinality, array-membership
+#: contains, printf-style format, the 2-arg regexp forms, geometric
+#: mean, and the URL-decomposition family — the long tail a migrating
+#: Trino workload hits after the first week.
+TRINO_SQL_BREADTH = """
+SELECT doc_id,
+       cardinality(split(text, ' ')) AS n_words,
+       any_match(split(text, ' '), x -> length(x) > 8) AS has_long,
+       none_match(split(text, ' '), x -> length(x) > 50) AS none_huge,
+       contains(split(text, ' '), 'the') AS has_the,
+       format('%s#%d', lang, doc_id) AS tag,
+       length(regexp_replace(text, '[aeiou]')) AS novowel_len,
+       url_extract_host('http://docs.example.com:8443/d/'
+                        || CAST(doc_id AS VARCHAR)) AS host,
+       url_extract_port('http://docs.example.com:8443/x') AS port
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query(
+    "q_trino_sql_breadth",
+    oracle="""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_words,
+           len(list_filter(str_split(text, ' '),
+               x -> length(x) > 8)) > 0 AS has_long,
+           len(list_filter(str_split(text, ' '),
+               x -> length(x) > 50)) = 0 AS none_huge,
+           list_contains(str_split(text, ' '), 'the') AS has_the,
+           printf('%s#%d', lang, doc_id) AS tag,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+           'docs.example.com' AS host,
+           CAST(8443 AS BIGINT) AS port
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-7 dialect breadth through the string path — every function
+    family in TRINO_SQL_BREADTH compiles to a JVM builtin (lambda
+    higher-order functions, format_string, regexp, parse_url), so the
+    rewritten plan stays whole-stage codegen with zero Python UDFs."""
+    return execute_trino(spark, TRINO_SQL_BREADTH, sf_dir)

@@ -718,3 +718,86 @@ def test_trino_statement_matches_oracle_wave6b(name, trino, duck, spark, sf_dir,
 def test_try_unsupported_still_raises():
     with pytest.raises(TrinoSqlUnsupported, match="TRY"):
         rewrite_trino_sql("SELECT TRY(upper(x)) FROM t")
+
+
+# ------------------------------------------------- wave 7: fn breadth
+CASES7 = [
+    ("lambda_matches",
+     "SELECT doc_id, any_match(split(text, ' '), x -> length(x) > 8) AS has_long, "
+     "all_match(split(text, ' '), x -> length(x) > 0) AS all_nonempty, "
+     "none_match(split(text, ' '), x -> length(x) > 50) AS none_huge, "
+     "cardinality(split(text, ' ')) AS n_words "
+     "FROM documents ORDER BY doc_id",
+     "SELECT doc_id, "
+     "len(list_filter(str_split(text, ' '), x -> length(x) > 8)) > 0 AS has_long, "
+     "len(list_filter(str_split(text, ' '), x -> length(x) = 0)) = 0 AS all_nonempty, "
+     "len(list_filter(str_split(text, ' '), x -> length(x) > 50)) = 0 AS none_huge, "
+     "len(str_split(text, ' ')) AS n_words "
+     "FROM documents ORDER BY doc_id"),
+    ("array_contains_rename",
+     "SELECT doc_id, contains(split(text, ' '), 'the') AS has_the "
+     "FROM documents ORDER BY doc_id",
+     "SELECT doc_id, list_contains(str_split(text, ' '), 'the') AS has_the "
+     "FROM documents ORDER BY doc_id"),
+    ("reduce_passthrough",
+     # Spark's reduce(arr, init, merge[, finish]) matches Trino's
+     # 4-arg form natively — verify the text passes through unharmed.
+     "SELECT doc_id, reduce(split(text, ' '), 0, (s, x) -> s + length(x), s -> s) AS chars "
+     "FROM documents ORDER BY doc_id",
+     "SELECT doc_id, list_reduce(list_prepend(0, "
+     "list_transform(str_split(text, ' '), x -> length(x))), (s, x) -> s + x) AS chars "
+     "FROM documents ORDER BY doc_id"),
+    ("geometric_mean_rewrite",
+     "SELECT l_linestatus, round(geometric_mean(l_quantity), 6) AS gm "
+     "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
+     "SELECT l_linestatus, round(exp(avg(ln(l_quantity))), 6) AS gm "
+     "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    ("format_printf",
+     "SELECT format('%s/%d', o_orderstatus, o_orderkey) AS tag "
+     "FROM orders ORDER BY o_orderkey LIMIT 100",
+     "SELECT printf('%s/%d', o_orderstatus, o_orderkey) AS tag "
+     "FROM orders ORDER BY o_orderkey LIMIT 100"),
+    ("regexp_two_arg_forms",
+     "SELECT doc_id, regexp_replace(text, '[aeiou]') AS novowel, "
+     "cardinality(regexp_split(text, '[0-9]+')) AS n_chunks "
+     "FROM documents ORDER BY doc_id LIMIT 50",
+     "SELECT doc_id, regexp_replace(text, '[aeiou]', '', 'g') AS novowel, "
+     "len(str_split_regex(text, '[0-9]+')) AS n_chunks "
+     "FROM documents ORDER BY doc_id LIMIT 50"),
+    ("truncate_toward_zero",
+     # +0.0 normalizes IEEE negative zero on both sides (Trino's own
+     # truncate emits -0.0 for (-1, 0) inputs; DuckDB's trunc too, but
+     # Spark's ceil goes through BIGINT and loses the sign bit).
+     "SELECT o_orderkey, truncate(o_totalprice / 1000 - 100) + 0.0 AS t "
+     "FROM orders ORDER BY o_orderkey LIMIT 200",
+     "SELECT o_orderkey, CAST(trunc(o_totalprice / 1000 - 100) AS DOUBLE) + 0.0 AS t "
+     "FROM orders ORDER BY o_orderkey LIMIT 200"),
+    ("url_family",
+     "SELECT o_orderkey, "
+     "url_extract_host('http://shop.example.com:8080/orders?id=' || CAST(o_orderkey AS VARCHAR)) AS host, "
+     "url_extract_port('http://shop.example.com:8080/x') AS port, "
+     "url_extract_path('http://shop.example.com:8080/orders/a') AS path, "
+     "url_extract_parameter('http://e.com/x?id=' || CAST(o_orderkey AS VARCHAR) || '&v=2', 'id') AS id "
+     "FROM orders ORDER BY o_orderkey LIMIT 50",
+     "SELECT o_orderkey, 'shop.example.com' AS host, CAST(8080 AS BIGINT) AS port, "
+     "'/orders/a' AS path, CAST(o_orderkey AS VARCHAR) AS id "
+     "FROM orders ORDER BY o_orderkey LIMIT 50"),
+    ("utf8_roundtrip",
+     "SELECT doc_id, from_utf8(to_utf8(text)) = text AS rt "
+     "FROM documents ORDER BY doc_id",
+     "SELECT doc_id, TRUE AS rt FROM documents ORDER BY doc_id"),
+    ("infinity_nan",
+     "SELECT is_nan(nan()) AS isn, infinity() > 1e308 AS inf",
+     "SELECT TRUE AS isn, TRUE AS inf"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES7])
+def test_trino_statement_matches_oracle_wave7(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino7:{name}")
+
+
+def test_truncate_scale_form_raises():
+    with pytest.raises(TrinoSqlUnsupported, match="truncate"):
+        rewrite_trino_sql("SELECT truncate(x, 2) FROM t")
