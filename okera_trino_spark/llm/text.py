@@ -626,3 +626,133 @@ def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("word_entropy"),
         (h < 3.0).alias("flagged"),
     )
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS s,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+                            tf.word) AS rnk
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, round(s, 4) AS tfidf, rnk
+    FROM scored WHERE rnk <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 keyword extraction: top-3 terms per document by tf-idf with
+    smoothed idf = ln((N+1)/(df+1)) — the standard per-doc topical
+    summary used for corpus browsing, topic balancing, and cheap
+    relevance features.
+
+    Scale shape: ONE explode pass builds (doc, word) term counts
+    (map-side combinable groupBy); document frequency then comes from
+    the tf relation itself (one row per distinct (doc, word), so
+    count(*) per word IS the df — no second scan of the corpus). The
+    tf-df join shuffles on the word key (AQE broadcasts the df side
+    when the vocabulary is small); the top-3 is a per-doc row_number
+    window — partitioned by doc_id, never partition-less. Ties at
+    equal (tf, df) produce bit-identical scores in both engines (same
+    double formula), broken deterministically by the word itself.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+            .filter(F.col("word") != ""))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.count_distinct("doc_id").alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("word"))
+    return (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", F.round(score, 4).alias("tfidf"), "rnk")
+    )
+
+
+@query(
+    "q_llm_trigram_lm",
+    oracle="""
+    WITH tc AS (
+        SELECT doc_id, tri, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, length(lower(text)) - 1),
+                            i -> substring(lower(text), i, 3))) AS tri
+              FROM documents)
+        GROUP BY 1, 2
+    ), model AS (
+        SELECT tri, CAST(sum(c) AS BIGINT) AS cnt FROM tc GROUP BY tri
+    ), total AS (
+        SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM model
+    )
+    SELECT tc.doc_id,
+           CAST(sum(tc.c) AS BIGINT) AS n_tris,
+           round(-sum(tc.c * ln(model.cnt / total.t)) / sum(tc.c), 4)
+               AS xent,
+           round(-sum(tc.c * ln(model.cnt / total.t)) / sum(tc.c), 4) > 8.0
+               AS flagged
+    FROM tc JOIN model USING (tri) CROSS JOIN total
+    GROUP BY tc.doc_id
+    """,
+    tags=("llm", "text", "lm"),
+)
+def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 statistical language-model scoring: per-document cross-entropy
+    under a char-trigram unigram model trained on the corpus itself —
+    the KenLM-style perplexity filter of large-scale pipelines (CCNet,
+    RefinedWeb): documents whose character statistics diverge from the
+    corpus (binary junk, exotic boilerplate) score high and get flagged.
+
+    Scale shape: trigrams come from a higher-order transform over a
+    character-index sequence (pure codegen, no UDF), collapsed
+    IMMEDIATELY to per-doc trigram counts (map-side combine — the
+    shuffle carries (doc, tri, c), ~40x smaller than raw trigram rows).
+    The model is a second groupBy over those counts; scoring joins on
+    the trigram key (AQE broadcasts the model when the trigram alphabet
+    is small — at most |charset|^3 entries, so the model side is
+    bounded regardless of corpus size: at 100 TB it is STILL a
+    broadcast). The corpus total is a 1-row broadcast. Cross-entropy
+    sums ln() terms per doc and rounds at 4 decimals before the flag
+    compare (entropy-gate precedent), so float summation order cannot
+    flip a boundary doc.
+    """
+    d = t(spark, sf_dir, "documents")
+    tris = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN length(lower(text)) >= 3 THEN "
+            "transform(sequence(1, length(lower(text)) - 2), "
+            "i -> substring(lower(text), i, 3)) "
+            "ELSE array() END")).alias("tri"))
+    tc = tris.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
+    model = tc.groupBy("tri").agg(F.sum("c").alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("double").alias("t"))
+    xent = F.round(
+        -F.sum(F.col("c") * F.log(F.col("cnt") / F.col("t"))) / F.sum("c"), 4)
+    return (
+        tc.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tris"), xent.alias("xent"))
+        .withColumn("flagged", F.col("xent") > 8.0)
+    )
