@@ -1,0 +1,156 @@
+"""Row-pattern recognition — a Spark-first MATCH_RECOGNIZE subset.
+
+Trino ships SQL row-pattern matching (MATCH_RECOGNIZE, part of the
+Trino-400 surface the reference delegates to its hosting engine); Spark
+has no equivalent, and the string front end refuses the syntax with a
+named error (functions/trino_sql.py) rather than mis-translating. This
+module supplies the OPERATOR under the restricted semantics that cover
+the funnel/journey queries MATCH_RECOGNIZE is actually used for in
+events analytics:
+
+- ``ONE ROW PER MATCH`` output;
+- ``AFTER MATCH SKIP PAST LAST ROW`` (non-overlapping, leftmost-first,
+  greedy quantifiers — exactly Python/RE2 ``finditer`` semantics);
+- row classification (DEFINE) is pattern-independent: each symbol is a
+  plain boolean Column over the row, evaluated JVM-side before any
+  Python runs; the first symbol whose predicate holds classifies the
+  row (MATCH_RECOGNIZE's lexical DEFINE order). PREV/NEXT-style
+  conditions are expressed by passing lag/lead columns into the
+  predicate — the caller builds them with a window, keeping that part
+  in codegen too.
+
+Execution shape (100 TB): classification and the (partition, order)
+shuffle are pure Catalyst; only the per-partition regex walk runs in
+Python, as an Arrow-batched ``applyInPandas`` over the partition key —
+one pass, no second shuffle, measures computed on the matched row
+slice. The per-key group must fit executor memory: the same contract as
+session windows / applyInPandasWithState, and the natural key (user,
+session, device) is exactly the MATCH_RECOGNIZE PARTITION BY.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from okera_trino_spark.operators._util import t
+from okera_trino_spark.registry import query
+
+#: Pattern alphabet guard: single-uppercase-letter symbols composed with
+#: regex quantifiers/groups/alternation only — anything else (dots,
+#: classes, anchors) would silently match the non-symbol filler char.
+_PATTERN_OK_RE = re.compile(r"^[A-Z()|*+?{},0-9\s]+$")
+
+#: Classification char for rows matching no symbol. '.' is safe filler:
+#: it can appear in the symbol STRING but never in a validated PATTERN,
+#: so it can never be matched.
+_NO_SYMBOL = "."
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    symbols: list[tuple[str, Column]],
+    pattern: str,
+    measures: dict[str, Callable[[pd.DataFrame, re.Match], object]] | None = None,
+    measure_schema: str = "",
+) -> DataFrame:
+    """ONE-ROW-PER-MATCH row-pattern matching over ``df``.
+
+    ``symbols`` is an ordered list of (single uppercase letter, boolean
+    Column); a row takes the FIRST letter whose predicate is true, else
+    an unmatchable filler. ``pattern`` is a regex over those letters
+    (quantifiers, groups, alternation). Output columns: the partition
+    keys, ``match_num`` (1-based per partition, in order-by order),
+    ``matched`` (the matched symbol string), plus one column per entry
+    of ``measures`` — each a callable over (matched row slice, regex
+    match) declared in ``measure_schema`` (DDL fragment, e.g.
+    ``"n_clicks bigint, total double"``).
+    """
+    if not _PATTERN_OK_RE.match(pattern):
+        raise ValueError(
+            f"pattern {pattern!r}: only A-Z symbols with regex "
+            "quantifiers/groups/alternation are supported")
+    for name, _ in symbols:
+        if not re.fullmatch(r"[A-Z]", name):
+            raise ValueError(f"symbol {name!r}: must be one uppercase letter")
+    compiled = re.compile(pattern.replace(" ", ""))
+    measures = measures or {}
+
+    sym_col = F.lit(_NO_SYMBOL)
+    for name, cond in reversed(symbols):
+        sym_col = F.when(cond, F.lit(name)).otherwise(sym_col)
+
+    classified = df.withColumn("_sym", sym_col)
+    out_schema = ", ".join(
+        [f"{c} {classified.schema[c].dataType.simpleString()}"
+         for c in partition_by]
+        + ["match_num bigint", "matched string"]
+        + ([measure_schema] if measure_schema else []))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        s = "".join(pdf["_sym"])
+        rows = []
+        keys = [pdf.iloc[0][c] for c in partition_by]
+        for i, m in enumerate(compiled.finditer(s), start=1):
+            chunk = pdf.iloc[m.start():m.end()]
+            rows.append(keys + [i, m.group(0)]
+                        + [fn(chunk, m) for fn in measures.values()])
+        cols = partition_by + ["match_num", "matched"] + list(measures)
+        return pd.DataFrame(rows, columns=cols)
+
+    return classified.groupBy(*partition_by).applyInPandas(run, out_schema)
+
+
+@query(
+    "q_events_pattern",
+    oracle="""
+    WITH sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), matches AS (
+        SELECT user_id,
+               unnest(regexp_extract_all(s, 'VC+P')) AS matched,
+               generate_subscripts(regexp_extract_all(s, 'VC+P'), 1)
+                   AS match_num
+        FROM sym
+    )
+    SELECT user_id, CAST(match_num AS BIGINT) AS match_num, matched,
+           CAST(length(matched) - 2 AS BIGINT) AS n_clicks
+    FROM matches
+    """,
+    tags=("pattern", "events"),
+)
+def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern funnel: per user in time order, every non-overlapping
+    ``view click+ purchase`` run (ONE ROW PER MATCH, AFTER MATCH SKIP
+    PAST LAST ROW, greedy) — the MATCH_RECOGNIZE query shape Trino users
+    write for conversion analysis, as the match_recognize operator.
+
+    The oracle replays the exact semantics in DuckDB: the classified
+    symbol string per user (same (ts, event_id) order), RE2
+    regexp_extract_all for the leftmost-first non-overlapping greedy
+    matches — proving the operator against an independent regex engine.
+    """
+    e = t(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[("V", F.col("event_type") == "view"),
+                 ("C", F.col("event_type") == "click"),
+                 ("P", F.col("event_type") == "purchase")],
+        pattern="VC+P",
+        measures={"n_clicks": lambda chunk, m: int(m.group(0).count("C"))},
+        measure_schema="n_clicks bigint",
+    )

@@ -596,6 +596,8 @@ class GovernedCatalog:
             "SELECT ? AS property, ? AS value", args=[name, str(value)])
 
     # ------------------------------------------------- metadata statements
+    _SHOW_CATALOGS_RE = re.compile(
+        r"^\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE)
     _SHOW_SCHEMAS_RE = re.compile(
         r"^\s*SHOW\s+SCHEMAS(?:\s+(?:FROM|IN)\s+[\w.`\"]+)?"
         r"(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE)
@@ -631,6 +633,15 @@ class GovernedCatalog:
         ``col_name, data_type, comment``) so existing clients parse them
         unchanged. Returns None when ``sql`` is not a metadata
         statement."""
+        m = self._SHOW_CATALOGS_RE.match(sql)
+        if m:
+            # The three connector flavors the reference plugin registers
+            # (RecordServicePlugin.java:61-67): this instance's name plus
+            # the byte-capped sampled variants.
+            cats = sorted({self.catalog_name, "okera",
+                           "okera_sampled_10mb", "okera_sampled_100mb"})
+            rows = [(c,) for c in self._like(m.group(1), cats)]
+            return self.spark.createDataFrame(rows, "catalog string")
         m = self._SHOW_SCHEMAS_RE.match(sql)
         if m:
             rows = [(s,) for s in self._like(m.group(1), self.list_schemas())]

@@ -595,3 +595,11 @@ def test_execute_metadata_on_trino_dialect(cat):
     assert rows[0].data_type == "bigint"
     schemas = cat.execute("SHOW SCHEMAS LIKE 'll%'", dialect="trino").collect()
     assert [r.namespace for r in schemas] == ["llm"]
+
+
+def test_execute_show_catalogs(cat):
+    rows = cat.execute("SHOW CATALOGS").collect()
+    assert [r.catalog for r in rows] == [
+        "okera", "okera_sampled_100mb", "okera_sampled_10mb"]
+    like = cat.execute("SHOW CATALOGS LIKE '%10mb'", dialect="trino").collect()
+    assert [r.catalog for r in like] == ["okera_sampled_10mb"]
