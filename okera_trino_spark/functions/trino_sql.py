@@ -988,8 +988,10 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
             "logic with window functions (lag/lead + running flags)")
     if re.search(r"\bGROUPS\s+BETWEEN\b", code, re.IGNORECASE):
         raise TrinoSqlUnsupported(
-            "GROUPS window frames are not supported by Spark — rewrite with "
-            "a RANGE frame over dense_rank or a self-join on the peer group")
+            "GROUPS window frames are not supported by Spark SQL text — "
+            "use operators.windows.groups_frame (dense_rank + RANGE "
+            "equivalence, one shared exchange+sort) or rewrite with a "
+            "RANGE frame over dense_rank")
     code = _rewrite_ddl_head(code, stash)
     code = _rewrite_array_literals(code)
     code = _rewrite_subscripts(code)

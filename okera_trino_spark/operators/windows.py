@@ -150,3 +150,66 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus",
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+def groups_frame(df: DataFrame, partition_by: list[str], order_by: list[str],
+                 preceding: int, following: int,
+                 aggs: dict[str, "F.Column"]) -> DataFrame:
+    """GROUPS window frames — the ANSI frame mode Trino supports and
+    Spark lacks (the string front end names the gap) — via the exact
+    peer-group equivalence: ``GROUPS BETWEEN n PRECEDING AND m
+    FOLLOWING`` aggregates over the rows whose dense_rank (same
+    partition/order) lies within [current - n, current + m]. So two
+    window passes over ONE exchange+sort: dense_rank assigns the group
+    index, then a RANGE frame on that index is definitionally the
+    GROUPS frame. ``aggs`` maps output column name -> aggregate Column
+    (e.g. ``F.sum("x")``)."""
+    grp = F.dense_rank().over(
+        Window.partitionBy(*partition_by).orderBy(*order_by))
+    w = (Window.partitionBy(*partition_by).orderBy("_grp")
+         .rangeBetween(-preceding, following))
+    out = df.withColumn("_grp", grp)
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out.drop("_grp")
+
+
+@query(
+    "q_win_frame_groups",
+    oracle="""
+    WITH g AS (
+        SELECT p_partkey, p_brand, p_size, p_retailprice,
+               dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size)
+                   AS grp
+        FROM part
+    ), gs AS (
+        SELECT p_brand, grp, sum(p_retailprice) AS s, count(*) AS c
+        FROM g GROUP BY 1, 2
+    )
+    SELECT g.p_partkey, g.p_brand, g.p_size,
+           CAST(sum(gs.c) AS BIGINT) AS n_band,
+           round(sum(gs.s), 4) AS sum_band
+    FROM g JOIN gs
+      ON gs.p_brand = g.p_brand AND gs.grp BETWEEN g.grp - 2 AND g.grp
+    GROUP BY g.p_partkey, g.p_brand, g.p_size
+    """,
+    tags=("window", "frame"),
+)
+def q_win_frame_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 GROUPS frame: per part, count and price mass of the 2
+    preceding size-peer GROUPS plus the current group within the brand
+    (``GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW``). Spark has no
+    GROUPS mode; the groups_frame helper lowers it to dense_rank +
+    RANGE — both windows share one exchange+sort, so the plan cost
+    equals a native GROUPS frame. The oracle deliberately avoids the
+    same trick's window form: it recomputes the frame as a banded join
+    on per-group partial aggregates — an independent formulation of the
+    same semantics."""
+    p = t(spark, sf_dir, "part")
+    out = groups_frame(
+        p, ["p_brand"], ["p_size"], preceding=2, following=0,
+        aggs={"n_band": F.count("*"),
+              "sum_band_raw": F.sum("p_retailprice")})
+    return out.select(
+        "p_partkey", "p_brand", "p_size",
+        "n_band", r4(F.col("sum_band_raw")).alias("sum_band"))
