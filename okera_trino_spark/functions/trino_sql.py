@@ -984,8 +984,10 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     quotes)."""
     if re.search(r"\bMATCH_RECOGNIZE\b", code, re.IGNORECASE):
         raise TrinoSqlUnsupported(
-            "MATCH_RECOGNIZE has no Spark equivalent — rewrite row-pattern "
-            "logic with window functions (lag/lead + running flags)")
+            "MATCH_RECOGNIZE cannot be rewritten as pure text — run it "
+            "through execute_trino/GovernedCatalog.execute, which lower the "
+            "supported subset onto the match_recognize operator "
+            "(operators/pattern.py)")
     if re.search(r"\bGROUPS\s+BETWEEN\b", code, re.IGNORECASE):
         raise TrinoSqlUnsupported(
             "GROUPS window frames are not supported by Spark SQL text — "
@@ -1018,8 +1020,9 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     return code
 
 
-def rewrite_trino_sql(sql: str) -> str:
-    """Rewrite a Trino-dialect SQL string to Spark SQL (pure text)."""
+def _mask(sql: str) -> tuple[str, list[str]]:
+    """Mask string literals/comments behind atomic placeholders and
+    convert "quoted" identifiers to backticks. Returns (masked, stash)."""
     if "\x00" in sql or "\x01" in sql:
         raise TrinoSqlUnsupported("NUL/SOH bytes in SQL text")
     stash: list[str] = []
@@ -1037,10 +1040,259 @@ def rewrite_trino_sql(sql: str) -> str:
             masked_parts.append("`" + text[1:-1].replace('""', '"') + "`")
         else:
             masked_parts.append(text)
-    code = _rewrite_code("".join(masked_parts), stash)
+    return "".join(masked_parts), stash
+
+
+def _unmask(code: str, stash: list[str]) -> str:
     code = _STRING_PH_RE.sub(lambda m: stash[int(m.group(1))], code)
-    code = _COMMENT_PH_RE.sub(lambda m: stash[int(m.group(1))], code)
-    return code
+    return _COMMENT_PH_RE.sub(lambda m: stash[int(m.group(1))], code)
+
+
+def rewrite_trino_sql(sql: str) -> str:
+    """Rewrite a Trino-dialect SQL string to Spark SQL (pure text)."""
+    masked, stash = _mask(sql)
+    return _unmask(_rewrite_code(masked, stash), stash)
+
+
+# ------------------------------------------------- MATCH_RECOGNIZE path
+
+_MR_FROM_RE = re.compile(
+    r"([\w.`]+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+_MR_ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(\w+)", re.IGNORECASE)
+_MR_SECTIONS = [
+    ("partition", r"PARTITION\s+BY\b"),
+    ("order", r"ORDER\s+BY\b"),
+    ("measures", r"MEASURES\b"),
+    ("rows_per", r"(?:ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\b"),
+    ("after", r"AFTER\s+MATCH\b"),
+    ("pattern", r"PATTERN\b"),
+    ("subset", r"SUBSET\b"),
+    ("define", r"DEFINE\b"),
+]
+_MR_AGG_RE = re.compile(
+    r"^(first|last|sum|avg|min|max)\s*\(\s*([\w`]+)\s*\)$", re.IGNORECASE)
+_MR_FORBIDDEN_RE = re.compile(
+    r"\b(?:PREV|NEXT)\s*\(|\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]", re.IGNORECASE)
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _mr_parse_sections(inner: str) -> dict[str, str]:
+    """Slice the MATCH_RECOGNIZE body into its clause texts by keyword
+    position (clauses appear in grammar order; each value is the text
+    between its keyword and the next)."""
+    hits = []
+    for name, pat in _MR_SECTIONS:
+        m = re.search(pat, inner)
+        if m:
+            hits.append((m.start(), m.end(), name))
+    hits.sort()
+    out = {}
+    for i, (start, end, name) in enumerate(hits):
+        stop = hits[i + 1][0] if i + 1 < len(hits) else len(inner)
+        out[name] = inner[end:stop].strip()
+    return out
+
+
+def execute_match_recognize(spark: SparkSession, sql: str,
+                            params: list | None = None) -> DataFrame | None:
+    """Execute a statement whose FROM clause is ``tbl MATCH_RECOGNIZE
+    (...)`` by lowering the pattern block onto the match_recognize
+    operator (operators/pattern.py) and splicing its result back into
+    the surrounding statement, which then runs through the normal
+    dialect rewrite. Returns None when the statement has no
+    MATCH_RECOGNIZE block (caller falls through to the plain path).
+
+    Supported subset (anything else raises TrinoSqlUnsupported naming
+    the construct):
+    - PARTITION BY + ORDER BY required (an unpartitioned pattern scan
+      is a single serial partition — in Trino too — and is refused
+      rather than silently bottlenecked);
+    - ONE ROW PER MATCH (default) and AFTER MATCH SKIP PAST LAST ROW
+      (default) only — the operator's semantics;
+    - every pattern variable must be DEFINEd with a pattern-independent
+      row predicate (no PREV/NEXT or variable-qualified references —
+      an undefined variable is always-true in Trino, which breaks
+      first-match-wins classification);
+    - MEASURES limited to match_number(), classifier(), count(*), and
+      first/last/sum/avg/min/max over a bare column.
+    Output columns follow Trino's ONE ROW PER MATCH shape: the
+    partition keys plus the measures (plus match_num/matched when no
+    measures are declared).
+    """
+    masked, stash = _mask(sql)
+    m = _MR_FROM_RE.search(masked)
+    if not m:
+        return None
+    table = m.group(1).strip("`")
+    open_idx = m.end() - 1
+    close = _find_close(masked, open_idx)
+    sections = _mr_parse_sections(masked[open_idx + 1:close])
+
+    if "subset" in sections:
+        raise TrinoSqlUnsupported("MATCH_RECOGNIZE SUBSET is not supported")
+    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", masked[open_idx + 1:close],
+                 re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            "ALL ROWS PER MATCH — only ONE ROW PER MATCH is supported")
+    after = sections.get("after")
+    if after and not re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", after,
+                                  re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            f"AFTER MATCH {after!r} — only SKIP PAST LAST ROW is supported")
+    if "partition" not in sections or "order" not in sections:
+        raise TrinoSqlUnsupported(
+            "MATCH_RECOGNIZE requires PARTITION BY and ORDER BY here (an "
+            "unpartitioned pattern scan is a single serial partition)")
+    if "pattern" not in sections or "define" not in sections:
+        raise TrinoSqlUnsupported("MATCH_RECOGNIZE needs PATTERN and DEFINE")
+
+    partition_by = [c.strip().strip("`")
+                    for c in sections["partition"].split(",")]
+    order_by = [re.sub(r"\s+ASC$", "", c.strip(), flags=re.IGNORECASE)
+                .strip("`") for c in sections["order"].split(",")]
+    if any(re.search(r"\sDESC$", c, re.IGNORECASE) for c in order_by):
+        raise TrinoSqlUnsupported(
+            "MATCH_RECOGNIZE ORDER BY ... DESC is not supported")
+
+    pat_text = sections["pattern"].strip()
+    pm = re.match(r"\(", pat_text)
+    if not pm:
+        raise TrinoSqlUnsupported("PATTERN must be parenthesized")
+    pat_body = pat_text[1:_find_close(pat_text, 0)]
+
+    from pyspark.sql import functions as F
+
+    from okera_trino_spark.operators.pattern import match_recognize
+
+    # DEFINE: ordered (variable, predicate) pairs; predicates go through
+    # the full dialect rewrite as expression fragments.
+    defines = []
+    for item in _split_top_level(sections["define"]):
+        dm = re.match(r"\s*(\w+)\s+AS\s+(.+)$", item.strip(),
+                      re.IGNORECASE | re.DOTALL)
+        if not dm:
+            raise TrinoSqlUnsupported(f"unparsable DEFINE item: {item!r}")
+        var, cond = dm.group(1), dm.group(2)
+        if _MR_FORBIDDEN_RE.search(cond):
+            raise TrinoSqlUnsupported(
+                f"DEFINE {var}: PREV/NEXT or pattern-variable-qualified "
+                "references are not supported (row classification must be "
+                "pattern-independent)")
+        defines.append((var.upper(),
+                        _unmask(_rewrite_code(cond, stash), stash)))
+    if len(defines) > 26:
+        raise TrinoSqlUnsupported("more than 26 pattern variables")
+    letters = {var: chr(ord("A") + i) for i, (var, _) in enumerate(defines)}
+
+    # PATTERN: identifiers must all be defined; quantifier punctuation
+    # passes through (validated again by the operator).
+    pattern = ""
+    for tok in re.finditer(r"[A-Za-z_]\w*|[^A-Za-z_\s]", pat_body):
+        text = tok.group(0)
+        if re.match(r"[A-Za-z_]", text):
+            if text.upper() not in letters:
+                raise TrinoSqlUnsupported(
+                    f"pattern variable {text} has no DEFINE (always-true "
+                    "variables break first-match-wins classification)")
+            pattern += letters[text.upper()]
+        else:
+            pattern += text
+
+    df = spark.table(table)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    measures: dict = {}
+    schema_parts: list[str] = []
+    renames: list[tuple[str, str]] = []   # (output col, alias)
+    if sections.get("measures"):
+        for item in _split_top_level(sections["measures"]):
+            mm = re.match(r"\s*(.+?)\s+AS\s+(\w+)\s*$", item.strip(),
+                          re.IGNORECASE | re.DOTALL)
+            if not mm:
+                raise TrinoSqlUnsupported(
+                    f"MEASURES item needs AS alias: {item!r}")
+            expr, alias = mm.group(1).strip(), mm.group(2)
+            if re.fullmatch(r"match_number\s*\(\s*\)", expr, re.IGNORECASE):
+                renames.append(("match_num", alias))
+                continue
+            if re.fullmatch(r"classifier\s*\(\s*\)", expr, re.IGNORECASE):
+                # Trino ONE ROW PER MATCH classifier(): the pattern
+                # variable of the LAST row of the match, by its
+                # original (upper-cased) name.
+                rev = {letter: var for var, letter in letters.items()}
+                measures[alias] = (
+                    lambda c, m, rev=rev: rev[m.group(0)[-1]])
+                schema_parts.append(f"{alias} string")
+                continue
+            if re.fullmatch(r"count\s*\(\s*\*?\s*\)", expr, re.IGNORECASE):
+                measures[alias] = lambda c, m: len(c)
+                schema_parts.append(f"{alias} bigint")
+                continue
+            am = _MR_AGG_RE.match(expr)
+            if not am:
+                raise TrinoSqlUnsupported(
+                    f"MEASURES expression {expr!r} — supported: "
+                    "match_number(), classifier(), count(*), "
+                    "first/last/sum/avg/min/max(column)")
+            fn, col = am.group(1).lower(), am.group(2).strip("`")
+            if col not in types:
+                raise TrinoSqlUnsupported(f"MEASURES column {col!r} unknown")
+            t_ = types[col]
+            if fn == "first":
+                measures[alias] = lambda c, m, col=col: c.iloc[0][col]
+                schema_parts.append(f"{alias} {t_}")
+            elif fn == "last":
+                measures[alias] = lambda c, m, col=col: c.iloc[-1][col]
+                schema_parts.append(f"{alias} {t_}")
+            elif fn == "sum":
+                if t_ in _INT_TYPES:
+                    measures[alias] = lambda c, m, col=col: int(c[col].sum())
+                    schema_parts.append(f"{alias} bigint")
+                else:
+                    measures[alias] = lambda c, m, col=col: float(c[col].sum())
+                    schema_parts.append(f"{alias} double")
+            elif fn == "avg":
+                measures[alias] = lambda c, m, col=col: float(c[col].mean())
+                schema_parts.append(f"{alias} double")
+            else:  # min / max
+                agg = fn
+                measures[alias] = (
+                    lambda c, m, col=col, agg=agg: getattr(c[col], agg)())
+                schema_parts.append(f"{alias} {t_}")
+
+    out = match_recognize(
+        df, partition_by, order_by,
+        symbols=[(letters[v], F.expr(cond)) for v, cond in defines],
+        pattern=pattern,
+        measures=measures,
+        measure_schema=", ".join(schema_parts),
+    )
+    for src, alias in renames:
+        out = out.withColumn(alias, F.col(src))
+    if measures or renames:
+        # Trino ONE ROW PER MATCH output: partition keys + measures.
+        out = out.select(*partition_by,
+                         *[a for _, a in renames], *measures.keys())
+    out.createOrReplaceTempView("_mr_result")
+
+    # Splice: the table reference + pattern block (+ optional alias)
+    # becomes the result view; the remaining statement goes through the
+    # normal dialect rewrite.
+    tail_at = close + 1
+    am = _MR_ALIAS_RE.match(masked, tail_at)
+    alias_txt = ""
+    if am and am.group(1).upper() not in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "FETCH", "HAVING", "UNION",
+            "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT", "FULL", "CROSS",
+            "ON"):
+        alias_txt = " " + am.group(1)
+        tail_at = am.end()
+    spliced = (masked[:m.start(1)] + "_mr_result" + alias_txt
+               + masked[tail_at:])
+    code = _unmask(_rewrite_code(spliced, stash), stash)
+    if params is not None:
+        return spark.sql(code, args=params)
+    return spark.sql(code)
 
 
 def execute_trino(spark: SparkSession, sql: str,
@@ -1059,6 +1311,10 @@ def execute_trino(spark: SparkSession, sql: str,
     """
     if sf_dir is not None:
         register_tables(spark, sf_dir)
+    if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
+        mr = execute_match_recognize(spark, sql, params)
+        if mr is not None:
+            return mr
     rewritten = rewrite_trino_sql(sql)
     if params is not None:
         return spark.sql(rewritten, args=params)
@@ -1340,3 +1596,58 @@ def q_trino_sql_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions, format_string, regexp, parse_url), so the
     rewritten plan stays whole-stage codegen with zero Python UDFs."""
     return execute_trino(spark, TRINO_SQL_BREADTH, sf_dir)
+
+
+#: MATCH_RECOGNIZE in Trino dialect: the conversion-funnel query shape,
+#: lowered onto the match_recognize operator (operators/pattern.py) and
+#: spliced back into the surrounding statement.
+TRINO_SQL_MR = """
+SELECT user_id, mn, cls, n_rows
+FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES match_number() AS mn, classifier() AS cls, count(*) AS n_rows
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (V C+ P)
+    DEFINE V AS event_type = 'view',
+           C AS event_type = 'click',
+           P AS event_type = 'purchase'
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr",
+    oracle="""
+    WITH sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), matches AS (
+        SELECT user_id,
+               unnest(regexp_extract_all(s, 'VC+P')) AS cls,
+               generate_subscripts(regexp_extract_all(s, 'VC+P'), 1) AS mn
+        FROM sym
+    )
+    SELECT user_id, CAST(mn AS BIGINT) AS mn,
+           right(cls, 1) AS cls,
+           CAST(length(cls) AS BIGINT) AS n_rows
+    FROM matches
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino MATCH_RECOGNIZE through the STRING path
+    (execute_match_recognize): PARTITION/ORDER/MEASURES/PATTERN/DEFINE
+    parsed from dialect text, DEFINE predicates dialect-rewritten,
+    classification + shuffle JVM-side, the per-key regex walk in
+    Arrow-batched applyInPandas, ONE-ROW-PER-MATCH output re-entering
+    the outer statement. Oracle = the independent RE2 replay (DuckDB
+    regexp_extract_all over the identically ordered symbol string).
+    Row-level MEASURES (sum/first/last) are proven against a standalone
+    Python reference in tests/test_pattern.py."""
+    return execute_trino(spark, TRINO_SQL_MR, sf_dir)

@@ -740,7 +740,20 @@ class GovernedCatalog:
         self._register_governed(user)
         try:
             if dialect == "trino":
-                from okera_trino_spark.functions.trino_sql import rewrite_trino_sql
+                from okera_trino_spark.functions.trino_sql import (
+                    execute_match_recognize, rewrite_trino_sql)
+                if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
+                    # Lowered onto the match_recognize operator over the
+                    # GOVERNED temp views registered above — policies
+                    # apply to the pattern scan like any other read.
+                    mr = execute_match_recognize(self.spark, sql, params)
+                    if mr is not None:
+                        self._audit.append(AuditRecord(
+                            query_id=qid, user=user, sql=sql,
+                            start_time=start,
+                            elapsed_ms=(time.time() - start) * 1000.0,
+                            success=True))
+                        return mr
                 text = rewrite_trino_sql(sql)
             elif dialect == "spark":
                 text = sql

@@ -88,3 +88,96 @@ def test_no_symbol_rows_break_matches(spark):
         pattern="AB",
     ).collect()
     assert out == []
+
+
+def test_match_recognize_sql_measures_vs_python_reference(spark, sf_dir):
+    """The MATCH_RECOGNIZE SQL path's row-level MEASURES (sum/first/
+    last) checked against an independent re.finditer walk over the
+    collected fixture — no shared code with the operator."""
+    import re as _re
+
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    sql = """
+    SELECT user_id, mn, n_rows, total, first_id, last_id
+    FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES match_number() AS mn, count(*) AS n_rows,
+                 sum(value) AS total, first(event_id) AS first_id,
+                 last(event_id) AS last_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (V C+ P)
+        DEFINE V AS event_type = 'view',
+               C AS event_type = 'click',
+               P AS event_type = 'purchase'
+    )
+    """
+    got = {(r.user_id, r.mn): (r.n_rows, round(r.total, 6), r.first_id, r.last_id)
+           for r in execute_trino(spark, sql, sf_dir).collect()}
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "ts", "event_id", "event_type", "value")
+          .toPandas())
+    sym = {"view": "V", "click": "C", "purchase": "P"}
+    want = {}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        s = "".join(sym.get(t, ".") for t in g["event_type"])
+        for i, m in enumerate(_re.finditer("VC+P", s), start=1):
+            chunk = g.iloc[m.start():m.end()]
+            want[(uid, i)] = (len(chunk), round(float(chunk["value"].sum()), 6),
+                              int(chunk["event_id"].iloc[0]),
+                              int(chunk["event_id"].iloc[-1]))
+    assert got == want and len(got) > 0
+
+
+def test_match_recognize_sql_named_errors(spark):
+    from okera_trino_spark.functions.trino_sql import (
+        TrinoSqlUnsupported, execute_match_recognize)
+
+    base = """SELECT * FROM events MATCH_RECOGNIZE (
+        {body}
+        PATTERN (A B) DEFINE A AS value > 0, B AS value < 0)"""
+    for body, msg in [
+        ("ORDER BY ts", "PARTITION BY"),
+        ("PARTITION BY user_id ORDER BY ts ALL ROWS PER MATCH", "ALL ROWS"),
+        ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO NEXT ROW",
+         "SKIP PAST LAST ROW"),
+    ]:
+        with pytest.raises(TrinoSqlUnsupported, match=msg):
+            execute_match_recognize(spark, base.format(body=body))
+    # undefined pattern variable (always-true) refused
+    with pytest.raises(TrinoSqlUnsupported, match="no DEFINE"):
+        execute_match_recognize(spark, """SELECT * FROM events
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+            PATTERN (A B) DEFINE A AS value > 0)""")
+    # PREV/NEXT refused
+    with pytest.raises(TrinoSqlUnsupported, match="PREV"):
+        execute_match_recognize(spark, """SELECT * FROM events
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+            PATTERN (A B) DEFINE A AS value > PREV(value),
+            B AS value < 0)""")
+    # no MATCH_RECOGNIZE block → None (caller falls through)
+    assert execute_match_recognize(spark, "SELECT 1") is None
+
+
+def test_match_recognize_governed_path(spark, sf_dir):
+    """Dialect MATCH_RECOGNIZE through GovernedCatalog.execute: the
+    pattern scan reads GOVERNED views (row policy applies) and the
+    original text is audited."""
+    from okera_trino_spark.sources.catalog import GovernedCatalog, TablePolicy
+
+    sql = """SELECT user_id, mn FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES match_number() AS mn
+        PATTERN (V P) DEFINE V AS event_type = 'view',
+        P AS event_type = 'purchase')"""
+    cat = GovernedCatalog(spark, sf_dir)
+    full = cat.execute(sql, user="root", dialect="trino").count()
+    cat.set_policy("analyst", "events", TablePolicy(row_filter="user_id < 5"))
+    seen = cat.execute(sql, user="analyst", dialect="trino")
+    users = {r.user_id for r in seen.collect()}
+    assert users and all(u < 5 for u in users)
+    assert cat.audit_log[-1].sql == sql
+    assert full > len(users)
