@@ -682,6 +682,50 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                           lambda a: f"decode({a[0]}, 'UTF-8')"
                           if len(a) == 1 else None)
 
+    # SQL/JSON path functions with a LITERAL path: strip the Trino
+    # lax/strict mode prefix and delegate to get_json_object (lax
+    # semantics: missing path → NULL — Spark's behavior). A non-literal
+    # or strict-mode path raises: strict mode ERRORS on structural
+    # mismatch, which get_json_object cannot reproduce.
+    def _json_path_fn(a):
+        if len(a) != 2:
+            return None
+        lit = _lit(a[1])
+        if lit is None:
+            raise TrinoSqlUnsupported(
+                "json_value/json_query need a literal JSON path")
+        path = lit.strip()
+        if re.match(r"strict\s", path, re.IGNORECASE):
+            raise TrinoSqlUnsupported(
+                "strict-mode JSON path (errors on mismatch) has no "
+                "get_json_object equivalent — use lax mode")
+        path = re.sub(r"^lax\s+", "", path, flags=re.IGNORECASE)
+        return f"get_json_object({a[0]}, {requote(path)})"
+
+    code = _rewrite_calls(code, "json_value", _json_path_fn)
+    code = _rewrite_calls(code, "json_query", _json_path_fn)
+
+    # at_timezone(ts, zone) — the function form of AT TIME ZONE; the
+    # zone may be any expression here (the call shape is unambiguous).
+    code = _rewrite_calls(
+        code, "at_timezone",
+        lambda a: f"convert_timezone(current_timezone(), {a[1]}, {a[0]})"
+        if len(a) == 2 else None)
+
+    # Trino DECIMAL '1.23' typed literal → CAST with precision/scale
+    # inferred from the literal text (Trino's own inference rule).
+    def _decimal_lit(m: re.Match) -> str:
+        text = stash[int(m.group(1))][1:-1].strip()
+        nm = re.fullmatch(r"[+-]?(\d*)(?:\.(\d*))?", text)
+        if not nm:
+            raise TrinoSqlUnsupported(f"malformed DECIMAL literal {text!r}")
+        digits = len(nm.group(1) or "") + len(nm.group(2) or "")
+        scale = len(nm.group(2) or "")
+        return (f"CAST('\x00{m.group(1)}\x00' "
+                f"AS DECIMAL({max(digits, 1)}, {scale}))")
+
+    code = re.sub(r"\bDECIMAL\s+'\x00(\d+)\x00'", _decimal_lit, code)
+
     # Trino date_format/date_parse use MySQL %-patterns; Spark's
     # date_format/to_timestamp take Java patterns.
     def _datefmt(spark_name):
@@ -1017,6 +1061,14 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     code = _rewrite_tz_literals(code, stash)
     code = _TS_LITERAL_RE.sub(r"TIMESTAMP_NTZ\1", code)
     code = _rewrite_at_time_zone(code, stash)
+    # bare localtimestamp niladic keyword → Spark needs the call form
+    code = re.sub(r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()",
+                  code, flags=re.IGNORECASE)
+    if re.search(r"\bAS\s+JSON\b", code, re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            "CAST(... AS JSON): JSON is a plain string here — use "
+            "to_json(x) for maps/arrays/rows, json_format/json_parse "
+            "(identity) for JSON text")
     return code
 
 

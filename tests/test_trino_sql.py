@@ -801,3 +801,56 @@ def test_trino_statement_matches_oracle_wave7(name, trino, duck, spark, sf_dir, 
 def test_truncate_scale_form_raises():
     with pytest.raises(TrinoSqlUnsupported, match="truncate"):
         rewrite_trino_sql("SELECT truncate(x, 2) FROM t")
+
+
+# ---------------------------------------------- wave 8: literals + JSON
+CASES8 = [
+    ("decimal_typed_literal",
+     "SELECT o_orderkey, DECIMAL '0.0750' * o_totalprice AS fee "
+     "FROM orders ORDER BY o_orderkey LIMIT 100",
+     "SELECT o_orderkey, CAST('0.0750' AS DECIMAL(5, 4)) * o_totalprice AS fee "
+     "FROM orders ORDER BY o_orderkey LIMIT 100"),
+    ("json_value_lax",
+     "SELECT event_id, json_value(props, 'lax $.k') AS k "
+     "FROM events ORDER BY event_id",
+     "SELECT event_id, json_extract_string(props, '$.k') AS k "
+     "FROM events ORDER BY event_id"),
+    ("at_timezone_fn",
+     "SELECT event_id, CAST(date_trunc('second', "
+     "at_timezone(ts, 'America/New_York')) AS VARCHAR) AS ny "
+     "FROM events ORDER BY event_id LIMIT 200",
+     "SELECT event_id, strftime(timezone('America/New_York', "
+     "timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS ny "
+     "FROM events ORDER BY event_id LIMIT 200"),
+    ("filter_clause_passthrough",
+     "SELECT o_orderstatus, count(*) FILTER (WHERE o_totalprice > 100000) AS big "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     None),
+    ("listagg_passthrough",
+     "SELECT n_regionkey, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names "
+     "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+     "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names "
+     "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+    ("lateral_passthrough",
+     "SELECT o_orderkey, t.doubled FROM orders, "
+     "LATERAL (SELECT o_totalprice * 2 AS doubled) t "
+     "ORDER BY o_orderkey LIMIT 100",
+     "SELECT o_orderkey, o_totalprice * 2 AS doubled FROM orders "
+     "ORDER BY o_orderkey LIMIT 100"),
+    ("localtimestamp_keyword",
+     "SELECT (localtimestamp >= TIMESTAMP '2020-01-01 00:00:00') AS after_2020",
+     "SELECT TRUE AS after_2020"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES8])
+def test_trino_statement_matches_oracle_wave8(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino8:{name}")
+
+
+def test_strict_json_path_and_cast_json_raise():
+    with pytest.raises(TrinoSqlUnsupported, match="strict"):
+        rewrite_trino_sql("SELECT json_value(p, 'strict $.k') FROM events")
+    with pytest.raises(TrinoSqlUnsupported, match="AS JSON"):
+        rewrite_trino_sql("SELECT CAST(m AS JSON) FROM t")
