@@ -63,6 +63,13 @@ HEADLINE = [
     # execution + broadcast join onto the fact scan).
     "q_llm_mix",
     "q_recursive_cte",
+    # round 6 additions: tf-idf keywords (one corpus pass + word-key
+    # join + per-doc window), char-trigram LM scoring (bounded-alphabet
+    # broadcast join), and row-pattern matching (the one sanctioned
+    # applyInPandas hot path — Arrow-batched per-user regex walk).
+    "q_llm_tfidf",
+    "q_llm_trigram_lm",
+    "q_events_pattern",
 ]
 
 #: Timed steady-state repeats per query; per-query time is the MIN over

