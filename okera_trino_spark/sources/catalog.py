@@ -304,6 +304,9 @@ class GovernedCatalog:
         self.props = SessionProperties()
         self._policies: dict[str, dict[str, TablePolicy]] = {}  # user -> table -> policy
         self._views: dict[str, str] = {}  # view name -> SQL text (external views)
+        #: PREPARE name FROM <sql> statements (the Trino JDBC/client
+        #: prepared-statement surface); EXECUTE binds ? params.
+        self._prepared: dict[str, str] = {}
         self._audit: list[AuditRecord] = []
         self._next_query_id = 0
         self._delegations: dict[str, set[str]] = {}  # delegate -> allowed targets
@@ -619,6 +622,68 @@ class GovernedCatalog:
             + "$", re.IGNORECASE)
         return [n for n in names if rx.match(n)]
 
+    _PREPARE_RE = re.compile(
+        r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", re.IGNORECASE | re.DOTALL)
+    _EXECUTE_RE = re.compile(
+        r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?\s*$",
+        re.IGNORECASE | re.DOTALL)
+    _DEALLOCATE_RE = re.compile(
+        r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE)
+
+    def _handle_prepared(self, sql: str, user: str,
+                         dialect: str) -> DataFrame | None:
+        """Trino's client prepared-statement trio: ``PREPARE q FROM
+        <stmt>`` stores the text (per-catalog session state, like the
+        reference's Trino session), ``EXECUTE q [USING v, ...]`` runs it
+        with the values bound to its ``?`` markers through Spark's
+        parameterized sql (values never enter the SQL text — no escaping
+        surface), ``DEALLOCATE PREPARE q`` drops it. USING values are
+        literals: numbers, strings ('' escapes), booleans, NULL."""
+        m = self._PREPARE_RE.match(sql)
+        if m:
+            self._prepared[m.group(1).lower()] = m.group(2).strip()
+            return self.spark.sql("SELECT ? AS prepared", args=[m.group(1)])
+        m = self._DEALLOCATE_RE.match(sql)
+        if m:
+            if self._prepared.pop(m.group(1).lower(), None) is None:
+                raise KeyError(f"no such prepared statement: {m.group(1)}")
+            return self.spark.sql("SELECT ? AS deallocated", args=[m.group(1)])
+        m = self._EXECUTE_RE.match(sql)
+        if m:
+            text = self._prepared.get(m.group(1).lower())
+            if text is None:
+                raise KeyError(f"no such prepared statement: {m.group(1)}")
+            params = (self._parse_literals(m.group(2))
+                      if m.group(2) is not None else None)
+            return self.execute(text, user=user, dialect=dialect,
+                                params=params)
+        return None
+
+    @staticmethod
+    def _parse_literals(text: str) -> list:
+        """Parse a USING value list: numeric / 'string' ('' escape) /
+        TRUE / FALSE / NULL literals, comma-separated."""
+        out = []
+        pat = re.compile(
+            r"\s*(?:'((?:[^']|'')*)'|([+-]?\d+\.\d+)|([+-]?\d+)"
+            r"|(TRUE|FALSE|NULL))\s*(?:,|$)", re.IGNORECASE)
+        pos = 0
+        while pos < len(text):
+            m = pat.match(text, pos)
+            if not m or m.end() == pos:
+                raise ValueError(f"unparsable USING value at: {text[pos:]!r}")
+            if m.group(1) is not None:
+                out.append(m.group(1).replace("''", "'"))
+            elif m.group(2) is not None:
+                out.append(float(m.group(2)))
+            elif m.group(3) is not None:
+                out.append(int(m.group(3)))
+            else:
+                kw = m.group(4).upper()
+                out.append(None if kw == "NULL" else kw == "TRUE")
+            pos = m.end()
+        return out
+
     def _handle_metadata(self, sql: str, user: str) -> DataFrame | None:
         """The catalog-discovery trio every Trino client sends first —
         SHOW SCHEMAS / SHOW TABLES [FROM db] [LIKE 'p'] / DESCRIBE tbl
@@ -723,7 +788,9 @@ class GovernedCatalog:
                 success=False, error="invalid session property"))
             raise
         try:
-            handled = self._handle_metadata(sql, user)
+            handled = self._handle_prepared(sql, user, dialect)
+            if handled is None:
+                handled = self._handle_metadata(sql, user)
             if handled is not None:
                 self._audit.append(AuditRecord(
                     query_id=qid, user=user, sql=sql,
@@ -731,7 +798,7 @@ class GovernedCatalog:
                     elapsed_ms=(time.time() - start) * 1000.0,
                     success=True))
                 return handled
-        except KeyError as exc:
+        except (KeyError, ValueError) as exc:
             self._audit.append(AuditRecord(
                 query_id=qid, user=user, sql=sql,
                 start_time=start, elapsed_ms=(time.time() - start) * 1000.0,

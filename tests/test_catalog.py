@@ -603,3 +603,29 @@ def test_execute_show_catalogs(cat):
         "okera", "okera_sampled_100mb", "okera_sampled_10mb"]
     like = cat.execute("SHOW CATALOGS LIKE '%10mb'", dialect="trino").collect()
     assert [r.catalog for r in like] == ["okera_sampled_10mb"]
+
+
+def test_prepare_execute_deallocate(cat):
+    """Trino's client prepared-statement surface: PREPARE stores text,
+    EXECUTE ... USING binds ? params as values (never as SQL text),
+    DEALLOCATE drops. Works on the trino dialect too."""
+    cat.execute("PREPARE q1 FROM SELECT o_orderkey, o_totalprice "
+                "FROM orders WHERE o_orderkey = ? AND o_totalprice > ?")
+    rows = cat.execute("EXECUTE q1 USING 1, 0.0").collect()
+    assert len(rows) == 1 and rows[0].o_orderkey == 1
+    # string with '' escape + injection-shaped value stays a VALUE
+    cat.execute("PREPARE q2 FROM SELECT count(*) AS n FROM orders "
+                "WHERE o_orderstatus = ?")
+    n = cat.execute("EXECUTE q2 USING 'O'' OR 1=1'").collect()[0].n
+    assert n == 0
+    # trino dialect text inside PREPARE
+    cat.execute("PREPARE q3 FROM SELECT count(*) AS n FROM orders "
+                "WHERE strpos(o_orderstatus, ?) > 0", dialect="trino")
+    assert cat.execute("EXECUTE q3 USING 'O'",
+                       dialect="trino").collect()[0].n > 0
+    cat.execute("DEALLOCATE PREPARE q1")
+    with pytest.raises(KeyError, match="q1"):
+        cat.execute("EXECUTE q1 USING 1, 0.0")
+    assert cat.audit_log[-1].success is False
+    with pytest.raises(ValueError, match="USING"):
+        cat.execute("EXECUTE q2 USING o_orderkey")
