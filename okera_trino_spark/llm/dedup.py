@@ -596,3 +596,81 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate higher-order functions — JVM, no UDF.
     """
     return embed_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+@query(
+    "q_llm_para_dedup",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, pos, passage,
+               count(*) OVER (PARTITION BY doc_id) AS n_total,
+               row_number() OVER (PARTITION BY passage
+                                  ORDER BY doc_id, pos) AS rn
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(str_split_regex(trim(text), ' +'))
+                                          / 10.0) AS INT)),
+                       i -> array_to_string(list_slice(
+                            str_split_regex(trim(text), ' +'),
+                            i * 10 + 1, i * 10 + 10), ' '))) AS passage,
+                   generate_subscripts(list_transform(
+                       range(0, CAST(ceil(len(str_split_regex(trim(text), ' +'))
+                                          / 10.0) AS INT)), i -> i), 1) AS pos
+            FROM documents
+        )
+    )
+    SELECT doc_id,
+           CAST(any_value(n_total) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(passage, ' ' ORDER BY pos) AS new_text
+    FROM p WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "passage"),
+)
+def q_llm_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 passage-level deduplication (the RefinedWeb/CCNet paragraph
+    dedup, on fixed 10-word passages since the fixtures are unbroken
+    word streams): every passage that already occurred anywhere in the
+    corpus — keeping the FIRST occurrence by (doc_id, position) — is
+    dropped, and each document is reassembled from its surviving
+    passages in order. Exact-match semantics: at 100 TB the passage
+    key would be a digest (exact-dedup precedent) but the plan is
+    identical.
+
+    Scale shape: the word array is projected ONCE (lambda-hoisting
+    lesson), chunked by a higher-order slice transform (codegen, no
+    UDF), posexploded; first-occurrence is a row_number window on the
+    passage key (ONE shuffle — the same key a dedup join would use);
+    per-doc totals ride a doc_id window; reassembly is sort_array over
+    collect_list(struct(pos, passage)) — deterministic, order-exact.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("_w"))
+    chunked = words.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, CAST(ceil(size(_w) / 10.0) AS INT) - 1), "
+            "i -> array_join(slice(_w, i * 10 + 1, 10), ' '))"
+        )).alias("pos", "passage"))
+    p = (chunked
+         .withColumn("n_total", F.count("*").over(
+             Window.partitionBy("doc_id")))
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("passage").orderBy("doc_id", "pos"))))
+    return (
+        p.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.any_value("n_total").alias("n_total"),
+             F.count("*").alias("n_kept"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "passage"))),
+                     lambda x: x["passage"]),
+                 " ").alias("new_text"))
+    )
