@@ -360,6 +360,11 @@ class GovernedCatalog:
             if schema not in SCHEMAS or table not in SCHEMAS[schema]:
                 raise KeyError(f"no such table: {name}")
             return schema, table
+        # the USE-selected session schema wins for bare names (the
+        # reference resolves against the session schema first)
+        cur = getattr(self, "_current_schema", None)
+        if cur and name in SCHEMAS.get(cur, ()):
+            return cur, name
         for schema in sorted(SCHEMAS):
             if name in SCHEMAS[schema]:
                 return schema, name
@@ -722,6 +727,23 @@ class GovernedCatalog:
             rows = [(s, t) for s, t in names if t in keep]
             return self.spark.createDataFrame(
                 rows, "namespace string, tableName string")
+        m = re.match(r"^\s*USE\s+([\w`\"]+)\s*$", sql, re.IGNORECASE)
+        if m:
+            schema = m.group(1).strip('`"').lower()
+            if schema in HIDDEN_SCHEMAS or schema not in SCHEMAS:
+                raise KeyError(f"no such schema: {schema}")
+            self._current_schema = schema
+            return self.spark.sql("SELECT ? AS current_schema", args=[schema])
+        m = re.match(r"^\s*SHOW\s+CREATE\s+VIEW\s+([\w.`\"]+)\s*$",
+                     sql, re.IGNORECASE)
+        if m:
+            name = m.group(1).strip('`"').split(".")[-1]
+            text = self._views.get(name)
+            if text is None:
+                raise KeyError(f"no such view: {name}")
+            return self.spark.sql(
+                "SELECT ? AS view, ? AS create_sql",
+                args=[name, f"CREATE VIEW {name} AS {text}"])
         m = self._DESCRIBE_RE.match(sql)
         if m:
             name = m.group(1).strip('`"')

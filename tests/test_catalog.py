@@ -629,3 +629,20 @@ def test_prepare_execute_deallocate(cat):
     assert cat.audit_log[-1].success is False
     with pytest.raises(ValueError, match="USING"):
         cat.execute("EXECUTE q2 USING o_orderkey")
+
+
+def test_use_schema_and_show_create_view(cat):
+    """USE selects the session schema (bare names resolve against it
+    first — the reference's session-schema resolution order); SHOW
+    CREATE VIEW returns the stored external-view text
+    (RecordServiceMetadata.java:392-444 stores views as SQL)."""
+    assert cat.execute("USE llm").collect()[0].current_schema == "llm"
+    assert cat.resolve("documents") == ("llm", "documents")
+    assert cat.resolve("orders") == ("default", "orders")  # fallback
+    with pytest.raises(KeyError, match="no such schema"):
+        cat.execute("USE information_schema")
+    cat.create_view("v_open", "SELECT o_orderkey FROM orders WHERE o_orderkey < 5")
+    row = cat.execute("SHOW CREATE VIEW v_open").collect()[0]
+    assert row.view == "v_open" and "o_orderkey < 5" in row.create_sql
+    with pytest.raises(KeyError, match="no such view"):
+        cat.execute("SHOW CREATE VIEW nope")
