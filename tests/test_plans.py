@@ -243,3 +243,18 @@ def test_recursive_spine_broadcasts(spark, sf_dir):
     plan = plan_string(SPECS["q_recursive_cte"].fn(spark, sf_dir), "formatted")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_no_cartesian_product_in_any_registered_plan(spark, sf_dir):
+    """Global invariant: NO registered query plans a CartesianProduct —
+    the non-broadcast all-pairs join that explodes quadratically at
+    scale. BroadcastNestedLoopJoin is allowed: every occurrence in the
+    registry is a broadcast of a constant-size side (a 1-row corpus
+    total, the probe set, the intentional E4 cross join's 5-row
+    region), which stays O(|big side|) however large the data."""
+    offenders = []
+    for name, spec in SPECS.items():
+        plan = plan_string(spec.fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in plans: {offenders}"
