@@ -545,9 +545,9 @@ def embed_all_pairs(e: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def _embed_oracle() -> str:
-    """DuckDB oracle replicating the banded-LSH pipeline bit-for-bit: the
-    hyperplanes are injected as float literals, so bucket codes (and
+def _embed_pairs_cte() -> str:
+    """Shared WITH-body: the banded-LSH candidate/pair pipeline with the
+    hyperplanes injected as float literals, so bucket codes (and
     therefore the candidate set) match Spark's exactly. Sign margins are
     guarded by tests/test_llm.py (min |dot| ≫ float32 rounding)."""
     band_selects = []
@@ -565,21 +565,27 @@ def _embed_oracle() -> str:
             f"SELECT vec_id, {bidx} AS band, {' + '.join(bits)} AS bucket FROM embeddings"
         )
     bands_sql = " UNION ALL ".join(band_selects)
-    return f"""
-    WITH bands AS ({bands_sql}),
+    return f"""bands AS ({bands_sql}),
     cand AS (
         SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         FROM bands x
         JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
                     AND x.vec_id < y.vec_id
-    )
-    SELECT c.vec_a, c.vec_b,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
-    FROM cand c
-    JOIN embeddings a ON c.vec_a = a.vec_id
-    JOIN embeddings b ON c.vec_b = b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
-    """
+    ),
+    epairs AS (
+        SELECT c.vec_a, c.vec_b,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                          AS DOUBLE), 4) AS cos_sim
+        FROM cand c
+        JOIN embeddings a ON c.vec_a = a.vec_id
+        JOIN embeddings b ON c.vec_b = b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    )"""
+
+
+def _embed_oracle() -> str:
+    return (f"WITH {_embed_pairs_cte()}\n"
+            "    SELECT vec_a, vec_b, cos_sim FROM epairs")
 
 
 @query("q_llm_dedup_embed", oracle=_embed_oracle(), tags=("llm", "dedup"))
@@ -673,4 +679,47 @@ def q_llm_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.struct("pos", "passage"))),
                      lambda x: x["passage"]),
                  " ").alias("new_text"))
+    )
+
+
+@query(
+    "q_llm_semdedup",
+    oracle=f"""
+    WITH {_embed_pairs_cte()},
+    dup AS (
+        SELECT vec_b, CAST(count(*) AS BIGINT) AS n_dups
+        FROM epairs GROUP BY vec_b
+    )
+    SELECT e.vec_id, e.label,
+           (dup.vec_b IS NULL) AS kept,
+           coalesce(dup.n_dups, 0) AS n_dups
+    FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.vec_b
+    """,
+    tags=("llm", "dedup", "semantic"),
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 semantic deduplication (the SemDeDup corpus-pruning step):
+    a vector is DROPPED when any LOWER-id vector is a semantic near-dup
+    (cosine ≥ threshold among LSH candidates) — the deterministic
+    keep-first rule over the same banded-LSH pair pipeline the embed
+    near-dup key verifies. Output is the full keep/drop decision per
+    vector plus its lower-id near-dup count — exactly what a curation
+    pipeline joins against the corpus to prune.
+
+    Scale: pair generation is the proven banded shape (explode bands →
+    one (band, bucket) shuffle → candidates → exact re-score); the
+    decision adds one groupBy on the b-side id and a left join back to
+    the corpus — both keyed shuffles. HARD oracle: the shared literal-
+    hyperplane CTE replays the identical pipeline in DuckDB.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    pairs = embed_near_dups(e, threshold=0.5)
+    dup = (pairs.groupBy("vec_b")
+           .agg(F.count("*").alias("n_dups")))
+    return (
+        e.select("vec_id", "label")
+        .join(dup, e.vec_id == dup.vec_b, "left")
+        .select("vec_id", "label",
+                F.col("vec_b").isNull().alias("kept"),
+                F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"))
     )

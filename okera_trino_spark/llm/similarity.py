@@ -172,7 +172,38 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_llm_ann_lsh", oracle=None, tags=("llm", "similarity"))
+def _ann_lsh_oracle() -> str:
+    """DuckDB replay of the LSH top-k with the SAME literal hyperplanes
+    (the embed-dedup oracle technique) — upgrading this key from the
+    rows-only check to a hard hash oracle. Sign agreement is exact:
+    both engines fold the same float64 dot product left-to-right, and
+    random-plane margins sit far from 0."""
+    planes = hyperplanes()
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding, {bucket} AS bucket
+        FROM embeddings
+    ),
+    probe AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(CAST(list_cosine_similarity(b.embedding, probe.qv) AS DOUBLE), 4)
+               AS cos_sim
+    FROM b CROSS JOIN probe
+    WHERE b.bucket = probe.qbucket AND b.vec_id <> 0
+    ORDER BY round(CAST(list_cosine_similarity(b.embedding, probe.qv)
+                        AS DOUBLE), 6) DESC, b.vec_id
+    LIMIT 10
+    """
+
+
+@query("q_llm_ann_lsh", oracle=_ann_lsh_oracle(), tags=("llm", "similarity"))
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 approximate top-k: random-hyperplane LSH. Candidates = vectors
     sharing the query's bucket; exact cosine re-scores candidates only.
@@ -180,9 +211,10 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bucket equi-join replaces the all-pairs cross join —
     ~n/2^bits candidates per probe. Recall tuning = fewer bits or
     multi-probe (flip one bit); tests/test_llm.py checks candidate
-    scores agree with brute force on the overlap. No SQL oracle: bucket
-    ids depend on generated hyperplanes (deterministic but impractical
-    to restate in SQL) → rows-only driver check.
+    scores agree with brute force on the overlap. HARD oracle since r6:
+    the generated hyperplanes are embedded as literals into the DuckDB
+    replay (the embed-dedup technique), so bucket ids and the re-scored
+    top-k verify exactly.
     """
     e = t(spark, sf_dir, "embeddings")
     planes = hyperplanes()
