@@ -19,6 +19,7 @@ tests.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -230,17 +231,37 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 32
 N_BANDS = 8  # 8 bands x 4 rows: P(candidate) ≈ 1-(1-j^4)^8 — steep at j≈0.6
 
+#: Engine-neutral MinHash permutation family: h_i(s) = (A_i·H(s) + B_i)
+#: mod P over the 32-bit md5-prefix base H(s) — md5 is bit-identical
+#: across engines (unlike xxhash64's Spark-internal seeding), and the
+#: bounds keep every intermediate < 2^52: A < 2^20, H < 2^32, so A·H+B
+#: fits both int64 and DuckDB's overflow-checked BIGINT exactly.
+MINHASH_P = 4294967291  # largest 32-bit prime
+
+
+def _minhash_params(n_hashes: int = N_HASHES,
+                    seed: int = 7) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [(int(rng.integers(1, 1 << 20)), int(rng.integers(0, MINHASH_P)))
+            for _ in range(n_hashes)]
+
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
                        sh: DataFrame | None = None) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(seed, s)
-    for each of n_hashes seeds — explode + one 32-agg groupBy (shuffle
-    payload: 32 longs per doc). Pass a pre-built (doc_id, shingle)
-    index via ``sh`` to share one materialization with other consumers
-    (q_llm_dedup_near reads the index four times otherwise).
+    """Per-doc MinHash signature: min over shingles of the linear
+    permutation (A_i·H + B_i) mod P on the md5-prefix base H — explode
+    + one 32-agg groupBy (shuffle payload: 32 longs per doc; H is
+    computed ONCE per shingle row and shared by all 32 aggregates).
+    Pass a pre-built (doc_id, shingle) index via ``sh`` to share one
+    materialization with other consumers (q_llm_dedup_near reads the
+    index four times otherwise).
+
+    Since r6 the base hash is md5 (engine-bit-identical), so the whole
+    pipeline restates exactly in the DuckDB oracle — upgrading the key
+    from the rows-only check to a hard hash signal.
 
     Deliberately NOT the "obvious" zero-shuffle form
-    (``array_min(transform(_sh, s -> xxhash64(seed, s)))`` x 32 over a
+    (``array_min(transform(_sh, s -> hash(s)))`` x 32 over a
     materialized shingles column): Catalyst's CollapseProject inlines
     the bound ``_sh`` expression into every one of the 32 signature
     expressions and codegen does not CSE across lambda boundaries, so
@@ -248,27 +269,32 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
     32x per row — measured 5x SLOWER than this exploded form at sf0.1
     (8.7s vs 1.7s for the near-dup key). The explode materializes each
     shingle exactly once; the groupBy shuffle it costs is tiny next to
-    that. (Also note: an arity-2 lambda like ``lambda s, i=seed:``
-    makes F.transform bind the second parameter to the ELEMENT INDEX,
-    not the closure default — a silent wrong-seed trap.)"""
+    that."""
     if sh is None:
         sh = shingle_index(docs, 3)
+    base = F.conv(F.substring(F.md5(F.encode("shingle", "UTF-8")), 1, 8),
+                  16, 10).cast("long")
+    hashed = sh.withColumn("_H", base)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("_H") + F.lit(b)) % F.lit(MINHASH_P))
+        .alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_params(n_hashes))
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band bucket
-    become candidate pairs. The join key is (band_id, band_hash) — a
-    single shuffle; no pairwise scan ever happens."""
+    become candidate pairs. The bucket key is the band's signature
+    values joined as text (engine-neutral, unlike a re-hash); the join
+    key is (band_id, bucket) — a single shuffle; no pairwise scan ever
+    happens."""
     rows_per_band = N_HASHES // n_bands
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+            F.concat_ws("_", *[F.col(f"h{b * rows_per_band + r}")
+                               for r in range(rows_per_band)]).alias("bucket"),
         )
         for b in range(n_bands)
     ])
@@ -286,15 +312,76 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
-@query("q_llm_dedup_near", oracle=None, tags=("llm", "dedup"))
+def _minhash_oracle() -> str:
+    """DuckDB replay of the FULL MinHash+LSH pipeline — possible since
+    the r6 switch to the md5-prefix permutation family (bit-identical
+    across engines; integer arithmetic stays < 2^52 so DuckDB's
+    overflow-checked BIGINT and Spark's long agree exactly). The A/B
+    permutation constants are injected as a VALUES table from the same
+    seeded generator the Spark side uses."""
+    rows_per_band = N_HASHES // N_BANDS
+    perms = ", ".join(f"({i}, {a}, {b})"
+                      for i, (a, b) in enumerate(_minhash_params()))
+    return f"""
+    WITH shn AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        FROM (SELECT doc_id, str_split_regex(trim(text), ' +') AS w
+              FROM documents)
+    ),
+    hashes AS (
+        SELECT doc_id, shingle,
+               ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS H
+        FROM shn
+    ),
+    perms(i, a, b) AS (VALUES {perms}),
+    sigs AS (
+        SELECT h.doc_id, p.i,
+               min((p.a * h.H + p.b) % {MINHASH_P}) AS hv
+        FROM hashes h CROSS JOIN perms p GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // {rows_per_band} AS band,
+               string_agg(CAST(hv AS VARCHAR), '_' ORDER BY i) AS bucket
+        FROM sigs GROUP BY doc_id, i // {rows_per_band}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id
+    ),
+    cntn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+    com AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS common
+        FROM cand c
+        JOIN shn a ON c.doc_a = a.doc_id
+        JOIN shn b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(c.common * 1.0 / (ca.n + cb.n - c.common), 4) AS jaccard
+    FROM com c
+    JOIN cntn ca ON c.doc_a = ca.doc_id
+    JOIN cntn cb ON c.doc_b = cb.doc_id
+    WHERE c.common * 1.0 / (ca.n + cb.n - c.common) >= 0.5
+    """
+
+
+@query("q_llm_dedup_near", oracle=_minhash_oracle(), tags=("llm", "dedup"))
 def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 MinHash+LSH near-dup, exact-verified: LSH candidates, then
     true Jaccard over the shingle index, threshold 0.5.
 
-    xxhash64 seeds make signatures engine-specific → rows-only driver
-    check; tests/test_llm.py asserts the verified pair set equals the
-    exact q_llm_dedup_ngram pair set (LSH recall check) and that
-    signatures are deterministic across runs.
+    HARD oracle since r6: the md5-prefix permutation family is
+    engine-bit-identical, so the DuckDB oracle replays signatures,
+    banding, the candidate join, AND the exact verify — the full
+    pipeline, not a rows-only count. tests/test_llm.py additionally
+    asserts the verified pair set equals the exact q_llm_dedup_ngram
+    pair set (LSH recall check) and that signatures are deterministic
+    across runs.
 
     The shingle index feeds FOUR consumers here (MinHash aggregation,
     the per-doc counts, and both exact-verify join sides), so it is
