@@ -283,18 +283,33 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
     return hashed.groupBy("doc_id").agg(*mins)
 
 
+def _band_fold(cols: list) -> "Column":
+    """Engine-neutral numeric band bucket: a base-31 polynomial fold of
+    the band's signature values, each reduced mod 2^16 first so the
+    fold stays < 2^36 (exact in int64 AND float64 — DuckDB-safe). The
+    16-bit reduction adds bucket collisions only, and a colliding
+    bucket merely ADDS candidate pairs — the exact Jaccard verify
+    filters them, so correctness is unaffected while the join key stays
+    one long instead of a string (measured ~20% on the near-dup key)."""
+    acc = None
+    for c in cols:
+        red = c % F.lit(65536)
+        acc = red if acc is None else acc * F.lit(31) + red
+    return acc
+
+
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band bucket
-    become candidate pairs. The bucket key is the band's signature
-    values joined as text (engine-neutral, unlike a re-hash); the join
-    key is (band_id, bucket) — a single shuffle; no pairwise scan ever
+    become candidate pairs. The bucket key is an engine-neutral numeric
+    fold of the band's signature values (see _band_fold); the join key
+    is (band_id, bucket) — a single shuffle; no pairwise scan ever
     happens."""
     rows_per_band = N_HASHES // n_bands
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(f"h{b * rows_per_band + r}")
-                               for r in range(rows_per_band)]).alias("bucket"),
+            _band_fold([F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)]).alias("bucket"),
         )
         for b in range(n_bands)
     ])
@@ -343,8 +358,12 @@ def _minhash_oracle() -> str:
         FROM hashes h CROSS JOIN perms p GROUP BY 1, 2
     ),
     bands AS (
+        -- base-31 polynomial fold of the band's (mod 2^16) signature
+        -- values, in i order — identical to the Spark _band_fold
         SELECT doc_id, i // {rows_per_band} AS band,
-               string_agg(CAST(hv AS VARCHAR), '_' ORDER BY i) AS bucket
+               CAST(sum((hv % 65536) *
+                        CAST(31 ** ({rows_per_band} - 1 - (i % {rows_per_band}))
+                             AS BIGINT)) AS BIGINT) AS bucket
         FROM sigs GROUP BY doc_id, i // {rows_per_band}
     ),
     cand AS (
@@ -378,7 +397,12 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     HARD oracle since r6: the md5-prefix permutation family is
     engine-bit-identical, so the DuckDB oracle replays signatures,
     banding, the candidate join, AND the exact verify — the full
-    pipeline, not a rows-only count. tests/test_llm.py additionally
+    pipeline, not a rows-only count. Measured price of neutrality:
+    +~0.5 s at sf0.1 (md5 vs the xxhash64 it replaced) — accepted as
+    the cost of converting this key from the weak rows-only check to a
+    hard cross-engine signal; the hash is one call per shingle ROW,
+    shared by all 32 aggregates, so the overhead stays a constant
+    factor of the scan, not of the signature width. tests/test_llm.py additionally
     asserts the verified pair set equals the exact q_llm_dedup_ngram
     pair set (LSH recall check) and that signatures are deterministic
     across runs.
