@@ -76,3 +76,106 @@ def stream_user_profiles(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ------------------------------------------------------- streaming CEP
+#: Streaming row-pattern output (one row per FINALIZED match).
+PATTERN_SCHEMA = (
+    "user_id BIGINT, match_num BIGINT, matched STRING, "
+    "start_id BIGINT, end_id BIGINT"
+)
+#: Per-key buffer: event times (µs), ids, classified symbol chars, and
+#: the count of matches already emitted (match_num continuity).
+_PATTERN_STATE_SCHEMA = (
+    "ts ARRAY<LONG>, ids ARRAY<LONG>, syms STRING, emitted BIGINT"
+)
+
+
+def _make_pattern_updater(pattern: str, symbols: dict[str, str]):
+    """Build the applyInPandasWithState update function for a row
+    pattern. ``symbols`` maps event_type -> single-letter symbol;
+    unmapped rows classify as the unmatchable '.'."""
+    import re
+
+    compiled = re.compile(pattern)
+
+    def update(key: tuple, batches, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ts, ids, syms, emitted = (
+            state.get if state.exists else ([], [], "", 0))
+        rows = list(zip(ts, ids, syms))
+        for pdf in batches:
+            for t, i, et in zip(pdf["ts"], pdf["event_id"],
+                                pdf["event_type"]):
+                rows.append((int(t.value // 1000), int(i),
+                             symbols.get(et, ".")))
+        rows.sort()
+        wm = state.getCurrentWatermarkMs() * 1000  # µs
+        # Frozen prefix: rows below the watermark can no longer gain
+        # earlier-or-between arrivals (Spark drops later-than-watermark
+        # lateness), so matching over them is final — EXCEPT a match
+        # touching the last frozen row, whose greedy extension could
+        # still change when rows at/after the watermark arrive.
+        n_frozen = sum(1 for r in rows if r[0] < wm)
+        s = "".join(r[2] for r in rows)
+        out, consumed_to = [], 0
+        for m in compiled.finditer(s):
+            if m.end() < n_frozen:  # strictly inside the frozen prefix
+                emitted += 1
+                out.append((key[0], emitted, m.group(0),
+                            rows[m.start()][1], rows[m.end() - 1][1]))
+                consumed_to = m.end()
+            else:
+                break  # this and later matches are tentative
+        rows = rows[consumed_to:]
+        state.update(([r[0] for r in rows], [r[1] for r in rows],
+                      "".join(r[2] for r in rows), emitted))
+        # Event-time timeout: evict a key 24h (event time) past the
+        # watermark — no new row can complete its pending matches then.
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + 24 * 60 * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "match_num", "matched",
+                              "start_id", "end_id"])
+
+    return update
+
+
+def stream_pattern(events: DataFrame, pattern: str,
+                   symbols: dict[str, str],
+                   watermark: str = "1 hour") -> DataFrame:
+    """S-custom streaming CEP: row-pattern matching over an unbounded
+    event stream — the streaming twin of operators/pattern.py
+    (same ONE ROW PER MATCH / SKIP PAST LAST ROW / greedy semantics),
+    built on applyInPandasWithState because no built-in streaming
+    operator holds cross-row ordered state.
+
+    Correctness under late data: per key the buffer holds pending rows;
+    each micro-batch sorts arrivals in, then finalizes ONLY matches that
+    end strictly inside the frozen prefix (event time < watermark) —
+    a match touching the frozen boundary could still be greedily
+    extended by a not-yet-arrived row at/after the watermark, so it
+    stays pending. Emitted matches consume their rows (skip past last
+    row across batches); match_num continues across batches via state.
+
+    Scale: state is per key and bounded by the watermark horizon (rows
+    older than the last finalized match are dropped; a key with no
+    events for 24 h is evicted by timeout); each micro-batch is one
+    keyed shuffle, the same layout as built-in streaming aggregation.
+    tests/test_streaming.py proves micro-batch output matches the batch
+    operator on the finalized region.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_pattern_updater(pattern, symbols),
+            outputStructType=PATTERN_SCHEMA,
+            stateStructType=_PATTERN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -176,3 +176,75 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream_dir):
     ).collect()}
     assert got == batch and len(batch) > 0
     q.stop()
+
+
+def test_stream_pattern_matches_batch_on_finalized_region(spark, sf_dir, events_stream_dir):
+    """Streaming CEP (stream_pattern) vs the batch match_recognize
+    operator: with the source split into several micro-batches the
+    watermark advances between batches, finalizing matches in the
+    frozen region — every emitted match must equal the batch operator's
+    match with the same (user, match_num), and emitted match numbers
+    must form a per-user prefix (no gaps, no reordering)."""
+    import tempfile
+
+    from okera_trino_spark.operators.pattern import match_recognize
+    from okera_trino_spark.streaming.stateful import stream_pattern
+
+    batch_df = spark.read.parquet(events_stream_dir)
+    # The stream source must span several micro-batches IN EVENT-TIME
+    # ORDER for the watermark to advance without dropping late rows:
+    # write sequential time slices (one file each; file-source order is
+    # modification time, so slice k processes before slice k+1).
+    from pyspark.sql import Window
+
+    sliced_dir = tempfile.mkdtemp(prefix="events_sliced_")
+    slices = batch_df.withColumn(
+        "_slice", F.ntile(6).over(Window.orderBy("ts")))
+    for k in range(1, 7):
+        (slices.filter(F.col("_slice") == k).drop("_slice")
+         .coalesce(1).write.mode("append").parquet(sliced_dir))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sliced_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_pattern(
+        stream, "VC+P",
+        {"view": "V", "click": "C", "purchase": "P"},
+        watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("pattern_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.match_num): (r.matched, r.start_id, r.end_id)
+           for r in spark.sql("SELECT * FROM pattern_sink").collect()}
+    q.stop()
+
+    want_df = match_recognize(
+        batch_df, ["user_id"], ["ts", "event_id"],
+        symbols=[("V", F.col("event_type") == "view"),
+                 ("C", F.col("event_type") == "click"),
+                 ("P", F.col("event_type") == "purchase")],
+        pattern="VC+P",
+        measures={
+            "start_id": lambda c, m: int(c["event_id"].iloc[0]),
+            "end_id": lambda c, m: int(c["event_id"].iloc[-1]),
+        },
+        measure_schema="start_id bigint, end_id bigint",
+        used_columns=["event_id"],
+    )
+    want = {(r.user_id, r.match_num): (r.matched, r.start_id, r.end_id)
+            for r in want_df.collect()}
+
+    assert len(got) > 0, "no matches finalized — watermark never advanced"
+    # exact agreement on every finalized match
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
+    # per-user prefix: emitted match numbers are 1..n without gaps
+    by_user: dict = {}
+    for (uid, mn) in got:
+        by_user.setdefault(uid, []).append(mn)
+    for uid, mns in by_user.items():
+        assert sorted(mns) == list(range(1, len(mns) + 1)), (uid, mns)
