@@ -682,6 +682,38 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                           lambda a: f"decode({a[0]}, 'UTF-8')"
                           if len(a) == 1 else None)
 
+    # Trino array_agg KEEPS NULL elements; Spark collect_list drops
+    # them — the faithful form collects struct-wrapped values (struct
+    # fields preserve NULLs) and unwraps. The ORDER BY variant sorts the
+    # (key, value) structs before unwrapping (array_sort orders by the
+    # first field); a bare DESC on a single key reverses. DISTINCT
+    # raises: collect_set also drops NULLs and Trino's dedup keeps one.
+    def _array_agg_fn(a):
+        if len(a) != 1:
+            return None
+        arg = a[0]
+        if re.match(r"DISTINCT\b", arg, re.IGNORECASE):
+            raise TrinoSqlUnsupported(
+                "array_agg(DISTINCT x): Spark's collect_set drops NULLs "
+                "while Trino keeps one — rewrite explicitly")
+        om = re.match(r"(.+?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?$",
+                      arg, re.IGNORECASE | re.DOTALL)
+        if not om:
+            return (f"transform(collect_list(named_struct('v', {arg})), "
+                    "s -> s.v)")
+        val, key, direction = om.group(1), om.group(2), (om.group(3) or "ASC")
+        if "," in key:
+            raise TrinoSqlUnsupported(
+                "array_agg(... ORDER BY k1, k2): multi-key ordering — "
+                "rewrite with a struct sort explicitly")
+        body = (f"array_sort(collect_list(named_struct('k', {key}, "
+                f"'v', {val})))")
+        if direction.upper() == "DESC":
+            body = f"reverse({body})"
+        return f"transform({body}, s -> s.v)"
+
+    code = _rewrite_calls(code, "array_agg", _array_agg_fn)
+
     # SQL/JSON path functions with a LITERAL path: strip the Trino
     # lax/strict mode prefix and delegate to get_json_object (lax
     # semantics: missing path → NULL — Spark's behavior). A non-literal

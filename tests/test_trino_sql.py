@@ -854,3 +854,33 @@ def test_strict_json_path_and_cast_json_raise():
         rewrite_trino_sql("SELECT json_value(p, 'strict $.k') FROM events")
     with pytest.raises(TrinoSqlUnsupported, match="AS JSON"):
         rewrite_trino_sql("SELECT CAST(m AS JSON) FROM t")
+
+
+CASES9 = [
+    ("array_agg_keeps_nulls",
+     # Trino array_agg keeps NULL elements (collect_list would drop).
+     "SELECT cardinality(array_agg(json_value(props, 'lax $.k'))) AS n_all, "
+     "cardinality(filter(array_agg(json_value(props, 'lax $.k')), x -> x IS NULL)) AS n_null "
+     "FROM events",
+     "SELECT len(array_agg(json_extract_string(props, '$.k'))) AS n_all, "
+     "len(list_filter(array_agg(json_extract_string(props, '$.k')), x -> x IS NULL)) AS n_null "
+     "FROM events"),
+    ("array_agg_order_by",
+     "SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names, "
+     "array_agg(n_name ORDER BY n_name DESC) AS rnames "
+     "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+     "SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names, "
+     "array_agg(n_name ORDER BY n_name DESC) AS rnames "
+     "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES9])
+def test_trino_statement_matches_oracle_wave9(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino9:{name}")
+
+
+def test_array_agg_distinct_raises():
+    with pytest.raises(TrinoSqlUnsupported, match="array_agg"):
+        rewrite_trino_sql("SELECT array_agg(DISTINCT x) FROM t")
