@@ -56,11 +56,28 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
   - TRY family: TRY(CAST ..)→TRY_CAST, single-operator arithmetic→
     try_add/try_subtract/try_multiply/try_divide/try_mod, subscripts→
     try_element_at, TRY(date_parse)→try_to_timestamp
+  - breadth (waves 7-9): lambda predicates any_match/all_match→
+    exists/forall, none_match→NOT exists; contains→array_contains;
+    format→format_string; geometric_mean→exp(avg(ln)); infinity/nan
+    constants; 2-arg regexp_replace/regexp_split; truncate(x) sign-
+    aware; url_extract_* → parse_url (port via authority regex);
+    to_utf8/from_utf8 → encode/decode; DECIMAL 'x.y' typed literals →
+    inferred-precision CAST; json_value/json_query lax paths →
+    get_json_object; at_timezone → convert_timezone; bare
+    localtimestamp; NULL-preserving array_agg (+ ORDER BY variant)
+  - MATCH_RECOGNIZE: not a text rewrite — execute_trino /
+    GovernedCatalog.execute lower the restricted subset (PARTITION/
+    ORDER/ONE ROW PER MATCH/SKIP PAST LAST ROW/defined-variable
+    patterns, measures match_number/classifier/count/first/last/sum/
+    avg/min/max) onto the match_recognize operator
+    (operators/pattern.py) and splice the result into the statement
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
-    zones, bounded random(m, n), and unnest arg/column-count
-    mismatches raise TrinoSqlUnsupported naming the construct, never
-    silently mis-translate.
+    zones, bounded random(m, n), strict JSON paths, CAST(.. AS JSON),
+    array_agg(DISTINCT ..), truncate(x, n), MATCH_RECOGNIZE beyond the
+    subset, and unnest arg/column-count mismatches raise
+    TrinoSqlUnsupported naming the construct, never silently
+    mis-translate.
 """
 
 from __future__ import annotations
