@@ -775,3 +775,88 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("n_tris"), xent.alias("xent"))
         .withColumn("flagged", F.col("xent") > 8.0)
     )
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 10) -> DataFrame:
+    """Distributed BPE merge learning — the tokenizer-training step of a
+    training-data pipeline: starting from characters, repeatedly merge
+    the corpus-wide most frequent adjacent symbol pair (greedy
+    left-to-right within words, frequency-weighted by word count; ties
+    broken lexicographically on (left, right) so the merge sequence is
+    fully deterministic). Returns the merge table
+    (step, left, right, weight).
+
+    Scale shape: the corpus collapses ONCE to the (word, freq)
+    vocabulary (map-side combinable groupBy — the classic BPE working
+    set, bounded by |vocab| not corpus size). Each merge round is
+    (a) a pair-count aggregation over exploded adjacent bigrams —
+    one shuffle on the pair key with partial aggregation, (b) ONE
+    top-1 row collected to the driver (constant-size, the sanctioned
+    IVF-codebook pattern), (c) a codegen fold (aggregate lambda)
+    applying the merge to every word's symbol array — map-only.
+    Lineage is truncated each round (localCheckpoint, the
+    connected-components precedent) so the plan cannot grow with the
+    merge count. Rounds are n_merges by construction.
+
+    No SQL oracle: each round's merge CHOICE depends on corpus-wide
+    counts, so a static one-shot SQL statement cannot express the
+    iteration; tests/test_llm.py proves the merge table equal to a
+    standalone pure-Python BPE reference on the same vocabulary
+    (rows-only driver check + exact reference test — the
+    stateful/multimodal precedent).
+    """
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .select(F.split("word", "").alias("seq"), "freq")
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(F.expr(
+                "CASE WHEN size(seq) >= 2 THEN "
+                "transform(sequence(1, size(seq) - 1), "
+                "i -> struct(seq[i - 1] AS l, seq[i] AS r)) "
+                "ELSE CAST(array() AS array<struct<l string, r string>>) "
+                "END")).alias("p"))
+        top = (
+            pairs.groupBy("p").agg(F.sum("freq").alias("w"))
+            .orderBy(F.col("w").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1).collect()
+        )
+        if not top:
+            break
+        left, right, weight = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["w"]
+        merges.append((step, left, right, int(weight)))
+        joined = left + right
+        vocab = vocab.select(
+            F.aggregate(
+                F.col("seq"), F.expr("CAST(array() AS array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                             F.array(F.lit(joined)))
+                ).otherwise(F.concat(acc, F.array(x)))).alias("seq"),
+            "freq",
+            # LAZY: the next round's top-1 collect is the action that
+            # materializes it — one Spark job per round, not two (the
+            # connected-components scheduling pattern).
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, weight bigint")
+
+
+@query("q_llm_bpe", oracle=None, tags=("llm", "text", "tokenizer"))
+def q_llm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 tokenizer training: the first 10 BPE merges learned from the
+    corpus (see bpe_learn). Deterministic merge sequence (lexicographic
+    tie-break); rows-only driver check by nature (iterative corpus-
+    dependent choices are not one-shot-SQL-expressible) with the exact
+    pure-Python reference comparison in tests/test_llm.py."""
+    return bpe_learn(t(spark, sf_dir, "documents"), n_merges=10)

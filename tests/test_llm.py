@@ -268,3 +268,45 @@ def test_media_feature_extraction_contract(spark):
                        - sum(32 <= b < 127 for b in payload) / len(payload)) < 1e-9
         else:
             assert r.mean_byte == 0.0 and r.std_byte == 0.0
+
+
+def test_bpe_learn_matches_python_reference(spark, sf_dir):
+    """bpe_learn's merge table must equal a standalone pure-Python BPE
+    (greedy left-to-right merge, frequency-weighted, lexicographic
+    tie-break) on the same word-frequency vocabulary."""
+    from collections import Counter
+
+    from okera_trino_spark.llm.text import bpe_learn
+    from okera_trino_spark.sources.catalog import load_table
+
+    got = [(r.step, r.left, r.right, r.weight)
+           for r in bpe_learn(load_table(spark, sf_dir, "documents"),
+                              n_merges=10).collect()]
+
+    words = Counter()
+    for row in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in row.text.strip().split():
+            words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    want = []
+    for step in range(1, 11):
+        counts = Counter()
+        for seq, f in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), weight = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        want.append((step, left, right, weight))
+        nv = {}
+        for seq, f in vocab.items():
+            out = []
+            for x in seq:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    assert got == want and len(got) == 10
