@@ -752,6 +752,29 @@ class GovernedCatalog:
                     for f in self.table_schema(name, user=user).fields]
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string, comment string")
+        m = re.match(r"^\s*SHOW\s+STATS\s+FOR\s+([\w.`\"]+)\s*$",
+                     sql, re.IGNORECASE)
+        if m:
+            # Trino's SHOW STATS shape (the C13 statistics surface the
+            # connector feeds the engine, RecordServiceMetadata.java:
+            # 504-537): one row per visible column + a summary row with
+            # the row count. Footer-only — no scan — and policy-scoped
+            # like table_stats itself (hidden columns absent, row-
+            # filtered users get NULL counts).
+            st = self.table_stats(m.group(1).strip('`"'), user=user)
+            rc = st["row_count"]
+            rows = []
+            for col, c in sorted(st["columns"].items()):
+                nf = (None if rc in (None, 0) or c["null_count"] is None
+                      else round(c["null_count"] / rc, 6))
+                ds = (None if c["uncompressed_bytes"] is None
+                      else float(c["uncompressed_bytes"]))
+                rows.append((col, ds, nf, None))
+            rows.append((None, None, None,
+                         None if rc is None else float(rc)))
+            return self.spark.createDataFrame(
+                rows, "column_name string, data_size double, "
+                      "nulls_fraction double, row_count double")
         return None
 
     # ---------------------------------------------------------------- audit

@@ -646,3 +646,26 @@ def test_use_schema_and_show_create_view(cat):
     assert row.view == "v_open" and "o_orderkey < 5" in row.create_sql
     with pytest.raises(KeyError, match="no such view"):
         cat.execute("SHOW CREATE VIEW nope")
+
+
+def test_show_stats_for(cat):
+    """Trino's SHOW STATS FOR through the governed path: per-column
+    data_size/nulls_fraction + the summary row-count row, footer-only,
+    policy-scoped (RecordServiceMetadata.java:504-537)."""
+    rows = cat.execute("SHOW STATS FOR orders", dialect="trino").collect()
+    by_col = {r.column_name: r for r in rows}
+    assert by_col[None].row_count > 0
+    assert by_col["o_orderkey"].data_size > 0
+    assert by_col["o_orderkey"].nulls_fraction == 0.0
+    # column policy hides columns from the stats too
+    cat.set_policy("s_analyst", "orders",
+                   TablePolicy(allowed_columns=["o_orderkey"]))
+    seen = {r.column_name
+            for r in cat.execute("SHOW STATS FOR orders",
+                                 user="s_analyst").collect()}
+    assert seen == {"o_orderkey", None}
+    # row filter degrades counts to NULL rather than leaking
+    cat.set_policy("s_filtered", "orders",
+                   TablePolicy(row_filter="o_orderkey < 10"))
+    frows = cat.execute("SHOW STATS FOR orders", user="s_filtered").collect()
+    assert all(r.row_count is None for r in frows)
