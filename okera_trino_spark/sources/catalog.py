@@ -653,6 +653,29 @@ class GovernedCatalog:
             if self._prepared.pop(m.group(1).lower(), None) is None:
                 raise KeyError(f"no such prepared statement: {m.group(1)}")
             return self.spark.sql("SELECT ? AS deallocated", args=[m.group(1)])
+        m = re.match(r"^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+(\w+)\s*$",
+                     sql, re.IGNORECASE)
+        if m:
+            text = self._prepared.get(m.group(2).lower())
+            if text is None:
+                raise KeyError(f"no such prepared statement: {m.group(2)}")
+            if m.group(1).upper() == "INPUT":
+                # Trino reports each ? marker's position; parameter
+                # types are unknown until EXECUTE binds values (Trino
+                # itself shows "unknown" for untyped markers).
+                n = text.count("?")
+                return self.spark.createDataFrame(
+                    [(i, "unknown") for i in range(n)],
+                    "position int, type string")
+            # OUTPUT: the planned schema WITHOUT executing — plan with
+            # NULL bound to every marker (lazy; no action runs).
+            out = self.execute(text, user=user, dialect=dialect,
+                               params=[None] * text.count("?")
+                               if "?" in text else None)
+            rows = [(f.name, f.dataType.simpleString())
+                    for f in out.schema.fields]
+            return self.spark.createDataFrame(
+                rows, "column_name string, type string")
         m = self._EXECUTE_RE.match(sql)
         if m:
             text = self._prepared.get(m.group(1).lower())

@@ -669,3 +669,14 @@ def test_show_stats_for(cat):
                    TablePolicy(row_filter="o_orderkey < 10"))
     frows = cat.execute("SHOW STATS FOR orders", user="s_filtered").collect()
     assert all(r.row_count is None for r in frows)
+
+
+def test_describe_input_output_prepared(cat):
+    cat.execute("PREPARE dq FROM SELECT o_orderkey, o_totalprice * ? AS v "
+                "FROM orders WHERE o_orderkey = ?")
+    inp = cat.execute("DESCRIBE INPUT dq").collect()
+    assert [(r.position, r.type) for r in inp] == [(0, "unknown"), (1, "unknown")]
+    out = cat.execute("DESCRIBE OUTPUT dq").collect()
+    assert [r.column_name for r in out] == ["o_orderkey", "v"]
+    with pytest.raises(KeyError, match="nope"):
+        cat.execute("DESCRIBE OUTPUT nope")
