@@ -1183,7 +1183,7 @@ def _mr_parse_sections(inner: str) -> dict[str, str]:
     between its keyword and the next)."""
     hits = []
     for name, pat in _MR_SECTIONS:
-        m = re.search(pat, inner)
+        m = re.search(pat, inner, re.IGNORECASE)
         if m:
             hits.append((m.start(), m.end(), name))
     hits.sort()

@@ -646,7 +646,15 @@ class GovernedCatalog:
         literals: numbers, strings ('' escapes), booleans, NULL."""
         m = self._PREPARE_RE.match(sql)
         if m:
-            self._prepared[m.group(1).lower()] = m.group(2).strip()
+            body = m.group(2).strip()
+            if re.match(r"(PREPARE|EXECUTE|DEALLOCATE)\b", body,
+                        re.IGNORECASE):
+                # Trino rejects nested prepared statements too; without
+                # this, PREPARE q FROM EXECUTE q would recurse forever.
+                raise ValueError(
+                    "PREPARE body cannot be another prepared-statement "
+                    "command")
+            self._prepared[m.group(1).lower()] = body
             return self.spark.sql("SELECT ? AS prepared", args=[m.group(1)])
         m = self._DEALLOCATE_RE.match(sql)
         if m:

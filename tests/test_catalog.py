@@ -680,3 +680,9 @@ def test_describe_input_output_prepared(cat):
     assert [r.column_name for r in out] == ["o_orderkey", "v"]
     with pytest.raises(KeyError, match="nope"):
         cat.execute("DESCRIBE OUTPUT nope")
+
+
+def test_prepare_rejects_nested_prepared_commands(cat):
+    with pytest.raises(ValueError, match="PREPARE body"):
+        cat.execute("PREPARE q9 FROM EXECUTE q9")
+    assert cat.audit_log[-1].success is False

@@ -181,3 +181,17 @@ def test_match_recognize_governed_path(spark, sf_dir):
     assert users and all(u < 5 for u in users)
     assert cat.audit_log[-1].sql == sql
     assert full > len(users)
+
+
+def test_match_recognize_sql_lowercase(spark, sf_dir):
+    """Dialect text is case-insensitive — a lowercase MATCH_RECOGNIZE
+    block must parse identically (the section splitter was the one
+    case-sensitive spot)."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    sql = """select user_id, mn from events match_recognize (
+        partition by user_id order by ts, event_id
+        measures match_number() as mn
+        pattern (V P) define V as event_type = 'view',
+        P as event_type = 'purchase')"""
+    assert execute_trino(spark, sql, sf_dir).count() > 0
