@@ -713,6 +713,10 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             raise TrinoSqlUnsupported(
                 "array_agg(DISTINCT x): Spark's collect_set drops NULLs "
                 "while Trino keeps one — rewrite explicitly")
+        if re.search(r"\bNULLS\s+(FIRST|LAST)\b", arg, re.IGNORECASE):
+            raise TrinoSqlUnsupported(
+                "array_agg(... ORDER BY ... NULLS FIRST/LAST): explicit "
+                "null placement in the struct sort — rewrite explicitly")
         om = re.match(r"(.+?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?$",
                       arg, re.IGNORECASE | re.DOTALL)
         if not om:
