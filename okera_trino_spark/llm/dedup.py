@@ -71,6 +71,11 @@ def shingle_index(docs: DataFrame, k: int = 3,
     set-similarity without pairwise comparison. Projects the split words
     array into a real column first so the k slice references resolve to
     one attribute read, not k regex splits (see _shingles_of_words)."""
+    # NOTE: deliberately NO pre-explode repartition here (unlike the
+    # trigram-LM pipeline): the word-shingle explode is ~6x smaller and
+    # O(1) per row, and every consumer immediately re-shuffles on the
+    # shingle key anyway — the extra round-robin shuffle was measured
+    # ~1.3x SLOWER end-to-end on the pair pipeline at sf0.1.
     words = docs.select("doc_id", *extra_cols,
                         _words(F.col("text")).alias("_w"))
     return words.select(
