@@ -1759,3 +1759,32 @@ def q_trino_sql_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-level MEASURES (sum/first/last) are proven against a standalone
     Python reference in tests/test_pattern.py."""
     return execute_trino(spark, TRINO_SQL_MR, sf_dir)
+
+
+@query(
+    "q_trino_sql_prepared",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 50000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("trino", "sql", "prepared"),
+)
+def q_trino_sql_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Trino client prepared-statement flow end-to-end on the
+    governed path: PREPARE q FROM <dialect text with ? markers>, then
+    EXECUTE q USING <values> — the values bind through Spark's
+    parameterized sql (never entering the SQL text), and the oracle is
+    the same query with the values inlined."""
+    from okera_trino_spark.sources.catalog import GovernedCatalog
+
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.execute(
+        "PREPARE agg_q FROM SELECT o_orderpriority, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total FROM orders "
+        "WHERE o_orderstatus = ? AND o_totalprice > ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        dialect="trino")
+    return cat.execute("EXECUTE agg_q USING 'O', 50000.0", dialect="trino")
