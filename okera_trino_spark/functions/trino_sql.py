@@ -642,11 +642,14 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(code, "none_match",
                           lambda a: f"(NOT exists({a[0]}, {a[1]}))"
                           if len(a) == 2 else None)
-    # geometric_mean(x) = exp(avg(ln(x))) — identical domain behavior
-    # (x <= 0 → NULL/NaN propagation in both engines for ln).
-    code = _rewrite_calls(code, "geometric_mean",
-                          lambda a: f"exp(avg(ln({a[0]})))"
-                          if len(a) == 1 else None)
+    # geometric_mean(x) = exp(avg(ln(x))) — guarded: Spark's ln of a
+    # non-positive value yields NULL (which avg would silently SKIP),
+    # while Trino propagates NaN; the CASE restores Trino's behavior.
+    code = _rewrite_calls(
+        code, "geometric_mean",
+        lambda a: (f"(CASE WHEN min({a[0]}) <= 0 THEN CAST('NaN' AS DOUBLE) "
+                   f"ELSE exp(avg(ln({a[0]}))) END)")
+        if len(a) == 1 else None)
     # infinity()/nan() constants
     code = _rewrite_calls(code, "infinity",
                           lambda a: "CAST('Infinity' AS DOUBLE)"

@@ -884,3 +884,28 @@ def test_trino_statement_matches_oracle_wave9(name, trino, duck, spark, sf_dir, 
 def test_array_agg_distinct_raises():
     with pytest.raises(TrinoSqlUnsupported, match="array_agg"):
         rewrite_trino_sql("SELECT array_agg(DISTINCT x) FROM t")
+
+
+def test_geometric_mean_nonpositive_is_nan(spark):
+    """Trino propagates NaN for non-positive inputs; Spark's ln yields
+    NULL which avg would silently skip — the rewrite guards it."""
+    out = execute_trino(
+        spark,
+        "SELECT geometric_mean(x) AS gm FROM (VALUES (4.0), (-1.0)) t(x)")
+    import math
+    assert math.isnan(out.collect()[0].gm)
+
+
+def test_ignore_nulls_passthrough(spark, sf_dir, oracle):
+    """Trino's lag/first_value ... IGNORE NULLS parses natively in
+    Spark — pin the passthrough with an oracle comparison."""
+    sql = ("SELECT event_id, "
+           "lag(json_value(props, 'lax $.k')) IGNORE NULLS OVER "
+           "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_k "
+           "FROM events ORDER BY event_id")
+    duck = ("SELECT event_id, "
+            "lag(json_extract_string(props, '$.k') IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_k "
+            "FROM events ORDER BY event_id")
+    check_query(execute_trino(spark, sql, sf_dir), oracle, duck,
+                name="ignore_nulls")
