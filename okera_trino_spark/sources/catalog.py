@@ -686,6 +686,8 @@ class GovernedCatalog:
                 rows, "column_name string, type string")
         m = self._EXECUTE_RE.match(sql)
         if m:
+            if m.group(1).upper() == "IMMEDIATE":
+                return None  # Spark's own EXECUTE IMMEDIATE statement
             text = self._prepared.get(m.group(1).lower())
             if text is None:
                 raise KeyError(f"no such prepared statement: {m.group(1)}")

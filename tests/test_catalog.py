@@ -686,3 +686,10 @@ def test_prepare_rejects_nested_prepared_commands(cat):
     with pytest.raises(ValueError, match="PREPARE body"):
         cat.execute("PREPARE q9 FROM EXECUTE q9")
     assert cat.audit_log[-1].success is False
+
+
+def test_execute_immediate_passes_through(cat):
+    """Spark's own EXECUTE IMMEDIATE statement must not be captured by
+    the prepared-statement handler."""
+    rows = cat.execute("EXECUTE IMMEDIATE 'SELECT 41 + 1 AS x'").collect()
+    assert rows[0].x == 42
