@@ -351,3 +351,96 @@ def q_llm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "vec_id", F.round("scale", 4).alias("scale_r4"),
         F.concat_ws(",", q.cast("array<string>")).alias("q"))
+
+
+@query(
+    "q_llm_ann_ivf_static",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               list_sum(list_transform(range(1, 65),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))
+                   AS d
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, label, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(d, 6), cid) AS rn
+        FROM dists
+    ),
+    probe_cells AS (
+        SELECT cid FROM assigned WHERE vec_id = 0 AND rn <= 2
+    ),
+    probe_vec AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cands AS (
+        SELECT a.vec_id, a.label, a.embedding
+        FROM assigned a JOIN probe_cells p ON a.cid = p.cid
+        WHERE a.rn = 1 AND a.vec_id <> 0
+    )
+    SELECT vec_id, label,
+           round(CAST(list_cosine_similarity(c.embedding, probe_vec.qv)
+                      AS DOUBLE), 4) AS cos_sim
+    FROM cands c CROSS JOIN probe_vec
+    ORDER BY round(CAST(list_cosine_similarity(c.embedding, probe_vec.qv)
+                        AS DOUBLE), 6) DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "ivf"),
+)
+def q_llm_ann_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 IVF ANN with a RELATIONAL static codebook — the hard-oracle
+    twin of q_llm_ann_ivf: cells are the 8 lowest-vec_id vectors taken
+    AS A RELATION (broadcast 8-row join + per-vector argmin window), so
+    no driver state exists at all and DuckDB replays cell assignment,
+    the nprobe=2 probe-cell selection, and the candidate re-score
+    exactly (distances ordered at 6dp rounding with cid tie-break —
+    the round-then-order precedent). The Lloyd-refined variant stays
+    the rows-only training demo; THIS key verifies the IVF query
+    mechanics — cell partitioning, probe pruning, candidate re-score —
+    end to end.
+
+    Scale: the codebook side is a constant 8-row broadcast; assignment
+    is map-only per vector; the probe's two cells prune the corpus to
+    ~nprobe/k before any cosine runs. At 100 TB cid becomes the
+    partitioning/bucketBy key and a probe reads two cells' files.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    sqd = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("cv"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.round(F.col("d"), 6), "cid"))
+    assigned = (
+        e.crossJoin(cents).withColumn("d", sqd)
+        .withColumn("rn", rn)
+    )
+    probe_cells = F.broadcast(
+        assigned.filter((F.col("vec_id") == 0) & (F.col("rn") <= 2))
+        .select(F.col("cid").alias("pcid")))
+    probe_vec = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv")))
+    cands = (
+        assigned.filter((F.col("rn") == 1) & (F.col("vec_id") != 0))
+        .join(probe_cells, F.col("cid") == F.col("pcid"))
+        .crossJoin(probe_vec)
+        .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qv")))
+    )
+    return (
+        cands.orderBy(F.round("cos_raw", 6).desc(), F.col("vec_id"))
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+        .limit(10)
+    )
