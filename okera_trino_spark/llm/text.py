@@ -518,23 +518,46 @@ def q_llm_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATA_FRACTIONS = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
 
 
-@query("q_llm_stratified", oracle=None, tags=("llm", "curation", "sampling"))
+@query(
+    "q_llm_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id || ':strata:' || lang), 1, 8))::UBIGINT
+          / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0
+                WHEN 'fr' THEN 1.0 WHEN 'es' THEN 1.0 WHEN 'zh' THEN 1.0
+                ELSE NULL END -- unmapped stratum drops (Spark element_at NULL)
+    """,
+    tags=("llm", "curation", "sampling"),
+)
 def q_llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced corpus sampling: per-language keep fractions via
-    sampleBy (stratified Bernoulli, fixed seed) — the rebalancing step
-    that stops one dominant language/domain from swamping a training
-    mix. Which rows are kept is engine-specific → rows-only driver
-    check; tests/test_bounds.py bounds each stratum's kept count within
-    binomial noise of fraction·|stratum|.
+    the DETERMINISTIC md5-bucket gate (the corpus-mixing technique,
+    q_llm_mix): keep doc iff u01(doc_id, 'strata', lang) < fraction —
+    the rebalancing step that stops one dominant language/domain from
+    swamping a training mix. Deterministic and engine-agnostic, so the
+    kept MULTISET hash-matches the DuckDB oracle exactly (upgraded from
+    the rows-only sampleBy form in r6: a re-run/AQE/speculation-safe
+    gate is also the form you want at 100 TB — sampleBy's kept set
+    depends on partition iteration order). tests/test_bounds.py still
+    bounds each stratum's kept count within binomial noise of
+    fraction·|stratum| — md5 buckets are uniform.
 
-    Scale: map-only (a per-row Bernoulli draw keyed by the stratum
-    column); no shuffle, composes with the curation pipeline upstream.
+    Scale: map-only (one hash per row, literal fraction map); no
+    shuffle, composes with the curation pipeline upstream.
     """
     d = t(spark, sf_dir, "documents")
-    return (
-        d.sampleBy("lang", fractions=STRATA_FRACTIONS, seed=42)
-        .select("doc_id", "lang", "source")
-    )
+    pairs = [x for kv in sorted(STRATA_FRACTIONS.items())
+             for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    frac = F.element_at(F.create_map(*pairs), F.col("lang"))
+    u01 = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.lit("strata"), F.col("lang"))), 1, 8),
+               16, 10)
+        .cast("bigint") / F.lit(4294967296.0))
+    return d.filter(u01 < frac).select("doc_id", "lang", "source")
 
 
 @query(

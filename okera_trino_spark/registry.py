@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_mr", "q_llm_para_dedup", "q_llm_semdedup",
     "q_llm_ann_lsh", "q_llm_dedup_embed", "q_llm_dedup_near",
     "q_llm_bpe", "q_trino_sql_prepared", "q_llm_ann_ivf_static",
+    "q_llm_stratified",
     # 2) r1-only driver evidence
     "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
     "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
@@ -119,7 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_subquery_in", "q_subquery_scalar", "q_union_distinct", "q_values",
     "q_win_frame_rows", "q_win_lag_lead",
     # 3) oldest r2-only keys
-    "q_agg_group", "q_agg_rollup",
+    "q_agg_group",
 )
 
 
