@@ -411,6 +411,65 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Character chunking geometry: window of CHUNK_SIZE chars advancing by
+#: CHUNK_STRIDE (CHUNK_SIZE − CHUNK_STRIDE = 30 chars of overlap so no
+#: boundary context is lost). Fixture texts are 48–553 chars, so a
+#: typical document yields 3–6 chunks. Real pipelines chunk by tokens;
+#: the geometry and plan shape are identical (swap length/substr for a
+#: token-count column).
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 90
+
+
+@query(
+    "q_llm_chunk",
+    oracle=f"""
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text), 1),
+                                      {CHUNK_STRIDE})) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           substr(text, s, {CHUNK_SIZE}) AS chunk_text,
+           CAST(length(substr(text, s, {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+    FROM starts
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    overlapping fixed-size character chunks (RAG / long-context
+    training prep — the step between curation and packing when
+    documents exceed the sequence budget).
+
+    Pure JVM expressions: ``sequence`` builds the start offsets,
+    ``explode`` fans them out, ``substr`` slices — map-only, no
+    shuffle, no UDF. At 100 TB the explode is a ≤ ceil(maxlen/stride)
+    row multiplier applied executor-local; chunk rows inherit the
+    parent scan's partitioning, so downstream per-chunk ops (embedding,
+    dedup) start from well-sized partitions without a repartition.
+    Empty documents still emit one empty chunk (greatest(len, 1)), so
+    doc_id multiplicity is never zero and lineage joins stay total.
+    """
+    d = t(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(1),
+                             F.greatest(F.length("text"), F.lit(1)),
+                             F.lit(CHUNK_STRIDE))).alias("s"))
+    chunk = F.col("text").substr(F.col("s"), F.lit(CHUNK_SIZE))
+    return c.select(
+        "doc_id",
+        ((F.col("s") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
 #: Per-source mixing weights (keep probability per source tier). A real
 #: training mix assigns each corpus source a sampling rate — boilerplate
 #: web crawl down-weighted, curated sources kept whole or UPSAMPLED

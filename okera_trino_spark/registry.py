@@ -98,9 +98,7 @@ def query(name: str, oracle: str | None = None,
 #:      tz surface) — new keys must sit in-window to keep the
 #:      test_entry.py union-closure invariant green;
 #:   2) the 26 keys whose only driver row is round 1 — five rounds
-#:      stale, the oldest evidence in the repo;
-#:   3) leftover slots: the oldest r2-only keys (core join/agg/scalar
-#:      family), in module order.
+#:      stale, the oldest evidence in the repo.
 _PRIORITY: tuple[str, ...] = (
     # 1) changed or new in r6
     "q_llm_quantize", "q_sample", "q_meta_discovery", "q_trino_sql_tz",
@@ -110,7 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_mr", "q_llm_para_dedup", "q_llm_semdedup",
     "q_llm_ann_lsh", "q_llm_dedup_embed", "q_llm_dedup_near",
     "q_llm_bpe", "q_trino_sql_prepared", "q_llm_ann_ivf_static",
-    "q_llm_stratified",
+    "q_llm_stratified", "q_llm_chunk",
     # 2) r1-only driver evidence
     "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
     "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
@@ -119,8 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_theta", "q_limit", "q_offset", "q_scan_wide",
     "q_subquery_in", "q_subquery_scalar", "q_union_distinct", "q_values",
     "q_win_frame_rows", "q_win_lag_lead",
-    # 3) oldest r2-only keys
-    "q_agg_group",
 )
 
 
