@@ -65,6 +65,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     inferred-precision CAST; json_value/json_query lax paths →
     get_json_object; at_timezone → convert_timezone; bare
     localtimestamp; NULL-preserving array_agg (+ ORDER BY variant)
+  - wave 10: truncate(x, n) decimal-scale trunc (multiply/trunc/divide,
+    Trino's own DOUBLE sequence); random(m, n) bounded integers;
+    array_agg(DISTINCT x) via array_distinct over the NULL-preserving
+    collect (keeps one NULL, as Trino)
   - MATCH_RECOGNIZE: not a text rewrite — execute_trino /
     GovernedCatalog.execute lower the restricted subset (PARTITION/
     ORDER/ONE ROW PER MATCH/SKIP PAST LAST ROW/defined-variable
@@ -73,11 +77,11 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     (operators/pattern.py) and splice the result into the statement
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
-    zones, bounded random(m, n), strict JSON paths, CAST(.. AS JSON),
-    array_agg(DISTINCT ..), truncate(x, n), MATCH_RECOGNIZE beyond the
-    subset, and unnest arg/column-count mismatches raise
-    TrinoSqlUnsupported naming the construct, never silently
-    mis-translate.
+    zones, strict JSON paths, CAST(.. AS JSON), CAST(.. AS ROW(..))
+    named-row types, array_agg(DISTINCT .. ORDER BY ..),
+    MATCH_RECOGNIZE beyond the subset, and unnest arg/column-count
+    mismatches raise TrinoSqlUnsupported naming the construct, never
+    silently mis-translate.
 """
 
 from __future__ import annotations
@@ -538,15 +542,17 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     # Trino random() → uniform double in [0, 1) = Spark rand(); but
     # random(n) → uniform INTEGER in [0, n), while Spark rand(n) treats
     # n as a SEED — a silent wrong-values trap, so the 1-arg form maps
-    # to floor(rand() * n) and the 2-arg bounded form raises.
+    # to floor(rand() * n) and the 2-arg bounded form random(m, n)
+    # (uniform integer in [m, n)) to the shifted equivalent.
     def _random_fn(a):
         if len(a) == 0:
             return "rand()"
         if len(a) == 1:
             return f"CAST(floor(rand() * ({a[0]})) AS BIGINT)"
-        raise TrinoSqlUnsupported(
-            "random(m, n) bounded form has no Spark builtin — rewrite as "
-            "m + CAST(floor(rand() * (n - m)) AS BIGINT)")
+        if len(a) == 2:
+            return (f"(({a[0]}) + CAST(floor(rand() * "
+                    f"(({a[1]}) - ({a[0]}))) AS BIGINT))")
+        return None
 
     code = _rewrite_calls(code, "random", _random_fn)
 
@@ -585,7 +591,13 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                           lambda a: f"map_from_arrays({a[0]}, {a[1]})"
                           if len(a) == 2 else None)
     # Trino ROW(a, b) anonymous-struct constructor → struct(a, b)
-    # (fields get positional names in both engines).
+    # (fields get positional names in both engines). CAST(.. AS
+    # ROW(..)) is a TYPE position the call rewriter cannot distinguish
+    # from a constructor, so it raises by name before the rewrite.
+    if re.search(r"\bAS\s+ROW\s*\(", code, re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            "CAST(... AS ROW(...)) named-row type — rewrite with "
+            "named_struct and a STRUCT<...> cast explicitly")
     code = _rewrite_calls(code, "row",
                           lambda a: f"struct({', '.join(a)})" if a else None)
     # Trino map_agg(k, v) aggregate → entries-collect + map build. (Rows
@@ -659,16 +671,21 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                           if len(a) == 1 and a[0] == "" else None)
 
     # Trino truncate(x) rounds toward zero keeping the DOUBLE type;
-    # Spark floor/ceil return BIGINT, so re-cast. The 2-arg decimal
-    # form has no faithful one-liner (scale-preserving decimal trunc)
-    # — named error.
+    # Spark floor/ceil return BIGINT, so re-cast. The 2-arg decimal-
+    # scale form truncate(x, n) scales by 10^n, truncates toward zero,
+    # and scales back — the same multiply/trunc/divide sequence Trino's
+    # own DOUBLE implementation performs, so the floating results agree
+    # (|x|·10^n must fit a BIGINT, as in Trino).
     def _truncate_fn(a):
         if len(a) == 1:
             return (f"CAST(CASE WHEN ({a[0]}) < 0 THEN ceil({a[0]}) "
                     f"ELSE floor({a[0]}) END AS DOUBLE)")
-        raise TrinoSqlUnsupported(
-            "truncate(x, n) decimal-scale form — rewrite with "
-            "floor/ceil at the target scale explicitly")
+        if len(a) == 2:
+            scaled = f"(({a[0]}) * power(10, ({a[1]})))"
+            return (f"CAST(CASE WHEN ({a[0]}) < 0 THEN ceil({scaled}) "
+                    f"ELSE floor({scaled}) END / power(10, ({a[1]})) "
+                    "AS DOUBLE)")
+        return None
 
     code = _rewrite_calls(code, "truncate", _truncate_fn)
 
@@ -712,10 +729,17 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         if len(a) != 1:
             return None
         arg = a[0]
-        if re.match(r"DISTINCT\b", arg, re.IGNORECASE):
-            raise TrinoSqlUnsupported(
-                "array_agg(DISTINCT x): Spark's collect_set drops NULLs "
-                "while Trino keeps one — rewrite explicitly")
+        dm = re.match(r"DISTINCT\b\s*(.+)$", arg, re.IGNORECASE | re.DOTALL)
+        if dm:
+            rest = dm.group(1)
+            if re.search(r"\bORDER\s+BY\b", rest, re.IGNORECASE):
+                raise TrinoSqlUnsupported(
+                    "array_agg(DISTINCT ... ORDER BY ...): combined "
+                    "dedup + ordering — rewrite explicitly")
+            # collect_set drops NULLs (Trino's dedup keeps one), so
+            # dedup the NULL-preserving struct-collect instead.
+            return ("array_distinct(transform(collect_list("
+                    f"named_struct('v', {rest})), s -> s.v))")
         if re.search(r"\bNULLS\s+(FIRST|LAST)\b", arg, re.IGNORECASE):
             raise TrinoSqlUnsupported(
                 "array_agg(... ORDER BY ... NULLS FIRST/LAST): explicit "
@@ -1676,7 +1700,8 @@ SELECT doc_id,
        length(regexp_replace(text, '[aeiou]')) AS novowel_len,
        url_extract_host('http://docs.example.com:8443/d/'
                         || CAST(doc_id AS VARCHAR)) AS host,
-       url_extract_port('http://docs.example.com:8443/x') AS port
+       url_extract_port('http://docs.example.com:8443/x') AS port,
+       truncate(doc_id / 7.0, 2) AS t2
 FROM documents
 ORDER BY doc_id
 """
@@ -1695,17 +1720,19 @@ ORDER BY doc_id
            printf('%s#%d', lang, doc_id) AS tag,
            length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
            'docs.example.com' AS host,
-           CAST(8443 AS BIGINT) AS port
+           CAST(8443 AS BIGINT) AS port,
+           floor(doc_id / 7.0 * 100) / 100 AS t2
     FROM documents
     ORDER BY doc_id
     """,
     tags=("trino", "sql", "dialect"),
 )
 def q_trino_sql_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wave-7 dialect breadth through the string path — every function
-    family in TRINO_SQL_BREADTH compiles to a JVM builtin (lambda
-    higher-order functions, format_string, regexp, parse_url), so the
-    rewritten plan stays whole-stage codegen with zero Python UDFs."""
+    """Wave-7/10 dialect breadth through the string path — every
+    function family in TRINO_SQL_BREADTH compiles to a JVM builtin
+    (lambda higher-order functions, format_string, regexp, parse_url,
+    decimal-scale truncate), so the rewritten plan stays whole-stage
+    codegen with zero Python UDFs."""
     return execute_trino(spark, TRINO_SQL_BREADTH, sf_dir)
 
 

@@ -678,12 +678,14 @@ def test_trino_statement_matches_oracle_wave6(name, trino, duck, spark, sf_dir, 
 
 def test_random_rewrite_semantics(spark):
     """Trino random() → rand(); random(n) must NOT map to rand(n) (seed!)
-    but to a uniform integer in [0, n)."""
+    but to a uniform integer in [0, n); random(m, n) shifts the range."""
     assert "rand()" in rewrite_trino_sql("SELECT random() AS r")
     row = spark.sql(rewrite_trino_sql("SELECT random(10) AS r")).collect()[0]
     assert 0 <= row.r < 10 and isinstance(row.r, int)
-    with pytest.raises(TrinoSqlUnsupported, match="random"):
-        rewrite_trino_sql("SELECT random(5, 10) AS r")
+    rows = spark.sql(rewrite_trino_sql(
+        "SELECT random(5, 10) AS r FROM range(200)")).collect()
+    assert all(5 <= r.r < 10 for r in rows)
+    assert {r.r for r in rows} == {5, 6, 7, 8, 9}  # hits every bucket
 
 
 def test_ctas_format_nonliteral_raises_named_error():
@@ -798,9 +800,13 @@ def test_trino_statement_matches_oracle_wave7(name, trino, duck, spark, sf_dir, 
     check_query(df, oracle, duck or trino, name=f"trino7:{name}")
 
 
-def test_truncate_scale_form_raises():
-    with pytest.raises(TrinoSqlUnsupported, match="truncate"):
-        rewrite_trino_sql("SELECT truncate(x, 2) FROM t")
+def test_truncate_scale_form_values(spark):
+    """truncate(x, n) truncates toward zero at scale n (Trino
+    MathFunctions semantics) — exact values pinned both signs."""
+    row = spark.sql(rewrite_trino_sql(
+        "SELECT truncate(3.14159, 2) AS a, truncate(-3.14159, 2) AS b, "
+        "truncate(1234.5, -2) AS c")).collect()[0]
+    assert (row.a, row.b, row.c) == (3.14, -3.14, 1200.0)
 
 
 # ---------------------------------------------- wave 8: literals + JSON
@@ -881,9 +887,62 @@ def test_trino_statement_matches_oracle_wave9(name, trino, duck, spark, sf_dir, 
     check_query(df, oracle, duck or trino, name=f"trino9:{name}")
 
 
-def test_array_agg_distinct_raises():
+CASES10 = [
+    ("truncate_scale",
+     # 2-arg truncate: toward-zero at a decimal scale, negative scale
+     # truncates to tens. Oracle replays the identical multiply/trunc/
+     # divide IEEE sequence, so values are bit-comparable.
+     "SELECT doc_id, truncate(doc_id / 7.0, 2) AS t2, "
+     "truncate(-(doc_id) / 7.0, 2) AS tneg, "
+     "truncate(doc_id * 1.5, -1) AS tens "
+     "FROM documents ORDER BY doc_id",
+     "SELECT doc_id, "
+     "CASE WHEN doc_id / 7.0 < 0 THEN ceil(doc_id / 7.0 * 100) "
+     "  ELSE floor(doc_id / 7.0 * 100) END / 100 AS t2, "
+     "CASE WHEN -(doc_id) / 7.0 < 0 THEN ceil(-(doc_id) / 7.0 * 100) "
+     "  ELSE floor(-(doc_id) / 7.0 * 100) END / 100 AS tneg, "
+     "CASE WHEN doc_id * 1.5 < 0 THEN ceil(doc_id * 1.5 * power(10, -1)) "
+     "  ELSE floor(doc_id * 1.5 * power(10, -1)) END / power(10, -1) AS tens "
+     "FROM documents ORDER BY doc_id"),
+    ("array_agg_distinct",
+     "SELECT n_regionkey, "
+     "array_sort(array_agg(DISTINCT substr(n_name, 1, 1))) AS initials "
+     "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+     "SELECT n_regionkey, "
+     "list_sort(array_agg(DISTINCT substr(n_name, 1, 1))) AS initials "
+     "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+    ("row_constructor",
+     # ROW(..) → struct: tuple comparison in a predicate.
+     "SELECT doc_id FROM documents "
+     "WHERE ROW(lang, doc_id % 2) = ROW('en', CAST(0 AS BIGINT)) "
+     "ORDER BY doc_id",
+     "SELECT doc_id FROM documents "
+     "WHERE (lang, doc_id % 2) = ('en', 0) ORDER BY doc_id"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES10])
+def test_trino_statement_matches_oracle_wave10(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino10:{name}")
+
+
+def test_cast_as_row_type_raises():
+    with pytest.raises(TrinoSqlUnsupported, match="AS ROW"):
+        rewrite_trino_sql("SELECT CAST(ROW(1, 2) AS ROW(a INT, b INT))")
+
+
+def test_array_agg_distinct_keeps_one_null(spark):
+    """Trino array_agg(DISTINCT x) dedups but KEEPS one NULL — a plain
+    collect_set rewrite would drop it."""
+    out = execute_trino(
+        spark,
+        "SELECT array_agg(DISTINCT x) AS a "
+        "FROM (VALUES (1), (1), (NULL), (NULL), (2)) t(x)").collect()[0].a
+    assert sorted(v for v in out if v is not None) == [1, 2]
+    assert sum(1 for v in out if v is None) == 1
     with pytest.raises(TrinoSqlUnsupported, match="array_agg"):
-        rewrite_trino_sql("SELECT array_agg(DISTINCT x) FROM t")
+        rewrite_trino_sql("SELECT array_agg(DISTINCT x ORDER BY x) FROM t")
 
 
 def test_geometric_mean_nonpositive_is_nan(spark):
