@@ -68,7 +68,8 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
   - wave 10: truncate(x, n) decimal-scale trunc (multiply/trunc/divide,
     Trino's own DOUBLE sequence); random(m, n) bounded integers;
     array_agg(DISTINCT x) via array_distinct over the NULL-preserving
-    collect (keeps one NULL, as Trino)
+    collect (keeps one NULL, as Trino; + ORDER BY x self-key variant —
+    array_sort's NULLS LAST/reversed-FIRST matches Trino's defaults)
   - MATCH_RECOGNIZE: not a text rewrite — execute_trino /
     GovernedCatalog.execute lower the restricted subset (PARTITION/
     ORDER/ONE ROW PER MATCH/SKIP PAST LAST ROW/defined-variable
@@ -78,7 +79,7 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, strict JSON paths, CAST(.. AS JSON), CAST(.. AS ROW(..))
-    named-row types, array_agg(DISTINCT .. ORDER BY ..),
+    named-row types, array_agg(DISTINCT x ORDER BY y) with y != x,
     MATCH_RECOGNIZE beyond the subset, and unnest arg/column-count
     mismatches raise TrinoSqlUnsupported naming the construct, never
     silently mis-translate.
@@ -732,14 +733,25 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         dm = re.match(r"DISTINCT\b\s*(.+)$", arg, re.IGNORECASE | re.DOTALL)
         if dm:
             rest = dm.group(1)
-            if re.search(r"\bORDER\s+BY\b", rest, re.IGNORECASE):
-                raise TrinoSqlUnsupported(
-                    "array_agg(DISTINCT ... ORDER BY ...): combined "
-                    "dedup + ordering — rewrite explicitly")
+            om2 = re.match(r"(.+?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?$",
+                           rest, re.IGNORECASE | re.DOTALL)
             # collect_set drops NULLs (Trino's dedup keeps one), so
             # dedup the NULL-preserving struct-collect instead.
-            return ("array_distinct(transform(collect_list("
-                    f"named_struct('v', {rest})), s -> s.v))")
+            dedup = ("array_distinct(transform(collect_list("
+                     "named_struct('v', {})), s -> s.v))")
+            if om2 is None:
+                return dedup.format(rest)
+            val, key, direction = (om2.group(1), om2.group(2),
+                                   (om2.group(3) or "ASC").upper())
+            if key.strip() != val.strip():
+                raise TrinoSqlUnsupported(
+                    "array_agg(DISTINCT x ORDER BY y) with y != x: "
+                    "dedup + foreign-key ordering — rewrite explicitly")
+            # Sorting AFTER dedup: Spark's array_sort is ASC NULLS LAST,
+            # matching Trino's default null ordering; reverse() gives
+            # DESC NULLS FIRST — also Trino's DESC default.
+            body = f"array_sort({dedup.format(val)})"
+            return f"reverse({body})" if direction == "DESC" else body
         if re.search(r"\bNULLS\s+(FIRST|LAST)\b", arg, re.IGNORECASE):
             raise TrinoSqlUnsupported(
                 "array_agg(... ORDER BY ... NULLS FIRST/LAST): explicit "

@@ -942,7 +942,20 @@ def test_array_agg_distinct_keeps_one_null(spark):
     assert sorted(v for v in out if v is not None) == [1, 2]
     assert sum(1 for v in out if v is None) == 1
     with pytest.raises(TrinoSqlUnsupported, match="array_agg"):
-        rewrite_trino_sql("SELECT array_agg(DISTINCT x ORDER BY x) FROM t")
+        rewrite_trino_sql("SELECT array_agg(DISTINCT x ORDER BY y) FROM t")
+
+
+def test_array_agg_distinct_order_by_self(spark):
+    """array_agg(DISTINCT x ORDER BY x): dedup then sort — ASC puts the
+    kept NULL last, DESC first (Trino's default null ordering both
+    ways)."""
+    row = execute_trino(
+        spark,
+        "SELECT array_agg(DISTINCT x ORDER BY x) AS a, "
+        "array_agg(DISTINCT x ORDER BY x DESC) AS d "
+        "FROM (VALUES (2), (1), (NULL), (2), (NULL)) t(x)").collect()[0]
+    assert row.a == [1, 2, None]
+    assert row.d == [None, 2, 1]
 
 
 def test_geometric_mean_nonpositive_is_nan(spark):
