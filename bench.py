@@ -70,6 +70,13 @@ HEADLINE = [
     "q_llm_tfidf",
     "q_llm_trigram_lm",
     "q_events_pattern",
+    # round 7 additions: the remaining heavy r6 text/dedup operators so
+    # the de-windowed plans (groupBy + join-back replacing hot-key
+    # WindowExec) are measured, not inferred — passage dedup, SemDeDup
+    # and sliding-window chunking.
+    "q_llm_para_dedup",
+    "q_llm_semdedup",
+    "q_llm_chunk",
 ]
 
 #: Timed steady-state repeats per query; per-query time is the MIN over

@@ -763,13 +763,19 @@ def q_llm_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the word array is projected ONCE (lambda-hoisting
     lesson), chunked by a higher-order slice transform (codegen, no
-    UDF), posexploded; first-occurrence is a row_number window on the
-    passage key (ONE shuffle — the same key a dedup join would use);
-    per-doc totals ride a doc_id window; reassembly is sort_array over
-    collect_list(struct(pos, passage)) — deterministic, order-exact.
+    UDF), posexploded and materialized ONCE (localCheckpoint — three
+    consumers). First-occurrence is a COMBINABLE
+    ``groupBy("passage").agg(min(struct(doc_id, pos)))`` followed by a
+    LEFT SEMI join back on the full (passage, doc_id, pos) triple —
+    the hot key this operator HUNTS (boilerplate duplicated 10⁶–10⁸
+    times) collapses map-side in the agg, and the semi-join's
+    three-column key spreads those duplicates across partitions, so no
+    task ever buffers a hot passage (the r6 row_number window did —
+    WindowExec on the passage key, unsplittable by AQE). Per-doc
+    totals are a combinable groupBy count joined on doc_id; reassembly
+    is sort_array over collect_list(struct(pos, passage)) —
+    deterministic, order-exact.
     """
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("_w"))
@@ -778,23 +784,24 @@ def q_llm_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.expr(
             "transform(sequence(0, CAST(ceil(size(_w) / 10.0) AS INT) - 1), "
             "i -> array_join(slice(_w, i * 10 + 1, 10), ' '))"
-        )).alias("pos", "passage"))
-    p = (chunked
-         .withColumn("n_total", F.count("*").over(
-             Window.partitionBy("doc_id")))
-         .withColumn("rn", F.row_number().over(
-             Window.partitionBy("passage").orderBy("doc_id", "pos"))))
+        )).alias("pos", "passage")).localCheckpoint()
+    first = (chunked.groupBy("passage")
+             .agg(F.min(F.struct("doc_id", "pos")).alias("_f"))
+             .select("passage", F.col("_f.doc_id").alias("doc_id"),
+                     F.col("_f.pos").alias("pos")))
+    totals = chunked.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    kept = chunked.join(first, ["passage", "doc_id", "pos"], "left_semi")
     return (
-        p.filter(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(F.any_value("n_total").alias("n_total"),
-             F.count("*").alias("n_kept"),
+        kept.groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"),
              F.array_join(
                  F.transform(
                      F.array_sort(F.collect_list(
                          F.struct("pos", "passage"))),
                      lambda x: x["passage"]),
                  " ").alias("new_text"))
+        .join(totals, "doc_id")
+        .select("doc_id", "n_total", "n_kept", "new_text")
     )
 
 

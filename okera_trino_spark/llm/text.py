@@ -744,29 +744,35 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance features.
 
     Scale shape: ONE explode pass builds (doc, word) term counts
-    (map-side combinable groupBy); document frequency is a WINDOW count
-    over the word key on that same relation (one row per distinct
-    (doc, word), so count(*) per word IS the df) — a single linear
-    pipeline with no self-join and no recompute of the explode subtree
-    (measured: the join formulation ran the explode+groupBy once per
-    consumer). N comes from a scan-only count (doc_id column, footer
-    cheap), broadcast as one row. Shuffles: (doc, word) agg → word
-    window → per-doc row_number window; never partition-less. Ties at
-    equal (tf, df) produce bit-identical scores in both engines (same
-    double formula), broken deterministically by the word itself.
+    (map-side combinable groupBy), materialized ONCE (localCheckpoint —
+    it has two consumers and the explode is the dominant scan cost);
+    document frequency is a COMBINABLE ``groupBy("word").count()`` on
+    that relation (one row per distinct (doc, word), so count(*) per
+    word IS the df), joined back on ``word`` as a shuffle join — a
+    stopword's probe rows split across AQE skew-join sub-partitions,
+    unlike the r6 window formulation where WindowExec buffered the
+    whole |corpus|-row stopword partition on one task (AQE skew
+    handling covers joins, not window exchanges). N comes from a
+    scan-only count (doc_id column, footer cheap), broadcast as one
+    row. Shuffles: (doc, word) agg → word agg/join → per-doc
+    row_number window (bounded by per-doc vocabulary); never
+    partition-less. Ties at equal (tf, df) produce bit-identical
+    scores in both engines (same double formula), broken
+    deterministically by the word itself.
     """
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
     toks = (d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
             .filter(F.col("word") != ""))
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = (toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+          .localCheckpoint())
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.select(F.count_distinct("doc_id").alias("n_docs"))
-    df_ = F.count("*").over(Window.partitionBy("word"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("word"))
     return (
-        tf.withColumn("df", df_)
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -810,20 +816,22 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: trigrams come from a higher-order transform over a
     character-index sequence (pure codegen, no UDF), collapsed
     IMMEDIATELY to per-doc trigram counts (map-side combine — the
-    shuffle carries (doc, tri, c), ~40x smaller than raw trigram rows).
-    The model count per trigram is a WINDOW sum over the trigram key on
-    that same relation — a single linear pipeline with no model
-    self-join and no recompute of the explode subtree (measured: the
-    join formulation ran the explode twice; an eager materialization
-    paid more than it saved). The corpus total never needs the
-    trigrams at all: it is exactly sum(max(len-2, 0)) over documents —
-    a scan-only aggregate, broadcast as one row. Cross-entropy sums
-    ln() terms per doc and rounds at 4 decimals before the flag compare
-    (entropy-gate precedent), so float summation order cannot flip a
-    boundary doc.
+    shuffle carries (doc, tri, c), ~40x smaller than raw trigram rows)
+    and materialized ONCE (localCheckpoint — two consumers, and the
+    trigram explode is the dominant cost). The model is a COMBINABLE
+    ``groupBy("tri").sum(c)`` on that relation: it collapses to at most
+    |charset|³ rows regardless of corpus size (SCALE.md measures the
+    bound), so it is BROADCAST back — the r6 window formulation
+    instead shuffled on the raw ``tri`` key, and the hot trigram
+    ("th ", "the") put ≈|corpus| rows in one WindowExec partition that
+    AQE cannot split; the broadcast join eliminates that shuffle
+    entirely (the probe side keeps its (doc, tri) agg partitioning).
+    The corpus total never needs the trigrams at all: it is exactly
+    sum(max(len-2, 0)) over documents — a scan-only aggregate,
+    broadcast as one row. Cross-entropy sums ln() terms per doc and
+    rounds at 4 decimals before the flag compare (entropy-gate
+    precedent), so float summation order cannot flip a boundary doc.
     """
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     # Hoist lower(text) OUT of the per-position lambda: inside the
     # transform it would re-lowercase the whole document for every
@@ -843,15 +851,16 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(lt) - 2), "
             "i -> substring(lt, i, 3)) "
             "ELSE array() END")).alias("tri"))
-    tc = tris.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
+    tc = (tris.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
+          .localCheckpoint())
+    model = tc.groupBy("tri").agg(F.sum("c").alias("cnt"))
     total = d.agg(
         F.sum(F.greatest(F.length(F.lower(F.col("text"))) - 2, F.lit(0)))
         .cast("double").alias("t"))
-    cnt = F.sum("c").over(Window.partitionBy("tri"))
     xent = F.round(
         -F.sum(F.col("c") * F.log(F.col("cnt") / F.col("t"))) / F.sum("c"), 4)
     return (
-        tc.withColumn("cnt", cnt)
+        tc.join(F.broadcast(model), "tri")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_tris"), xent.alias("xent"))

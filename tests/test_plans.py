@@ -258,3 +258,32 @@ def test_no_cartesian_product_in_any_registered_plan(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in plans: {offenders}"
+
+
+def test_no_window_on_corpus_cardinality_key(spark, sf_dir):
+    """r7 invariant: the three text operators that r6 shipped with a
+    window aggregate PARTITIONED ON A ZIPFIAN CORPUS KEY (word / tri /
+    passage — keys whose hottest partition grows with |corpus|) now
+    plan NO Window over those keys at all: document frequency, the
+    trigram model and passage first-occurrence are map-side-combinable
+    groupBys joined back (AQE skew-join splits a hot join key;
+    WindowExec buffers the whole partition on one task and AQE cannot
+    split it). The only Window allowed in these plans is partitioned
+    by doc_id (bounded by a single document's size)."""
+    hot = {"word", "tri", "passage"}
+    offenders = []
+    for name in ("q_llm_tfidf", "q_llm_trigram_lm", "q_llm_para_dedup"):
+        df = SPECS[name].fn(spark, sf_dir)
+
+        def walk(node):
+            if node.nodeName() == "Window":
+                spec = node.partitionSpec()
+                for i in range(spec.length()):
+                    expr = spec.apply(i).toString().lower()
+                    if any(k in expr for k in hot):
+                        offenders.append((name, expr))
+            for i in range(node.children().length()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+    assert not offenders, f"Window on corpus-cardinality key: {offenders}"
