@@ -78,7 +78,9 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     (operators/pattern.py) and splice the result into the statement
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
-    zones, strict JSON paths, CAST(.. AS JSON), CAST(.. AS ROW(..))
+    zones, strict JSON paths with wildcards/filters (plain member
+    chains lower to get_json_object, r7; CAST(.. AS JSON) serializes
+    via to_json, r7), CAST(.. AS ROW(..))
     named-row types, array_agg(DISTINCT x ORDER BY y) with y != x,
     MATCH_RECOGNIZE beyond the subset, and unnest arg/column-count
     mismatches raise TrinoSqlUnsupported naming the construct, never
@@ -657,10 +659,13 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                           if len(a) == 2 else None)
     # geometric_mean(x) = exp(avg(ln(x))) — guarded: Spark's ln of a
     # non-positive value yields NULL (which avg would silently SKIP),
-    # while Trino propagates NaN; the CASE restores Trino's behavior.
+    # while Trino accumulates Java Math.log: a NEGATIVE input gives NaN,
+    # but log(0) = -Infinity, so zeros (with no negatives) give
+    # exp(-Inf) = 0.0 — the r6 guard mapped both to NaN (r7 split).
     code = _rewrite_calls(
         code, "geometric_mean",
-        lambda a: (f"(CASE WHEN min({a[0]}) <= 0 THEN CAST('NaN' AS DOUBLE) "
+        lambda a: (f"(CASE WHEN min({a[0]}) < 0 THEN CAST('NaN' AS DOUBLE) "
+                   f"WHEN min({a[0]}) = 0 THEN CAST(0 AS DOUBLE) "
                    f"ELSE exp(avg(ln({a[0]}))) END)")
         if len(a) == 1 else None)
     # infinity()/nan() constants
@@ -766,8 +771,12 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             raise TrinoSqlUnsupported(
                 "array_agg(... ORDER BY k1, k2): multi-key ordering — "
                 "rewrite with a struct sort explicitly")
-        body = (f"array_sort(collect_list(named_struct('k', {key}, "
-                f"'v', {val})))")
+        # Null sort keys (r7): Spark's struct ordering puts null fields
+        # FIRST, Trino sorts nulls as LARGER than any value (NULLS LAST
+        # ascending; FIRST after the DESC reverse) — lead with an
+        # is-null discriminator so the Trino placement wins.
+        body = (f"array_sort(collect_list(named_struct("
+                f"'n', {key} IS NULL, 'k', {key}, 'v', {val})))")
         if direction.upper() == "DESC":
             body = f"reverse({body})"
         return f"transform({body}, s -> s.v)"
@@ -788,9 +797,18 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                 "json_value/json_query need a literal JSON path")
         path = lit.strip()
         if re.match(r"strict\s", path, re.IGNORECASE):
-            raise TrinoSqlUnsupported(
-                "strict-mode JSON path (errors on mismatch) has no "
-                "get_json_object equivalent — use lax mode")
+            # r7: a strict path that is a plain member/subscript chain
+            # differs from lax ONLY in erroring on structural mismatch;
+            # on conforming data the two agree, so it lowers to the
+            # same get_json_object (mismatches yield NULL, not an
+            # error). Wildcards/filters/methods stay refused — there
+            # the access semantics themselves differ.
+            body = re.sub(r"^strict\s+", "", path, flags=re.IGNORECASE)
+            if not re.fullmatch(r"\$(\.\w+|\[\d+\])*", body.strip()):
+                raise TrinoSqlUnsupported(
+                    "strict-mode JSON path with wildcards/filters has no "
+                    "get_json_object equivalent — use lax mode")
+            path = body
         path = re.sub(r"^lax\s+", "", path, flags=re.IGNORECASE)
         return f"get_json_object({a[0]}, {requote(path)})"
 
@@ -1156,11 +1174,33 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     # bare localtimestamp niladic keyword → Spark needs the call form
     code = re.sub(r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()",
                   code, flags=re.IGNORECASE)
+    # CAST(x AS JSON) (r7): Trino's JSON type is a string here. The
+    # cast SERIALIZES the operand to JSON text for every operand type
+    # (varchar → quoted/escaped JSON string — Trino does NOT parse;
+    # numerics/booleans → JSON scalars; arrays/maps/rows → nested
+    # JSON). One type-agnostic lowering: to_json of a 1-field struct,
+    # with the constant {"v": wrapper sliced off — exact JSON escaping
+    # from Spark's own serializer, nested nulls preserved
+    # (ignoreNullFields off). A standalone SQL NULL stays SQL NULL
+    # (Trino's rule), via the CASE.
+    def _cast_json_fn(a):
+        if len(a) != 1:
+            return None
+        cm = re.match(r"(.+)\s+AS\s+JSON\s*$", a[0],
+                      re.IGNORECASE | re.DOTALL)
+        if not cm:
+            return None
+        x = cm.group(1).strip()
+        tj = (f"to_json(named_struct('v', {x}), "
+              f"map('ignoreNullFields', 'false'))")
+        return (f"(CASE WHEN ({x}) IS NULL THEN NULL "
+                f"ELSE substring({tj}, 6, length({tj}) - 6) END)")
+
+    code = _rewrite_calls(code, "CAST", _cast_json_fn)
     if re.search(r"\bAS\s+JSON\b", code, re.IGNORECASE):
         raise TrinoSqlUnsupported(
-            "CAST(... AS JSON): JSON is a plain string here — use "
-            "to_json(x) for maps/arrays/rows, json_format/json_parse "
-            "(identity) for JSON text")
+            "AS JSON outside a plain CAST is not supported — use "
+            "to_json(x) / json_parse")
     return code
 
 
@@ -1192,9 +1232,92 @@ def _unmask(code: str, stash: list[str]) -> str:
     return _COMMENT_PH_RE.sub(lambda m: stash[int(m.group(1))], code)
 
 
+#: GROUPS window-frame spec: PARTITION/ORDER + a GROUPS frame whose
+#: bounds are the standard five forms (EXCLUDE clauses don't match and
+#: raise the named error below).
+_GROUPS_BOUND = (r"(?:UNBOUNDED\s+PRECEDING|UNBOUNDED\s+FOLLOWING|"
+                 r"\d+\s+PRECEDING|\d+\s+FOLLOWING|CURRENT\s+ROW)")
+_GROUPS_SPEC_RE = re.compile(
+    r"^\s*(?:PARTITION\s+BY\s+(?P<part>.+?)\s+)?"
+    r"ORDER\s+BY\s+(?P<ord>.+?)\s+"
+    r"GROUPS\s+(?:BETWEEN\s+(?P<lo>" + _GROUPS_BOUND + r")\s+"
+    r"AND\s+(?P<hi>" + _GROUPS_BOUND + r")"
+    r"|(?P<solo>\d+\s+PRECEDING|UNBOUNDED\s+PRECEDING|CURRENT\s+ROW))"
+    r"\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_groups_frames(masked: str) -> str:
+    """Lower ``GROUPS BETWEEN …`` window frames (Trino-supported, no
+    Spark syntax) by the exact peer-group equivalence the
+    ``groups_frame`` operator uses (operators/windows.py:155): a
+    dense_rank group index in an inlined subquery, then the SAME frame
+    in RANGE mode over that index — definitionally the GROUPS frame,
+    and both windows share one exchange+sort in the plan. Pure text:
+    the OVER spec is rewritten to ``ORDER BY _grpN RANGE BETWEEN …``
+    and the single-table FROM is wrapped as
+    ``(SELECT *, dense_rank() OVER (…) AS _grpN FROM t) AS t`` —
+    aliased with the original name so qualified references survive.
+    Restricted to a single plain-table FROM (the splice target must be
+    unambiguous); anything else raises the named error.
+    """
+    if not re.search(r"\bGROUPS\b", masked, re.IGNORECASE):
+        return masked
+    # Collect every OVER(...) containing a GROUPS frame.
+    grp_specs: dict[tuple[str, str], str] = {}   # (part, ord) -> col
+    spans: list[tuple[int, int, str]] = []       # (start, end, new spec)
+    for m in re.finditer(r"\bOVER\s*\(", masked, re.IGNORECASE):
+        open_i = m.end() - 1
+        close_i = _find_close(masked, open_i)
+        spec = masked[open_i + 1:close_i]
+        if not re.search(r"\bGROUPS\b", spec, re.IGNORECASE):
+            continue
+        sm = _GROUPS_SPEC_RE.match(spec)
+        if not sm:
+            raise TrinoSqlUnsupported(
+                f"GROUPS window frame {spec!r} — supported: [PARTITION "
+                "BY …] ORDER BY … GROUPS [BETWEEN] with the five "
+                "standard bounds (no EXCLUDE)")
+        part = re.sub(r"\s+", " ", (sm.group("part") or "").strip())
+        ordr = re.sub(r"\s+", " ", sm.group("ord").strip())
+        key = (part.lower(), ordr.lower())
+        if key not in grp_specs:
+            grp_specs[key] = (f"_grp{len(grp_specs)}", part, ordr)
+        col = grp_specs[key][0]
+        lo = sm.group("lo") or sm.group("solo")
+        hi = sm.group("hi") or "CURRENT ROW"
+        new = ((f"PARTITION BY {part} " if part else "")
+               + f"ORDER BY {col} RANGE BETWEEN {lo} AND {hi}")
+        spans.append((open_i + 1, close_i, new))
+    if not spans:
+        return masked
+    # Splice target: exactly one plain-table FROM.
+    froms = list(re.finditer(
+        r"\bFROM\s+([A-Za-z_][\w.]*|`[^`]+`)(?!\s*\()", masked,
+        re.IGNORECASE))
+    if len(froms) != 1 or re.search(r"\bJOIN\b|\bFROM\s*\(", masked,
+                                    re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            "GROUPS window frames are lowered only over a single-table "
+            "FROM — rewrite the query so the GROUPS window reads one "
+            "table/view")
+    for start, end, new in sorted(spans, reverse=True):
+        masked = masked[:start] + new + masked[end:]
+    fm = list(re.finditer(
+        r"\bFROM\s+([A-Za-z_][\w.]*|`[^`]+`)", masked, re.IGNORECASE))[0]
+    tbl = fm.group(1)
+    grp_cols = ", ".join(
+        f"dense_rank() OVER ({('PARTITION BY ' + part + ' ') if part else ''}"
+        f"ORDER BY {ordr}) AS {col}"
+        for col, part, ordr in grp_specs.values())
+    inner = f"(SELECT *, {grp_cols} FROM {tbl}) AS {tbl.strip('`')}"
+    return masked[:fm.start()] + "FROM " + inner + masked[fm.end():]
+
+
 def rewrite_trino_sql(sql: str) -> str:
     """Rewrite a Trino-dialect SQL string to Spark SQL (pure text)."""
     masked, stash = _mask(sql)
+    masked = _rewrite_groups_frames(masked)
     return _unmask(_rewrite_code(masked, stash), stash)
 
 
@@ -1215,8 +1338,8 @@ _MR_SECTIONS = [
 ]
 _MR_AGG_RE = re.compile(
     r"^(first|last|sum|avg|min|max)\s*\(\s*([\w`]+)\s*\)$", re.IGNORECASE)
-_MR_FORBIDDEN_RE = re.compile(
-    r"\b(?:PREV|NEXT)\s*\(|\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]", re.IGNORECASE)
+_MR_NAV_RE = re.compile(r"\b(PREV|NEXT)\s*\(", re.IGNORECASE)
+_MR_QUALIFIED_RE = re.compile(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]")
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
@@ -1251,12 +1374,19 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     - PARTITION BY + ORDER BY required (an unpartitioned pattern scan
       is a single serial partition — in Trino too — and is refused
       rather than silently bottlenecked);
-    - ONE ROW PER MATCH (default) and AFTER MATCH SKIP PAST LAST ROW
-      (default) only — the operator's semantics;
+    - ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (r7 — every
+      matched row with per-row ``classifier()``; empty matches omitted,
+      no WITH UNMATCHED / RUNNING aggregates), with AFTER MATCH SKIP
+      PAST LAST ROW (default) only;
     - every pattern variable must be DEFINEd with a pattern-independent
-      row predicate (no PREV/NEXT or variable-qualified references —
-      an undefined variable is always-true in Trino, which breaks
-      first-match-wins classification);
+      row predicate (an undefined variable is always-true in Trino,
+      which breaks first-match-wins classification). ``PREV(expr[, n])``
+      / ``NEXT(expr[, n])`` ARE supported (r7): they navigate physical
+      partition rows in Trino, so they lower to lag/lead columns over
+      the (PARTITION BY, ORDER BY) window — still pattern-independent,
+      still JVM-side. Self-qualified column references (``X.price``
+      inside DEFINE X) resolve to the current row; references
+      qualified by OTHER variables are refused;
     - MEASURES limited to match_number(), classifier(), count(*), and
       first/last/sum/avg/min/max over a bare column.
     Output columns follow Trino's ONE ROW PER MATCH shape: the
@@ -1274,10 +1404,16 @@ def execute_match_recognize(spark: SparkSession, sql: str,
 
     if "subset" in sections:
         raise TrinoSqlUnsupported("MATCH_RECOGNIZE SUBSET is not supported")
-    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", masked[open_idx + 1:close],
-                 re.IGNORECASE):
+    all_rows = bool(re.search(
+        r"ALL\s+ROWS\s+PER\s+MATCH", masked[open_idx + 1:close],
+        re.IGNORECASE))
+    if all_rows and re.search(
+            r"ALL\s+ROWS\s+PER\s+MATCH\s+(WITH|SHOW|OMIT)",
+            masked[open_idx + 1:close], re.IGNORECASE):
         raise TrinoSqlUnsupported(
-            "ALL ROWS PER MATCH — only ONE ROW PER MATCH is supported")
+            "ALL ROWS PER MATCH WITH UNMATCHED / SHOW|OMIT EMPTY "
+            "modifiers are not supported (default empty-match omission "
+            "only)")
     after = sections.get("after")
     if after and not re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", after,
                                   re.IGNORECASE):
@@ -1309,19 +1445,61 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     from okera_trino_spark.operators.pattern import match_recognize
 
     # DEFINE: ordered (variable, predicate) pairs; predicates go through
-    # the full dialect rewrite as expression fragments.
+    # the full dialect rewrite as expression fragments. PREV(expr[, n])
+    # / NEXT(expr[, n]) navigate PHYSICAL partition rows in Trino
+    # (independent of the pattern), so they lower exactly to lag/lead
+    # columns over the (PARTITION BY, ORDER BY) window, computed
+    # JVM-side BEFORE classification — the operator's documented
+    # contract (operators/pattern.py:17-20). Self-qualified references
+    # (``DOWN.price`` inside DEFINE DOWN) are the current row's column;
+    # OTHER variables' references are pattern-dependent and refused.
     defines = []
+    nav_map: dict[tuple[str, str, int], str] = {}
+
+    def _lower_nav(var: str, cond: str) -> str:
+        cond = re.sub(rf"\b{re.escape(var)}\s*\.\s*", "", cond,
+                      flags=re.IGNORECASE)
+        while True:
+            nm = _MR_NAV_RE.search(cond)
+            if nm is None:
+                break
+            open_i = nm.end() - 1
+            close_i = _find_close(cond, open_i)
+            inner = cond[open_i + 1:close_i]
+            if _MR_NAV_RE.search(inner):
+                raise TrinoSqlUnsupported(
+                    f"DEFINE {var}: nested PREV/NEXT is not supported")
+            parts = _split_top_level(inner)
+            if len(parts) not in (1, 2):
+                raise TrinoSqlUnsupported(
+                    f"DEFINE {var}: PREV/NEXT takes (expr[, offset])")
+            expr_txt = re.sub(rf"\b{re.escape(var)}\s*\.\s*", "",
+                              parts[0].strip(), flags=re.IGNORECASE)
+            off = 1
+            if len(parts) == 2:
+                if not re.fullmatch(r"\d+", parts[1].strip()):
+                    raise TrinoSqlUnsupported(
+                        f"DEFINE {var}: PREV/NEXT offset must be an "
+                        "integer literal")
+                off = int(parts[1].strip())
+            key = (nm.group(1).upper(), expr_txt, off)
+            if key not in nav_map:
+                nav_map[key] = f"_mr_nav{len(nav_map)}"
+            cond = cond[:nm.start()] + nav_map[key] + cond[close_i + 1:]
+        if _MR_QUALIFIED_RE.search(cond):
+            raise TrinoSqlUnsupported(
+                f"DEFINE {var}: references qualified by OTHER pattern "
+                "variables are not supported (row classification must be "
+                "pattern-independent)")
+        return cond
+
     for item in _split_top_level(sections["define"]):
         dm = re.match(r"\s*(\w+)\s+AS\s+(.+)$", item.strip(),
                       re.IGNORECASE | re.DOTALL)
         if not dm:
             raise TrinoSqlUnsupported(f"unparsable DEFINE item: {item!r}")
         var, cond = dm.group(1), dm.group(2)
-        if _MR_FORBIDDEN_RE.search(cond):
-            raise TrinoSqlUnsupported(
-                f"DEFINE {var}: PREV/NEXT or pattern-variable-qualified "
-                "references are not supported (row classification must be "
-                "pattern-independent)")
+        cond = _lower_nav(var, cond)
         defines.append((var.upper(),
                         _unmask(_rewrite_code(cond, stash), stash)))
     if len(defines) > 26:
@@ -1343,6 +1521,14 @@ def execute_match_recognize(spark: SparkSession, sql: str,
             pattern += text
 
     df = spark.table(table)
+    if nav_map:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        for (kind, expr_txt, off), name in nav_map.items():
+            src = F.expr(_unmask(_rewrite_code(expr_txt, stash), stash))
+            nav = F.lag(src, off) if kind == "PREV" else F.lead(src, off)
+            df = df.withColumn(name, nav.over(w))
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
     measures: dict = {}
@@ -1360,6 +1546,17 @@ def execute_match_recognize(spark: SparkSession, sql: str,
             if re.fullmatch(r"match_number\s*\(\s*\)", expr, re.IGNORECASE):
                 renames.append(("match_num", alias))
                 continue
+            if all_rows and re.fullmatch(r"classifier\s*\(\s*\)", expr,
+                                         re.IGNORECASE):
+                # per-row classifier column comes from the operator.
+                renames.append(("classifier", alias))
+                continue
+            if all_rows:
+                raise TrinoSqlUnsupported(
+                    f"ALL ROWS PER MATCH MEASURES {expr!r} — only "
+                    "match_number() and classifier() are supported there "
+                    "(Trino gives aggregates RUNNING per-row semantics, "
+                    "which this subset does not implement)")
             if re.fullmatch(r"classifier\s*\(\s*\)", expr, re.IGNORECASE):
                 # Trino ONE ROW PER MATCH classifier(): the pattern
                 # variable of the LAST row of the match, by its
@@ -1406,20 +1603,41 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                     lambda c, m, col=col, agg=agg: getattr(c[col], agg)())
                 schema_parts.append(f"{alias} {t_}")
 
-    out = match_recognize(
-        df, partition_by, order_by,
-        symbols=[(letters[v], F.expr(cond)) for v, cond in defines],
-        pattern=pattern,
-        measures=measures,
-        measure_schema=", ".join(schema_parts),
-        used_columns=used_cols,
-    )
-    for src, alias in renames:
-        out = out.withColumn(alias, F.col(src))
-    if measures or renames:
-        # Trino ONE ROW PER MATCH output: partition keys + measures.
-        out = out.select(*partition_by,
-                         *[a for _, a in renames], *measures.keys())
+    symbols = [(letters[v], F.expr(cond)) for v, cond in defines]
+    if all_rows:
+        out = match_recognize(
+            df, partition_by, order_by, symbols=symbols, pattern=pattern,
+            all_rows=True)
+        # The operator emits the internal letter; surface Trino's
+        # classifier() contract — the DEFINE variable name.
+        cls = None
+        for var, letter in letters.items():
+            cond_ = F.col("classifier") == letter
+            cls = (F.when(cond_, F.lit(var)) if cls is None
+                   else cls.when(cond_, F.lit(var)))
+        out = out.withColumn("classifier", cls)
+        for src, alias in renames:
+            out = out.withColumn(alias, F.col(src))
+        # Trino ALL ROWS PER MATCH output: the input columns (nav
+        # helper columns dropped) + the declared measures; without a
+        # MEASURES clause, match_num/classifier are kept by their
+        # operator names.
+        base = [c for c in spark.table(table).columns]
+        extras = [a for _, a in renames] or ["match_num", "classifier"]
+        out = out.select(*base, *extras)
+    else:
+        out = match_recognize(
+            df, partition_by, order_by, symbols=symbols, pattern=pattern,
+            measures=measures,
+            measure_schema=", ".join(schema_parts),
+            used_columns=used_cols,
+        )
+        for src, alias in renames:
+            out = out.withColumn(alias, F.col(src))
+        if measures or renames:
+            # Trino ONE ROW PER MATCH output: partition keys + measures.
+            out = out.select(*partition_by,
+                             *[a for _, a in renames], *measures.keys())
     out.createOrReplaceTempView("_mr_result")
 
     # Splice: the table reference + pattern block (+ optional alias)
@@ -1801,6 +2019,69 @@ def q_trino_sql_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-level MEASURES (sum/first/last) are proven against a standalone
     Python reference in tests/test_pattern.py."""
     return execute_trino(spark, TRINO_SQL_MR, sf_dir)
+
+
+TRINO_SQL_MR_PREV = """
+SELECT user_id, match_num, n_rows
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES match_number() AS match_num, count(*) AS n_rows
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (DOWN+ UP+)
+  DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+         UP AS UP.value > PREV(UP.value)
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr_prev",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv,
+               ts, event_id
+        FROM events
+    ), sym AS (
+        SELECT user_id,
+               string_agg(CASE WHEN pv IS NOT NULL AND value < pv THEN 'D'
+                               WHEN pv IS NOT NULL AND value > pv THEN 'U'
+                               ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM ordered GROUP BY user_id
+    ), matches AS (
+        SELECT user_id,
+               unnest(regexp_extract_all(s, 'D+U+')) AS mstr,
+               generate_subscripts(regexp_extract_all(s, 'D+U+'), 1)
+                   AS match_num
+        FROM sym
+    )
+    SELECT user_id, CAST(match_num AS BIGINT) AS match_num,
+           CAST(length(mstr) AS BIGINT) AS n_rows
+    FROM matches
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Trino MATCH_RECOGNIZE shape — falling-then-rising
+    runs with ``PREV()`` in DEFINE (the V/W-shape price query of the
+    Trino docs) — through the string path (r7). ``PREV(col[, n])`` /
+    ``NEXT(col[, n])`` navigate PHYSICAL partition rows in Trino, so
+    the lowering builds lag/lead columns over the (PARTITION BY,
+    ORDER BY) window JVM-side and substitutes them into the symbol
+    predicates; self-qualified references (``DOWN.value`` inside
+    DEFINE DOWN) resolve to the current row.
+
+    Oracle: the independent RE2 replay — the same lag-classified
+    symbol string in DuckDB, regexp_extract_all('D+U+') for the
+    leftmost-first non-overlapping greedy matches. A row with
+    value equal to its predecessor (or the partition's first row,
+    lag NULL) classifies as filler and breaks runs in both engines.
+    """
+    return execute_trino(spark, TRINO_SQL_MR_PREV, sf_dir)
 
 
 @query(

@@ -8,7 +8,8 @@ module supplies the OPERATOR under the restricted semantics that cover
 the funnel/journey queries MATCH_RECOGNIZE is actually used for in
 events analytics:
 
-- ``ONE ROW PER MATCH`` output;
+- ``ONE ROW PER MATCH`` output (default), or ``ALL ROWS PER MATCH``
+  (r7, ``all_rows=True``): every matched row with per-row classifier;
 - ``AFTER MATCH SKIP PAST LAST ROW`` (non-overlapping, leftmost-first,
   greedy quantifiers — exactly Python/RE2 ``finditer`` semantics);
 - row classification (DEFINE) is pattern-independent: each symbol is a
@@ -65,8 +66,10 @@ def match_recognize(
     measures: dict[str, Callable[[pd.DataFrame, re.Match], object]] | None = None,
     measure_schema: str = "",
     used_columns: list[str] | None = None,
+    all_rows: bool = False,
 ) -> DataFrame:
-    """ONE-ROW-PER-MATCH row-pattern matching over ``df``.
+    """Row-pattern matching over ``df`` (ONE ROW PER MATCH by default,
+    ALL ROWS PER MATCH with ``all_rows=True``).
 
     ``symbols`` is an ordered list of (single uppercase letter, boolean
     Column); a row takes the FIRST letter whose predicate is true, else
@@ -84,7 +87,21 @@ def match_recognize(
     fraction of the row, and shipping unread columns through
     applyInPandas is pure serialization cost (measured ~2x on the
     funnel key). None (default) keeps every column.
+
+    ``all_rows=True`` is Trino's ``ALL ROWS PER MATCH`` (r7): instead
+    of one summary row, every MATCHED input row is emitted with its
+    retained columns (post-pruning) plus ``match_num`` and
+    ``classifier`` (the per-row pattern symbol — Trino's
+    ``classifier()``). Unmatched rows are omitted (Trino's default
+    ``OMIT EMPTY MATCHES`` shape for non-empty patterns). ``measures``
+    are refused in this mode: Trino gives aggregates RUNNING semantics
+    per row there, which this operator does not implement — a
+    truncated implementation would silently diverge.
     """
+    if all_rows and measures:
+        raise ValueError(
+            "all_rows=True does not support measures (Trino ALL ROWS PER "
+            "MATCH aggregates have RUNNING per-row semantics)")
     if not _PATTERN_OK_RE.match(pattern):
         raise ValueError(
             f"pattern {pattern!r}: only A-Z symbols with regex "
@@ -104,14 +121,34 @@ def match_recognize(
         keep = list(dict.fromkeys(
             [*partition_by, *order_by, *used_columns, "_sym"]))
         classified = classified.select(*keep)
-    out_schema = ", ".join(
-        [f"{c} {classified.schema[c].dataType.simpleString()}"
-         for c in partition_by]
-        + ["match_num bigint", "matched string"]
-        + ([measure_schema] if measure_schema else []))
-    cols = partition_by + ["match_num", "matched"] + list(measures)
+    if all_rows:
+        row_cols = [c for c in classified.columns if c != "_sym"]
+        out_schema = ", ".join(
+            [f"{c} {classified.schema[c].dataType.simpleString()}"
+             for c in row_cols]
+            + ["match_num bigint", "classifier string"])
+        cols = row_cols + ["match_num", "classifier"]
+    else:
+        out_schema = ", ".join(
+            [f"{c} {classified.schema[c].dataType.simpleString()}"
+             for c in partition_by]
+            + ["match_num bigint", "matched string"]
+            + ([measure_schema] if measure_schema else []))
+        cols = partition_by + ["match_num", "matched"] + list(measures)
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if all_rows:
+            parts = []
+            for _, g in pdf.groupby(partition_by, sort=False, dropna=False):
+                s = "".join(g["_sym"])
+                for i, m in enumerate(compiled.finditer(s), start=1):
+                    chunk = g.iloc[m.start():m.end()][row_cols].copy()
+                    chunk["match_num"] = i
+                    chunk["classifier"] = list(m.group(0))
+                    parts.append(chunk)
+            if not parts:
+                return pd.DataFrame(columns=cols)
+            return pd.concat(parts, ignore_index=True)
         rows = []
         for key, g in pdf.groupby(partition_by, sort=False, dropna=False):
             if not isinstance(key, tuple):
@@ -134,8 +171,12 @@ def match_recognize(
                 continue
             # An Arrow batch can split a group: hold the trailing group
             # back until the key changes (rows arrive key-sorted).
-            eq = (pdf[partition_by]
-                  == pdf[partition_by].iloc[-1].to_numpy()).all(axis=1)
+            # NaN-aware equality: pandas NaN == NaN is False, so a
+            # NULL-key group straddling a batch boundary would
+            # otherwise be emitted twice as separate fragments.
+            last = pdf[partition_by].iloc[-1].to_numpy()
+            keys = pdf[partition_by]
+            eq = ((keys == last) | (keys.isna() & pd.isna(last))).all(axis=1)
             brk = np.nonzero(~eq.to_numpy())[0]
             cut = int(brk[-1]) + 1 if len(brk) else 0
             head, buf = pdf.iloc[:cut], pdf.iloc[cut:]
@@ -198,3 +239,86 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         measure_schema="n_clicks bigint",
         used_columns=[],
     )
+
+
+@query(
+    "q_events_pattern_rows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT user_id,
+               unnest(regexp_extract_all(s, 'VC+P')) AS mstr,
+               generate_subscripts(regexp_extract_all(s, 'VC+P'), 1) AS k
+        FROM sym
+    ), g AS (
+        SELECT user_id,
+               unnest(str_split_regex(s, 'VC+P')) AS gap,
+               generate_subscripts(str_split_regex(s, 'VC+P'), 1) AS gi
+        FROM sym
+    ), gcum AS (
+        SELECT user_id, gi,
+               sum(length(gap)) OVER (PARTITION BY user_id
+                                      ORDER BY gi) AS cg
+        FROM g
+    ), mcum AS (
+        SELECT user_id, k,
+               sum(length(mstr)) OVER (PARTITION BY user_id
+                                       ORDER BY k) AS cm
+        FROM m
+    ), starts AS (
+        SELECT m.user_id, m.k, m.mstr,
+               gcum.cg + coalesce(mcum.cm, 0) + 1 AS start
+        FROM m
+        JOIN gcum ON gcum.user_id = m.user_id AND gcum.gi = m.k
+        LEFT JOIN mcum ON mcum.user_id = m.user_id AND mcum.k = m.k - 1
+    ), rows_ AS (
+        SELECT s.user_id, s.k AS match_num,
+               s.start + u.i - 1 AS rn,
+               substring(s.mstr, CAST(u.i AS INT), 1) AS classifier
+        FROM starts s,
+             unnest(generate_series(1, length(s.mstr))) AS u(i)
+    )
+    SELECT r.user_id, o.event_id,
+           CAST(r.match_num AS BIGINT) AS match_num, r.classifier
+    FROM rows_ r
+    JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn
+    """,
+    tags=("pattern", "events"),
+)
+def q_events_pattern_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH (r7): the same funnel pattern as
+    q_events_pattern, but emitting every MATCHED row with its
+    ``match_num`` and per-row ``classifier`` symbol — Trino's ALL ROWS
+    PER MATCH shape (empty matches omitted).
+
+    The oracle reconstructs per-row match membership in DuckDB from
+    regex PRIMITIVES alone: ``regexp_extract_all`` gives the matched
+    substrings, ``str_split_regex`` the gaps between them, and two
+    cumulative-length windows recover each match's 1-based start
+    offset in the symbol string; positions then join back to rows via
+    the identically-ordered row_number. An independent-engine replay
+    of the emit loop, row for row.
+    """
+    e = t(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[("V", F.col("event_type") == "view"),
+                 ("C", F.col("event_type") == "click"),
+                 ("P", F.col("event_type") == "purchase")],
+        pattern="VC+P",
+        used_columns=[],
+        all_rows=True,
+    ).select("user_id", "event_id", "match_num", "classifier")

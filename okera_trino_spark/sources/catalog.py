@@ -667,19 +667,25 @@ class GovernedCatalog:
             text = self._prepared.get(m.group(2).lower())
             if text is None:
                 raise KeyError(f"no such prepared statement: {m.group(2)}")
+            # Count markers OUTSIDE string literals/comments (r7): a
+            # '?' inside a quoted literal is data, not a parameter —
+            # counting it inflated positions and bound spurious NULLs
+            # in the OUTPUT planning call.
+            from okera_trino_spark.functions.trino_sql import _mask
+
+            n_params = _mask(text)[0].count("?")
             if m.group(1).upper() == "INPUT":
                 # Trino reports each ? marker's position; parameter
                 # types are unknown until EXECUTE binds values (Trino
                 # itself shows "unknown" for untyped markers).
-                n = text.count("?")
                 return self.spark.createDataFrame(
-                    [(i, "unknown") for i in range(n)],
+                    [(i, "unknown") for i in range(n_params)],
                     "position int, type string")
             # OUTPUT: the planned schema WITHOUT executing — plan with
             # NULL bound to every marker (lazy; no action runs).
             out = self.execute(text, user=user, dialect=dialect,
-                               params=[None] * text.count("?")
-                               if "?" in text else None)
+                               params=[None] * n_params
+                               if n_params else None)
             rows = [(f.name, f.dataType.simpleString())
                     for f in out.schema.fields]
             return self.spark.createDataFrame(

@@ -101,7 +101,25 @@ def _make_pattern_updater(pattern: str, symbols: dict[str, str]):
 
     def update(key: tuple, batches, state: GroupState):
         if state.hasTimedOut:
+            # Horizon eviction (r7, was a silent drop): the key has
+            # been idle 24 h of EVENT time past the watermark, so every
+            # buffered row is deep inside the frozen region. Finalize
+            # the whole buffer — including matches that end on its last
+            # row (the greedy-extension caution no longer applies: the
+            # horizon IS the cut; holding them would drop them forever,
+            # where the batch operator emits them).
+            ts, ids, syms, emitted = (
+                state.get if state.exists else ([], [], "", 0))
+            out = []
+            for m in compiled.finditer(syms):
+                emitted += 1
+                out.append((key[0], emitted, m.group(0),
+                            ids[m.start()], ids[m.end() - 1]))
             state.remove()
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "match_num", "matched",
+                                  "start_id", "end_id"])
             return
         ts, ids, syms, emitted = (
             state.get if state.exists else ([], [], "", 0))
@@ -130,6 +148,17 @@ def _make_pattern_updater(pattern: str, symbols: dict[str, str]):
             else:
                 break  # this and later matches are tentative
         rows = rows[consumed_to:]
+        n_frozen -= consumed_to
+        # Bound state (r7): a future match is contiguous and can never
+        # cross the unmatchable filler '.', so frozen rows up to the
+        # LAST frozen filler can never join one — drop them. This keeps
+        # per-key state bounded for a continuously active key that
+        # rarely matches (previously such a key accumulated frozen
+        # non-matching rows until the 24 h idle eviction).
+        if n_frozen > 0:
+            cut = "".join(r[2] for r in rows[:n_frozen]).rfind(".") + 1
+            if cut:
+                rows = rows[cut:]
         state.update(([r[0] for r in rows], [r[1] for r in rows],
                       "".join(r[2] for r in rows), emitted))
         # Event-time timeout: evict a key 24h (event time) past the
@@ -161,10 +190,14 @@ def stream_pattern(events: DataFrame, pattern: str,
     stays pending. Emitted matches consume their rows (skip past last
     row across batches); match_num continues across batches via state.
 
-    Scale: state is per key and bounded by the watermark horizon (rows
-    older than the last finalized match are dropped; a key with no
-    events for 24 h is evicted by timeout); each micro-batch is one
-    keyed shuffle, the same layout as built-in streaming aggregation.
+    Scale: state is per key and bounded — matched rows are consumed,
+    and frozen rows up to the last frozen filler symbol are pruned
+    every batch (a match cannot cross the filler), so a continuously
+    active key holds only the post-filler frozen tail plus the
+    unfrozen window; a key idle 24 h of event time is evicted by
+    timeout, FINALIZING its buffered matches first (r7 — previously a
+    silent drop of trailing matches). Each micro-batch is one keyed
+    shuffle, the same layout as built-in streaming aggregation.
     tests/test_streaming.py proves micro-batch output matches the batch
     operator on the finalized region.
     """

@@ -682,6 +682,18 @@ def test_describe_input_output_prepared(cat):
         cat.execute("DESCRIBE OUTPUT nope")
 
 
+def test_describe_input_ignores_question_marks_in_literals(cat):
+    """r7 (ADVICE): '?' inside a string literal is data, not a
+    parameter marker — DESCRIBE INPUT/OUTPUT must not count it (the
+    OUTPUT planning call would otherwise bind a spurious NULL)."""
+    cat.execute("PREPARE lq FROM SELECT o_orderkey, '??' AS tag "
+                "FROM orders WHERE o_orderstatus = ?")
+    inp = cat.execute("DESCRIBE INPUT lq").collect()
+    assert [(r.position, r.type) for r in inp] == [(0, "unknown")]
+    out = cat.execute("DESCRIBE OUTPUT lq").collect()
+    assert [r.column_name for r in out] == ["o_orderkey", "tag"]
+
+
 def test_prepare_rejects_nested_prepared_commands(cat):
     with pytest.raises(ValueError, match="PREPARE body"):
         cat.execute("PREPARE q9 FROM EXECUTE q9")

@@ -141,7 +141,8 @@ def test_match_recognize_sql_named_errors(spark):
         PATTERN (A B) DEFINE A AS value > 0, B AS value < 0)"""
     for body, msg in [
         ("ORDER BY ts", "PARTITION BY"),
-        ("PARTITION BY user_id ORDER BY ts ALL ROWS PER MATCH", "ALL ROWS"),
+        ("PARTITION BY user_id ORDER BY ts ALL ROWS PER MATCH "
+         "WITH UNMATCHED ROWS", "WITH UNMATCHED"),
         ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO NEXT ROW",
          "SKIP PAST LAST ROW"),
     ]:
@@ -152,12 +153,30 @@ def test_match_recognize_sql_named_errors(spark):
         execute_match_recognize(spark, """SELECT * FROM events
             MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
             PATTERN (A B) DEFINE A AS value > 0)""")
-    # PREV/NEXT refused
-    with pytest.raises(TrinoSqlUnsupported, match="PREV"):
+    # r7: PREV/NEXT are supported; what stays refused is navigation the
+    # subset cannot express faithfully.
+    with pytest.raises(TrinoSqlUnsupported, match="nested"):
         execute_match_recognize(spark, """SELECT * FROM events
             MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
-            PATTERN (A B) DEFINE A AS value > PREV(value),
+            PATTERN (A B) DEFINE A AS value > PREV(PREV(value)),
             B AS value < 0)""")
+    with pytest.raises(TrinoSqlUnsupported, match="offset"):
+        execute_match_recognize(spark, """SELECT * FROM events
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+            PATTERN (A B) DEFINE A AS value > PREV(value, ts),
+            B AS value < 0)""")
+    # references qualified by OTHER pattern variables refused
+    with pytest.raises(TrinoSqlUnsupported, match="OTHER pattern"):
+        execute_match_recognize(spark, """SELECT * FROM events
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+            PATTERN (A B) DEFINE A AS value > B.value,
+            B AS value < 0)""")
+    # ALL ROWS PER MATCH with an aggregate measure refused
+    with pytest.raises(TrinoSqlUnsupported, match="RUNNING"):
+        execute_match_recognize(spark, """SELECT * FROM events
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+            MEASURES sum(value) AS s ALL ROWS PER MATCH
+            PATTERN (A B) DEFINE A AS value > 0, B AS value < 0)""")
     # no MATCH_RECOGNIZE block → None (caller falls through)
     assert execute_match_recognize(spark, "SELECT 1") is None
 
@@ -195,3 +214,104 @@ def test_match_recognize_sql_lowercase(spark, sf_dir):
         pattern (V P) define V as event_type = 'view',
         P as event_type = 'purchase')"""
     assert execute_trino(spark, sql, sf_dir).count() > 0
+
+
+def test_null_partition_key_group_straddles_arrow_batch(spark):
+    """r7 regression (ADVICE/VERDICT r6): a NULL partition key group
+    split across Arrow batches must be reassembled — pandas NaN == NaN
+    is False, so the pre-fix carry-over comparison emitted the group
+    twice as separate fragments (wrong match_num, extra matches)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        # One NULL-key group of 7 rows: A B B | A B | x A across 2-row
+        # batches. Correct output: matches ABB then AB within ONE group.
+        rows = [(None, i, ev, float(i)) for i, ev in
+                enumerate(["a", "b", "b", "a", "b", "x", "a"])]
+        df = spark.createDataFrame(
+            rows, schema="k string, seq long, ev string, v double")
+        out = match_recognize(
+            df, ["k"], ["seq"],
+            symbols=[("A", F.col("ev") == "a"), ("B", F.col("ev") == "b")],
+            pattern="AB+",
+        ).orderBy("match_num").collect()
+        assert [(r.match_num, r.matched) for r in out] == [
+            (1, "ABB"), (2, "AB")]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_prev_next_lowering_vs_python_reference(spark, sf_dir):
+    """r7 PREV/NEXT lowering proven against a standalone Python walk:
+    classify each physical row by comparing with its lag/lead neighbor,
+    then regex-match — exactly what the lowering must reproduce."""
+    import re as _re
+
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    sql = """SELECT user_id, match_num, n_rows
+    FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES match_number() AS match_num, count(*) AS n_rows
+      PATTERN (D+ U+)
+      DEFINE D AS value < PREV(value),
+             U AS NEXT(value, 2) IS NOT NULL AND value > PREV(value))"""
+    got = sorted(
+        (r.user_id, r.match_num, r.n_rows)
+        for r in execute_trino(spark, sql, sf_dir).collect())
+
+    rows = (spark.table("events")
+            .select("user_id", "ts", "event_id", "value").collect())
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.value)
+    want = []
+    for uid, vals in by_user.items():
+        s = ""
+        for i, v in enumerate(vals):
+            pv = vals[i - 1] if i >= 1 else None
+            nx2 = vals[i + 2] if i + 2 < len(vals) else None
+            if pv is not None and v < pv:
+                s += "A"
+            elif nx2 is not None and pv is not None and v > pv:
+                s += "B"
+            else:
+                s += "."
+        for k, m in enumerate(_re.finditer("A+B+", s), start=1):
+            want.append((uid, k, len(m.group(0))))
+    assert got == sorted(want)
+
+
+def test_all_rows_sql_path_consistent_with_one_row(spark, sf_dir):
+    """ALL ROWS PER MATCH through the string path: per-row output
+    grouped back to one row per match must equal the ONE ROW PER MATCH
+    output of the same pattern, and classifier() returns DEFINE
+    variable NAMES (not internal letters)."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    body = """PARTITION BY user_id ORDER BY ts, event_id
+      {measures}
+      PATTERN (V C+ P)
+      DEFINE V AS event_type = 'view', C AS event_type = 'click',
+             P AS event_type = 'purchase'"""
+    all_rows = execute_trino(
+        spark, "SELECT user_id, mn, cls FROM events MATCH_RECOGNIZE ("
+        + body.format(
+            measures="MEASURES match_number() AS mn, classifier() AS cls "
+                     "ALL ROWS PER MATCH") + ")", sf_dir)
+    one_row = execute_trino(
+        spark, "SELECT user_id, mn, n FROM events MATCH_RECOGNIZE ("
+        + body.format(
+            measures="MEASURES match_number() AS mn, count(*) AS n "
+                     "ONE ROW PER MATCH") + ")", sf_dir)
+    got = sorted((r.user_id, r.mn, r["count(1)"] if "count(1)" in r else r.n)
+                 for r in (all_rows.groupBy("user_id", "mn").count()
+                           .withColumnRenamed("count", "n").collect()))
+    want = sorted((r.user_id, r.mn, r.n) for r in one_row.collect())
+    assert got == want
+    classifiers = {r.cls for r in all_rows.collect()}
+    assert classifiers == {"V", "C", "P"}

@@ -248,3 +248,79 @@ def test_stream_pattern_matches_batch_on_finalized_region(spark, sf_dir, events_
         by_user.setdefault(uid, []).append(mn)
     for uid, mns in by_user.items():
         assert sorted(mns) == list(range(1, len(mns) + 1)), (uid, mns)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in to drive the CEP updater directly."""
+
+    def __init__(self, buf=None, timed_out=False, wm_ms=0):
+        self._buf = buf
+        self.hasTimedOut = timed_out
+        self._wm_ms = wm_ms
+        self.removed = False
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._buf is not None
+
+    @property
+    def get(self):
+        return self._buf
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, v):
+        self.updated = v
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+
+def test_stream_pattern_timeout_flushes_trailing_matches():
+    """r7 (ADVICE): EventTimeTimeout eviction must finalize matches
+    still buffered as tentative — a key that goes quiet would otherwise
+    permanently lose trailing matches the batch operator emits."""
+    from okera_trino_spark.streaming.stateful import _make_pattern_updater
+
+    update = _make_pattern_updater("VC+P", {})
+    # Buffer holds a complete match ending on the LAST row (the shape
+    # held back as tentative by the boundary-extension caution).
+    state = _FakeState(
+        buf=([10, 20, 30], [101, 102, 103], "VCP", 4), timed_out=True)
+    out = list(update((7,), iter([]), state))
+    assert state.removed
+    assert len(out) == 1
+    r = out[0].iloc[0]
+    assert (r.user_id, r.match_num, r.matched, r.start_id, r.end_id) == (
+        7, 5, "VCP", 101, 103)
+
+
+def test_stream_pattern_prunes_frozen_filler(spark):
+    """r7 (ADVICE): frozen rows up to the last frozen filler '.' can
+    never join a future match (matches are contiguous and cannot cross
+    the filler) — the updater must drop them so per-key state stays
+    bounded for active-but-rarely-matching keys."""
+    import pandas as pd
+
+    from okera_trino_spark.streaming.stateful import _make_pattern_updater
+
+    update = _make_pattern_updater("VC+P", {"view": "V", "click": "C",
+                                            "purchase": "P"})
+    # Watermark at t=100ms; rows at 1..5ms are frozen, mostly junk.
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([1, 2, 3, 4, 5, 200], unit="ms"),
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "event_type": ["error", "view", "error", "view", "click", "click"],
+    })
+    state = _FakeState(wm_ms=100)
+    list(update((1,), iter([pdf]), state))
+    assert state.updated is not None
+    ts_us, ids, syms, emitted = state.updated
+    # Everything at/before the last frozen '.' (event 3) is pruned;
+    # the live tail V C | C (a possible future VC+P) is retained.
+    assert ids == [4, 5, 6] and syms == "VCC" and emitted == 0

@@ -855,11 +855,15 @@ def test_trino_statement_matches_oracle_wave8(name, trino, duck, spark, sf_dir, 
     check_query(df, oracle, duck or trino, name=f"trino8:{name}")
 
 
-def test_strict_json_path_and_cast_json_raise():
-    with pytest.raises(TrinoSqlUnsupported, match="strict"):
-        rewrite_trino_sql("SELECT json_value(p, 'strict $.k') FROM events")
-    with pytest.raises(TrinoSqlUnsupported, match="AS JSON"):
-        rewrite_trino_sql("SELECT CAST(m AS JSON) FROM t")
+def test_strict_json_path_and_cast_json_support_boundary():
+    # r7: plain member-chain strict paths and CAST(x AS JSON) now
+    # lower; what stays refused is strict paths with wildcards/filters
+    # (different access semantics, not just error behavior).
+    assert "get_json_object" in rewrite_trino_sql(
+        "SELECT json_value(p, 'strict $.k') FROM events")
+    assert "to_json" in rewrite_trino_sql("SELECT CAST(m AS JSON) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="wildcards"):
+        rewrite_trino_sql("SELECT json_value(p, 'strict $.k[*]') FROM events")
 
 
 CASES9 = [
@@ -981,3 +985,67 @@ def test_ignore_nulls_passthrough(spark, sf_dir, oracle):
             "FROM events ORDER BY event_id")
     check_query(execute_trino(spark, sql, sf_dir), oracle, duck,
                 name="ignore_nulls")
+
+
+CASES11 = [
+    ("geometric_mean_zero_vs_negative",
+     # r7 (ADVICE): zeros with no negatives -> 0.0 (Trino accumulates
+     # Math.log: exp(-Infinity) = 0), any negative -> NaN. The r6
+     # guard mapped both to NaN.
+     "SELECT CAST(geometric_mean(CASE WHEN o_orderkey % 2 = 0 THEN 0.0 "
+     "ELSE o_totalprice END) AS VARCHAR) AS gm_zero, "
+     "CAST(geometric_mean(CASE WHEN o_orderkey % 2 = 0 THEN -1.0 "
+     "ELSE o_totalprice END) AS VARCHAR) AS gm_neg "
+     "FROM orders",
+     "SELECT '0.0' AS gm_zero, 'NaN' AS gm_neg"),
+    ("array_agg_null_sort_key_placement",
+     # r7 (ADVICE): Trino sorts nulls as LARGER than any value — NULLS
+     # LAST ascending, FIRST after DESC; Spark struct ordering puts
+     # null fields first, so the rewrite leads with an is-null flag.
+     "SELECT array_agg(v ORDER BY k) AS asc_a, "
+     "array_agg(v ORDER BY k DESC) AS desc_a "
+     "FROM (VALUES (1, 'a'), (CAST(NULL AS INTEGER), 'b'), (2, 'c')) "
+     "AS t(k, v)",
+     "SELECT ['a', 'c', 'b'] AS asc_a, ['b', 'c', 'a'] AS desc_a"),
+    ("cast_as_json_serializes",
+     # r7: CAST(x AS JSON) — varchar becomes a QUOTED JSON string
+     # (Trino does not parse), complex types serialize to nested JSON,
+     # nested nulls render as JSON null.
+     "SELECT CAST(o_orderstatus AS JSON) AS s, "
+     "CAST(o_orderkey AS JSON) AS n, "
+     "CAST(ARRAY[o_orderkey, NULL] AS JSON) AS arr "
+     "FROM orders ORDER BY o_orderkey LIMIT 100",
+     "SELECT '\"' || o_orderstatus || '\"' AS s, "
+     "CAST(o_orderkey AS VARCHAR) AS n, "
+     "'[' || o_orderkey || ',null]' AS arr "
+     "FROM orders ORDER BY o_orderkey LIMIT 100"),
+    ("groups_frame_string_path",
+     # r7: GROUPS BETWEEN lowered from SQL text (dense_rank subquery +
+     # RANGE-on-group-index); DuckDB runs the GROUPS frame natively —
+     # an independent engine's own implementation as the oracle.
+     "SELECT p_partkey, "
+     "CAST(count(*) OVER (PARTITION BY p_brand ORDER BY p_size "
+     "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_band, "
+     "round(sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size "
+     "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 4) AS sum_band "
+     "FROM part ORDER BY p_partkey",
+     "SELECT p_partkey, "
+     "CAST(count(*) OVER (PARTITION BY p_brand ORDER BY p_size "
+     "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_band, "
+     "round(sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size "
+     "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 4) AS sum_band "
+     "FROM part ORDER BY p_partkey"),
+    ("strict_json_member_chain",
+     # r7: strict-mode paths that are plain member chains lower like
+     # lax (they differ only in erroring on mismatch).
+     "SELECT event_id, json_value(props, 'strict $.k') AS k "
+     "FROM events ORDER BY event_id LIMIT 200",
+     "SELECT event_id, json_extract_string(props, '$.k') AS k "
+     "FROM events ORDER BY event_id LIMIT 200"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES11])
+def test_trino_statement_matches_oracle_wave11(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino11:{name}")
