@@ -77,6 +77,12 @@ HEADLINE = [
     "q_llm_para_dedup",
     "q_llm_semdedup",
     "q_llm_chunk",
+    # round 8 additions: ALL ROWS PER MATCH (emits |match|x more rows
+    # than the summary form — its cost was previously unmeasured) and
+    # the MATCH_RECOGNIZE string path with PREV() lag columns (dialect
+    # parse + lag window + pattern walk end to end).
+    "q_events_pattern_rows",
+    "q_trino_sql_mr_prev",
 ]
 
 #: Timed steady-state repeats per query; per-query time is the MIN over

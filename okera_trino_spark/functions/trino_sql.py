@@ -53,9 +53,12 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
   - time zones: expr AT TIME ZONE 'zone' → convert_timezone(
     current_timezone(), zone, expr); TIMESTAMP '... +02:00' zoned
     literals → the UTC instant as TIMESTAMP_NTZ
-  - TRY family: TRY(CAST ..)→TRY_CAST, single-operator arithmetic→
+  - TRY family: TRY(CAST ..)→TRY_CAST, arithmetic expressions (any
+    mix of + - * / %, recursively nested by precedence, r8)→
     try_add/try_subtract/try_multiply/try_divide/try_mod, subscripts→
-    try_element_at, TRY(date_parse)→try_to_timestamp
+    try_element_at, TRY(date_parse)→try_to_timestamp, TRY(from_base64/
+    from_hex)→try_to_binary, TRY(url_decode)→try_url_decode,
+    TRY(json_parse)→try_parse_json-validated identity (r8)
   - breadth (waves 7-9): lambda predicates any_match/all_match→
     exists/forall, none_match→NOT exists; contains→array_contains;
     format→format_string; geometric_mean→exp(avg(ln)); infinity/nan
@@ -76,12 +79,24 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     patterns, measures match_number/classifier/count/first/last/sum/
     avg/min/max) onto the match_recognize operator
     (operators/pattern.py) and splice the result into the statement
+  - wave 13 (r8): reduce→aggregate (4-arg, argument-for-argument);
+    last_day_of_month→last_day; bitwise shifts (Trino's plain right
+    shift is logical→shiftrightunsigned, _arithmetic→shiftright);
+    split_to_map→str_to_map with literal-delimiter regex escaping;
+    from_iso8601_timestamp/date→ISO casts (offset inputs resolve to
+    the session-zone instant — same instant, NTZ rendering);
+    parse_datetime with a literal Joda pattern (y/M/d/H/m/s core =
+    Java time)→to_timestamp; json_size→member counts via
+    json_array_length/json_object_keys, 0 for scalars
+  - wave 12 (r8): CAST(.. AS ROW(a T, ..)) named-row types →
+    STRUCT<a: T', ..> recursively (both engines cast row fields by
+    position); ARRAY(T)/MAP(K, V) type spellings inside casts
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, strict JSON paths with wildcards/filters (plain member
     chains lower to get_json_object, r7; CAST(.. AS JSON) serializes
-    via to_json, r7), CAST(.. AS ROW(..))
-    named-row types, array_agg(DISTINCT x ORDER BY y) with y != x,
+    via to_json, r7), ROW(..) types with unnamed fields,
+    array_agg(DISTINCT x ORDER BY y) with y != x,
     MATCH_RECOGNIZE beyond the subset, and unnest arg/column-count
     mismatches raise TrinoSqlUnsupported naming the construct, never
     silently mis-translate.
@@ -217,6 +232,15 @@ _RENAMES = {
     # Trino format() is printf-style (Java String.format), same as
     # Spark's format_string.
     "format": "format_string",
+    # wave 13 (r8). reduce(arr, init, merge, finish) is Spark's own
+    # 4-arg aggregate, argument for argument.
+    "reduce": "aggregate",
+    "last_day_of_month": "last_day",
+    # Bit shifts: Trino's plain right shift is LOGICAL (zero-fill);
+    # Spark's shiftright is arithmetic, shiftrightunsigned logical.
+    "bitwise_left_shift": "shiftleft",
+    "bitwise_right_shift": "shiftrightunsigned",
+    "bitwise_right_shift_arithmetic": "shiftright",
 }
 
 _RENAME_RE = re.compile(
@@ -238,6 +262,49 @@ _CAST_TYPE_RE = re.compile(
     re.IGNORECASE)
 _CAST_TYPE_MAP = {"VARCHAR": "STRING", "VARBINARY": "BINARY",
                   "DOUBLE PRECISION": "DOUBLE"}
+
+
+def _trino_type_to_spark(t: str) -> str:
+    """Trino type text → Spark type text, recursively (r8): named
+    ``ROW(a T, b U)`` → ``STRUCT<a: T', b: U'>`` (Trino casts row
+    fields positionally; so does Spark's struct cast), ``ARRAY(T)`` →
+    ``ARRAY<T'>``, ``MAP(K, V)`` → ``MAP<K', V'>``, scalars through
+    the same rename table the flat CAST path uses. Unnamed ROW fields
+    are refused — Spark struct types require field names, and
+    inventing them would change the result schema."""
+    t = t.strip()
+    rm = re.match(r"ROW\s*\(", t, re.IGNORECASE)
+    if rm and _find_close(t, rm.end() - 1) == len(t) - 1:
+        parts = []
+        for f in _split_top_level(t[rm.end():-1]):
+            fm = re.match(r"\s*([A-Za-z_]\w*|`[^`]+`)\s+(.+)$",
+                          f.strip(), re.DOTALL)
+            if not fm or fm.group(1).upper() in (
+                    "ROW", "ARRAY", "MAP", "DOUBLE"):
+                raise TrinoSqlUnsupported(
+                    "ROW(...) cast type with unnamed fields — Spark "
+                    "struct types need field names; name each field "
+                    "(ROW(a INTEGER, b VARCHAR))")
+            parts.append(f"{fm.group(1)}: {_trino_type_to_spark(fm.group(2))}")
+        return "STRUCT<" + ", ".join(parts) + ">"
+    am = re.match(r"ARRAY\s*\(", t, re.IGNORECASE)
+    if am and _find_close(t, am.end() - 1) == len(t) - 1:
+        return "ARRAY<" + _trino_type_to_spark(t[am.end():-1]) + ">"
+    mm = re.match(r"MAP\s*\(", t, re.IGNORECASE)
+    if mm and _find_close(t, mm.end() - 1) == len(t) - 1:
+        kv = _split_top_level(t[mm.end():-1])
+        if len(kv) != 2:
+            raise TrinoSqlUnsupported(f"MAP type needs (K, V): {t!r}")
+        return ("MAP<" + _trino_type_to_spark(kv[0]) + ", "
+                + _trino_type_to_spark(kv[1]) + ">")
+    up = re.sub(r"\s+", " ", t.upper())
+    base = re.sub(r"\s*\(.*\)$", "", up)
+    if base in _CAST_TYPE_MAP:
+        # VARCHAR(n) inside a nested type loses its length bound (no
+        # truncation expression is possible in a type position) — the
+        # flat CAST(x AS VARCHAR(n)) path keeps Trino's truncation.
+        return _CAST_TYPE_MAP[base]
+    return t
 
 #: CAST(x AS VARCHAR(n)) / TRY_CAST(...) — Trino truncates the string
 #: to n characters; matched against a single CAST argument.
@@ -283,36 +350,79 @@ _TRY_ARITH_FN = {"/": "try_divide", "+": "try_add",
                  "%": "try_mod"}
 
 
-def _split_top_level_op(s: str) -> tuple[str, str, str] | None:
-    """If ``s`` is ``lhs OP rhs`` with exactly one depth-0 arithmetic
-    operator, return (lhs, op, rhs); else None. '-' is skipped when it
-    reads as a sign (start of expression or right after another
-    operator/'(' /',')."""
-    depth, found = 0, None
-    for i, c in enumerate(s):
+_TRY_NON_ARITH_RE = re.compile(
+    r"[<>=!]|\b(AND|OR|NOT|BETWEEN|IN|IS|CASE|LIKE)\b", re.IGNORECASE)
+
+
+def _try_arith_lower(s: str) -> str | None:
+    """Recursively lower an arithmetic expression to nested ``try_*``
+    calls (r8: any mix of + - * / %, not just one operator). Splitting
+    at the RIGHTMOST lowest-precedence depth-0 operator reproduces
+    left-associative precedence (``a - b - c`` → try_subtract(
+    try_subtract(a, b), c)); NULL propagation makes nesting faithful —
+    an inner overflow/div-zero yields NULL, which flows to the top
+    exactly as Trino's TRY returns NULL for the whole expression.
+    Returns None when ``s`` has no depth-0 arithmetic operator.
+    Comparison/boolean operators bind looser than arithmetic, so their
+    presence at depth 0 refuses (splitting there would mis-associate).
+    """
+    t = s.strip()
+    while t.startswith("(") and _find_close(t, 0) == len(t) - 1:
+        t = t[1:-1].strip()
+    add_idx = mul_idx = None
+    depth = 0
+    for i, c in enumerate(t):
         if c in "([":
             depth += 1
         elif c in ")]":
             depth -= 1
         elif depth == 0 and c in "/+-*%":
-            prev = s[:i].rstrip()
-            if c == "-" and (not prev or prev[-1] in "/+-*%(,"):
+            prev = t[:i].rstrip()
+            if c == "-" and (not prev or prev[-1] in "/+-*%(,<>="):
                 continue  # unary minus
-            if found is not None:
-                return None  # more than one top-level op: ambiguous
-            found = i
-    if found is None:
+            if c == "-" and i + 1 < len(t) and t[i + 1] == ">":
+                continue  # lambda arrow
+            if c in "+-":
+                add_idx = i
+            else:
+                mul_idx = i
+    idx = add_idx if add_idx is not None else mul_idx
+    if idx is None:
         return None
-    return s[:found].strip(), s[found], s[found + 1:].strip()
+    # depth-0 comparison/boolean context → arithmetic is not the
+    # outermost operator; refuse rather than mis-nest.
+    probe = depth = 0
+    for i, c in enumerate(t):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            probe += bool(_TRY_NON_ARITH_RE.match(t, i))
+    if probe:
+        raise TrinoSqlUnsupported(
+            "TRY over a comparison/boolean expression — apply TRY to "
+            "the arithmetic operand instead (TRY(a + b) > c)")
+    op = t[idx]
+    lhs, rhs = t[:idx].strip(), t[idx + 1:].strip()
+    lo = _try_arith_lower(lhs) or lhs
+    ro = _try_arith_lower(rhs) or rhs
+    return f"{_TRY_ARITH_FN[op]}({lo}, {ro})"
 
 
-#: Single-call TRY targets with a native Spark ``try_`` twin. Keys are
-#: the call names as they appear when _rewrite_try runs: subscripts are
-#: already element_at (the subscript rewrite runs first), date_parse is
-#: still in Trino spelling (structural rewrites run later, so TRY
-#: handles its pattern conversion itself).
-_TRY_CALL_TWINS = {"element_at": "try_element_at",
-                   "to_timestamp": "try_to_timestamp"}
+#: Single-call TRY targets with a native Spark ``try_`` twin —
+#: call-name (as seen when _rewrite_try runs: subscripts are already
+#: element_at, Trino spellings otherwise since renames run later) →
+#: replacement builder over the raw argument text. Each twin has
+#: IDENTICAL valid-input semantics to the plain rewrite and returns
+#: NULL exactly where Trino's TRY catches the error (r8 wave).
+_TRY_CALL_TWINS = {
+    "element_at": lambda b: f"try_element_at({b})",
+    "to_timestamp": lambda b: f"try_to_timestamp({b})",
+    "from_base64": lambda b: f"try_to_binary({b}, 'base64')",
+    "from_hex": lambda b: f"try_to_binary({b}, 'hex')",
+    "url_decode": lambda b: f"try_url_decode({b})",
+}
 
 
 def _rewrite_try(code: str, stash: list[str]) -> str:
@@ -344,7 +454,16 @@ def _rewrite_try(code: str, stash: list[str]) -> str:
             body = inner[call.end():-1]
             twin = _TRY_CALL_TWINS.get(name)
             if twin is not None:
-                code = (code[:m.start()] + f"{twin}({body})"
+                code = (code[:m.start()] + twin(body)
+                        + code[close + 1:])
+                continue
+            if name == "json_parse":
+                # Trino TRY(json_parse(s)): NULL on malformed JSON.
+                # json_parse is the identity here (JSON is a string),
+                # so validate with try_parse_json and keep the text.
+                code = (code[:m.start()]
+                        + f"(CASE WHEN try_parse_json({body}) IS NULL "
+                        + f"THEN NULL ELSE ({body}) END)"
                         + code[close + 1:])
                 continue
             if name == "date_parse":
@@ -361,17 +480,17 @@ def _rewrite_try(code: str, stash: list[str]) -> str:
                         + f"try_to_timestamp({args[0]}, "
                         + f"'\x00{len(stash) - 1}\x00')" + code[close + 1:])
                 continue
-        arith = _split_top_level_op(inner)
+        arith = _try_arith_lower(inner)
         if arith:
-            lhs, op, rhs = arith
-            code = (code[:m.start()]
-                    + f"{_TRY_ARITH_FN[op]}({lhs}, {rhs})" + code[close + 1:])
+            code = code[:m.start()] + arith + code[close + 1:]
             continue
         raise TrinoSqlUnsupported(
-            "TRY(expr) is supported for TRY(CAST(x AS t)), single-operator "
-            "arithmetic (a / b, a + b, a - b, a * b), subscripts "
-            "TRY(x[i]) / TRY(element_at(x, i)), and TRY(date_parse(s, p)) "
-            "— rewrite other forms with the try_* builtins explicitly")
+            "TRY(expr) is supported for TRY(CAST(x AS t)), arithmetic "
+            "expressions over + - * / %, subscripts TRY(x[i]) / "
+            "TRY(element_at(x, i)), TRY(date_parse(s, p)), and the "
+            "try_-twin calls (from_base64/from_hex/url_decode/"
+            "json_parse) — rewrite other forms with the try_* builtins "
+            "explicitly")
 
 
 def _rewrite_unnest(code: str) -> str:
@@ -593,14 +712,29 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(code, "map",
                           lambda a: f"map_from_arrays({a[0]}, {a[1]})"
                           if len(a) == 2 else None)
-    # Trino ROW(a, b) anonymous-struct constructor → struct(a, b)
-    # (fields get positional names in both engines). CAST(.. AS
-    # ROW(..)) is a TYPE position the call rewriter cannot distinguish
-    # from a constructor, so it raises by name before the rewrite.
+    # CAST(x AS ROW(a T, ...)) named-row type (r8): lower the type
+    # recursively to STRUCT<a: T', ...> — Trino and Spark both cast
+    # row/struct fields by POSITION, so the semantics line up; the
+    # target field names become the result's field names in both.
+    def _cast_row_fn(a):
+        if len(a) != 1:
+            return None
+        cm = re.match(r"(.+?)\s+AS\s+(ROW\s*\(.*)$", a[0],
+                      re.IGNORECASE | re.DOTALL)
+        if not cm:
+            return None
+        return (f"CAST({cm.group(1)} AS "
+                f"{_trino_type_to_spark(cm.group(2))})")
+
+    code = _rewrite_calls(code, "CAST", _cast_row_fn)
+    code = _rewrite_calls(code, "TRY_CAST", _cast_row_fn)
     if re.search(r"\bAS\s+ROW\s*\(", code, re.IGNORECASE):
         raise TrinoSqlUnsupported(
-            "CAST(... AS ROW(...)) named-row type — rewrite with "
+            "AS ROW(...) outside a plain CAST/TRY_CAST — rewrite with "
             "named_struct and a STRUCT<...> cast explicitly")
+    # Trino ROW(a, b) anonymous-struct constructor → struct(a, b)
+    # (fields get positional names in both engines); runs AFTER the
+    # type-position CASTs above, so only constructors remain.
     code = _rewrite_calls(code, "row",
                           lambda a: f"struct({', '.join(a)})" if a else None)
     # Trino map_agg(k, v) aggregate → entries-collect + map build. (Rows
@@ -641,6 +775,68 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         return f"split({a[0]}, {requote(escaped)}{rest})"
 
     code = _rewrite_calls(code, "split", _split_fn)
+
+    # wave 13 (r8). split_to_map(s, entryDelim, kvDelim) →
+    # str_to_map — same argument order, but Spark's delimiters are
+    # REGEXES where Trino's are literals, so literal delimiters are
+    # escaped exactly like split(); computed delimiters refuse.
+    def _split_to_map_fn(a):
+        if len(a) != 3:
+            return None
+        outs = [a[0]]
+        for arg in a[1:]:
+            lit = _lit(arg)
+            if lit is None:
+                raise TrinoSqlUnsupported(
+                    "split_to_map() with a non-literal delimiter: Trino "
+                    "splits on literals, Spark on regexes — rewrite "
+                    "explicitly")
+            esc = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
+            outs.append(requote(esc.replace("\\", "\\\\")))
+        return f"str_to_map({', '.join(outs)})"
+
+    code = _rewrite_calls(code, "split_to_map", _split_to_map_fn)
+    # from_iso8601_timestamp/date: Spark's string→timestamp/date cast
+    # accepts ISO-8601 ('T' separator, optional offset) and resolves
+    # offsets to the session-zone instant — the same instant Trino
+    # returns (Trino keeps the offset as a tz field; this engine's
+    # timestamps are NTZ wall-times, the q_trino_sql_tz precedent).
+    code = _rewrite_calls(code, "from_iso8601_timestamp",
+                          lambda a: f"CAST({a[0]} AS TIMESTAMP)"
+                          if len(a) == 1 else None)
+    code = _rewrite_calls(code, "from_iso8601_date",
+                          lambda a: f"CAST({a[0]} AS DATE)"
+                          if len(a) == 1 else None)
+    # parse_datetime(s, fmt): Trino takes a Joda-Time pattern; the
+    # y/M/d/H/m/s/S core is identical in Java time, so a LITERAL
+    # pattern passes through to to_timestamp. Computed patterns refuse
+    # (can't validate the Joda-only letters).
+    def _parse_datetime_fn(a):
+        if len(a) != 2:
+            return None
+        if _lit(a[1]) is None:
+            raise TrinoSqlUnsupported(
+                "parse_datetime() needs a literal format pattern")
+        return f"to_timestamp({a[0]}, {a[1]})"
+
+    code = _rewrite_calls(code, "parse_datetime", _parse_datetime_fn)
+
+    # json_size(j, path): number of members of the object/array at
+    # path, 0 for a scalar (Trino's contract), NULL for no match. The
+    # '['/'{' probes compare ascii CODES (91/123) — a raw bracket
+    # literal in masked code would corrupt later bracket-depth scans.
+    def _json_size_fn(a):
+        if len(a) != 2:
+            return None
+        g = f"get_json_object({a[0]}, {a[1]})"
+        return (f"(CASE WHEN {g} IS NULL THEN NULL "
+                f"WHEN ascii(left({g}, 1)) = 91 "
+                f"THEN json_array_length({g}) "
+                f"WHEN ascii(left({g}, 1)) = 123 "
+                f"THEN size(json_object_keys({g})) "
+                f"ELSE 0 END)")
+
+    code = _rewrite_calls(code, "json_size", _json_size_fn)
 
     # Trino regexp_split(s, p) → Spark split(s, p) (both regex). MUST
     # run after the literal-split rewrite above, or the emitted split()
@@ -1291,6 +1487,16 @@ def _rewrite_groups_frames(masked: str) -> str:
         spans.append((open_i + 1, close_i, new))
     if not spans:
         return masked
+    # The lowering adds helper _grpN columns to the wrapped table, so a
+    # SELECT * (or t.*) would silently gain them in its output — refuse
+    # rather than change the result schema (a pure-text rewriter cannot
+    # expand * to the table's real column list).
+    if re.search(r"\bSELECT\s+(?:DISTINCT\s+)?\*|\.\s*\*", masked,
+                 re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            "SELECT * with a GROUPS window frame — the lowering adds a "
+            "helper group-index column to the scanned table; project "
+            "columns explicitly")
     # Splice target: exactly one plain-table FROM.
     froms = list(re.finditer(
         r"\bFROM\s+([A-Za-z_][\w.]*|`[^`]+`)(?!\s*\()", masked,
@@ -1306,12 +1512,27 @@ def _rewrite_groups_frames(masked: str) -> str:
     fm = list(re.finditer(
         r"\bFROM\s+([A-Za-z_][\w.]*|`[^`]+`)", masked, re.IGNORECASE))[0]
     tbl = fm.group(1)
+    # Subquery alias: an explicit trailing alias if the query has one
+    # ("FROM part p" / "FROM part AS p"), else the last identifier
+    # segment ("FROM db.part" cannot be re-aliased as "db.part").
+    am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", masked[fm.end():])
+    alias = None
+    splice_end = fm.end()
+    if am and am.group(1).upper() not in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "FETCH", "HAVING", "UNION",
+            "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY", "OFFSET"):
+        alias = am.group(1)
+        splice_end = fm.end() + am.end()
+    if alias is None:
+        alias = tbl.strip("`").split(".")[-1]
     grp_cols = ", ".join(
         f"dense_rank() OVER ({('PARTITION BY ' + part + ' ') if part else ''}"
         f"ORDER BY {ordr}) AS {col}"
         for col, part, ordr in grp_specs.values())
-    inner = f"(SELECT *, {grp_cols} FROM {tbl}) AS {tbl.strip('`')}"
-    return masked[:fm.start()] + "FROM " + inner + masked[fm.end():]
+    # The inner FROM carries the same alias, so alias-qualified columns
+    # inside the OVER specs keep resolving.
+    inner = f"(SELECT *, {grp_cols} FROM {tbl} AS {alias}) AS {alias}"
+    return masked[:fm.start()] + "FROM " + inner + masked[splice_end:]
 
 
 def rewrite_trino_sql(sql: str) -> str:
@@ -1376,8 +1597,9 @@ def execute_match_recognize(spark: SparkSession, sql: str,
       rather than silently bottlenecked);
     - ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (r7 — every
       matched row with per-row ``classifier()``; empty matches omitted,
-      no WITH UNMATCHED / RUNNING aggregates), with AFTER MATCH SKIP
-      PAST LAST ROW (default) only;
+      no WITH UNMATCHED), with AFTER MATCH SKIP PAST LAST ROW (default)
+      or SKIP TO NEXT ROW (r8 — overlapping matches, the scan restarts
+      one row past each match's first row);
     - every pattern variable must be DEFINEd with a pattern-independent
       row predicate (an undefined variable is always-true in Trino,
       which breaks first-match-wins classification). ``PREV(expr[, n])``
@@ -1388,7 +1610,10 @@ def execute_match_recognize(spark: SparkSession, sql: str,
       inside DEFINE X) resolve to the current row; references
       qualified by OTHER variables are refused;
     - MEASURES limited to match_number(), classifier(), count(*), and
-      first/last/sum/avg/min/max over a bare column.
+      first/last/sum/avg/min/max over a bare column; in ALL ROWS PER
+      MATCH mode (r8) aggregates take Trino's default RUNNING
+      semantics — evaluated over the match prefix up to each emitted
+      row — or FINAL with the explicit keyword.
     Output columns follow Trino's ONE ROW PER MATCH shape: the
     partition keys plus the measures (plus match_num/matched when no
     measures are declared).
@@ -1415,10 +1640,16 @@ def execute_match_recognize(spark: SparkSession, sql: str,
             "modifiers are not supported (default empty-match omission "
             "only)")
     after = sections.get("after")
-    if after and not re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", after,
-                                  re.IGNORECASE):
-        raise TrinoSqlUnsupported(
-            f"AFTER MATCH {after!r} — only SKIP PAST LAST ROW is supported")
+    after_match = "past_last"
+    if after:
+        if re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", after, re.IGNORECASE):
+            pass
+        elif re.fullmatch(r"SKIP\s+TO\s+NEXT\s+ROW", after, re.IGNORECASE):
+            after_match = "next_row"   # overlapping matches (r8)
+        else:
+            raise TrinoSqlUnsupported(
+                f"AFTER MATCH {after!r} — supported: SKIP PAST LAST ROW, "
+                "SKIP TO NEXT ROW")
     if "partition" not in sections or "order" not in sections:
         raise TrinoSqlUnsupported(
             "MATCH_RECOGNIZE requires PARTITION BY and ORDER BY here (an "
@@ -1475,6 +1706,14 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                     f"DEFINE {var}: PREV/NEXT takes (expr[, offset])")
             expr_txt = re.sub(rf"\b{re.escape(var)}\s*\.\s*", "",
                               parts[0].strip(), flags=re.IGNORECASE)
+            if _MR_QUALIFIED_RE.search(expr_txt):
+                # e.g. PREV(B.value) inside DEFINE A: pattern-dependent
+                # navigation — refuse here, BEFORE substitution hides
+                # the qualifier from the whole-condition check below.
+                raise TrinoSqlUnsupported(
+                    f"DEFINE {var}: PREV/NEXT argument references another "
+                    "pattern variable (row classification must be "
+                    "pattern-independent)")
             off = 1
             if len(parts) == 2:
                 if not re.fullmatch(r"\d+", parts[1].strip()):
@@ -1543,6 +1782,15 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                 raise TrinoSqlUnsupported(
                     f"MEASURES item needs AS alias: {item!r}")
             expr, alias = mm.group(1).strip(), mm.group(2)
+            # RUNNING (Trino's ALL ROWS default) vs FINAL semantics.
+            # In ONE ROW PER MATCH the output point is the completed
+            # match, so the two coincide — strip and proceed.
+            sem = "running"
+            sm_ = re.match(r"(RUNNING|FINAL)\s+(.+)$", expr,
+                           re.IGNORECASE | re.DOTALL)
+            if sm_:
+                sem = sm_.group(1).lower()
+                expr = sm_.group(2).strip()
             if re.fullmatch(r"match_number\s*\(\s*\)", expr, re.IGNORECASE):
                 renames.append(("match_num", alias))
                 continue
@@ -1552,11 +1800,72 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                 renames.append(("classifier", alias))
                 continue
             if all_rows:
-                raise TrinoSqlUnsupported(
-                    f"ALL ROWS PER MATCH MEASURES {expr!r} — only "
-                    "match_number() and classifier() are supported there "
-                    "(Trino gives aggregates RUNNING per-row semantics, "
-                    "which this subset does not implement)")
+                # r8: per-row measures. The callable returns a VECTOR
+                # aligned to the match rows (RUNNING — aggregate over
+                # the match prefix up to each row) or a scalar that
+                # broadcasts (FINAL — the whole-match aggregate on
+                # every row), computed inside the same pandas walk.
+                if re.fullmatch(r"count\s*\(\s*\*?\s*\)", expr,
+                                re.IGNORECASE):
+                    if sem == "running":
+                        measures[alias] = (
+                            lambda c, m: list(range(1, len(c) + 1)))
+                    else:
+                        measures[alias] = lambda c, m: len(c)
+                    schema_parts.append(f"{alias} bigint")
+                    continue
+                am = _MR_AGG_RE.match(expr)
+                if not am:
+                    raise TrinoSqlUnsupported(
+                        f"ALL ROWS PER MATCH MEASURES {expr!r} — "
+                        "supported: match_number(), classifier(), "
+                        "[RUNNING|FINAL] count(*)/first/last/sum/avg/"
+                        "min/max(column)")
+                fn, col = am.group(1).lower(), am.group(2).strip("`")
+                if col not in types:
+                    raise TrinoSqlUnsupported(
+                        f"MEASURES column {col!r} unknown")
+                used_cols.append(col)
+                t_ = types[col]
+                run = sem == "running"
+                if fn == "first":   # first row either way
+                    measures[alias] = lambda c, m, col=col: c.iloc[0][col]
+                    schema_parts.append(f"{alias} {t_}")
+                elif fn == "last":
+                    # RUNNING last = the current row's value
+                    measures[alias] = (
+                        (lambda c, m, col=col: list(c[col])) if run
+                        else (lambda c, m, col=col: c.iloc[-1][col]))
+                    schema_parts.append(f"{alias} {t_}")
+                elif fn == "sum":
+                    if t_ in _INT_TYPES:
+                        measures[alias] = (
+                            (lambda c, m, col=col:
+                             [int(v) for v in c[col].cumsum()]) if run
+                            else (lambda c, m, col=col: int(c[col].sum())))
+                        schema_parts.append(f"{alias} bigint")
+                    else:
+                        measures[alias] = (
+                            (lambda c, m, col=col:
+                             [float(v) for v in c[col].cumsum()]) if run
+                            else (lambda c, m, col=col: float(c[col].sum())))
+                        schema_parts.append(f"{alias} double")
+                elif fn == "avg":
+                    measures[alias] = (
+                        (lambda c, m, col=col:
+                         [float(v) for v in c[col].expanding().mean()])
+                        if run
+                        else (lambda c, m, col=col: float(c[col].mean())))
+                    schema_parts.append(f"{alias} double")
+                else:   # min / max
+                    agg = fn
+                    measures[alias] = (
+                        (lambda c, m, col=col, agg=agg:
+                         list(getattr(c[col], "cum" + agg)())) if run
+                        else (lambda c, m, col=col, agg=agg:
+                              getattr(c[col], agg)()))
+                    schema_parts.append(f"{alias} {t_}")
+                continue
             if re.fullmatch(r"classifier\s*\(\s*\)", expr, re.IGNORECASE):
                 # Trino ONE ROW PER MATCH classifier(): the pattern
                 # variable of the LAST row of the match, by its
@@ -1607,7 +1916,9 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     if all_rows:
         out = match_recognize(
             df, partition_by, order_by, symbols=symbols, pattern=pattern,
-            all_rows=True)
+            measures=measures,
+            measure_schema=", ".join(schema_parts),
+            all_rows=True, after_match=after_match)
         # The operator emits the internal letter; surface Trino's
         # classifier() contract — the DEFINE variable name.
         cls = None
@@ -1623,14 +1934,15 @@ def execute_match_recognize(spark: SparkSession, sql: str,
         # MEASURES clause, match_num/classifier are kept by their
         # operator names.
         base = [c for c in spark.table(table).columns]
-        extras = [a for _, a in renames] or ["match_num", "classifier"]
+        extras = ([a for _, a in renames] + list(measures)
+                  or ["match_num", "classifier"])
         out = out.select(*base, *extras)
     else:
         out = match_recognize(
             df, partition_by, order_by, symbols=symbols, pattern=pattern,
             measures=measures,
             measure_schema=", ".join(schema_parts),
-            used_columns=used_cols,
+            used_columns=used_cols, after_match=after_match,
         )
         for src, alias in renames:
             out = out.withColumn(alias, F.col(src))
@@ -2082,6 +2394,156 @@ def q_trino_sql_mr_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag NULL) classifies as filler and breaks runs in both engines.
     """
     return execute_trino(spark, TRINO_SQL_MR_PREV, sf_dir)
+
+
+#: Wave-12/13 dialect breadth in one statement: recursive-arithmetic
+#: TRY, named ROW cast + field access, reduce→aggregate, json_size,
+#: split_to_map with metachar delimiters, ISO-8601 ingestion, bit
+#: shifts, last_day_of_month.
+TRINO_SQL_BREADTH2 = """
+SELECT d.doc_id,
+       reduce(split(d.text, ' '), 0, (s, w) -> s + length(w), s -> s)
+           AS chars_ns,
+       TRY(d.n_chars + d.n_chars * 2 - 1) AS arith3,
+       TRY(CAST(d.n_chars AS DOUBLE) / (d.n_chars - d.n_chars)) AS dz,
+       CAST(ROW(d.doc_id * 10, d.lang) AS ROW(k BIGINT, l VARCHAR)).l
+           AS lang2,
+       json_size('{"a": [1, 2], "b": {"x": 1}}', '$.a') AS jsz,
+       element_at(split_to_map('u.1|v.2', '|', '.'), 'v') AS v_val,
+       CAST(from_iso8601_date('2024-03-05') AS VARCHAR) AS iso_d,
+       CAST(last_day_of_month(DATE '2024-02-11') AS VARCHAR) AS eom,
+       bitwise_left_shift(d.doc_id, 2) AS shl,
+       bitwise_right_shift(d.doc_id, 1) AS shr
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
+@query(
+    "q_trino_sql_breadth2",
+    oracle="""
+    SELECT doc_id,
+           list_sum(list_transform(str_split(text, ' '),
+                                   w -> length(w))) AS chars_ns,
+           n_chars + n_chars * 2 - 1 AS arith3,
+           CAST(NULL AS DOUBLE) AS dz,
+           lang AS lang2,
+           2 AS jsz,
+           '2' AS v_val,
+           '2024-03-05' AS iso_d,
+           '2024-02-29' AS eom,
+           doc_id * 4 AS shl,
+           doc_id // 2 AS shr
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_breadth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-12/13 dialect breadth through the string path (r8):
+    recursive TRY arithmetic (nested try_* by precedence, NULL on the
+    guaranteed division by zero), CAST(.. AS ROW(..)) named-row types
+    (positional struct cast + field access), reduce→aggregate,
+    json_size member counting, split_to_map with regex-metachar
+    delimiters, ISO-8601 date ingestion, bitwise shifts and
+    last_day_of_month — every shim compiles to a JVM builtin; the
+    DuckDB oracle recomputes each value independently (constant
+    results as literals, corpus-dependent ones re-derived)."""
+    return execute_trino(spark, TRINO_SQL_BREADTH2, sf_dir)
+
+
+TRINO_SQL_MR_RUNNING = """
+SELECT user_id, event_id, mn, cls, round(run_sum, 4) AS run_sum, n_run
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES match_number() AS mn, classifier() AS cls,
+           RUNNING sum(value) AS run_sum, count(*) AS n_run
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (V C+ P)
+  DEFINE V AS event_type = 'view',
+         C AS event_type = 'click',
+         P AS event_type = 'purchase'
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr_running",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT user_id,
+               unnest(regexp_extract_all(s, 'VC+P')) AS mstr,
+               generate_subscripts(regexp_extract_all(s, 'VC+P'), 1) AS k
+        FROM sym
+    ), g AS (
+        SELECT user_id,
+               unnest(str_split_regex(s, 'VC+P')) AS gap,
+               generate_subscripts(str_split_regex(s, 'VC+P'), 1) AS gi
+        FROM sym
+    ), gcum AS (
+        SELECT user_id, gi,
+               sum(length(gap)) OVER (PARTITION BY user_id
+                                      ORDER BY gi) AS cg
+        FROM g
+    ), mcum AS (
+        SELECT user_id, k,
+               sum(length(mstr)) OVER (PARTITION BY user_id
+                                       ORDER BY k) AS cm
+        FROM m
+    ), starts AS (
+        SELECT m.user_id, m.k, m.mstr,
+               gcum.cg + coalesce(mcum.cm, 0) + 1 AS start
+        FROM m
+        JOIN gcum ON gcum.user_id = m.user_id AND gcum.gi = m.k
+        LEFT JOIN mcum ON mcum.user_id = m.user_id AND mcum.k = m.k - 1
+    ), rows_ AS (
+        SELECT s.user_id, s.k AS mn,
+               s.start + u.i - 1 AS rn,
+               substring(s.mstr, CAST(u.i AS INT), 1) AS cls
+        FROM starts s,
+             unnest(generate_series(1, length(s.mstr))) AS u(i)
+    ), joined AS (
+        SELECT r.user_id, o.event_id, r.mn, r.cls, r.rn, o.value
+        FROM rows_ r
+        JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn
+    )
+    SELECT user_id, event_id, CAST(mn AS BIGINT) AS mn, cls,
+           round(sum(value) OVER (PARTITION BY user_id, mn
+                                  ORDER BY rn), 4) AS run_sum,
+           CAST(row_number() OVER (PARTITION BY user_id, mn
+                                   ORDER BY rn) AS BIGINT) AS n_run
+    FROM joined
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH with RUNNING measures (r8) through the string
+    path: every matched funnel row carries the running ``sum(value)``
+    and ``count(*)`` over the match prefix — Trino's default RUNNING
+    semantics in ALL ROWS mode — computed as a cumsum over the match
+    slice inside the same pandas walk (zero extra shuffles).
+
+    The oracle reconstructs per-row match membership from regex
+    primitives (as q_events_pattern_rows) and then replays RUNNING
+    aggregates as cumulative windows over (user_id, match_num) in row
+    order — an independent-engine check of both the row emission AND
+    the per-row aggregate values.
+    """
+    return execute_trino(spark, TRINO_SQL_MR_RUNNING, sf_dir)
 
 
 @query(

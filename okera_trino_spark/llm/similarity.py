@@ -104,7 +104,15 @@ def ivf_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> list[list[float]]
     per-centroid mean are both distributed; only the k×dim codebook
     (constant size) ever reaches the driver. That is the k-means‖
     shape: at 100 TB each iteration is one map (argmin over k literals)
-    plus one k-group aggregation."""
+    plus one k-group aggregation.
+
+    Every NEW centroid is rounded to 4dp (r8): avg() sums in
+    partition order, so the raw mean carries ~1e-12 engine-order
+    noise; rounding pins the codebook to decimal literals any engine
+    reproduces exactly, which is what lets the DuckDB oracle replay
+    the whole training loop (see _ann_ivf_oracle). An empty cell
+    keeps its previous centroid UNROUNDED (seed values are exact
+    float32 data on both sides)."""
     cents = [row["embedding"] for row in
              e.orderBy("vec_id").limit(k).select("embedding").collect()]
     for _ in range(iters):
@@ -116,52 +124,124 @@ def ivf_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> list[list[float]]
             .collect()
         )
         by_c = {row["c"]: [row[f"d{i}"] for i in range(len(cents[0]))] for row in means}
-        cents = [by_c.get(i, cents[i]) for i in range(k)]
+        cents = [([round(float(x), 4) for x in by_c[i]] if i in by_c
+                  else cents[i]) for i in range(k)]
     return [[float(x) for x in c] for c in cents]
 
 
 def _nearest_centroid(emb: Column, cents: list[list[float]]) -> Column:
     """argmin over the codebook, as a pure column expression: distance to
     each centroid is a zip_with/aggregate (JVM), and the argmin folds
-    over k when-chains — constant work per row, no UDF."""
+    over k when-chains — constant work per row, no UDF. Distances
+    compare at 6dp rounding with lowest-index tie-break (r8) — the
+    round-then-order precedent of q_llm_ann_ivf_static, making the
+    argmin engine-exact (the fold is left-to-right in both engines;
+    rounding absorbs nothing today but fences the boundary case)."""
     def sqdist(c: list[float]) -> Column:
         arr = F.array(*[F.lit(x) for x in c])
         return F.aggregate(
             F.zip_with(emb, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
             F.lit(0.0), lambda acc, v: acc + v)
 
-    best_d, best_i = sqdist(cents[0]), F.lit(0)
+    best_d, best_i = F.round(sqdist(cents[0]), 6), F.lit(0)
     for i, c in enumerate(cents[1:], start=1):
-        d = sqdist(c)
+        d = F.round(sqdist(c), 6)
         closer = d < best_d
         best_i = F.when(closer, F.lit(i)).otherwise(best_i)
         best_d = F.when(closer, d).otherwise(best_d)
     return best_i
 
 
-@query("q_llm_ann_ivf", oracle=None, tags=("llm", "similarity"))
+def _ann_ivf_oracle(k: int = 8, dim: int = DIM, iters: int = 2) -> str:
+    """DuckDB replay of the WHOLE Lloyd-trained IVF pipeline (r8) —
+    graduating q_llm_ann_ivf from the rows-only check the way the
+    static key graduated in r6, but with the TRAINING LOOP unrolled
+    into SQL instead of a literal codebook: seeds are the k lowest
+    vec_ids, then per iteration (assignment = argmin over rounded-6dp
+    squared distance with cid tie-break; new centroid = per-dimension
+    avg rounded to 4dp, empty cells keep the previous centroid),
+    then the final assignment, nprobe=2 probe-cell selection, and
+    exact-cosine re-score. Engine-exactness rests on two invariants
+    proven by q_llm_ann_ivf_static's hash-green history: (1) the
+    left-to-right float64 fold of list_sum matches Spark's
+    F.aggregate bit-for-bit on identical inputs, and (2) rounding
+    distances to 6dp / centroids to 4dp pins every cross-engine
+    comparison to decimal values both engines parse identically."""
+    sq = (f"round(list_sum(list_transform(range(1, {dim + 1}), "
+          "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])"
+          " * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))), 6)")
+    mean_list = ", ".join(
+        f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 4)"
+        for i in range(1, dim + 1))
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM embeddings WHERE vec_id < {k})"]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT e.vec_id, e.embedding, c.cid, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {sq}, c.cid) AS rn "
+            f"FROM embeddings e CROSS JOIN {prev} c)")
+        parts.append(
+            f"m{it} AS (SELECT cid, list_value({mean_list}) AS cv "
+            f"FROM a{it} WHERE rn = 1 GROUP BY cid)")
+        parts.append(
+            f"c{it} AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid)")
+        prev = f"c{it}"
+    parts.append(
+        f"af AS (SELECT e.vec_id, e.label, e.embedding, c.cid, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {sq}, c.cid) AS rn "
+        f"FROM embeddings e CROSS JOIN {prev} c)")
+    parts.append("pc AS (SELECT cid FROM af WHERE vec_id = 0 AND rn <= 2)")
+    parts.append("pv AS (SELECT embedding AS qv FROM embeddings "
+                 "WHERE vec_id = 0)")
+    parts.append("cand AS (SELECT a.vec_id, a.label, a.embedding "
+                 "FROM af a JOIN pc ON a.cid = pc.cid "
+                 "WHERE a.rn = 1 AND a.vec_id <> 0)")
+    return ("WITH " + ",\n".join(parts) + """
+    SELECT vec_id, label,
+           round(CAST(list_cosine_similarity(cand.embedding, pv.qv)
+                      AS DOUBLE), 4) AS cos_sim
+    FROM cand CROSS JOIN pv
+    ORDER BY round(CAST(list_cosine_similarity(cand.embedding, pv.qv)
+                        AS DOUBLE), 6) DESC, vec_id
+    LIMIT 10""")
+
+
+@query("q_llm_ann_ivf", oracle=_ann_ivf_oracle(), tags=("llm", "similarity"))
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 approximate top-k: IVF (inverted-file) index. Vectors are
-    assigned to their nearest codebook centroid; a probe searches only
+    assigned to their nearest codebook centroid (Lloyd-trained, 2
+    iterations from the k lowest-vec_id seeds); a probe searches only
     the nprobe=2 nearest centroid lists with exact cosine.
 
     Scale: the centroid id is a partitioning/bucketBy key on disk, so a
     probe reads ~nprobe/k of the corpus (vs all buckets for brute
     force). Codebook is constant-size driver state — the one sanctioned
-    collect() in this package (k×dim floats, not data rows). Centroid
-    assignment depends on the trained codebook → rows-only driver
-    check; tests/test_llm.py checks recall overlap vs brute force.
-    """
+    collect() in this package (k×dim floats, not data rows).
+
+    HARD oracle since r8: training is deterministic (4dp-rounded
+    means, 6dp-rounded distance argmin with index tie-break), so the
+    DuckDB oracle replays the full loop — see _ann_ivf_oracle.
+    tests/test_llm.py additionally checks recall overlap vs brute
+    force."""
     e = t(spark, sf_dir, "embeddings")
     cents = ivf_centroids(e, k=8, iters=2)
     assigned = e.withColumn("c", _nearest_centroid(F.col("embedding"), cents))
     probe_row = assigned.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     qv = probe_row["embedding"]
     # nprobe=2: the probe's own cell plus its next-nearest centroid.
-    import numpy as np  # local: driver-side codebook math only
-    dists = [float(np.sum((np.asarray(c) - np.asarray(qv, dtype=float)) ** 2))
-             for c in cents]
-    nprobe_cells = [int(i) for i in np.argsort(dists)[:2]]
+    # Sequential Python sum = the same left-to-right fold as the
+    # engines; rounded 6dp with stable argsort = the oracle's
+    # (round(d, 6), cid) ordering.
+    dists = [round(sum((float(ci) - float(qi)) ** 2
+                       for ci, qi in zip(c, qv)), 6) for c in cents]
+    nprobe_cells = [i for i, _ in sorted(enumerate(dists),
+                                         key=lambda p: (p[1], p[0]))[:2]]
     qv_col = F.array(*[F.lit(float(x)) for x in qv])
     cands = assigned.filter(F.col("c").isin(nprobe_cells) & (F.col("vec_id") != 0))
     scored = cands.withColumn("cos_raw", cosine(F.col("embedding"), qv_col))

@@ -859,8 +859,14 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("t"))
     xent = F.round(
         -F.sum(F.col("c") * F.log(F.col("cnt") / F.col("t"))) / F.sum("c"), 4)
+    # No broadcast HINT on the model (r8, ADVICE): |model| is bounded
+    # by the corpus's distinct trigrams — small for ASCII-ish text but
+    # unbounded for unicode-rich corpora, where a forced broadcast
+    # recreates the OOM class the r7 replan removed. AQE broadcasts it
+    # at runtime when its measured size is actually small; otherwise
+    # the join keeps (doc, tri) partitioning with skew splitting.
     return (
-        tc.join(F.broadcast(model), "tri")
+        tc.join(model, "tri")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_tris"), xent.alias("xent"))

@@ -67,6 +67,7 @@ def match_recognize(
     measure_schema: str = "",
     used_columns: list[str] | None = None,
     all_rows: bool = False,
+    after_match: str = "past_last",
 ) -> DataFrame:
     """Row-pattern matching over ``df`` (ONE ROW PER MATCH by default,
     ALL ROWS PER MATCH with ``all_rows=True``).
@@ -93,15 +94,24 @@ def match_recognize(
     retained columns (post-pruning) plus ``match_num`` and
     ``classifier`` (the per-row pattern symbol — Trino's
     ``classifier()``). Unmatched rows are omitted (Trino's default
-    ``OMIT EMPTY MATCHES`` shape for non-empty patterns). ``measures``
-    are refused in this mode: Trino gives aggregates RUNNING semantics
-    per row there, which this operator does not implement — a
-    truncated implementation would silently diverge.
+    ``OMIT EMPTY MATCHES`` shape for non-empty patterns). In this mode
+    ``measures`` callables receive the SAME (matched row slice, regex
+    match) arguments but return a per-row VECTOR (len == match length)
+    for Trino's default RUNNING semantics — e.g. a cumsum — or a
+    scalar, which broadcasts to every row of the match (FINAL
+    semantics / constants).
+
+    ``after_match`` (r8) selects Trino's AFTER MATCH SKIP mode:
+    ``"past_last"`` (default) resumes the scan after the last matched
+    row — non-overlapping ``finditer`` semantics; ``"next_row"``
+    (Trino ``SKIP TO NEXT ROW``) resumes at the row after each match's
+    FIRST row, yielding every position where an anchored leftmost-
+    greedy match starts — overlapping matches, ``match_num`` still
+    1-based in start order (Trino's sequential numbering).
     """
-    if all_rows and measures:
-        raise ValueError(
-            "all_rows=True does not support measures (Trino ALL ROWS PER "
-            "MATCH aggregates have RUNNING per-row semantics)")
+    if after_match not in ("past_last", "next_row"):
+        raise ValueError(f"after_match {after_match!r}: "
+                         "'past_last' or 'next_row'")
     if not _PATTERN_OK_RE.match(pattern):
         raise ValueError(
             f"pattern {pattern!r}: only A-Z symbols with regex "
@@ -126,8 +136,9 @@ def match_recognize(
         out_schema = ", ".join(
             [f"{c} {classified.schema[c].dataType.simpleString()}"
              for c in row_cols]
-            + ["match_num bigint", "classifier string"])
-        cols = row_cols + ["match_num", "classifier"]
+            + ["match_num bigint", "classifier string"]
+            + ([measure_schema] if measure_schema else []))
+        cols = row_cols + ["match_num", "classifier"] + list(measures)
     else:
         out_schema = ", ".join(
             [f"{c} {classified.schema[c].dataType.simpleString()}"
@@ -136,15 +147,38 @@ def match_recognize(
             + ([measure_schema] if measure_schema else []))
         cols = partition_by + ["match_num", "matched"] + list(measures)
 
+    def matches(s: str):
+        """Match iterator per AFTER MATCH SKIP mode. ``next_row``
+        restarts the search one past each match's START (not end):
+        because ``search`` returns the leftmost match at-or-after the
+        restart point, this enumerates exactly the positions where an
+        anchored greedy match begins — Trino's overlapping-match
+        semantics."""
+        if after_match == "past_last":
+            yield from compiled.finditer(s)
+            return
+        pos = 0
+        while True:
+            m = compiled.search(s, pos)
+            if m is None:
+                return
+            yield m
+            pos = m.start() + 1
+
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         if all_rows:
             parts = []
             for _, g in pdf.groupby(partition_by, sort=False, dropna=False):
                 s = "".join(g["_sym"])
-                for i, m in enumerate(compiled.finditer(s), start=1):
-                    chunk = g.iloc[m.start():m.end()][row_cols].copy()
+                for i, m in enumerate(matches(s), start=1):
+                    sl = g.iloc[m.start():m.end()]
+                    chunk = sl[row_cols].copy()
                     chunk["match_num"] = i
                     chunk["classifier"] = list(m.group(0))
+                    for alias, fn in measures.items():
+                        v = fn(sl, m)   # vector (RUNNING) or scalar (FINAL)
+                        chunk[alias] = (list(v) if hasattr(v, "__len__")
+                                        and not isinstance(v, str) else v)
                     parts.append(chunk)
             if not parts:
                 return pd.DataFrame(columns=cols)
@@ -154,7 +188,7 @@ def match_recognize(
             if not isinstance(key, tuple):
                 key = (key,)
             s = "".join(g["_sym"])
-            for i, m in enumerate(compiled.finditer(s), start=1):
+            for i, m in enumerate(matches(s), start=1):
                 chunk = g.iloc[m.start():m.end()]
                 rows.append([*key, i, m.group(0)]
                             + [fn(chunk, m) for fn in measures.values()])
@@ -322,3 +356,64 @@ def q_events_pattern_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         used_columns=[],
         all_rows=True,
     ).select("user_id", "event_id", "match_num", "classifier")
+
+
+@query(
+    "q_events_pattern_skipnext",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv,
+               ts, event_id
+        FROM events
+    ), sym AS (
+        SELECT user_id,
+               string_agg(CASE WHEN pv IS NOT NULL AND value < pv THEN 'D'
+                               WHEN pv IS NOT NULL AND value > pv THEN 'U'
+                               ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM ordered GROUP BY user_id
+    ), anchored AS (
+        SELECT user_id, pos,
+               regexp_extract(substring(s, CAST(pos AS INT)), '^D+U+') AS m
+        FROM sym, unnest(generate_series(1, length(s))) AS u(pos)
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY pos) AS BIGINT) AS match_num,
+           m AS matched, CAST(length(m) AS BIGINT) AS n_rows
+    FROM anchored WHERE m <> ''
+    """,
+    tags=("pattern", "events"),
+)
+def q_events_pattern_skipnext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO NEXT ROW`` (r8): falling-then-rising value
+    runs per user (the Trino-docs V-shape query), restarting the scan
+    one row past each match's START — overlapping matches, the mode
+    peak/valley analytics need. The D/U classification uses a lag
+    column built JVM-side (the operator's documented PREV contract).
+
+    The oracle is genuinely discriminating for overlap: SKIP TO NEXT
+    ROW's match set is exactly the positions where an anchored
+    leftmost-greedy match begins, so DuckDB enumerates every start
+    offset with RE2 ``^D+U+`` anchored extraction — an independent
+    engine replaying overlapping-match semantics position by position.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = e.withColumn("_pv", F.lag("value").over(w))
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[("D", F.col("value") < F.col("_pv")),
+                 ("U", F.col("value") > F.col("_pv"))],
+        pattern="D+U+",
+        measures={"n_rows": lambda chunk, m: len(chunk)},
+        measure_schema="n_rows bigint",
+        used_columns=[],
+        after_match="next_row",
+    )

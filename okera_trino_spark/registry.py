@@ -88,35 +88,44 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-6 ROTATION — freshness, not closure (the union closed in r5:
-#: all 155 then-registered keys have a driver row). Slots, in order:
-#:   1) the r5 red row (quantize — output shape fixed this round) +
-#:      keys whose implementation or oracle CHANGED in r6 (q_sample's
-#:      new byte-exact prefix oracle; the Trino-SQL string keys, whose
-#:      shared rewriter gained VARCHAR(n)/random/to_unixtime/TRY/
-#:      AT TIME ZONE handling) + the NEW r6 keys (metadata discovery,
-#:      tz surface) — new keys must sit in-window to keep the
-#:      test_entry.py union-closure invariant green;
-#:   2) the 26 keys whose only driver row is round 1 — five rounds
-#:      stale, the oldest evidence in the repo.
+#: ROUND-8 ROTATION. Slots, in order:
+#:   1) the two r7 keys that were registered without a window slot (the
+#:      r7 process miss — zero driver signal ever) + the NEW r8 keys
+#:      (SKIP TO NEXT ROW, ALL-ROWS RUNNING measures) — new keys must
+#:      sit in-window to keep the test_entry.py union-closure
+#:      invariant green;
+#:   2) keys whose implementation or oracle CHANGED in r8:
+#:      q_llm_ann_ivf (graduated to the Lloyd-replay hard oracle —
+#:      deterministic 4dp centroids / 6dp argmin), q_llm_trigram_lm
+#:      (model broadcast hint dropped for AQE), q_events_pattern /
+#:      q_trino_sql_mr (shared operator gained the skip-mode walk and
+#:      vector measures);
+#:   3) the r2 cohort — six rounds stale, the oldest evidence in the
+#:      repo (38 keys) — then the 4 oldest r4 keys to fill 50.
+#: q_llm_bpe (rows-only, has its r7 driver row) exits the window: its
+#: weaker check never improves, so the slot buys nothing.
 _PRIORITY: tuple[str, ...] = (
-    # 1) changed or new in r6
-    "q_llm_quantize", "q_sample", "q_meta_discovery", "q_trino_sql_tz",
-    "q_trino_sql", "q_trino_sql_fns", "q_trino_sql_unnest",
-    "q_trino_tpch_q1", "q_trino_sql_breadth", "q_llm_tfidf",
-    "q_llm_trigram_lm", "q_events_pattern", "q_win_frame_groups",
-    "q_trino_sql_mr", "q_llm_para_dedup", "q_llm_semdedup",
-    "q_llm_ann_lsh", "q_llm_dedup_embed", "q_llm_dedup_near",
-    "q_llm_bpe", "q_trino_sql_prepared", "q_llm_ann_ivf_static",
-    "q_llm_stratified", "q_llm_chunk",
-    # 2) r1-only driver evidence
-    "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
-    "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
-    "q_except_all", "q_filter_in", "q_filter_null", "q_intersect",
-    "q_intersect_all", "q_join_anti", "q_join_cross", "q_join_full",
-    "q_join_theta", "q_limit", "q_offset", "q_scan_wide",
-    "q_subquery_in", "q_subquery_scalar", "q_union_distinct", "q_values",
-    "q_win_frame_rows", "q_win_lag_lead",
+    # 1) zero-driver-signal + new in r8
+    "q_trino_sql_mr_prev", "q_events_pattern_rows",
+    "q_events_pattern_skipnext", "q_trino_sql_mr_running",
+    "q_trino_sql_breadth2",
+    # 2) changed in r8
+    "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
+    "q_trino_sql_mr",
+    # 3) r2-stale cohort
+    "q_pricing_summary", "q_scan_full", "q_project", "q_filter_range",
+    "q_count_star", "q_join_inner", "q_join_left", "q_join_semi",
+    "q_join_broadcast", "q_agg_group", "q_agg_rollup", "q_agg_stats",
+    "q_win_rank", "q_win_frame_range", "q_topk", "q_union_all",
+    "q_subquery_corr", "q_cte", "q_case_expr", "q_fn_string",
+    "q_fn_date", "q_fn_cast", "q_fn_array", "q_unnest",
+    "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",
+    "q_view_create_read", "q_udf_custom", "q_udtf_split",
+    "q_stream_watermark", "q_stream_static_join", "q_llm_dedup_exact",
+    "q_llm_similarity", "q_llm_decontaminate", "q_llm_curation",
+    "q_llm_multimodal",
+    # 3b) oldest r4 keys
+    "q_join_right", "q_agg_pivot", "q_agg_unpivot",
 )
 
 

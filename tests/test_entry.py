@@ -27,6 +27,7 @@ def test_driver_window_union_closure():
     keys enter in-window), and rows-only keys may not hold a slot once
     they have a driver row (their weaker check never improves — the slot
     is wasted freshness)."""
+    import glob
     import json
     import os
 
@@ -37,13 +38,9 @@ def test_driver_window_union_closure():
     specs = load_all_queries()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()   # keys with at least one driver row
-    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-                "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
-                "CORRECTNESS_r05.json"):
-        p = os.path.join(repo, rnd)
-        if os.path.exists(p):
-            with open(p) as f:
-                checked.update(json.load(f))
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            checked.update(json.load(f))
     # union closure: every registered key checked before or in-window
     uncovered = [k for k in specs if k not in checked and k not in window]
     assert not uncovered, f"keys with no driver signal ever: {uncovered}"

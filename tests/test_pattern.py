@@ -143,8 +143,8 @@ def test_match_recognize_sql_named_errors(spark):
         ("ORDER BY ts", "PARTITION BY"),
         ("PARTITION BY user_id ORDER BY ts ALL ROWS PER MATCH "
          "WITH UNMATCHED ROWS", "WITH UNMATCHED"),
-        ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO NEXT ROW",
-         "SKIP PAST LAST ROW"),
+        ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO FIRST A",
+         "AFTER MATCH"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=msg):
             execute_match_recognize(spark, base.format(body=body))
@@ -171,11 +171,12 @@ def test_match_recognize_sql_named_errors(spark):
             MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
             PATTERN (A B) DEFINE A AS value > B.value,
             B AS value < 0)""")
-    # ALL ROWS PER MATCH with an aggregate measure refused
-    with pytest.raises(TrinoSqlUnsupported, match="RUNNING"):
+    # ALL ROWS PER MATCH aggregates are supported over bare columns
+    # (r8, RUNNING/FINAL); a composite expression stays refused.
+    with pytest.raises(TrinoSqlUnsupported, match="ALL ROWS PER MATCH"):
         execute_match_recognize(spark, """SELECT * FROM events
             MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
-            MEASURES sum(value) AS s ALL ROWS PER MATCH
+            MEASURES sum(value + 1) AS s ALL ROWS PER MATCH
             PATTERN (A B) DEFINE A AS value > 0, B AS value < 0)""")
     # no MATCH_RECOGNIZE block → None (caller falls through)
     assert execute_match_recognize(spark, "SELECT 1") is None
@@ -315,3 +316,146 @@ def test_all_rows_sql_path_consistent_with_one_row(spark, sf_dir):
     assert got == want
     classifiers = {r.cls for r in all_rows.collect()}
     assert classifiers == {"V", "C", "P"}
+
+
+def test_skip_to_next_row_overlapping(spark):
+    """AFTER MATCH SKIP TO NEXT ROW (r8): D D U U yields matches
+    anchored at BOTH falling rows — overlap the PAST LAST ROW mode
+    cannot produce — with sequential match numbering."""
+    rows = [("u", i, ev, float(i)) for i, ev in
+            enumerate(["d", "d", "u", "u", "x", "d", "u"])]
+    out = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("D", F.col("ev") == "d"), ("U", F.col("ev") == "u")],
+        pattern="D+U+",
+        after_match="next_row",
+    ).orderBy("match_num").collect()
+    assert [(r.match_num, r.matched) for r in out] == [
+        (1, "DDUU"), (2, "DUU"), (3, "DU")]
+    # same input, default mode: non-overlapping
+    out2 = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("D", F.col("ev") == "d"), ("U", F.col("ev") == "u")],
+        pattern="D+U+",
+    ).orderBy("match_num").collect()
+    assert [(r.match_num, r.matched) for r in out2] == [
+        (1, "DDUU"), (2, "DU")]
+
+
+def test_all_rows_running_measures_operator(spark):
+    """ALL ROWS PER MATCH measure callables (r8): a vector return maps
+    per-row (RUNNING), a scalar broadcasts to the match (FINAL)."""
+    rows = [("u", 0, "a", 10.0), ("u", 1, "b", 2.0), ("u", 2, "b", 3.0)]
+    out = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("A", F.col("ev") == "a"), ("B", F.col("ev") == "b")],
+        pattern="AB+",
+        measures={
+            "run_sum": lambda c, m: [float(x) for x in c["v"].cumsum()],
+            "final_n": lambda c, m: len(c),
+        },
+        measure_schema="run_sum double, final_n bigint",
+        all_rows=True,
+    ).orderBy("seq").collect()
+    assert [(r.classifier, r.run_sum, r.final_n) for r in out] == [
+        ("A", 10.0, 3), ("B", 12.0, 3), ("B", 15.0, 3)]
+
+
+def test_sql_path_running_final_measures(spark, sf_dir):
+    """String-path RUNNING vs FINAL (r8): RUNNING sum climbs to the
+    match total; FINAL sum shows the total on every row; RUNNING last
+    is the current row's value."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    sql = """SELECT user_id, mn, rsum, fsum, rlast, value
+    FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES match_number() AS mn, RUNNING sum(value) AS rsum,
+               FINAL sum(value) AS fsum, RUNNING last(value) AS rlast
+      ALL ROWS PER MATCH
+      PATTERN (V C+ P)
+      DEFINE V AS event_type = 'view', C AS event_type = 'click',
+             P AS event_type = 'purchase')"""
+    rows = execute_trino(spark, sql, sf_dir).collect()
+    assert rows
+    import collections
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[(r.user_id, r.mn)].append(r)
+    for g in groups.values():
+        total = g[-1].fsum
+        run = 0.0
+        for r in g:
+            run += r.value
+            assert abs(r.rsum - run) < 1e-6
+            assert abs(r.fsum - total) < 1e-9
+            assert r.rlast == r.value
+        assert abs(g[-1].rsum - total) < 1e-6
+
+
+def test_sql_path_skip_to_next_row(spark, sf_dir):
+    """String-path SKIP TO NEXT ROW (r8) against the Python overlap
+    replay: anchored matches at every start position."""
+    import re as _re
+
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    sql = """SELECT user_id, match_num, n_rows
+    FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES match_number() AS match_num, count(*) AS n_rows
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (D+ U+)
+      DEFINE D AS value < PREV(value), U AS value > PREV(value))"""
+    got = sorted(
+        (r.user_id, r.match_num, r.n_rows)
+        for r in execute_trino(spark, sql, sf_dir).collect())
+
+    rows = (spark.table("events")
+            .select("user_id", "ts", "event_id", "value").collect())
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.value)
+    want = []
+    pat = _re.compile("D+U+")
+    for uid, vals in by_user.items():
+        s = ""
+        for i, v in enumerate(vals):
+            pv = vals[i - 1] if i >= 1 else None
+            s += ("D" if pv is not None and v < pv
+                  else "U" if pv is not None and v > pv else ".")
+        pos, k = 0, 0
+        while True:
+            m = pat.search(s, pos)
+            if m is None:
+                break
+            k += 1
+            want.append((uid, k, len(m.group(0))))
+            pos = m.start() + 1
+    assert got == sorted(want)
+
+
+def test_nav_other_variable_reference_refused(spark, sf_dir):
+    """r8 (ADVICE): PREV(B.value) inside DEFINE A must raise the named
+    error, not leak a raw qualified reference into F.expr."""
+    from okera_trino_spark.functions.trino_sql import (
+        TrinoSqlUnsupported, execute_trino)
+
+    sql = """SELECT user_id FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      PATTERN (A+ B+)
+      DEFINE A AS value > PREV(B.value), B AS value > 0)"""
+    with pytest.raises(TrinoSqlUnsupported, match="PREV/NEXT argument"):
+        execute_trino(spark, sql, sf_dir)
+
+
+def test_skip_to_first_still_refused(spark, sf_dir):
+    from okera_trino_spark.functions.trino_sql import (
+        TrinoSqlUnsupported, execute_trino)
+
+    sql = """SELECT user_id FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      AFTER MATCH SKIP TO FIRST A
+      PATTERN (A+) DEFINE A AS value > 0)"""
+    with pytest.raises(TrinoSqlUnsupported, match="AFTER MATCH"):
+        execute_trino(spark, sql, sf_dir)

@@ -99,12 +99,12 @@ def test_rewrite_leaves_string_literals_alone():
 
 
 def test_rewrite_generic_try_raises():
-    # non-cast, non-arithmetic TRY bodies stay unsupported
+    # calls without a Spark try_ twin stay unsupported
     with pytest.raises(TrinoSqlUnsupported):
         rewrite_trino_sql("SELECT TRY(concat(a, b)) FROM t")
-    # multi-operator arithmetic is ambiguous without a parser — raises
-    with pytest.raises(TrinoSqlUnsupported):
-        rewrite_trino_sql("SELECT TRY(a / b / c) FROM t")
+    # r8: multi-operator arithmetic now lowers recursively
+    assert ("try_divide(try_divide(a, b), c)"
+            in rewrite_trino_sql("SELECT TRY(a / b / c) FROM t"))
 
 
 def test_rewrite_unnest_shape_mismatch_raises():
@@ -555,9 +555,15 @@ def test_trino_explain_passthrough(spark, sf_dir):
 def test_trino_pattern_features_raise_named_errors():
     with pytest.raises(TrinoSqlUnsupported, match="MATCH_RECOGNIZE"):
         rewrite_trino_sql("SELECT * FROM t MATCH_RECOGNIZE (PATTERN (A B))")
+    # GROUPS frames lower from text (r7), but EXCLUDE clauses and
+    # SELECT * (which would leak the helper group-index column) refuse.
     with pytest.raises(TrinoSqlUnsupported, match="GROUPS"):
         rewrite_trino_sql(
             "SELECT sum(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING "
+            "AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="SELECT [*]"):
+        rewrite_trino_sql(
+            "SELECT *, sum(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING "
             "AND CURRENT ROW) FROM t")
 
 
@@ -931,9 +937,13 @@ def test_trino_statement_matches_oracle_wave10(name, trino, duck, spark, sf_dir,
     check_query(df, oracle, duck or trino, name=f"trino10:{name}")
 
 
-def test_cast_as_row_type_raises():
+def test_cast_as_row_type_lowers_r8():
+    # r8: named ROW casts lower to positional struct casts; AS ROW
+    # outside a CAST type position stays refused.
+    out = rewrite_trino_sql("SELECT CAST(ROW(1, 2) AS ROW(a INT, b INT))")
+    assert "STRUCT<a: INT, b: INT>" in out and "struct(1, 2)" in out
     with pytest.raises(TrinoSqlUnsupported, match="AS ROW"):
-        rewrite_trino_sql("SELECT CAST(ROW(1, 2) AS ROW(a INT, b INT))")
+        rewrite_trino_sql("SELECT x AS ROW(a INT) FROM t")
 
 
 def test_array_agg_distinct_keeps_one_null(spark):
@@ -1021,20 +1031,36 @@ CASES11 = [
      "FROM orders ORDER BY o_orderkey LIMIT 100"),
     ("groups_frame_string_path",
      # r7: GROUPS BETWEEN lowered from SQL text (dense_rank subquery +
-     # RANGE-on-group-index); DuckDB runs the GROUPS frame natively —
-     # an independent engine's own implementation as the oracle.
+     # RANGE-on-group-index); DuckDB has no GROUPS mode, so the oracle
+     # is the definitional peer-group equivalence built independently:
+     # dense_rank group index + the same frame in RANGE mode.
      "SELECT p_partkey, "
      "CAST(count(*) OVER (PARTITION BY p_brand ORDER BY p_size "
      "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_band, "
      "round(sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size "
      "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 4) AS sum_band "
      "FROM part ORDER BY p_partkey",
+     "WITH g AS (SELECT *, dense_rank() OVER (PARTITION BY p_brand "
+     "ORDER BY p_size) AS grp FROM part) "
      "SELECT p_partkey, "
-     "CAST(count(*) OVER (PARTITION BY p_brand ORDER BY p_size "
-     "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_band, "
-     "round(sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size "
-     "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 4) AS sum_band "
-     "FROM part ORDER BY p_partkey"),
+     "CAST(count(*) OVER (PARTITION BY p_brand ORDER BY grp "
+     "RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_band, "
+     "round(sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY grp "
+     "RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING), 4) AS sum_band "
+     "FROM g ORDER BY p_partkey"),
+    ("groups_frame_aliased_table",
+     # r8 (ADVICE): the GROUPS wrap must survive a trailing table alias
+     # and alias-qualified columns in the OVER spec.
+     "SELECT p.p_partkey, "
+     "CAST(count(*) OVER (PARTITION BY p.p_brand ORDER BY p.p_size "
+     "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_band "
+     "FROM part p ORDER BY p.p_partkey",
+     "WITH g AS (SELECT *, dense_rank() OVER (PARTITION BY p_brand "
+     "ORDER BY p_size) AS grp FROM part) "
+     "SELECT p_partkey, "
+     "CAST(count(*) OVER (PARTITION BY p_brand ORDER BY grp "
+     "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_band "
+     "FROM g ORDER BY p_partkey"),
     ("strict_json_member_chain",
      # r7: strict-mode paths that are plain member chains lower like
      # lax (they differ only in erroring on mismatch).
@@ -1049,3 +1075,148 @@ CASES11 = [
 def test_trino_statement_matches_oracle_wave11(name, trino, duck, spark, sf_dir, oracle):
     df = execute_trino(spark, trino, sf_dir)
     check_query(df, oracle, duck or trino, name=f"trino11:{name}")
+
+
+# --------------------------------------------------------------- wave 12 (r8)
+CASES12 = [
+    ("row_cast_named_fields",
+     # CAST(.. AS ROW(..)) named-row types: both engines cast row
+     # fields positionally; the target names become the field names.
+     "SELECT o_orderkey, "
+     "CAST(ROW(o_orderkey * 2, o_orderstatus) AS ROW(k BIGINT, s VARCHAR)).s"
+     " AS s2, "
+     "CAST(ROW(o_orderkey) AS ROW(half DOUBLE)).half AS halfy "
+     "FROM orders ORDER BY o_orderkey LIMIT 500",
+     "SELECT o_orderkey, "
+     "CAST(row(o_orderkey * 2, o_orderstatus) AS STRUCT(k BIGINT, s VARCHAR)).s"
+     " AS s2, "
+     "CAST(row(o_orderkey) AS STRUCT(half DOUBLE)).half AS halfy "
+     "FROM orders ORDER BY o_orderkey LIMIT 500"),
+    ("row_cast_nested_array",
+     "SELECT o_orderkey, "
+     "CAST(ROW(ARRAY[o_orderkey, o_orderkey + 1]) "
+     "AS ROW(ks ARRAY(DOUBLE))).ks AS ks "
+     "FROM orders ORDER BY o_orderkey LIMIT 200",
+     "SELECT o_orderkey, "
+     "CAST(row([o_orderkey, o_orderkey + 1]) "
+     "AS STRUCT(ks DOUBLE[])).ks AS ks "
+     "FROM orders ORDER BY o_orderkey LIMIT 200"),
+    ("try_arith_multi_operator",
+     # r8: recursive arithmetic under TRY — mixed precedence, plus a
+     # guaranteed-NULL division by zero.
+     "SELECT o_orderkey, "
+     "TRY(o_orderkey + o_orderkey * 2 - 1) AS v, "
+     "TRY(o_totalprice / (o_orderkey - o_orderkey)) AS dz "
+     "FROM orders ORDER BY o_orderkey LIMIT 500",
+     "SELECT o_orderkey, "
+     "o_orderkey + o_orderkey * 2 - 1 AS v, "
+     "CAST(NULL AS DOUBLE) AS dz "
+     "FROM orders ORDER BY o_orderkey LIMIT 500"),
+    ("try_binary_twins",
+     # TRY(from_base64/from_hex/url_decode): NULL exactly where Trino
+     # catches the error, decoded value elsewhere.
+     "SELECT to_hex(TRY(from_base64('AAAA'))) AS ok64, "
+     "to_hex(TRY(from_base64(':::'))) AS bad64, "
+     "to_hex(TRY(from_hex('0aff'))) AS okhex, "
+     "to_hex(TRY(from_hex('zz'))) AS badhex, "
+     "TRY(url_decode('a%20b')) AS okurl, "
+     "TRY(url_decode('%zz')) AS badurl",
+     "SELECT upper(hex(from_base64('AAAA'))) AS ok64, "
+     "CAST(NULL AS VARCHAR) AS bad64, "
+     "upper(hex(from_hex('0aff'))) AS okhex, "
+     "CAST(NULL AS VARCHAR) AS badhex, "
+     "'a b' AS okurl, CAST(NULL AS VARCHAR) AS badurl"),
+    ("try_json_parse_validates",
+     "SELECT event_id, TRY(json_parse(props)) AS p, "
+     "TRY(json_parse('{not json')) AS bad "
+     "FROM events ORDER BY event_id LIMIT 200",
+     "SELECT event_id, "
+     "CASE WHEN json_valid(props) THEN props ELSE NULL END AS p, "
+     "CAST(NULL AS VARCHAR) AS bad "
+     "FROM events ORDER BY event_id LIMIT 200"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES12])
+def test_trino_statement_matches_oracle_wave12(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino12:{name}")
+
+
+def test_row_cast_unnamed_fields_refused():
+    with pytest.raises(TrinoSqlUnsupported, match="unnamed"):
+        rewrite_trino_sql("SELECT CAST(ROW(1) AS ROW(INTEGER)) FROM t")
+
+
+def test_try_over_comparison_refused():
+    with pytest.raises(TrinoSqlUnsupported, match="comparison"):
+        rewrite_trino_sql("SELECT TRY(a > b - 1) FROM t")
+
+
+# --------------------------------------------------------------- wave 13 (r8)
+CASES13 = [
+    ("reduce_is_aggregate",
+     # Trino reduce(arr, init, merge, finish) = Spark aggregate, arg
+     # for arg; DuckDB replays with list_reduce-free arithmetic.
+     "SELECT doc_id, "
+     "reduce(split(text, ' '), 0, (s, w) -> s + length(w), s -> s) AS chars_nospace, "
+     "reduce(split(text, ' '), CAST(0 AS BIGINT), (s, w) -> s + 1, "
+     "s -> s * 2) AS twice_words "
+     "FROM documents ORDER BY doc_id",
+     "SELECT doc_id, "
+     "list_sum(list_transform(str_split(text, ' '), w -> length(w))) "
+     "AS chars_nospace, "
+     "CAST(2 * len(str_split(text, ' ')) AS BIGINT) AS twice_words "
+     "FROM documents ORDER BY doc_id"),
+    ("iso8601_and_last_day",
+     # temporal outputs compared as ISO strings (engine tz-type
+     # normalization differs in pandas).
+     "SELECT CAST(from_iso8601_timestamp('2024-03-05T06:07:08') AS VARCHAR)"
+     " AS ts1, "
+     "CAST(from_iso8601_date('2024-03-05') AS VARCHAR) AS d1, "
+     "CAST(last_day_of_month(DATE '2024-02-11') AS VARCHAR) AS eom",
+     "SELECT '2024-03-05 06:07:08' AS ts1, "
+     "'2024-03-05' AS d1, '2024-02-29' AS eom"),
+    ("parse_datetime_literal_pattern",
+     "SELECT CAST(parse_datetime('05/03/2024 06:07', 'dd/MM/yyyy HH:mm') "
+     "AS VARCHAR) AS ts1",
+     "SELECT '2024-03-05 06:07:00' AS ts1"),
+    ("bit_shifts",
+     "SELECT bitwise_left_shift(5, 2) AS l, "
+     "bitwise_right_shift(20, 2) AS r, "
+     "bitwise_right_shift_arithmetic(-8, 1) AS ra",
+     "SELECT 20 AS l, 5 AS r, -4 AS ra"),
+    ("split_to_map_literal_delims",
+     # compared via lookups (DuckDB's pandas MAP representation
+     # differs from Spark's dict); the '.'/'|' delimiters prove the
+     # regex-metachar escaping.
+     "SELECT element_at(split_to_map('a=1,b=2,c=3', ',', '='), 'b') AS b_val, "
+     "cardinality(split_to_map('a=1,b=2,c=3', ',', '=')) AS n_entries, "
+     "element_at(split_to_map('x.1|y.2', '|', '.'), 'y') AS y_val",
+     "SELECT '2' AS b_val, 3 AS n_entries, '2' AS y_val"),
+    ("json_size_members",
+     "SELECT json_size('{\"a\": [1, 2, 3], \"b\": {\"x\": 1, \"y\": 2}, "
+     "\"c\": 7}', '$.a') AS arr_n, "
+     "json_size('{\"a\": [1, 2, 3], \"b\": {\"x\": 1, \"y\": 2}}', '$.b') "
+     "AS obj_n, "
+     "json_size('{\"c\": 7}', '$.c') AS scalar_n, "
+     "json_size('{\"c\": 7}', '$.zzz') AS miss_n",
+     "SELECT 3 AS arr_n, 2 AS obj_n, 0 AS scalar_n, "
+     "CAST(NULL AS INTEGER) AS miss_n"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES13])
+def test_trino_statement_matches_oracle_wave13(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino13:{name}")
+
+
+def test_split_to_map_computed_delim_refused():
+    with pytest.raises(TrinoSqlUnsupported, match="split_to_map"):
+        rewrite_trino_sql("SELECT split_to_map(s, d, '=') FROM t")
+
+
+def test_parse_datetime_computed_pattern_refused():
+    with pytest.raises(TrinoSqlUnsupported, match="parse_datetime"):
+        rewrite_trino_sql("SELECT parse_datetime(s, fmt_col) FROM t")
