@@ -1596,10 +1596,17 @@ def execute_match_recognize(spark: SparkSession, sql: str,
       is a single serial partition — in Trino too — and is refused
       rather than silently bottlenecked);
     - ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (r7 — every
-      matched row with per-row ``classifier()``; empty matches omitted,
-      no WITH UNMATCHED), with AFTER MATCH SKIP PAST LAST ROW (default)
-      or SKIP TO NEXT ROW (r8 — overlapping matches, the scan restarts
-      one row past each match's first row);
+      matched row with per-row ``classifier()``; empty matches
+      omitted; + WITH UNMATCHED ROWS r8 — unmatched rows with NULL
+      measures, PAST LAST ROW skip only as in Trino), with AFTER
+      MATCH SKIP PAST LAST ROW (default),
+      SKIP TO NEXT ROW (r8 — overlapping matches, the scan restarts
+      one row past each match's first row), or SKIP TO [FIRST|LAST]
+      <variable> (r8 — restart AT that variable's first/last matched
+      row, with Trino's runtime errors for the non-advancing cases);
+      PATTERN supports quantifiers (greedy and reluctant), groups,
+      alternation, and PERMUTE (expanded to its preference-ordered
+      alternation);
     - every pattern variable must be DEFINEd with a pattern-independent
       row predicate (an undefined variable is always-true in Trino,
       which breaks first-match-wins classification). ``PREV(expr[, n])``
@@ -1632,24 +1639,35 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     all_rows = bool(re.search(
         r"ALL\s+ROWS\s+PER\s+MATCH", masked[open_idx + 1:close],
         re.IGNORECASE))
-    if all_rows and re.search(
+    with_unmatched = bool(re.search(
+        r"ALL\s+ROWS\s+PER\s+MATCH\s+WITH\s+UNMATCHED\s+ROWS",
+        masked[open_idx + 1:close], re.IGNORECASE))
+    if all_rows and not with_unmatched and re.search(
             r"ALL\s+ROWS\s+PER\s+MATCH\s+(WITH|SHOW|OMIT)",
             masked[open_idx + 1:close], re.IGNORECASE):
         raise TrinoSqlUnsupported(
-            "ALL ROWS PER MATCH WITH UNMATCHED / SHOW|OMIT EMPTY "
-            "modifiers are not supported (default empty-match omission "
-            "only)")
+            "ALL ROWS PER MATCH SHOW|OMIT EMPTY modifiers are not "
+            "supported (default empty-match omission, or WITH "
+            "UNMATCHED ROWS)")
     after = sections.get("after")
     after_match = "past_last"
+    skip_to_var = None   # (kind, VAR) resolved to a letter after DEFINE
     if after:
         if re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", after, re.IGNORECASE):
             pass
         elif re.fullmatch(r"SKIP\s+TO\s+NEXT\s+ROW", after, re.IGNORECASE):
             after_match = "next_row"   # overlapping matches (r8)
         else:
-            raise TrinoSqlUnsupported(
-                f"AFTER MATCH {after!r} — supported: SKIP PAST LAST ROW, "
-                "SKIP TO NEXT ROW")
+            vm = re.fullmatch(r"SKIP\s+TO\s+(?:(FIRST|LAST)\s+)?(\w+)",
+                              after, re.IGNORECASE)
+            if not vm:
+                raise TrinoSqlUnsupported(
+                    f"AFTER MATCH {after!r} — supported: SKIP PAST LAST "
+                    "ROW, SKIP TO NEXT ROW, SKIP TO [FIRST|LAST] "
+                    "<variable>")
+            # bare SKIP TO var is SKIP TO LAST var in Trino
+            skip_to_var = ((vm.group(1) or "LAST").lower(),
+                           vm.group(2).upper())
     if "partition" not in sections or "order" not in sections:
         raise TrinoSqlUnsupported(
             "MATCH_RECOGNIZE requires PARTITION BY and ORDER BY here (an "
@@ -1744,9 +1762,41 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     if len(defines) > 26:
         raise TrinoSqlUnsupported("more than 26 pattern variables")
     letters = {var: chr(ord("A") + i) for i, (var, _) in enumerate(defines)}
+    if skip_to_var is not None:
+        kind, var = skip_to_var
+        if var not in letters:
+            raise TrinoSqlUnsupported(
+                f"AFTER MATCH SKIP TO {kind.upper()} {var}: {var} has "
+                "no DEFINE")
+        after_match = f"{kind}:{letters[var]}"
+
+    # PERMUTE(A, B, …) (r8): alternation of every permutation. Trino's
+    # preference order IS the lexicographic order of the listed
+    # positions, which is exactly itertools.permutations' emission
+    # order, and Python regex alternation prefers leftmost — the
+    # preferences line up engine-for-engine.
+    while True:
+        pm2 = re.search(r"\bPERMUTE\s*\(", pat_body, re.IGNORECASE)
+        if pm2 is None:
+            break
+        close_i = _find_close(pat_body, pm2.end() - 1)
+        args = [a.strip() for a in pat_body[pm2.end():close_i].split(",")]
+        if not (2 <= len(args) <= 6):
+            raise TrinoSqlUnsupported(
+                "PERMUTE takes 2-6 variables here (the expansion is "
+                "factorial)")
+        if not all(re.fullmatch(r"\w+", a) for a in args):
+            raise TrinoSqlUnsupported(
+                "PERMUTE arguments must be plain pattern variables")
+        from itertools import permutations
+        alts = "|".join(" ".join(p) for p in permutations(args))
+        pat_body = (pat_body[:pm2.start()] + "(" + alts + ")"
+                    + pat_body[close_i + 1:])
 
     # PATTERN: identifiers must all be defined; quantifier punctuation
-    # passes through (validated again by the operator).
+    # passes through (validated again by the operator) — including
+    # reluctant quantifiers (``B+?``), which Python regex implements
+    # with Trino's exact preference semantics.
     pattern = ""
     for tok in re.finditer(r"[A-Za-z_]\w*|[^A-Za-z_\s]", pat_body):
         text = tok.group(0)
@@ -1914,11 +1964,16 @@ def execute_match_recognize(spark: SparkSession, sql: str,
 
     symbols = [(letters[v], F.expr(cond)) for v, cond in defines]
     if all_rows:
+        if with_unmatched and after_match != "past_last":
+            raise TrinoSqlUnsupported(
+                "WITH UNMATCHED ROWS requires AFTER MATCH SKIP PAST "
+                "LAST ROW (Trino's own restriction)")
         out = match_recognize(
             df, partition_by, order_by, symbols=symbols, pattern=pattern,
             measures=measures,
             measure_schema=", ".join(schema_parts),
-            all_rows=True, after_match=after_match)
+            all_rows=True, after_match=after_match,
+            with_unmatched=with_unmatched)
         # The operator emits the internal letter; surface Trino's
         # classifier() contract — the DEFINE variable name.
         cls = None
@@ -2544,6 +2599,168 @@ def q_trino_sql_mr_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-row aggregate values.
     """
     return execute_trino(spark, TRINO_SQL_MR_RUNNING, sf_dir)
+
+
+TRINO_SQL_MR_UNMATCHED = """
+SELECT user_id, event_id, mn, cls
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES match_number() AS mn, classifier() AS cls
+  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (V C+ P)
+  DEFINE V AS event_type = 'view',
+         C AS event_type = 'click',
+         P AS event_type = 'purchase'
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr_unmatched",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT user_id,
+               unnest(regexp_extract_all(s, 'VC+P')) AS mstr,
+               generate_subscripts(regexp_extract_all(s, 'VC+P'), 1) AS k
+        FROM sym
+    ), g AS (
+        SELECT user_id,
+               unnest(str_split_regex(s, 'VC+P')) AS gap,
+               generate_subscripts(str_split_regex(s, 'VC+P'), 1) AS gi
+        FROM sym
+    ), gcum AS (
+        SELECT user_id, gi,
+               sum(length(gap)) OVER (PARTITION BY user_id
+                                      ORDER BY gi) AS cg
+        FROM g
+    ), mcum AS (
+        SELECT user_id, k,
+               sum(length(mstr)) OVER (PARTITION BY user_id
+                                       ORDER BY k) AS cm
+        FROM m
+    ), starts AS (
+        SELECT m.user_id, m.k, m.mstr,
+               gcum.cg + coalesce(mcum.cm, 0) + 1 AS start
+        FROM m
+        JOIN gcum ON gcum.user_id = m.user_id AND gcum.gi = m.k
+        LEFT JOIN mcum ON mcum.user_id = m.user_id AND mcum.k = m.k - 1
+    ), rows_ AS (
+        SELECT s.user_id, s.k AS mn,
+               s.start + u.i - 1 AS rn,
+               substring(s.mstr, CAST(u.i AS INT), 1) AS cls
+        FROM starts s,
+             unnest(generate_series(1, length(s.mstr))) AS u(i)
+    )
+    SELECT o.user_id, o.event_id, CAST(r.mn AS BIGINT) AS mn, r.cls
+    FROM ordered o
+    LEFT JOIN rows_ r ON r.user_id = o.user_id AND r.rn = o.rn
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALL ROWS PER MATCH WITH UNMATCHED ROWS`` (r8) through the
+    string path: EVERY input row comes back — matched rows with their
+    match number and classifier, unmatched rows with NULLs — Trino's
+    audit-oriented output mode (which rows did my pattern consume?).
+
+    The oracle turns the per-row match reconstruction of
+    q_events_pattern_rows into a LEFT join from the full ordered row
+    set, so unmatched rows surface with NULL mn/cls exactly as the
+    operator emits them. Row count equals |events| by construction —
+    the check also proves no row is dropped or double-emitted.
+    """
+    return execute_trino(spark, TRINO_SQL_MR_UNMATCHED, sf_dir)
+
+
+TRINO_SQL_MR_SKIPLAST = """
+SELECT user_id, match_num, n_rows
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES match_number() AS match_num, count(*) AS n_rows
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST U
+  PATTERN (D+ U+ D)
+  DEFINE D AS value < PREV(value),
+         U AS value > PREV(value)
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr_skiplast",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv,
+               ts, event_id
+        FROM events
+    ), sym AS (
+        SELECT user_id,
+               string_agg(CASE WHEN pv IS NOT NULL AND value < pv THEN 'D'
+                               WHEN pv IS NOT NULL AND value > pv THEN 'U'
+                               ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM ordered GROUP BY user_id
+    ), hits AS (
+        SELECT user_id, pos,
+               regexp_extract(substring(s, CAST(pos AS INT)),
+                              '^D+U+D') AS m
+        FROM sym, unnest(generate_series(1, length(s))) AS u(pos)
+        WHERE regexp_extract(substring(s, CAST(pos AS INT)),
+                             '^D+U+D') <> ''
+    ), first_hit AS (
+        SELECT user_id, pos, m FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY pos) AS rn
+            FROM hits) WHERE rn = 1
+    ), walk AS (
+        SELECT user_id, pos, m, 1 AS k FROM first_hit
+        UNION ALL
+        SELECT h.user_id, h.pos, h.m, w.k + 1
+        FROM walk w JOIN hits h ON h.user_id = w.user_id
+            AND h.pos >= w.pos + length(w.m) - 2
+            AND h.pos = (SELECT min(h2.pos) FROM hits h2
+                         WHERE h2.user_id = w.user_id
+                           AND h2.pos >= w.pos + length(w.m) - 2)
+    )
+    SELECT user_id, CAST(k AS BIGINT) AS match_num,
+           CAST(length(m) AS BIGINT) AS n_rows
+    FROM walk
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr_skiplast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO LAST U`` (r8) through the string path:
+    falling-rising-falling runs where each match's trailing descent is
+    allowed to seed the next match — the scan resumes AT the match's
+    last rising row (Trino's SKIP TO <variable> family; the row is
+    re-entered, impossible under SKIP PAST LAST ROW).
+
+    The oracle replays the inherently sequential skip chain in DuckDB
+    with a RECURSIVE CTE: anchored RE2 matches are precomputed at
+    every start offset, then the walk follows each match to the
+    earliest anchored match at-or-after its last-U position — an
+    independent engine executing the same automaton transition rule,
+    match by match. For PATTERN (D+ U+ D) the last U sits at
+    length(m) - 2, so the restart offset is pure arithmetic.
+    """
+    return execute_trino(spark, TRINO_SQL_MR_SKIPLAST, sf_dir)
 
 
 @query(

@@ -68,6 +68,7 @@ def match_recognize(
     used_columns: list[str] | None = None,
     all_rows: bool = False,
     after_match: str = "past_last",
+    with_unmatched: bool = False,
 ) -> DataFrame:
     """Row-pattern matching over ``df`` (ONE ROW PER MATCH by default,
     ALL ROWS PER MATCH with ``all_rows=True``).
@@ -107,11 +108,34 @@ def match_recognize(
     (Trino ``SKIP TO NEXT ROW``) resumes at the row after each match's
     FIRST row, yielding every position where an anchored leftmost-
     greedy match starts — overlapping matches, ``match_num`` still
-    1-based in start order (Trino's sequential numbering).
+    1-based in start order (Trino's sequential numbering);
+    ``"first:X"`` / ``"last:X"`` (Trino ``SKIP TO FIRST/LAST X``)
+    resume AT the first/last row the match classified as symbol X —
+    that row is re-enterable by the next match. Per Trino's runtime
+    rules, skipping to the match's own FIRST row raises (infinite
+    loop), and so does a match containing no X row.
+
+    ``with_unmatched=True`` (Trino ``ALL ROWS PER MATCH WITH
+    UNMATCHED ROWS``, r8) additionally emits every row belonging to
+    NO match, with NULL ``match_num``/``classifier``/measures —
+    requires ``all_rows`` and the default ``past_last`` skip (matches
+    are disjoint there, so "unmatched" is well-defined; Trino imposes
+    the same restriction).
     """
-    if after_match not in ("past_last", "next_row"):
-        raise ValueError(f"after_match {after_match!r}: "
-                         "'past_last' or 'next_row'")
+    if with_unmatched and (not all_rows or after_match != "past_last"):
+        raise ValueError(
+            "with_unmatched requires all_rows=True and the default "
+            "past_last skip mode (Trino's own restriction)")
+    skip_sym = None
+    if after_match.startswith(("first:", "last:")):
+        mode, _, skip_sym = after_match.partition(":")
+        after_match = mode
+        if not re.fullmatch(r"[A-Z]", skip_sym):
+            raise ValueError(
+                f"after_match skip symbol {skip_sym!r}: one uppercase letter")
+    if after_match not in ("past_last", "next_row", "first", "last"):
+        raise ValueError(f"after_match {after_match!r}: 'past_last', "
+                         "'next_row', 'first:X' or 'last:X'")
     if not _PATTERN_OK_RE.match(pattern):
         raise ValueError(
             f"pattern {pattern!r}: only A-Z symbols with regex "
@@ -153,7 +177,10 @@ def match_recognize(
         because ``search`` returns the leftmost match at-or-after the
         restart point, this enumerates exactly the positions where an
         anchored greedy match begins — Trino's overlapping-match
-        semantics."""
+        semantics. ``first``/``last`` restart AT the first/last row
+        classified as the skip symbol (Trino SKIP TO FIRST/LAST X),
+        with Trino's own runtime errors for the two non-advancing
+        cases."""
         if after_match == "past_last":
             yield from compiled.finditer(s)
             return
@@ -163,14 +190,34 @@ def match_recognize(
             if m is None:
                 return
             yield m
-            pos = m.start() + 1
+            if after_match == "next_row":
+                pos = m.start() + 1
+                continue
+            g = m.group(0)
+            idx = (g.find(skip_sym) if after_match == "first"
+                   else g.rfind(skip_sym))
+            if idx < 0:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {after_match.upper()} "
+                    f"{skip_sym}: the match {g!r} contains no "
+                    f"{skip_sym} row")
+            if idx == 0:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {after_match.upper()} "
+                    f"{skip_sym}: cannot skip to the first row of the "
+                    "match (infinite loop)")
+            pos = m.start() + idx
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         if all_rows:
+            import numpy as np
+
             parts = []
             for _, g in pdf.groupby(partition_by, sort=False, dropna=False):
                 s = "".join(g["_sym"])
+                used = np.zeros(len(g), dtype=bool)
                 for i, m in enumerate(matches(s), start=1):
+                    used[m.start():m.end()] = True
                     sl = g.iloc[m.start():m.end()]
                     chunk = sl[row_cols].copy()
                     chunk["match_num"] = i
@@ -180,6 +227,13 @@ def match_recognize(
                         chunk[alias] = (list(v) if hasattr(v, "__len__")
                                         and not isinstance(v, str) else v)
                     parts.append(chunk)
+                if with_unmatched and not used.all():
+                    rest = g.iloc[~used][row_cols].copy()
+                    rest["match_num"] = None
+                    rest["classifier"] = None
+                    for alias in measures:
+                        rest[alias] = None
+                    parts.append(rest)
             if not parts:
                 return pd.DataFrame(columns=cols)
             return pd.concat(parts, ignore_index=True)

@@ -108,7 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     # 1) zero-driver-signal + new in r8
     "q_trino_sql_mr_prev", "q_events_pattern_rows",
     "q_events_pattern_skipnext", "q_trino_sql_mr_running",
-    "q_trino_sql_breadth2",
+    "q_trino_sql_breadth2", "q_trino_sql_mr_skiplast",
+    "q_trino_sql_mr_unmatched",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
@@ -124,8 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_watermark", "q_stream_static_join", "q_llm_dedup_exact",
     "q_llm_similarity", "q_llm_decontaminate", "q_llm_curation",
     "q_llm_multimodal",
-    # 3b) oldest r4 keys
-    "q_join_right", "q_agg_pivot", "q_agg_unpivot",
+    # 3b) oldest r4 key
+    "q_join_right",
 )
 
 

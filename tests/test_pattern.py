@@ -141,10 +141,14 @@ def test_match_recognize_sql_named_errors(spark):
         PATTERN (A B) DEFINE A AS value > 0, B AS value < 0)"""
     for body, msg in [
         ("ORDER BY ts", "PARTITION BY"),
+        # WITH UNMATCHED ROWS is supported (r8); the empty-match
+        # display modifiers stay refused.
         ("PARTITION BY user_id ORDER BY ts ALL ROWS PER MATCH "
-         "WITH UNMATCHED ROWS", "WITH UNMATCHED"),
-        ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO FIRST A",
-         "AFTER MATCH"),
+         "SHOW EMPTY MATCHES", "SHOW"),
+        # SKIP TO FIRST/LAST var is supported (r8); an undefined skip
+        # target is the named error now.
+        ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO FIRST Z",
+         "no DEFINE"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=msg):
             execute_match_recognize(spark, base.format(body=body))
@@ -449,13 +453,196 @@ def test_nav_other_variable_reference_refused(spark, sf_dir):
         execute_trino(spark, sql, sf_dir)
 
 
-def test_skip_to_first_still_refused(spark, sf_dir):
+def test_unknown_after_match_refused(spark, sf_dir):
+    # SKIP TO FIRST/LAST var landed in r8; malformed skip text is the
+    # remaining named error.
     from okera_trino_spark.functions.trino_sql import (
         TrinoSqlUnsupported, execute_trino)
 
     sql = """SELECT user_id FROM events MATCH_RECOGNIZE (
       PARTITION BY user_id ORDER BY ts, event_id
-      AFTER MATCH SKIP TO FIRST A
+      AFTER MATCH SKIP HALFWAY THROUGH
       PATTERN (A+) DEFINE A AS value > 0)"""
     with pytest.raises(TrinoSqlUnsupported, match="AFTER MATCH"):
         execute_trino(spark, sql, sf_dir)
+
+
+def test_skip_to_last_var_operator(spark):
+    """SKIP TO LAST U (r8): the scan resumes AT the last U row of each
+    match, so that row seeds the next (overlapping) match."""
+    rows = [("u", i, ev, float(i)) for i, ev in
+            enumerate(["d", "u", "d", "u", "d"])]
+    out = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("D", F.col("ev") == "d"), ("U", F.col("ev") == "u")],
+        pattern="D+U+D",
+        after_match="last:U",
+    ).orderBy("match_num").collect()
+    # match 1 = rows 0-2 "DUD"; resume AT row 1's U? no — last U of the
+    # match is row 1, so the search restarts there and finds rows 2-4
+    # "DUD": row 2 is REUSED across matches (impossible under PAST
+    # LAST ROW).
+    assert [(r.match_num, r.matched) for r in out] == [
+        (1, "DUD"), (2, "DUD")]
+
+
+def test_skip_to_first_var_operator(spark):
+    """SKIP TO FIRST U (r8): resume at the first U row of each match —
+    the U run can seed a later pattern occurrence."""
+    rows = [("u", i, ev, float(i)) for i, ev in
+            enumerate(["d", "u", "d", "u", "u", "x"])]
+    out = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("D", F.col("ev") == "d"), ("U", F.col("ev") == "u")],
+        pattern="DU+",
+        after_match="first:U",
+    ).orderBy("match_num").collect()
+    # match 1 = DU (rows 0-1), resume at row 1 (first U); no D at row
+    # 1, next match = DUU (rows 2-4), resume at row 3; done.
+    assert [(r.match_num, r.matched) for r in out] == [
+        (1, "DU"), (2, "DUU")]
+
+
+def test_skip_to_var_runtime_errors(spark):
+    rows = [("u", i, ev, float(i)) for i, ev in
+            enumerate(["d", "u", "d", "u"])]
+    # last D of DU is the match's first row: Trino's infinite-loop error
+    df = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("D", F.col("ev") == "d"), ("U", F.col("ev") == "u")],
+        pattern="DU",
+        after_match="last:D",
+    )
+    with pytest.raises(Exception, match="first row of the match"):
+        df.collect()
+    # skip symbol absent from the match: named runtime error
+    df2 = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("D", F.col("ev") == "d"), ("U", F.col("ev") == "u"),
+                 ("X", F.col("ev") == "z")],
+        pattern="DU",
+        after_match="last:X",
+    )
+    with pytest.raises(Exception, match="contains no"):
+        df2.collect()
+
+
+def test_reluctant_quantifier(spark):
+    """Reluctant ``A B+? C`` takes the SHORTEST B run that still lets
+    the match complete — Python regex implements Trino's preference
+    exactly."""
+    rows = [("u", i, ev, float(i)) for i, ev in
+            enumerate(["a", "b", "b", "c", "c"])]
+    out = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("A", F.col("ev") == "a"), ("B", F.col("ev") == "b"),
+                 ("C", F.col("ev") == "c")],
+        pattern="AB+?C",   # greedy would also stop at first C here;
+    ).collect()            # reluctant semantics shown via B{1,2}? below
+    assert [(r.match_num, r.matched) for r in out] == [(1, "ABBC")]
+    rows2 = [("u", i, ev, float(i)) for i, ev in
+             enumerate(["b", "b", "b"])]
+    out2 = match_recognize(
+        _df(spark, rows2), ["k"], ["seq"],
+        symbols=[("B", F.col("ev") == "b")],
+        pattern="B{1,3}?",
+    ).orderBy("match_num").collect()
+    # reluctant {1,3}? prefers length 1: three separate matches
+    assert [(r.match_num, r.matched) for r in out2] == [
+        (1, "B"), (2, "B"), (3, "B")]
+
+
+def test_permute_string_path(spark, sf_dir):
+    """PERMUTE(V, C) expands to (V C | C V) with leftmost preference;
+    verified against the explicit alternation."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    body = """PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES match_number() AS mn, classifier() AS cls
+      PATTERN ({pat})
+      DEFINE V AS event_type = 'view', C AS event_type = 'click'"""
+    a = execute_trino(
+        spark, "SELECT user_id, mn, cls FROM events MATCH_RECOGNIZE ("
+        + body.format(pat="PERMUTE(V, C)") + ")", sf_dir).collect()
+    b = execute_trino(
+        spark, "SELECT user_id, mn, cls FROM events MATCH_RECOGNIZE ("
+        + body.format(pat="(V C | C V)") + ")", sf_dir).collect()
+    key = lambda r: (r.user_id, r.mn, r.cls)
+    assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
+
+
+def test_skip_to_last_string_path(spark, sf_dir):
+    """SKIP TO LAST U through the SQL path vs a Python replay."""
+    import re as _re
+
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    sql = """SELECT user_id, match_num, n_rows
+    FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES match_number() AS match_num, count(*) AS n_rows
+      AFTER MATCH SKIP TO LAST U
+      PATTERN (D+ U+ D)
+      DEFINE D AS value < PREV(value), U AS value > PREV(value))"""
+    got = sorted(
+        (r.user_id, r.match_num, r.n_rows)
+        for r in execute_trino(spark, sql, sf_dir).collect())
+
+    rows = (spark.table("events")
+            .select("user_id", "ts", "event_id", "value").collect())
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.value)
+    pat = _re.compile("D+U+D")
+    want = []
+    for uid, vals in by_user.items():
+        s = ""
+        for i, v in enumerate(vals):
+            pv = vals[i - 1] if i >= 1 else None
+            s += ("D" if pv is not None and v < pv
+                  else "U" if pv is not None and v > pv else ".")
+        pos, k = 0, 0
+        while True:
+            m = pat.search(s, pos)
+            if m is None:
+                break
+            k += 1
+            want.append((uid, k, len(m.group(0))))
+            pos = m.start() + m.group(0).rfind("U")
+        # rfind('U') index > 0 always (pattern needs leading D)
+    assert got == sorted(want)
+
+
+def test_with_unmatched_rows_operator(spark):
+    """WITH UNMATCHED ROWS (r8): unmatched rows surface with NULL
+    match_num/classifier/measures; matched rows unchanged; nothing
+    dropped or duplicated."""
+    rows = [("u", i, ev, float(i)) for i, ev in
+            enumerate(["x", "a", "b", "y", "a", "b"])]
+    out = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("A", F.col("ev") == "a"), ("B", F.col("ev") == "b")],
+        pattern="AB",
+        measures={"rsum": lambda c, m: [float(x) for x in c["v"].cumsum()]},
+        measure_schema="rsum double",
+        all_rows=True,
+        with_unmatched=True,
+    ).orderBy("seq").collect()
+    assert len(out) == 6
+    got = [(r.seq, r.match_num, r.classifier, r.rsum) for r in out]
+    assert got == [
+        (0, None, None, None),
+        (1, 1, "A", 1.0), (2, 1, "B", 3.0),
+        (3, None, None, None),
+        (4, 2, "A", 4.0), (5, 2, "B", 9.0)]
+    # invalid combinations refuse
+    with pytest.raises(ValueError, match="with_unmatched"):
+        match_recognize(
+            _df(spark, rows), ["k"], ["seq"],
+            symbols=[("A", F.col("ev") == "a")], pattern="A",
+            with_unmatched=True)
+    with pytest.raises(ValueError, match="with_unmatched"):
+        match_recognize(
+            _df(spark, rows), ["k"], ["seq"],
+            symbols=[("A", F.col("ev") == "a")], pattern="A",
+            all_rows=True, after_match="next_row", with_unmatched=True)
