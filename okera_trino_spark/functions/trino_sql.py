@@ -79,6 +79,14 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     patterns, measures match_number/classifier/count/first/last/sum/
     avg/min/max) onto the match_recognize operator
     (operators/pattern.py) and splice the result into the statement
+  - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
+    (Trino's repeat builds an ARRAY; Spark's same-named repeat is
+    string repetition — a silent mistranslation if passed through);
+    greatest/least→NULL-strict CASE (Trino returns NULL when ANY
+    argument is NULL, Spark skips NULLs); EXTRACT(DOW/DAY_OF_WEEK)→
+    DOW_ISO (Trino is ISO Monday=1, Spark's DOW Sunday=1) +
+    YOW/long-form field spellings; bitwise_and_agg/
+    bitwise_or_agg→bit_and/bit_or
   - wave 13 (r8): reduce→aggregate (4-arg, argument-for-argument);
     last_day_of_month→last_day; bitwise shifts (Trino's plain right
     shift is logical→shiftrightunsigned, _arithmetic→shiftright);
@@ -236,6 +244,14 @@ _RENAMES = {
     # 4-arg aggregate, argument for argument.
     "reduce": "aggregate",
     "last_day_of_month": "last_day",
+    # wave 14 (r8): Trino's repeat(element, count) builds an ARRAY;
+    # Spark's same-named repeat is string repetition — a silent
+    # mistranslation if passed through. Trino string repetition does
+    # not exist as repeat (users write concat over arrays), so the
+    # rename is always correct for Trino input.
+    "repeat": "array_repeat",
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
     # Bit shifts: Trino's plain right shift is LOGICAL (zero-fill);
     # Spark's shiftright is arithmetic, shiftrightunsigned logical.
     "bitwise_left_shift": "shiftleft",
@@ -324,6 +340,15 @@ _TABLESAMPLE_RE = re.compile(
     re.IGNORECASE)
 
 _DOW_RE = re.compile(r"\b(day_of_week|dow)\s*\(", re.IGNORECASE)
+
+#: Trino EXTRACT field → Spark field with identical semantics. DOW is
+#: the load-bearing entry (Trino ISO Monday=1 vs Spark Sunday=1).
+_EXTRACT_FIELD_MAP = {
+    "DOW": "DOW_ISO", "DAY_OF_WEEK": "DOW_ISO",
+    "YOW": "YEAROFWEEK", "YEAR_OF_WEEK": "YEAROFWEEK",
+    "DAY_OF_MONTH": "DAY", "DAY_OF_YEAR": "DOY",
+    "WEEK_OF_YEAR": "WEEK",
+}
 _TRY_RE = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
 _UNNEST_RE = re.compile(
     r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
@@ -837,6 +862,22 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                 f"ELSE 0 END)")
 
     code = _rewrite_calls(code, "json_size", _json_size_fn)
+
+    # wave 14 (r8): Trino's greatest/least return NULL when ANY
+    # argument is NULL; Spark's skip NULLs — a silent value divergence
+    # if passed through. The guard re-evaluates arguments (scalar
+    # expressions; cost negligible vs silent wrong answers).
+    def _null_strict_fn(name):
+        def fn(a):
+            if len(a) < 2:
+                return None
+            checks = " OR ".join(f"({x}) IS NULL" for x in a)
+            return (f"(CASE WHEN {checks} THEN NULL "
+                    f"ELSE {name}({', '.join(a)}) END)")
+        return fn
+
+    code = _rewrite_calls(code, "greatest", _null_strict_fn("greatest"))
+    code = _rewrite_calls(code, "least", _null_strict_fn("least"))
 
     # Trino regexp_split(s, p) → Spark split(s, p) (both regex). MUST
     # run after the literal-split rewrite above, or the emitted split()
@@ -1356,6 +1397,16 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
         + stash[int(m.group(2))][1:-1].upper() + ",",
         code)
     code = _rewrite_dow(code)
+    # wave 14 (r8): EXTRACT field spellings. Trino's DOW/DAY_OF_WEEK is
+    # ISO (Monday=1); Spark's DOW is Sunday=1 — passing it through is a
+    # silent off-by-one-day-of-week. Spark's DOW_ISO matches Trino
+    # exactly. YOW/YEAR_OF_WEEK and the DAY_OF_*/WEEK_OF_YEAR long
+    # forms map to Spark's accepted spellings (identical values).
+    code = re.sub(
+        r"(\bEXTRACT\s*\(\s*)(\w+)(\s+FROM\b)",
+        lambda m: m.group(1) + _EXTRACT_FIELD_MAP.get(
+            m.group(2).upper(), m.group(2)) + m.group(3),
+        code, flags=re.IGNORECASE)
     code = _RENAME_RE.sub(
         lambda m: _RENAMES[m.group(1).lower()] + "(", code)
     code = _CAST_TYPE_RE.sub(

@@ -107,6 +107,153 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic-HLL parameters: m = 2^9 buckets from the top 9 bits of
+#: a 52-bit md5-prefix hash (the double-safe hash family the MinHash
+#: oracle established); the remaining 43 bits feed the leading-zero
+#: rank. alpha is the standard HLL bias constant for m = 512.
+_HLL_M = 512
+_HLL_REST = 43
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _hll_oracle() -> str:
+    am2 = f"CAST({_HLL_ALPHA * _HLL_M * _HLL_M!r} AS DOUBLE)"
+    return f"""
+    WITH h AS (
+        SELECT o_orderstatus,
+               ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+                   ::BIGINT AS hv
+        FROM orders WHERE o_custkey IS NOT NULL
+    ), parts AS (
+        SELECT o_orderstatus, hv // {2 ** _HLL_REST} AS bucket,
+               hv % {2 ** _HLL_REST} AS w
+        FROM h
+    ), rho AS (
+        SELECT o_orderstatus, bucket,
+               max(CASE WHEN w = 0 THEN {_HLL_REST + 1}
+                        ELSE {_HLL_REST + 1} - length(bin(w)) END) AS mj
+        FROM parts GROUP BY o_orderstatus, bucket
+    ), agg AS (
+        SELECT o_orderstatus,
+               sum(power(CAST(2.0 AS DOUBLE), -mj))
+                   + ({_HLL_M} - count(*)) AS s,
+               {_HLL_M} - count(*) AS v
+        FROM rho GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CAST(round(CASE WHEN {am2} / s <= 2.5 * {_HLL_M} AND v > 0
+                      THEN {_HLL_M} * ln({_HLL_M} / CAST(v AS DOUBLE))
+                      ELSE {am2} / s END) AS BIGINT) AS approx_customers
+    FROM agg
+    """
+
+
+@query("q_agg_approx_distinct_det", oracle=_hll_oracle(),
+       tags=("agg", "approx"))
+def q_agg_approx_distinct_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 approx distinct with a DETERMINISTIC HyperLogLog built from
+    first principles (r8) — the hash-green twin of
+    q_agg_approx_distinct: native engine sketches (Trino/Spark/DuckDB
+    HLL++) all produce different values by construction, so this key
+    defines the sketch itself in engine-neutral arithmetic and the
+    oracle replays it exactly.
+
+    Construction: 52-bit md5-prefix hash (the double-safe family the
+    MinHash oracle established) → top 9 bits pick one of m=512
+    buckets, the rank is the leading-zero count of the remaining 43
+    bits computed EXACTLY as 44 − length(binary digits) — string
+    length, not floating log2, so the per-bucket maxima are integers
+    both engines agree on bit-for-bit. The estimator is standard HLL
+    (alpha·m²/Σ2^−Mj with linear counting below 2.5m); 2^−Mj terms
+    are exact powers of two, so the only cross-engine float noise is
+    last-ulp summation order, absorbed by the final round().
+
+    Scale: identical shape to any grouped agg — map-side combinable
+    max per (group, bucket), then m rows per group; the sketch state
+    is m integers regardless of input size, the property that makes
+    HLL THE count-distinct at 100 TB. Accuracy ~1.04/√m ≈ 4.6%
+    (tests/test_bounds.py pins it against exact counts).
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    hv = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 13),
+                16, 10).cast("long")
+    w = F.col("hv") % F.lit(2 ** _HLL_REST)
+    bits = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(_HLL_REST + 1)).otherwise(
+        F.lit(_HLL_REST + 1) - bits)
+    per_bucket = (
+        o.select("o_orderstatus", hv.alias("hv"))
+        .select("o_orderstatus",
+                F.expr(f"hv div {2 ** _HLL_REST}").alias("bucket"),
+                rho.alias("rho"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    am2 = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+    agg = per_bucket.groupBy("o_orderstatus").agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("mj")))
+         + (F.lit(_HLL_M) - F.count("*"))).alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v"))
+    raw = am2 / F.col("s")
+    lin = F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / F.col("v").cast("double"))
+    est = F.when((raw <= 2.5 * _HLL_M) & (F.col("v") > 0), lin).otherwise(raw)
+    return agg.select(
+        "o_orderstatus", F.round(est).cast("bigint").alias("approx_customers"))
+
+
+@query(
+    "q_agg_approx_percentile_det",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus, o_totalprice
+        FROM orders
+        WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                                     || ':pctl'), 1, 13))::BIGINT
+              % 100 < 10
+    )
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           count(*) AS n_sampled
+    FROM s GROUP BY o_orderstatus
+    """,
+    tags=("agg", "approx"),
+)
+def q_agg_approx_percentile_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 approx percentile with a DETERMINISTIC sample sketch (r8) —
+    the hash-green twin of q_agg_approx_percentile: native quantile
+    sketches (GK/t-digest/KLL) are engine-specific, so this key makes
+    the approximation itself deterministic — a 10% md5-keep-gate
+    Bernoulli sample (the q_sample/q_llm_mix technique: the keep
+    decision is a pure function of the row key, identical in every
+    engine and under AQE/re-runs) followed by the EXACT interpolated
+    percentile over the sample. Both engines use the same (n−1)·p
+    linear interpolation, so the values replay bit-for-bit and round(4)
+    hash-checks.
+
+    Scale: the gate is a map-only filter the scan absorbs; the exact
+    percentile then runs over ~10% of rows — at 100 TB one would lower
+    the rate (the estimator error is O(1/sqrt(np)), so a 10^-4 gate on
+    10^12 rows still samples 10^8). The sample is also REUSABLE across
+    quantiles and queries because it is a deterministic row property,
+    unlike a sketch merge. tests/test_bounds.py pins the rank error
+    against exact percentiles.
+    """
+    o = t(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"),
+                           F.lit(":pctl"))), 1, 13),
+        16, 10).cast("long")
+    samp = o.withColumn("hv", hv).filter(F.col("hv") % 100 < 10)
+    return (
+        samp.groupBy("o_orderstatus")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+             F.count("*").alias("n_sampled"))
+    )
+
+
 @query(
     "q_agg_rollup",
     oracle="""

@@ -101,7 +101,9 @@ def query(name: str, oracle: str | None = None,
 #:      q_trino_sql_mr (shared operator gained the skip-mode walk and
 #:      vector measures);
 #:   3) the r2 cohort — six rounds stale, the oldest evidence in the
-#:      repo (38 keys) — then the 4 oldest r4 keys to fill 50.
+#:      repo — filling the window to exactly 50 (the two r2 keys left
+#:      out, q_udtf_split and q_join_right's r4 batch, have driver
+#:      rows and re-enter next rotation).
 #: q_llm_bpe (rows-only, has its r7 driver row) exits the window: its
 #: weaker check never improves, so the slot buys nothing.
 _PRIORITY: tuple[str, ...] = (
@@ -109,7 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_mr_prev", "q_events_pattern_rows",
     "q_events_pattern_skipnext", "q_trino_sql_mr_running",
     "q_trino_sql_breadth2", "q_trino_sql_mr_skiplast",
-    "q_trino_sql_mr_unmatched",
+    "q_trino_sql_mr_unmatched", "q_agg_approx_distinct_det",
+    "q_agg_approx_percentile_det",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
@@ -121,12 +124,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_subquery_corr", "q_cte", "q_case_expr", "q_fn_string",
     "q_fn_date", "q_fn_cast", "q_fn_array", "q_unnest",
     "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",
-    "q_view_create_read", "q_udf_custom", "q_udtf_split",
+    "q_view_create_read", "q_udf_custom",
     "q_stream_watermark", "q_stream_static_join", "q_llm_dedup_exact",
     "q_llm_similarity", "q_llm_decontaminate", "q_llm_curation",
     "q_llm_multimodal",
-    # 3b) oldest r4 key
-    "q_join_right",
 )
 
 

@@ -136,3 +136,49 @@ def test_mix_corpus_rates_within_binomial_bounds(spark, sf_dir):
     n_rows = copies.count()
     n_distinct = copies.select("doc_id").distinct().count()
     assert n_rows > n_distinct
+
+
+def test_deterministic_hll_within_sketch_error(spark, sf_dir):
+    """The r8 deterministic HLL (m=512) must land within 3σ of its
+    theoretical relative error ~1.04/sqrt(m) against exact counts, on
+    top of its exact cross-engine oracle (tests/test_oracle_parity)."""
+    import math
+
+    exact = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {r.o_orderstatus: r.approx_customers
+              for r in SPECS["q_agg_approx_distinct_det"].fn(spark, sf_dir)
+              .collect()}
+    assert set(approx) == set(exact)
+    rsd = 1.04 / math.sqrt(512)
+    for status, ex in exact.items():
+        tol = max(3.0, 3 * rsd * ex)
+        assert abs(approx[status] - ex) <= tol, (status, approx[status], ex)
+
+
+def test_deterministic_percentile_within_rank_bounds(spark, sf_dir):
+    """The r8 deterministic-sample percentile must land within the
+    sampling rank error (3σ of sqrt(p(1-p)/n) rank noise) of the exact
+    percentile, on top of its exact cross-engine oracle."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    for status, p, col in [("O", 0.5, "p50"), ("F", 0.9, "p90")]:
+        vals = sorted(r.o_totalprice for r in
+                      o.filter(F.col("o_orderstatus") == status)
+                      .select("o_totalprice").collect())
+        row = (SPECS["q_agg_approx_percentile_det"].fn(spark, sf_dir)
+               .filter(F.col("o_orderstatus") == status).collect()[0])
+        approx = row[col]
+        n_samp = row.n_sampled
+        # translate 3σ rank noise into a value tolerance via the
+        # neighboring exact quantiles
+        dr = 3 * math.sqrt(p * (1 - p) / n_samp)
+        lo = vals[max(0, int((p - dr) * (len(vals) - 1)))]
+        hi = vals[min(len(vals) - 1, int(math.ceil((p + dr) * (len(vals) - 1))))]
+        assert lo <= approx <= hi, (status, p, approx, lo, hi)

@@ -1220,3 +1220,57 @@ def test_split_to_map_computed_delim_refused():
 def test_parse_datetime_computed_pattern_refused():
     with pytest.raises(TrinoSqlUnsupported, match="parse_datetime"):
         rewrite_trino_sql("SELECT parse_datetime(s, fmt_col) FROM t")
+
+
+# --------------------------------------------------------------- wave 14 (r8)
+CASES14 = [
+    ("repeat_builds_array",
+     # Trino repeat(element, n) -> ARRAY (Spark's repeat is string
+     # repetition — the rename prevents a silent mistranslation).
+     "SELECT doc_id, repeat(lang, 3) AS langs, "
+     "cardinality(repeat(doc_id, 2)) AS n2 "
+     "FROM documents ORDER BY doc_id LIMIT 200",
+     "SELECT doc_id, [lang, lang, lang] AS langs, 2 AS n2 "
+     "FROM documents ORDER BY doc_id LIMIT 200"),
+    ("greatest_least_null_strict",
+     # Trino: NULL if ANY argument is NULL; also the plain path.
+     "SELECT o_orderkey, "
+     "greatest(o_orderkey, 100) AS g, least(o_orderkey, 100) AS l, "
+     "greatest(o_orderkey, CAST(NULL AS BIGINT)) AS gn, "
+     "least(CAST(NULL AS BIGINT), o_orderkey) AS ln "
+     "FROM orders ORDER BY o_orderkey LIMIT 300",
+     "SELECT o_orderkey, "
+     "greatest(o_orderkey, 100) AS g, least(o_orderkey, 100) AS l, "
+     "CAST(NULL AS BIGINT) AS gn, CAST(NULL AS BIGINT) AS ln "
+     "FROM orders ORDER BY o_orderkey LIMIT 300"),
+    ("bitwise_aggs",
+     "SELECT bitwise_and_agg(o_orderkey) AS ba, "
+     "bitwise_or_agg(o_orderkey) AS bo "
+     "FROM orders WHERE o_orderkey <= 64",
+     "SELECT bit_and(o_orderkey) AS ba, bit_or(o_orderkey) AS bo "
+     "FROM orders WHERE o_orderkey <= 64"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", [(c[0], c[1], c[2]) for c in CASES14])
+def test_trino_statement_matches_oracle_wave14(name, trino, duck, spark, sf_dir, oracle):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck or trino, name=f"trino14:{name}")
+
+
+def test_extract_field_mapping(spark, sf_dir, oracle):
+    # 2024-03-04 is a Monday: Trino DOW = 1 (ISO). DuckDB's own
+    # isodow/dayofyear/weekofyear replay the Trino semantics.
+    trino = ("SELECT EXTRACT(DOW FROM ts) AS dow, "
+             "EXTRACT(DAY_OF_WEEK FROM ts) AS dow2, "
+             "EXTRACT(DOY FROM ts) AS doy, "
+             "EXTRACT(YEAR_OF_WEEK FROM ts) AS yow, "
+             "EXTRACT(WEEK FROM ts) AS wk "
+             "FROM events ORDER BY event_id LIMIT 500")
+    duck = ("SELECT isodow(ts) AS dow, isodow(ts) AS dow2, "
+            "dayofyear(ts) AS doy, "
+            "CAST(isoyear(ts) AS BIGINT) AS yow, "
+            "weekofyear(ts) AS wk "
+            "FROM events ORDER BY event_id LIMIT 500")
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name="extract_fields")
