@@ -91,13 +91,62 @@ _PATTERN_STATE_SCHEMA = (
 )
 
 
-def _make_pattern_updater(pattern: str, symbols: dict[str, str]):
+def _make_pattern_updater(pattern: str, symbols: dict[str, str],
+                          after_match: str = "past_last"):
     """Build the applyInPandasWithState update function for a row
     pattern. ``symbols`` maps event_type -> single-letter symbol;
-    unmapped rows classify as the unmatchable '.'."""
+    unmapped rows classify as the unmatchable '.'. ``after_match``
+    takes the batch operator's modes (r8): ``past_last`` /
+    ``next_row`` / ``first:X`` / ``last:X`` — the skip rule decides
+    both the scan-restart position AND how many rows an emitted match
+    CONSUMES (under overlap modes earlier rows stay buffered because a
+    later match may reuse them)."""
     import re
 
     compiled = re.compile(pattern)
+    skip_sym = None
+    if after_match.startswith(("first:", "last:")):
+        mode, _, skip_sym = after_match.partition(":")
+        after_match = mode
+    if after_match not in ("past_last", "next_row", "first", "last"):
+        raise ValueError(f"after_match {after_match!r}")
+
+    def finalize(s, ids, emitted, key, limit):
+        """Emit every match whose end is strictly below ``limit``
+        (match-complete region), walking with the skip rule. Returns
+        (rows, emitted, consumed_to): rows before consumed_to can
+        never appear in a future match, so the caller may drop them."""
+        out, pos, consumed_to = [], 0, 0
+        while True:
+            m = compiled.search(s, pos)
+            if m is None or m.end() > limit:
+                break
+            emitted += 1
+            out.append((key[0], emitted, m.group(0),
+                        ids[m.start()], ids[m.end() - 1]))
+            if after_match == "past_last":
+                # finditer-style bump on an empty match (a fully
+                # optional pattern) — never stall the scan position.
+                pos = m.end() if m.end() > m.start() else m.end() + 1
+            elif after_match == "next_row":
+                pos = m.start() + 1
+            else:
+                g = m.group(0)
+                idx = (g.find(skip_sym) if after_match == "first"
+                       else g.rfind(skip_sym))
+                if idx < 0:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {after_match.upper()} "
+                        f"{skip_sym}: the match {g!r} contains no "
+                        f"{skip_sym} row")
+                if idx == 0:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {after_match.upper()} "
+                        f"{skip_sym}: cannot skip to the first row of "
+                        "the match (infinite loop)")
+                pos = m.start() + idx
+            consumed_to = pos
+        return out, emitted, consumed_to
 
     def update(key: tuple, batches, state: GroupState):
         if state.hasTimedOut:
@@ -110,11 +159,7 @@ def _make_pattern_updater(pattern: str, symbols: dict[str, str]):
             # where the batch operator emits them).
             ts, ids, syms, emitted = (
                 state.get if state.exists else ([], [], "", 0))
-            out = []
-            for m in compiled.finditer(syms):
-                emitted += 1
-                out.append((key[0], emitted, m.group(0),
-                            ids[m.start()], ids[m.end() - 1]))
+            out, emitted, _ = finalize(syms, ids, emitted, key, len(syms))
             state.remove()
             if out:
                 yield pd.DataFrame(
@@ -138,15 +183,14 @@ def _make_pattern_updater(pattern: str, symbols: dict[str, str]):
         # still change when rows at/after the watermark arrive.
         n_frozen = sum(1 for r in rows if r[0] < wm)
         s = "".join(r[2] for r in rows)
-        out, consumed_to = [], 0
-        for m in compiled.finditer(s):
-            if m.end() < n_frozen:  # strictly inside the frozen prefix
-                emitted += 1
-                out.append((key[0], emitted, m.group(0),
-                            rows[m.start()][1], rows[m.end() - 1][1]))
-                consumed_to = m.end()
-            else:
-                break  # this and later matches are tentative
+        # Finalize matches ending STRICTLY inside the frozen prefix
+        # (one touching the boundary could still be greedily extended
+        # by a not-yet-arrived row at/after the watermark) — walking
+        # with the configured skip rule; consumed_to is the scan
+        # position, so under overlap modes rows an emitted match used
+        # stay buffered for the next (overlapping) match.
+        out, emitted, consumed_to = finalize(
+            s, [r[1] for r in rows], emitted, key, n_frozen - 1)
         rows = rows[consumed_to:]
         n_frozen -= consumed_to
         # Bound state (r7): a future match is contiguous and can never
@@ -175,12 +219,18 @@ def _make_pattern_updater(pattern: str, symbols: dict[str, str]):
 
 def stream_pattern(events: DataFrame, pattern: str,
                    symbols: dict[str, str],
-                   watermark: str = "1 hour") -> DataFrame:
+                   watermark: str = "1 hour",
+                   after_match: str = "past_last") -> DataFrame:
     """S-custom streaming CEP: row-pattern matching over an unbounded
     event stream — the streaming twin of operators/pattern.py
-    (same ONE ROW PER MATCH / SKIP PAST LAST ROW / greedy semantics),
-    built on applyInPandasWithState because no built-in streaming
-    operator holds cross-row ordered state.
+    (same ONE ROW PER MATCH / greedy semantics and, since r8, the same
+    AFTER MATCH SKIP modes: past_last, next_row — overlapping matches
+    — and first:X / last:X), built on applyInPandasWithState because
+    no built-in streaming operator holds cross-row ordered state.
+    Under overlap modes an emitted match consumes rows only up to the
+    skip position, so later matches can reuse its remaining rows
+    across micro-batches — the cross-batch analogue of the batch
+    operator's restart rule.
 
     Correctness under late data: per key the buffer holds pending rows;
     each micro-batch sorts arrivals in, then finalizes ONLY matches that
@@ -205,7 +255,7 @@ def stream_pattern(events: DataFrame, pattern: str,
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_pattern_updater(pattern, symbols),
+            _make_pattern_updater(pattern, symbols, after_match),
             outputStructType=PATTERN_SCHEMA,
             stateStructType=_PATTERN_STATE_SCHEMA,
             outputMode="append",

@@ -324,3 +324,60 @@ def test_stream_pattern_prunes_frozen_filler(spark):
     # Everything at/before the last frozen '.' (event 3) is pruned;
     # the live tail V C | C (a possible future VC+P) is retained.
     assert ids == [4, 5, 6] and syms == "VCC" and emitted == 0
+
+
+def test_stream_pattern_skip_modes_cross_batch():
+    """r8: the streaming CEP honors the batch operator's AFTER MATCH
+    SKIP modes. Driven directly through the updater with a fake state:
+    next_row finalizes OVERLAPPING matches in the frozen region and
+    consumes only up to each match's start + 1, so a later match
+    reuses buffered rows across batches. Trailing unmapped rows ('x'
+    -> filler) seal the frozen region — a match touching the last
+    frozen row stays tentative by design."""
+    import pandas as pd
+
+    from okera_trino_spark.streaming.stateful import _make_pattern_updater
+
+    sym = {"D": "D", "U": "U"}   # event_type IS the letter here
+
+    def batch(ts, ids, types):
+        return iter([pd.DataFrame({
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_id": ids, "event_type": types})])
+
+    update = _make_pattern_updater("D+U+", sym, after_match="next_row")
+    state = _FakeState(wm_ms=1)  # wm 1 ms = 1000 us > all event times
+    out = list(update((1,), batch([10, 20, 30, 40, 50], [1, 2, 3, 4, 9],
+                                  ["D", "D", "U", "U", "x"]), state))
+    got = [(r.match_num, r.matched, r.start_id) for df in out
+           for r in df.itertuples()]
+    # anchored matches at both D rows: DDUU then DUU (overlap)
+    assert got == [(1, "DDUU", 1), (2, "DUU", 2)]
+
+    # past_last on the same input: one non-overlapping match
+    update2 = _make_pattern_updater("D+U+", sym, after_match="past_last")
+    state2 = _FakeState(wm_ms=1)
+    out2 = list(update2((1,), batch([10, 20, 30, 40, 50], [1, 2, 3, 4, 9],
+                                    ["D", "D", "U", "U", "x"]), state2))
+    got2 = [(r.match_num, r.matched) for df in out2 for r in df.itertuples()]
+    assert got2 == [(1, "DDUU")]
+
+    # last:U — the scan resumes AT the last U row; the second match
+    # reuses carried rows across TWO updater calls
+    update3 = _make_pattern_updater("D+U+D", sym, after_match="last:U")
+    state3 = _FakeState(wm_ms=1)
+    out3 = list(update3((1,), batch([10, 20, 30, 40], [1, 2, 3, 4],
+                                    ["D", "U", "D", "U"]), state3))
+    got3 = [(r.match_num, r.matched, r.start_id) for df in out3
+            for r in df.itertuples()]
+    assert got3 == [(1, "DUD", 1)]
+    # consumed only to the U (scan pos 1): rows 2, 3, 4 stay buffered
+    assert state3.updated[1] == [2, 3, 4]
+    # second micro-batch adds D then a sealing filler: buffer U D U +
+    # D . = "UDUD." -> overlapping match DUD on ids 3, 4, 5
+    state3b = _FakeState(buf=state3.updated, wm_ms=1)
+    out3b = list(update3((1,), batch([50, 60], [5, 9], ["D", "x"]),
+                         state3b))
+    got3b = [(r.match_num, r.matched, r.start_id) for df in out3b
+             for r in df.itertuples()]
+    assert got3b == [(2, "DUD", 3)]
