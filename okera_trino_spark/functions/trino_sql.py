@@ -86,7 +86,11 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     argument is NULL, Spark skips NULLs); EXTRACT(DOW/DAY_OF_WEEK)→
     DOW_ISO (Trino is ISO Monday=1, Spark's DOW Sunday=1) +
     YOW/long-form field spellings; bitwise_and_agg/
-    bitwise_or_agg→bit_and/bit_or
+    bitwise_or_agg→bit_and/bit_or; literal integer division 7/2→
+    (7 div 2) (Trino truncates; Spark's / is double — column-operand
+    division keeps Spark's double semantics, the one documented value
+    divergence: write `a div b` where integer-column division is
+    intended)
   - wave 13 (r8): reduce→aggregate (4-arg, argument-for-argument);
     last_day_of_month→last_day; bitwise shifts (Trino's plain right
     shift is logical→shiftrightunsigned, _arithmetic→shiftright);
@@ -1397,6 +1401,15 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
         + stash[int(m.group(2))][1:-1].upper() + ",",
         code)
     code = _rewrite_dow(code)
+    # wave 14 (r8): Trino's / TRUNCATES for integer operands (7/2 = 3);
+    # Spark's / is always double division (3.5). A pure-text rewriter
+    # cannot see column types, so only the all-literal form is fixed
+    # (→ div, Trino's exact value AND type); division involving
+    # columns keeps Spark's double semantics — the one documented
+    # value divergence of this front end (write a div b, or cast,
+    # where integer-column division is intended).
+    code = re.sub(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])",
+                  r"(\1 div \2)", code)
     # wave 14 (r8): EXTRACT field spellings. Trino's DOW/DAY_OF_WEEK is
     # ISO (Monday=1); Spark's DOW is Sunday=1 — passing it through is a
     # silent off-by-one-day-of-week. Spark's DOW_ISO matches Trino

@@ -1274,3 +1274,22 @@ def test_extract_field_mapping(spark, sf_dir, oracle):
             "FROM events ORDER BY event_id LIMIT 500")
     df = execute_trino(spark, trino, sf_dir)
     check_query(df, oracle, duck, name="extract_fields")
+
+
+def test_literal_integer_division_truncates(spark, sf_dir, oracle):
+    """Trino 7/2 = 3 (integer); Spark's / is double. The all-literal
+    form rewrites to div; double and column operands keep float
+    division (documented)."""
+    trino = ("SELECT 7 / 2 AS q, 100/7 AS q2, "
+             "CAST(7.0 / 2 AS DOUBLE) AS d, "
+             "o_orderkey / 2 AS col_div "
+             "FROM orders ORDER BY o_orderkey LIMIT 100")
+    duck = ("SELECT 7 // 2 AS q, 100 // 7 AS q2, "
+            "CAST(7.0 / 2 AS DOUBLE) AS d, "
+            "o_orderkey / 2 AS col_div "
+            "FROM orders ORDER BY o_orderkey LIMIT 100")
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name="int_literal_div")
+    # date literals inside strings are masked and untouched
+    out = rewrite_trino_sql("SELECT '1995/01/02' AS s, 8/4 AS q")
+    assert "'1995/01/02'" in out and "(8 div 4)" in out
