@@ -287,3 +287,18 @@ def test_no_window_on_corpus_cardinality_key(spark, sf_dir):
 
         walk(df._jdf.queryExecution().optimizedPlan())
     assert not offenders, f"Window on corpus-cardinality key: {offenders}"
+
+
+def test_deterministic_hll_plan_shape(spark, sf_dir):
+    """The r8 deterministic HLL must keep its documented scale shape:
+    map-side combine on the (group, bucket) register max (partial_max
+    BEFORE the exchange — the hot-key register collapses in the
+    combiner), a pruned 2-column scan, and the null filter pushed to
+    parquet."""
+    df = SPECS["q_agg_approx_distinct_det"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+    # partial_max must appear BELOW its exchange (combine before shuffle)
+    assert plan.index("partial_max") > plan.index("Exchange hashpartitioning")
+    assert "PushedFilters: [IsNotNull(o_custkey)]" in plan, plan
+    assert "struct<o_custkey:bigint,o_orderstatus:string>" in plan, plan
