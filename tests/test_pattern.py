@@ -646,3 +646,29 @@ def test_with_unmatched_rows_operator(spark):
             _df(spark, rows), ["k"], ["seq"],
             symbols=[("A", F.col("ev") == "a")], pattern="A",
             all_rows=True, after_match="next_row", with_unmatched=True)
+
+
+def test_omit_empty_matches_is_noop(spark, sf_dir):
+    """r8: OMIT EMPTY MATCHES spells out the default behavior and is
+    accepted as a no-op; SHOW EMPTY MATCHES stays refused."""
+    from okera_trino_spark.functions.trino_sql import (
+        TrinoSqlUnsupported, execute_trino)
+
+    body = """PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES match_number() AS mn
+      ALL ROWS PER MATCH {mod}
+      PATTERN (V C+ P)
+      DEFINE V AS event_type = 'view', C AS event_type = 'click',
+             P AS event_type = 'purchase'"""
+    base = "SELECT user_id, mn FROM events MATCH_RECOGNIZE ({b})"
+    a = execute_trino(spark, base.format(b=body.format(mod="")),
+                      sf_dir).collect()
+    b = execute_trino(
+        spark, base.format(b=body.format(mod="OMIT EMPTY MATCHES")),
+        sf_dir).collect()
+    key = lambda r: (r.user_id, r.mn)
+    assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
+    with pytest.raises(TrinoSqlUnsupported, match="SHOW EMPTY"):
+        execute_trino(
+            spark, base.format(b=body.format(mod="SHOW EMPTY MATCHES")),
+            sf_dir)
