@@ -1293,3 +1293,31 @@ def test_literal_integer_division_truncates(spark, sf_dir, oracle):
     # date literals inside strings are masked and untouched
     out = rewrite_trino_sql("SELECT '1995/01/02' AS s, 8/4 AS q")
     assert "'1995/01/02'" in out and "(8 div 4)" in out
+
+
+# ------------------------------------------------- TPC-H via dialect (r8)
+def test_full_tpch_suite_runs_as_trino_text(spark, sf_dir, oracle):
+    """The completeness statement for a migrating user: the ENTIRE
+    TPC-H 22 (fixture-adapted; plus the pricing-summary flagship) runs
+    as SQL TEXT through execute_trino and hash-matches the DuckDB
+    oracle. For 20 queries the oracle text itself is plain ANSI and
+    doubles as the Trino text (the rewriter passes it through
+    unchanged); q3/q18 use Trino's %-pattern date_format where the
+    oracle uses DuckDB strftime."""
+    from okera_trino_spark.registry import load_all_queries
+
+    specs = load_all_queries()
+    overrides = {}
+    for k in ("q_tpch_q3", "q_tpch_q18"):
+        overrides[k] = specs[k].oracle.replace(
+            "strftime(o.o_orderdate, '%Y-%m-%d')",
+            "date_format(o.o_orderdate, '%Y-%m-%d')")
+    keys = sorted(k for k in specs if k.startswith("q_tpch_q"))
+    keys.append("q_pricing_summary")
+    # q2-q22 under q_tpch_*; Q1 is the pricing-summary flagship
+    assert len(keys) == 22
+    for k in keys:
+        osql = specs[k].oracle
+        trino_text = overrides.get(k, osql)
+        df = execute_trino(spark, trino_text, sf_dir)
+        check_query(df, oracle, osql, name=f"tpch_dialect:{k}")
