@@ -279,6 +279,96 @@ def q_llm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-min-sketch parameters: d independent md5-prefix hash rows ×
+#: w cells — 4096 counters total regardless of vocabulary size.
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_oracle() -> str:
+    """DuckDB replay of the count-min sketch with the SAME hash family
+    (md5-prefix, the established double-safe technique): integer cell
+    counts, min across the d rows, top-10 by estimate with word
+    tie-break — every step integer-exact in both engines."""
+    hashes = ", ".join(
+        f"('0x' || substring(md5({i} || ':' || w), 1, 13))::BIGINT "
+        f"% {_CMS_W} AS c{i}" for i in range(_CMS_D))
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS d, c{i} AS cell FROM hashed" for i in range(_CMS_D))
+    vcells = " UNION ALL ".join(
+        f"SELECT w, {i} AS d, c{i} AS cell FROM vocab"
+        for i in range(_CMS_D))
+    return f"""
+    WITH words AS (
+        SELECT unnest(str_split(text, ' ')) AS w FROM documents
+    ), nonempty AS (
+        SELECT w FROM words WHERE w <> ''
+    ), hashed AS (
+        SELECT w, {hashes} FROM nonempty
+    ), cells AS ({cells}),
+    cms AS (
+        SELECT d, cell, count(*) AS cnt FROM cells GROUP BY d, cell
+    ), vocab AS (
+        SELECT DISTINCT * FROM hashed
+    ), vcells AS ({vcells}),
+    est AS (
+        SELECT w, min(cnt) AS est FROM vcells
+        JOIN cms USING (d, cell) GROUP BY w
+    )
+    SELECT w AS word, CAST(est AS BIGINT) AS est_count
+    FROM est ORDER BY est DESC, w LIMIT 10
+    """
+
+
+@query("q_llm_heavy_hitters", oracle=_cms_oracle(),
+       tags=("llm", "text", "sketch"))
+def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a DETERMINISTIC count-min sketch (r8) — the
+    third deterministic sketch (after the HLL and sample-percentile
+    twins), completing the approximate-aggregation family with hard
+    oracles: frequency estimates for the corpus's hottest terms from
+    d×w = 4096 integer counters, state CONSTANT in corpus size — the
+    structure behind hot-token detection / vocab pruning / stopword
+    discovery at 100 TB, where an exact per-word count shuffles
+    |vocab| rows but the sketch shuffles 4096.
+
+    Construction: d=4 independent md5-prefix hashes (engine-neutral,
+    the MinHash family) map each token to one cell per row;
+    estimate(w) = min over the d cell counts — an over-count-only
+    bound (collisions only ADD), so ranking by estimate surfaces true
+    heavy hitters with error ≤ e·N/w at confidence 1−e^−d. All
+    arithmetic is integer → both engines agree bit-for-bit and the
+    driver hash-checks the top-10 exactly.
+
+    Plan: the sketch is a map-side-combinable groupBy over (d, cell)
+    — the hottest cell collapses in the combiner; candidate estimates
+    join the 4096-row CMS (broadcast-sized by construction) and take
+    TakeOrderedAndProject for the top-k. At 100 TB the candidate pass
+    feeds from the vocab relation (bounded ≪ corpus), not a rescan.
+    tests/test_bounds.py pins the CMS over-count envelope vs exact.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = (d.select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w") != ""))
+    cell_cols = [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("w"))), 1, 13),
+            16, 10).cast("long") % _CMS_W).alias(f"c{i}")
+        for i in range(_CMS_D)]
+    hashed = words.select("w", *cell_cols).localCheckpoint()
+    stack = ", ".join(f"{i}, c{i}" for i in range(_CMS_D))
+    cells = hashed.selectExpr(
+        f"stack({_CMS_D}, {stack}) AS (d, cell)")
+    cms = cells.groupBy("d", "cell").agg(F.count("*").alias("cnt"))
+    vcells = hashed.distinct().selectExpr(
+        "w", f"stack({_CMS_D}, {stack}) AS (d, cell)")
+    est = (vcells.join(F.broadcast(cms), ["d", "cell"])
+           .groupBy("w").agg(F.min("cnt").alias("est_count")))
+    return (est.orderBy(F.col("est_count").desc(), F.col("w"))
+            .select(F.col("w").alias("word"), "est_count")
+            .limit(10))
+
+
 #: Curation oracle body, shared with the full-pipeline key below
 #: (defines the final SELECT over CTEs — wrap with WITH ... AS (...)).
 _CURATION_SQL = """

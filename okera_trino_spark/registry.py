@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_breadth2", "q_trino_sql_mr_skiplast",
     "q_trino_sql_mr_unmatched", "q_agg_approx_distinct_det",
     "q_agg_approx_percentile_det", "q_llm_project",
+    "q_llm_heavy_hitters",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
@@ -125,7 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_fn_date", "q_fn_cast", "q_fn_array", "q_unnest",
     "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",
     "q_view_create_read",
-    "q_stream_watermark", "q_stream_static_join", "q_llm_dedup_exact",
+    "q_stream_static_join", "q_llm_dedup_exact",
     "q_llm_similarity", "q_llm_decontaminate", "q_llm_curation",
     "q_llm_multimodal",
 )

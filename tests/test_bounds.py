@@ -182,3 +182,26 @@ def test_deterministic_percentile_within_rank_bounds(spark, sf_dir):
         lo = vals[max(0, int((p - dr) * (len(vals) - 1)))]
         hi = vals[min(len(vals) - 1, int(math.ceil((p + dr) * (len(vals) - 1))))]
         assert lo <= approx <= hi, (status, p, approx, lo, hi)
+
+
+def test_cms_estimates_within_overcount_envelope(spark, sf_dir):
+    """Count-min estimates are exact-or-over (collisions only ADD) and
+    the over-count is bounded by ~e*N/w with high confidence — checked
+    for the reported top-10 against exact counts, on top of the exact
+    cross-engine oracle."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {r.w: r.n for r in
+             d.selectExpr("explode(split(text, ' ')) AS w")
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("n")).collect()}
+    total = sum(exact.values())
+    got = SPECS["q_llm_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    w = 1024
+    for r in got:
+        ex = exact[r.word]
+        assert r.est_count >= ex, (r.word, r.est_count, ex)
+        assert r.est_count - ex <= math.e * total / w + 1, (
+            r.word, r.est_count, ex, total)
