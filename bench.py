@@ -83,6 +83,11 @@ HEADLINE = [
     # parse + lag window + pattern walk end to end).
     "q_events_pattern_rows",
     "q_trino_sql_mr_prev",
+    # round 8 sketch/projection family: the CMS heavy-hitter pass
+    # (corpus explode + 4-hash cell agg) and the 32-fold JL projection
+    # (the widest per-row codegen expression in the repo).
+    "q_llm_heavy_hitters",
+    "q_llm_project",
 ]
 
 #: Timed steady-state repeats per query; per-query time is the MIN over

@@ -1427,6 +1427,8 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
             re.sub(r"\s*\(.*\)", "", re.sub(r"\s+", " ", m.group(1).upper()))],
         code)
     code = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", code)
+    # Trino LIMIT ALL = no limit; Spark has no ALL spelling (r8).
+    code = re.sub(r"\bLIMIT\s+ALL\b", "", code, flags=re.IGNORECASE)
     code = _TABLESAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", code)
     code = _rewrite_tz_literals(code, stash)
     code = _TS_LITERAL_RE.sub(r"TIMESTAMP_NTZ\1", code)

@@ -1321,3 +1321,12 @@ def test_full_tpch_suite_runs_as_trino_text(spark, sf_dir, oracle):
         trino_text = overrides.get(k, osql)
         df = execute_trino(spark, trino_text, sf_dir)
         check_query(df, oracle, osql, name=f"tpch_dialect:{k}")
+
+
+def test_limit_all_is_no_limit(spark, sf_dir, oracle):
+    trino = ("SELECT o_orderkey FROM orders "
+             "WHERE o_orderkey <= 50 ORDER BY o_orderkey LIMIT ALL")
+    duck = ("SELECT o_orderkey FROM orders "
+            "WHERE o_orderkey <= 50 ORDER BY o_orderkey")
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name="limit_all")
