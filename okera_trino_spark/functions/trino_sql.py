@@ -1708,19 +1708,14 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     with_unmatched = bool(re.search(
         r"ALL\s+ROWS\s+PER\s+MATCH\s+WITH\s+UNMATCHED\s+ROWS",
         masked[open_idx + 1:close], re.IGNORECASE))
-    # OMIT EMPTY MATCHES spells out the DEFAULT behavior (empty
-    # matches produce no rows here) — accepted as a no-op (r8). SHOW
-    # EMPTY MATCHES would change the output and stays refused.
+    # Trino's three ALL-ROWS options are alternatives; SHOW EMPTY
+    # MATCHES is the DEFAULT (bare ALL ROWS PER MATCH shows empty
+    # matches), OMIT drops them (their match numbers still advance),
+    # WITH UNMATCHED implies showing them (r8; operators/pattern.py).
     omit_empty = bool(re.search(
         r"ALL\s+ROWS\s+PER\s+MATCH\s+OMIT\s+EMPTY\s+MATCHES",
         masked[open_idx + 1:close], re.IGNORECASE))
-    if all_rows and not with_unmatched and not omit_empty and re.search(
-            r"ALL\s+ROWS\s+PER\s+MATCH\s+(WITH|SHOW|OMIT)",
-            masked[open_idx + 1:close], re.IGNORECASE):
-        raise TrinoSqlUnsupported(
-            "ALL ROWS PER MATCH SHOW EMPTY MATCHES is not supported "
-            "(OMIT EMPTY MATCHES — the default — or WITH UNMATCHED "
-            "ROWS)")
+    show_empty = all_rows and not omit_empty and not with_unmatched
     after = sections.get("after")
     after_match = "past_last"
     skip_to_var = None   # (kind, VAR) resolved to a letter after DEFINE
@@ -1929,9 +1924,12 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                 # every row), computed inside the same pandas walk.
                 if re.fullmatch(r"count\s*\(\s*\*?\s*\)", expr,
                                 re.IGNORECASE):
+                    # Over an EMPTY match both forms are 0 (Trino);
+                    # the scalar 0 broadcasts to the one emitted row.
                     if sem == "running":
                         measures[alias] = (
-                            lambda c, m: list(range(1, len(c) + 1)))
+                            lambda c, m:
+                            list(range(1, len(c) + 1)) if len(c) else 0)
                     else:
                         measures[alias] = lambda c, m: len(c)
                     schema_parts.append(f"{alias} bigint")
@@ -1950,34 +1948,46 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                 used_cols.append(col)
                 t_ = types[col]
                 run = sem == "running"
+                # Empty-match contract (show_empty): the zero-row
+                # slice means NULL for every aggregate but count —
+                # RUNNING vectors come back zero-length (the emit loop
+                # turns them into NULL); the FINAL scalars need
+                # explicit guards (pandas would raise on iloc[0] or
+                # return 0/NaN where Trino says NULL).
                 if fn == "first":   # first row either way
-                    measures[alias] = lambda c, m, col=col: c.iloc[0][col]
+                    measures[alias] = (
+                        lambda c, m, col=col:
+                        c.iloc[0][col] if len(c) else None)
                     schema_parts.append(f"{alias} {t_}")
                 elif fn == "last":
                     # RUNNING last = the current row's value
                     measures[alias] = (
                         (lambda c, m, col=col: list(c[col])) if run
-                        else (lambda c, m, col=col: c.iloc[-1][col]))
+                        else (lambda c, m, col=col:
+                              c.iloc[-1][col] if len(c) else None))
                     schema_parts.append(f"{alias} {t_}")
                 elif fn == "sum":
                     if t_ in _INT_TYPES:
                         measures[alias] = (
                             (lambda c, m, col=col:
                              [int(v) for v in c[col].cumsum()]) if run
-                            else (lambda c, m, col=col: int(c[col].sum())))
+                            else (lambda c, m, col=col:
+                                  int(c[col].sum()) if len(c) else None))
                         schema_parts.append(f"{alias} bigint")
                     else:
                         measures[alias] = (
                             (lambda c, m, col=col:
                              [float(v) for v in c[col].cumsum()]) if run
-                            else (lambda c, m, col=col: float(c[col].sum())))
+                            else (lambda c, m, col=col:
+                                  float(c[col].sum()) if len(c) else None))
                         schema_parts.append(f"{alias} double")
                 elif fn == "avg":
                     measures[alias] = (
                         (lambda c, m, col=col:
                          [float(v) for v in c[col].expanding().mean()])
                         if run
-                        else (lambda c, m, col=col: float(c[col].mean())))
+                        else (lambda c, m, col=col:
+                              float(c[col].mean()) if len(c) else None))
                     schema_parts.append(f"{alias} double")
                 else:   # min / max
                     agg = fn
@@ -1985,7 +1995,7 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                         (lambda c, m, col=col, agg=agg:
                          list(getattr(c[col], "cum" + agg)())) if run
                         else (lambda c, m, col=col, agg=agg:
-                              getattr(c[col], agg)()))
+                              getattr(c[col], agg)() if len(c) else None))
                     schema_parts.append(f"{alias} {t_}")
                 continue
             if re.fullmatch(r"classifier\s*\(\s*\)", expr, re.IGNORECASE):
@@ -1994,7 +2004,8 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                 # original (upper-cased) name.
                 rev = {letter: var for var, letter in letters.items()}
                 measures[alias] = (
-                    lambda c, m, rev=rev: rev[m.group(0)[-1]])
+                    lambda c, m, rev=rev:
+                    rev[m.group(0)[-1]] if m.group(0) else None)
                 schema_parts.append(f"{alias} string")
                 continue
             if re.fullmatch(r"count\s*\(\s*\*?\s*\)", expr, re.IGNORECASE):
@@ -2012,26 +2023,39 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                 raise TrinoSqlUnsupported(f"MEASURES column {col!r} unknown")
             used_cols.append(col)
             t_ = types[col]
+            # ONE ROW PER MATCH always includes empty matches (Trino);
+            # the zero-row guards mirror the ALL-ROWS forms above.
             if fn == "first":
-                measures[alias] = lambda c, m, col=col: c.iloc[0][col]
+                measures[alias] = (
+                    lambda c, m, col=col:
+                    c.iloc[0][col] if len(c) else None)
                 schema_parts.append(f"{alias} {t_}")
             elif fn == "last":
-                measures[alias] = lambda c, m, col=col: c.iloc[-1][col]
+                measures[alias] = (
+                    lambda c, m, col=col:
+                    c.iloc[-1][col] if len(c) else None)
                 schema_parts.append(f"{alias} {t_}")
             elif fn == "sum":
                 if t_ in _INT_TYPES:
-                    measures[alias] = lambda c, m, col=col: int(c[col].sum())
+                    measures[alias] = (
+                        lambda c, m, col=col:
+                        int(c[col].sum()) if len(c) else None)
                     schema_parts.append(f"{alias} bigint")
                 else:
-                    measures[alias] = lambda c, m, col=col: float(c[col].sum())
+                    measures[alias] = (
+                        lambda c, m, col=col:
+                        float(c[col].sum()) if len(c) else None)
                     schema_parts.append(f"{alias} double")
             elif fn == "avg":
-                measures[alias] = lambda c, m, col=col: float(c[col].mean())
+                measures[alias] = (
+                    lambda c, m, col=col:
+                    float(c[col].mean()) if len(c) else None)
                 schema_parts.append(f"{alias} double")
             else:  # min / max
                 agg = fn
                 measures[alias] = (
-                    lambda c, m, col=col, agg=agg: getattr(c[col], agg)())
+                    lambda c, m, col=col, agg=agg:
+                    getattr(c[col], agg)() if len(c) else None)
                 schema_parts.append(f"{alias} {t_}")
 
     symbols = [(letters[v], F.expr(cond)) for v, cond in defines]
@@ -2045,7 +2069,7 @@ def execute_match_recognize(spark: SparkSession, sql: str,
             measures=measures,
             measure_schema=", ".join(schema_parts),
             all_rows=True, after_match=after_match,
-            with_unmatched=with_unmatched)
+            with_unmatched=with_unmatched, show_empty=show_empty)
         # The operator emits the internal letter; surface Trino's
         # classifier() contract — the DEFINE variable name.
         cls = None

@@ -69,6 +69,7 @@ def match_recognize(
     all_rows: bool = False,
     after_match: str = "past_last",
     with_unmatched: bool = False,
+    show_empty: bool = False,
 ) -> DataFrame:
     """Row-pattern matching over ``df`` (ONE ROW PER MATCH by default,
     ALL ROWS PER MATCH with ``all_rows=True``).
@@ -121,11 +122,31 @@ def match_recognize(
     requires ``all_rows`` and the default ``past_last`` skip (matches
     are disjoint there, so "unmatched" is well-defined; Trino imposes
     the same restriction).
+
+    ``show_empty=True`` (Trino ``ALL ROWS PER MATCH SHOW EMPTY
+    MATCHES`` — Trino's DEFAULT for ALL ROWS, r8) emits one row per
+    EMPTY match (a zero-row match of an empty-matchable pattern like
+    ``A*`` at a position where no longer match starts): the input row
+    AT which the empty match occurred, a real ``match_num`` (empty
+    matches consume sequential numbers either way — OMIT leaves
+    numbering gaps, as Trino), NULL ``classifier``, and each measure
+    evaluated over the zero-row slice (the callable must accept an
+    empty frame; a zero-length vector result becomes NULL).
+    ``with_unmatched`` implies showing empty matches (Trino's three
+    ALL-ROWS options are alternatives; WITH UNMATCHED ROWS shows
+    every input row exactly once — empty-match rows under their
+    match number, not duplicated as unmatched). Regardless of skip
+    mode, the scan resumes one row after an empty match (nothing was
+    consumed; SKIP TO FIRST/LAST X has no X row to land on).
     """
     if with_unmatched and (not all_rows or after_match != "past_last"):
         raise ValueError(
             "with_unmatched requires all_rows=True and the default "
             "past_last skip mode (Trino's own restriction)")
+    if show_empty and not all_rows:
+        raise ValueError("show_empty requires all_rows=True (ONE ROW "
+                         "PER MATCH always includes empty matches)")
+    show_empty = show_empty or with_unmatched
     skip_sym = None
     if after_match.startswith(("first:", "last:")):
         mode, _, skip_sym = after_match.partition(":")
@@ -180,15 +201,28 @@ def match_recognize(
         semantics. ``first``/``last`` restart AT the first/last row
         classified as the skip symbol (Trino SKIP TO FIRST/LAST X),
         with Trino's own runtime errors for the two non-advancing
-        cases."""
+        cases. Empty matches: Python's scan yields one wherever an
+        empty-matchable pattern finds nothing longer — kept (they are
+        real matches with real numbers), EXCEPT at the end-of-string
+        position, which corresponds to no input row; after an empty
+        match every mode resumes at the next row (nothing consumed)."""
         if after_match == "past_last":
-            yield from compiled.finditer(s)
+            for m in compiled.finditer(s):
+                if m.start() == m.end() == len(s):
+                    continue
+                yield m
             return
         pos = 0
         while True:
             m = compiled.search(s, pos)
             if m is None:
                 return
+            if m.start() == m.end():
+                if m.start() == len(s):
+                    return
+                yield m
+                pos = m.start() + 1
+                continue
             yield m
             if after_match == "next_row":
                 pos = m.start() + 1
@@ -217,6 +251,27 @@ def match_recognize(
                 s = "".join(g["_sym"])
                 used = np.zeros(len(g), dtype=bool)
                 for i, m in enumerate(matches(s), start=1):
+                    if m.start() == m.end():
+                        # Empty match: numbered either way; emitted
+                        # only under SHOW EMPTY MATCHES — the row AT
+                        # the match position, NULL classifier,
+                        # measures over the zero-row slice.
+                        if not show_empty:
+                            continue
+                        used[m.start()] = True
+                        sl = g.iloc[m.start():m.start()]
+                        chunk = g.iloc[m.start():m.start() + 1][
+                            row_cols].copy()
+                        chunk["match_num"] = i
+                        chunk["classifier"] = None
+                        for alias, fn in measures.items():
+                            v = fn(sl, m)
+                            if (hasattr(v, "__len__")
+                                    and not isinstance(v, str)):
+                                v = list(v)[0] if len(v) else None
+                            chunk[alias] = v
+                        parts.append(chunk)
+                        continue
                     used[m.start():m.end()] = True
                     sl = g.iloc[m.start():m.end()]
                     chunk = sl[row_cols].copy()
@@ -471,3 +526,66 @@ def q_events_pattern_skipnext(spark: SparkSession, sf_dir: str) -> DataFrame:
         used_columns=[],
         after_match="next_row",
     )
+
+
+@query(
+    "q_events_pattern_empty",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c
+        FROM events
+    ), units AS (
+        SELECT user_id, event_id, is_c, ts,
+               CASE WHEN is_c = 0
+                         OR coalesce(lag(is_c) OVER w, 0) = 0
+                    THEN 1 ELSE 0 END AS new_unit
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, event_id, is_c, ts,
+               sum(new_unit) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS match_num
+        FROM units
+    )
+    SELECT user_id, event_id,
+           CAST(match_num AS BIGINT) AS match_num,
+           CASE WHEN is_c = 1 THEN 'C' END AS classifier,
+           CAST(CASE WHEN is_c = 1
+                THEN row_number() OVER (PARTITION BY user_id, match_num
+                                        ORDER BY ts, event_id)
+                ELSE 0 END AS BIGINT) AS n_run
+    FROM numbered
+    """,
+    tags=("pattern", "events"),
+)
+def q_events_pattern_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALL ROWS PER MATCH SHOW EMPTY MATCHES`` (r8 — Trino's DEFAULT
+    for ALL ROWS): the empty-matchable pattern ``C*`` per user in time
+    order. Every maximal click run is one match (classifier 'C',
+    RUNNING count(*) = 1..n); every other row hosts an EMPTY match —
+    emitted with its own sequential match number, NULL classifier, and
+    count 0. Every input row appears exactly once.
+
+    The oracle replays the semantics with run-length arithmetic: a
+    greedy ``C*`` scan numbers each maximal click run and each
+    non-click row as one consecutive match unit per user, so
+    match_num = the running count of unit starts, and RUNNING count(*)
+    = row_number within the run (0 at empty-match rows) — an exact,
+    regex-free derivation of the scan.
+    """
+    e = t(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[("C", F.col("event_type") == "click")],
+        pattern="C*",
+        measures={"n_run": lambda chunk, m:
+                  list(range(1, len(chunk) + 1)) if len(chunk) else 0},
+        measure_schema="n_run bigint",
+        used_columns=[],
+        all_rows=True,
+        show_empty=True,
+    ).select("user_id", "event_id", "match_num", "classifier", "n_run")

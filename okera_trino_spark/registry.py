@@ -101,9 +101,10 @@ def query(name: str, oracle: str | None = None,
 #:      q_trino_sql_mr (shared operator gained the skip-mode walk and
 #:      vector measures);
 #:   3) the r2 cohort — six rounds stale, the oldest evidence in the
-#:      repo — filling the window to exactly 50 (the two r2 keys left
-#:      out, q_udtf_split and q_join_right's r4 batch, have driver
-#:      rows and re-enter next rotation).
+#:      repo — filling the window to exactly 50 (the r2 keys left
+#:      out, q_udtf_split, q_count_star — its slot went to the
+#:      late-r8 q_events_pattern_empty — and q_join_right's r4 batch,
+#:      have driver rows and re-enter next rotation).
 #: q_llm_bpe (rows-only, has its r7 driver row) exits the window: its
 #: weaker check never improves, so the slot buys nothing.
 _PRIORITY: tuple[str, ...] = (
@@ -113,13 +114,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_breadth2", "q_trino_sql_mr_skiplast",
     "q_trino_sql_mr_unmatched", "q_agg_approx_distinct_det",
     "q_agg_approx_percentile_det", "q_llm_project",
-    "q_llm_heavy_hitters",
+    "q_llm_heavy_hitters", "q_events_pattern_empty",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
     # 3) r2-stale cohort
     "q_pricing_summary", "q_scan_full", "q_project", "q_filter_range",
-    "q_count_star", "q_join_inner", "q_join_left", "q_join_semi",
+    "q_join_inner", "q_join_left", "q_join_semi",
     "q_join_broadcast", "q_agg_group", "q_agg_rollup", "q_agg_stats",
     "q_win_rank", "q_win_frame_range", "q_topk", "q_union_all",
     "q_subquery_corr", "q_cte", "q_case_expr", "q_fn_string",

@@ -141,10 +141,10 @@ def test_match_recognize_sql_named_errors(spark):
         PATTERN (A B) DEFINE A AS value > 0, B AS value < 0)"""
     for body, msg in [
         ("ORDER BY ts", "PARTITION BY"),
-        # WITH UNMATCHED ROWS is supported (r8); the empty-match
-        # display modifiers stay refused.
-        ("PARTITION BY user_id ORDER BY ts ALL ROWS PER MATCH "
-         "SHOW EMPTY MATCHES", "SHOW"),
+        # All three ALL-ROWS display modifiers are supported (r8);
+        # SUBSET stays refused.
+        ("PARTITION BY user_id ORDER BY ts SUBSET U = (A, B)",
+         "SUBSET"),
         # SKIP TO FIRST/LAST var is supported (r8); an undefined skip
         # target is the named error now.
         ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO FIRST Z",
@@ -648,11 +648,54 @@ def test_with_unmatched_rows_operator(spark):
             all_rows=True, after_match="next_row", with_unmatched=True)
 
 
+def test_show_empty_matches_operator(spark):
+    """show_empty (r8): an empty-matchable pattern A* numbers every
+    scan position — maximal A-runs as real matches, every other row as
+    an EMPTY match (row shown, NULL classifier, zero-length measure
+    vector becomes NULL). OMIT drops the empty rows but keeps the
+    numbering gaps; ONE ROW PER MATCH always includes empty matches."""
+    rows = [("u", i, ev, float(i)) for i, ev in
+            enumerate(["a", "x", "a", "a", "y"])]
+    kw = dict(
+        symbols=[("A", F.col("ev") == "a")], pattern="A*",
+        measures={"rsum": lambda c, m: [float(x) for x in c["v"].cumsum()]},
+        measure_schema="rsum double")
+    show = match_recognize(
+        _df(spark, rows), ["k"], ["seq"], all_rows=True, show_empty=True,
+        **kw).orderBy("seq").collect()
+    assert [(r.seq, r.match_num, r.classifier, r.rsum) for r in show] == [
+        (0, 1, "A", 0.0),
+        (1, 2, None, None),
+        (2, 3, "A", 2.0), (3, 3, "A", 5.0),
+        (4, 4, None, None)]
+    omit = match_recognize(
+        _df(spark, rows), ["k"], ["seq"], all_rows=True,
+        **kw).orderBy("seq").collect()
+    assert [(r.seq, r.match_num) for r in omit] == [(0, 1), (2, 3), (3, 3)]
+    # WITH UNMATCHED ROWS implies showing empty matches; under A*
+    # every row hosts a match or an empty match, so nothing is NULL.
+    unm = match_recognize(
+        _df(spark, rows), ["k"], ["seq"], all_rows=True,
+        with_unmatched=True, **kw).orderBy("seq").collect()
+    assert ([(r.seq, r.match_num, r.classifier, r.rsum) for r in unm]
+            == [(r.seq, r.match_num, r.classifier, r.rsum) for r in show])
+    one = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("A", F.col("ev") == "a")], pattern="A*",
+        measures={"n": lambda c, m: len(c)}, measure_schema="n bigint",
+    ).orderBy("match_num").collect()
+    assert [(r.match_num, r.matched, r.n) for r in one] == [
+        (1, "A", 1), (2, "", 0), (3, "AA", 2), (4, "", 0)]
+    with pytest.raises(ValueError, match="show_empty"):
+        match_recognize(_df(spark, rows), ["k"], ["seq"],
+                        symbols=[("A", F.col("ev") == "a")], pattern="A*",
+                        show_empty=True)
+
+
 def test_omit_empty_matches_is_noop(spark, sf_dir):
-    """r8: OMIT EMPTY MATCHES spells out the default behavior and is
-    accepted as a no-op; SHOW EMPTY MATCHES stays refused."""
-    from okera_trino_spark.functions.trino_sql import (
-        TrinoSqlUnsupported, execute_trino)
+    """r8: for a pattern that cannot match empty, all three ALL-ROWS
+    display modifiers (bare/SHOW/OMIT) produce identical output."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
 
     body = """PARTITION BY user_id ORDER BY ts, event_id
       MEASURES match_number() AS mn
@@ -661,14 +704,52 @@ def test_omit_empty_matches_is_noop(spark, sf_dir):
       DEFINE V AS event_type = 'view', C AS event_type = 'click',
              P AS event_type = 'purchase'"""
     base = "SELECT user_id, mn FROM events MATCH_RECOGNIZE ({b})"
-    a = execute_trino(spark, base.format(b=body.format(mod="")),
-                      sf_dir).collect()
-    b = execute_trino(
-        spark, base.format(b=body.format(mod="OMIT EMPTY MATCHES")),
-        sf_dir).collect()
     key = lambda r: (r.user_id, r.mn)
-    assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
-    with pytest.raises(TrinoSqlUnsupported, match="SHOW EMPTY"):
-        execute_trino(
-            spark, base.format(b=body.format(mod="SHOW EMPTY MATCHES")),
-            sf_dir)
+    a = sorted(execute_trino(spark, base.format(b=body.format(mod="")),
+                             sf_dir).collect(), key=key)
+    for mod in ("OMIT EMPTY MATCHES", "SHOW EMPTY MATCHES"):
+        b = sorted(execute_trino(
+            spark, base.format(b=body.format(mod=mod)), sf_dir).collect(),
+            key=key)
+        assert a == b and len(a) > 0
+
+
+def test_show_empty_matches_string_path(spark, sf_dir):
+    """r8: SHOW EMPTY MATCHES (Trino's ALL-ROWS default) on the
+    empty-matchable pattern C*: every input row appears exactly once —
+    click runs as real matches, every other row as an EMPTY match with
+    its own sequential number, NULL classifier, RUNNING count 0; OMIT
+    drops exactly the empty rows but keeps their numbers (gaps)."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    body = """PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES match_number() AS mn, classifier() AS cls,
+               RUNNING count(*) AS n
+      ALL ROWS PER MATCH {mod}
+      PATTERN (C*)
+      DEFINE C AS event_type = 'click'"""
+    base = ("SELECT user_id, event_id, mn, cls, n FROM events "
+            "MATCH_RECOGNIZE ({b})")
+    key = lambda r: (r.user_id, r.event_id)
+    show = sorted(execute_trino(
+        spark, base.format(b=body.format(mod="SHOW EMPTY MATCHES")),
+        sf_dir).collect(), key=key)
+    bare = sorted(execute_trino(
+        spark, base.format(b=body.format(mod="")), sf_dir).collect(),
+        key=key)
+    omit = sorted(execute_trino(
+        spark, base.format(b=body.format(mod="OMIT EMPTY MATCHES")),
+        sf_dir).collect(), key=key)
+    n_events = spark.table("events").count()
+    assert bare == show                      # SHOW is the default
+    assert len(show) == n_events             # every row exactly once
+    empty = [r for r in show if r.cls is None]
+    assert empty and all(r.n == 0 and r.mn is not None for r in empty)
+    assert [r for r in show if r.cls == "C"] == omit  # OMIT = real rows
+    assert any(r.n >= 2 for r in omit)       # a multi-click run exists
+    # empty matches consume numbers: within one user, OMIT numbering
+    # has gaps exactly where SHOW has empty-match rows.
+    mns = {}
+    for r in show:
+        mns.setdefault(r.user_id, set()).add(r.mn)
+    assert all(max(v) == len(v) for v in mns.values())  # 1..k per user
