@@ -179,6 +179,74 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_winnow",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        FROM documents
+    ), kg AS (
+        SELECT doc_id, length(s) AS n, p,
+               CAST(('0x' || substring(md5(substring(s, CAST(p AS INT), 7)),
+                                       1, 13)) AS BIGINT) AS h
+        FROM sized, unnest(generate_series(1, length(s) - 6)) AS u(p)
+        WHERE length(s) >= 10
+    ), wins AS (
+        SELECT doc_id, p, n,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fingerprint
+        FROM kg
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM wins WHERE p <= n - 9
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): rolling k-gram hashes (k=7) over the normalized
+    character stream, a sliding window (w=4) of those hashes, and the
+    per-window MINIMUM as the selected fingerprint — the guarantee is
+    any shared substring of length >= k+w-1 yields a shared
+    fingerprint, which powers plagiarism/copy detection at corpus
+    scale without all-pairs comparison.
+
+    Spark-first shape: the whole pipeline is per-document higher-order
+    functions (transform/sequence/slice/array_min/array_distinct) in
+    whole-stage codegen — ZERO shuffle, zero Python; at 100 TB it is
+    embarrassingly parallel (output fingerprints would then feed the
+    same banded equi-join as MinHash for candidate pairing). The hash
+    is the cross-engine md5-prefix family (52-bit), so the DuckDB
+    oracle replays it bit-for-bit with a window-min; fingerprint
+    IDENTITY (the set of selected hash values per doc) is engine-order
+    independent — ties inside a window pick the same VALUE either way.
+    Docs shorter than k+w-1 normalized chars have no full window and
+    are dropped by both sides."""
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("_s"),
+    ).where(F.length("_s") >= 10)
+    kg = s.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, length(_s) - 6), p -> "
+            "cast(conv(substring(md5(substring(_s, p, 7)), 1, 13), 16, 10)"
+            " as bigint))"
+        ).alias("_kg"),
+    )
+    wins = kg.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(_kg) - 3), i -> "
+            "array_min(slice(_kg, i, 4))))"
+        ).alias("_w"),
+    )
+    return wins.select("doc_id", F.explode("_w").alias("fingerprint"))
+
+
+@query(
     "q_llm_repetition",
     oracle="""
     WITH w AS (

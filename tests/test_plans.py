@@ -302,3 +302,15 @@ def test_deterministic_hll_plan_shape(spark, sf_dir):
     assert plan.index("partial_max") > plan.index("Exchange hashpartitioning")
     assert "PushedFilters: [IsNotNull(o_custkey)]" in plan, plan
     assert "struct<o_custkey:bigint,o_orderstatus:string>" in plan, plan
+
+
+def test_winnow_is_shuffle_free_codegen(spark, sf_dir):
+    """Winnowing fingerprints are per-document higher-order functions:
+    the executed plan must contain NO exchange (embarrassingly
+    parallel), no Python evaluation node, and a 2-column pruned scan."""
+    df = SPECS["q_llm_winnow"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    plan_f = plan_string(df, "formatted")
+    assert "struct<doc_id:bigint,text:string>" in plan_f, plan_f
