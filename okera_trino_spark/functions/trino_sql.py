@@ -1625,6 +1625,98 @@ _MR_SECTIONS = [
 ]
 _MR_AGG_RE = re.compile(
     r"^(first|last|sum|avg|min|max)\s*\(\s*([\w`]+)\s*\)$", re.IGNORECASE)
+_MR_QAGG_RE = re.compile(
+    r"^(first|last|sum|avg|min|max)\s*\(\s*(\w+)\s*\.\s*([\w`]+)\s*\)$",
+    re.IGNORECASE)
+_MR_QCOUNT_RE = re.compile(
+    r"^count\s*\(\s*(\w+)\s*\.\s*\*\s*\)$", re.IGNORECASE)
+
+
+def _mr_qual_agg(fn: str, ls: str, col: str, is_int: bool, running: bool):
+    """Measure callable for a variable/SUBSET-qualified aggregate
+    ``fn(VAR.col)``: only the match rows whose classifier letter is in
+    ``ls`` participate (Trino's primary-variable / SUBSET semantics).
+    FINAL (and ONE ROW PER MATCH): one aggregate over those rows —
+    NULL when the match contains none. RUNNING (ALL ROWS): a per-row
+    vector over the match prefix — NULL until the first qualifying row
+    has been seen. The per-match Python loops run inside the operator's
+    existing pandas walk (no extra distribution cost)."""
+    import pandas as pd
+
+    def sel(c, m):
+        idx = [i for i, ch in enumerate(m.group(0)) if ch in ls]
+        return c.iloc[idx]
+
+    if fn == "count":   # count(VAR.*): 0 (never NULL), even when empty
+        from itertools import accumulate
+        if running:
+            return (lambda c, m:
+                    list(accumulate(int(ch in ls) for ch in m.group(0)))
+                    if len(c) else 0)
+        return lambda c, m: sum(ch in ls for ch in m.group(0))
+
+    if not running:
+        def final(c, m):
+            q = sel(c, m)
+            if not len(q):
+                return None
+            if fn == "first":
+                return q.iloc[0][col]
+            if fn == "last":
+                return q.iloc[-1][col]
+            if fn == "sum":
+                v = q[col].sum()
+                return int(v) if is_int else float(v)
+            if fn == "avg":
+                return float(q[col].mean())
+            return getattr(q[col], fn)()
+        return final
+
+    def run(c, m):
+        if not len(c):
+            return None
+        mask = [ch in ls for ch in m.group(0)]
+        vals = c[col].tolist()
+        out: list = []
+        if fn == "sum":
+            acc, seen = 0, False
+            for v, ok in zip(vals, mask):
+                if ok:
+                    seen = True
+                    if not pd.isna(v):
+                        acc += v
+                out.append((int(acc) if is_int else float(acc))
+                           if seen else None)
+            return out
+        if fn == "avg":
+            acc, k = 0.0, 0
+            for v, ok in zip(vals, mask):
+                if ok and not pd.isna(v):
+                    acc, k = acc + v, k + 1
+                out.append(float(acc / k) if k else None)
+            return out
+        if fn == "first":
+            cur, seen = None, False
+            for v, ok in zip(vals, mask):
+                if ok and not seen:
+                    cur, seen = v, True
+                out.append(cur if seen else None)
+            return out
+        if fn == "last":
+            cur = None
+            for v, ok in zip(vals, mask):
+                if ok:
+                    cur = v
+                out.append(cur)
+            return out
+        cur = None   # min / max
+        for v, ok in zip(vals, mask):
+            if ok and not pd.isna(v):
+                cur = (v if cur is None
+                       else (min(cur, v) if fn == "min" else max(cur, v)))
+            out.append(cur)
+        return out
+    return run
 _MR_NAV_RE = re.compile(r"\b(PREV|NEXT)\s*\(", re.IGNORECASE)
 _MR_QUALIFIED_RE = re.compile(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]")
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
@@ -1700,8 +1792,9 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     close = _find_close(masked, open_idx)
     sections = _mr_parse_sections(masked[open_idx + 1:close])
 
-    if "subset" in sections:
-        raise TrinoSqlUnsupported("MATCH_RECOGNIZE SUBSET is not supported")
+    # SUBSET (union variables) is parsed after DEFINE below; subset
+    # names are valid in MEASURES aggregates (qualified), not as SKIP
+    # TO targets (that lookup raises its named error).
     all_rows = bool(re.search(
         r"ALL\s+ROWS\s+PER\s+MATCH", masked[open_idx + 1:close],
         re.IGNORECASE))
@@ -1829,6 +1922,25 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     if len(defines) > 26:
         raise TrinoSqlUnsupported("more than 26 pattern variables")
     letters = {var: chr(ord("A") + i) for i, (var, _) in enumerate(defines)}
+    # SUBSET U = (A, B), … — union variables (r8): resolved to letter
+    # SETS for qualified MEASURES aggregates.
+    qual_sets: dict[str, str] = {v: l for v, l in letters.items()}
+    if sections.get("subset"):
+        for item in _split_top_level(sections["subset"]):
+            sm_ = re.match(r"\s*(\w+)\s*=\s*\((.+)\)\s*$", item.strip(),
+                           re.DOTALL)
+            if not sm_:
+                raise TrinoSqlUnsupported(f"unparsable SUBSET item: {item!r}")
+            uname = sm_.group(1).upper()
+            if uname in letters:
+                raise TrinoSqlUnsupported(
+                    f"SUBSET {uname} collides with a pattern variable")
+            comps = [c.strip().upper() for c in sm_.group(2).split(",")]
+            bad = [c for c in comps if c not in letters]
+            if bad:
+                raise TrinoSqlUnsupported(
+                    f"SUBSET {uname}: undefined pattern variables {bad}")
+            qual_sets[uname] = "".join(letters[c] for c in comps)
     if skip_to_var is not None:
         kind, var = skip_to_var
         if var not in letters:
@@ -1934,13 +2046,43 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                         measures[alias] = lambda c, m: len(c)
                     schema_parts.append(f"{alias} bigint")
                     continue
+                qagg = (_MR_QCOUNT_RE.match(expr)
+                        or _MR_QAGG_RE.match(expr))
+                if qagg:   # variable/SUBSET-qualified aggregate (r8)
+                    if qagg.re is _MR_QCOUNT_RE:
+                        fn, name, col = "count", qagg.group(1).upper(), None
+                    else:
+                        fn, name, col = (qagg.group(1).lower(),
+                                         qagg.group(2).upper(),
+                                         qagg.group(3).strip("`"))
+                    if name not in qual_sets:
+                        raise TrinoSqlUnsupported(
+                            f"MEASURES {expr!r}: {name} is neither a "
+                            "pattern variable nor a SUBSET")
+                    is_int = False
+                    if col is not None:
+                        if col not in types:
+                            raise TrinoSqlUnsupported(
+                                f"MEASURES column {col!r} unknown")
+                        used_cols.append(col)
+                        is_int = types[col] in _INT_TYPES
+                    measures[alias] = _mr_qual_agg(
+                        fn, qual_sets[name], col, is_int,
+                        sem == "running")
+                    out_t = ("bigint" if fn == "count"
+                             or (fn == "sum" and is_int)
+                             else "double" if fn in ("sum", "avg")
+                             else types[col])
+                    schema_parts.append(f"{alias} {out_t}")
+                    continue
                 am = _MR_AGG_RE.match(expr)
                 if not am:
                     raise TrinoSqlUnsupported(
                         f"ALL ROWS PER MATCH MEASURES {expr!r} — "
                         "supported: match_number(), classifier(), "
                         "[RUNNING|FINAL] count(*)/first/last/sum/avg/"
-                        "min/max(column)")
+                        "min/max(column), each optionally qualified by "
+                        "a pattern variable or SUBSET (VAR.col, VAR.*)")
                 fn, col = am.group(1).lower(), am.group(2).strip("`")
                 if col not in types:
                     raise TrinoSqlUnsupported(
@@ -2012,12 +2154,42 @@ def execute_match_recognize(spark: SparkSession, sql: str,
                 measures[alias] = lambda c, m: len(c)
                 schema_parts.append(f"{alias} bigint")
                 continue
+            qagg = _MR_QCOUNT_RE.match(expr) or _MR_QAGG_RE.match(expr)
+            if qagg:   # variable/SUBSET-qualified aggregate (r8);
+                # RUNNING == FINAL at the one output point per match.
+                if qagg.re is _MR_QCOUNT_RE:
+                    fn, name, col = "count", qagg.group(1).upper(), None
+                else:
+                    fn, name, col = (qagg.group(1).lower(),
+                                     qagg.group(2).upper(),
+                                     qagg.group(3).strip("`"))
+                if name not in qual_sets:
+                    raise TrinoSqlUnsupported(
+                        f"MEASURES {expr!r}: {name} is neither a "
+                        "pattern variable nor a SUBSET")
+                is_int = False
+                if col is not None:
+                    if col not in types:
+                        raise TrinoSqlUnsupported(
+                            f"MEASURES column {col!r} unknown")
+                    used_cols.append(col)
+                    is_int = types[col] in _INT_TYPES
+                measures[alias] = _mr_qual_agg(
+                    fn, qual_sets[name], col, is_int, running=False)
+                out_t = ("bigint" if fn == "count"
+                         or (fn == "sum" and is_int)
+                         else "double" if fn in ("sum", "avg")
+                         else types[col])
+                schema_parts.append(f"{alias} {out_t}")
+                continue
             am = _MR_AGG_RE.match(expr)
             if not am:
                 raise TrinoSqlUnsupported(
                     f"MEASURES expression {expr!r} — supported: "
                     "match_number(), classifier(), count(*), "
-                    "first/last/sum/avg/min/max(column)")
+                    "first/last/sum/avg/min/max(column), each optionally "
+                    "qualified by a pattern variable or SUBSET "
+                    "(VAR.col, VAR.*)")
             fn, col = am.group(1).lower(), am.group(2).strip("`")
             if col not in types:
                 raise TrinoSqlUnsupported(f"MEASURES column {col!r} unknown")
@@ -2780,6 +2952,102 @@ def q_trino_sql_mr_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check also proves no row is dropped or double-emitted.
     """
     return execute_trino(spark, TRINO_SQL_MR_UNMATCHED, sf_dir)
+
+
+TRINO_SQL_MR_VARS = """
+SELECT user_id, mn, n_c, round(c_sum, 4) AS c_sum, v_val, u_cnt
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES match_number() AS mn, count(C.*) AS n_c,
+           sum(C.value) AS c_sum, first(V.value) AS v_val,
+           count(U.*) AS u_cnt
+  SUBSET U = (V, P)
+  PATTERN (V C+ P)
+  DEFINE V AS event_type = 'view',
+         C AS event_type = 'click',
+         P AS event_type = 'purchase'
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr_vars",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT user_id,
+               unnest(regexp_extract_all(s, 'VC+P')) AS mstr,
+               generate_subscripts(regexp_extract_all(s, 'VC+P'), 1) AS k
+        FROM sym
+    ), g AS (
+        SELECT user_id,
+               unnest(str_split_regex(s, 'VC+P')) AS gap,
+               generate_subscripts(str_split_regex(s, 'VC+P'), 1) AS gi
+        FROM sym
+    ), gcum AS (
+        SELECT user_id, gi,
+               sum(length(gap)) OVER (PARTITION BY user_id
+                                      ORDER BY gi) AS cg
+        FROM g
+    ), mcum AS (
+        SELECT user_id, k,
+               sum(length(mstr)) OVER (PARTITION BY user_id
+                                       ORDER BY k) AS cm
+        FROM m
+    ), starts AS (
+        SELECT m.user_id, m.k, m.mstr,
+               gcum.cg + coalesce(mcum.cm, 0) + 1 AS start
+        FROM m
+        JOIN gcum ON gcum.user_id = m.user_id AND gcum.gi = m.k
+        LEFT JOIN mcum ON mcum.user_id = m.user_id AND mcum.k = m.k - 1
+    ), rows_ AS (
+        SELECT s.user_id, s.k AS mn,
+               s.start + u.i - 1 AS rn,
+               substring(s.mstr, CAST(u.i AS INT), 1) AS cls
+        FROM starts s,
+             unnest(generate_series(1, length(s.mstr))) AS u(i)
+    ), joined AS (
+        SELECT r.user_id, r.mn, r.cls, r.rn, o.value
+        FROM rows_ r
+        JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn
+    )
+    SELECT user_id, CAST(mn AS BIGINT) AS mn,
+           CAST(count(*) FILTER (WHERE cls = 'C') AS BIGINT) AS n_c,
+           round(sum(value) FILTER (WHERE cls = 'C'), 4) AS c_sum,
+           min(CASE WHEN cls = 'V' THEN value END) AS v_val,
+           CAST(count(*) FILTER (WHERE cls IN ('V', 'P')) AS BIGINT) AS u_cnt
+    FROM joined
+    GROUP BY user_id, mn
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-qualified MEASURES + SUBSET (r8) through the string
+    path: per funnel match, ``count(C.*)`` / ``sum(C.value)`` aggregate
+    only the rows the match classified as C, ``first(V.value)`` reads
+    the V row, and ``count(U.*)`` counts the SUBSET U = (V, P) union —
+    the per-variable aggregate surface real Trino funnel queries use
+    (Trino-400 row-pattern measures; the reference delegates to that
+    engine, /root/reference/pom.xml:41).
+
+    The oracle reconstructs per-row match membership and classifier
+    from regex primitives (as q_events_pattern_rows), then replays each
+    qualified aggregate as a FILTER (cls = …) aggregate per
+    (user, match) — the V row's value via the single-V min trick. Both
+    sides round the float sum at 4 dp (addition-order tolerance)."""
+    return execute_trino(spark, TRINO_SQL_MR_VARS, sf_dir)
 
 
 TRINO_SQL_MR_SKIPLAST = """

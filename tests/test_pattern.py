@@ -141,10 +141,12 @@ def test_match_recognize_sql_named_errors(spark):
         PATTERN (A B) DEFINE A AS value > 0, B AS value < 0)"""
     for body, msg in [
         ("ORDER BY ts", "PARTITION BY"),
-        # All three ALL-ROWS display modifiers are supported (r8);
-        # SUBSET stays refused.
-        ("PARTITION BY user_id ORDER BY ts SUBSET U = (A, B)",
-         "SUBSET"),
+        # All three ALL-ROWS display modifiers and SUBSET are
+        # supported (r8); descending pattern order stays refused.
+        ("PARTITION BY user_id ORDER BY ts DESC", "DESC"),
+        # SUBSET components must be defined pattern variables.
+        ("PARTITION BY user_id ORDER BY ts SUBSET U = (A, Z)",
+         "undefined"),
         # SKIP TO FIRST/LAST var is supported (r8); an undefined skip
         # target is the named error now.
         ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO FIRST Z",
@@ -690,6 +692,48 @@ def test_show_empty_matches_operator(spark):
         match_recognize(_df(spark, rows), ["k"], ["seq"],
                         symbols=[("A", F.col("ev") == "a")], pattern="A*",
                         show_empty=True)
+
+
+def test_qualified_measures_and_subset(spark):
+    """r8: variable-qualified MEASURES aggregate only the rows the
+    match classified to that variable (or SUBSET union) — RUNNING
+    forms are NULL (sum/min) or 0 (count) before the first qualifying
+    row; FINAL forms broadcast the whole-match value."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    _df(spark, [("u", i, ev, float(i + 1)) for i, ev in
+                enumerate(["a", "b", "b", "x", "a", "b"])]
+        ).createOrReplaceTempView("mrq")
+    out = execute_trino(spark, """
+      SELECT seq, mn, cls, rb, rsb, fsb, av, rmin
+      FROM mrq MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES match_number() AS mn, classifier() AS cls,
+                 RUNNING count(B.*) AS rb, RUNNING sum(B.v) AS rsb,
+                 FINAL sum(B.v) AS fsb, first(A.v) AS av,
+                 RUNNING min(B.v) AS rmin
+        ALL ROWS PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS ev = 'a', B AS ev = 'b')
+    """).orderBy("seq").collect()
+    got = [(r.seq, r.mn, r.cls, r.rb, r.rsb, r.fsb, r.av, r.rmin)
+           for r in out]
+    assert got == [
+        (0, 1, "A", 0, None, 5.0, 1.0, None),
+        (1, 1, "B", 1, 2.0, 5.0, 1.0, 2.0),
+        (2, 1, "B", 2, 5.0, 5.0, 1.0, 2.0),
+        (4, 2, "A", 0, None, 6.0, 5.0, None),
+        (5, 2, "B", 1, 6.0, 6.0, 5.0, 6.0)]
+    one = execute_trino(spark, """
+      SELECT mn, nb, ws
+      FROM mrq MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES match_number() AS mn, count(B.*) AS nb, sum(W.v) AS ws
+        SUBSET W = (A, B)
+        PATTERN (A B+)
+        DEFINE A AS ev = 'a', B AS ev = 'b')
+    """).orderBy("mn").collect()
+    assert [(r.mn, r.nb, r.ws) for r in one] == [(1, 2, 6.0), (2, 1, 11.0)]
 
 
 def test_omit_empty_matches_is_noop(spark, sf_dir):
