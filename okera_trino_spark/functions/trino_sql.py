@@ -1837,11 +1837,10 @@ def execute_match_recognize(spark: SparkSession, sql: str,
 
     partition_by = [c.strip().strip("`")
                     for c in sections["partition"].split(",")]
+    # ASC is the default; a DESC suffix passes through to the operator
+    # (r8 — the pattern walks that column descending).
     order_by = [re.sub(r"\s+ASC$", "", c.strip(), flags=re.IGNORECASE)
                 .strip("`") for c in sections["order"].split(",")]
-    if any(re.search(r"\sDESC$", c, re.IGNORECASE) for c in order_by):
-        raise TrinoSqlUnsupported(
-            "MATCH_RECOGNIZE ORDER BY ... DESC is not supported")
 
     pat_text = sections["pattern"].strip()
     pm = re.match(r"\(", pat_text)
@@ -1992,7 +1991,10 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     if nav_map:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        from okera_trino_spark.operators.pattern import order_sort_cols
+
+        w = Window.partitionBy(*partition_by).orderBy(
+            *order_sort_cols(order_by)[1])
         for (kind, expr_txt, off), name in nav_map.items():
             src = F.expr(_unmask(_rewrite_code(expr_txt, stash), stash))
             nav = F.lag(src, off) if kind == "PREV" else F.lead(src, off)
@@ -3048,6 +3050,52 @@ def q_trino_sql_mr_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, match) — the V row's value via the single-V min trick. Both
     sides round the float sum at 4 dp (addition-order tolerance)."""
     return execute_trino(spark, TRINO_SQL_MR_VARS, sf_dir)
+
+
+TRINO_SQL_MR_DESC = """
+SELECT user_id, mn, cls
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts DESC, event_id DESC
+  MEASURES match_number() AS mn, classifier() AS cls
+  PATTERN (P C+ V)
+  DEFINE V AS event_type = 'view',
+         C AS event_type = 'click',
+         P AS event_type = 'purchase'
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr_desc",
+    oracle="""
+    WITH sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts DESC, event_id DESC) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(generate_subscripts(regexp_extract_all(s, 'PC+V'), 1)
+                AS BIGINT) AS mn,
+           'V' AS cls
+    FROM sym
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY … DESC`` in MATCH_RECOGNIZE (r8): the funnel walked
+    backwards — PATTERN (P C+ V) over descending (ts, event_id) finds
+    exactly the ascending V C+ P runs, but numbered and classified in
+    reverse (classifier() = the LAST row of the match = the V row).
+
+    The oracle classifies the SAME descending symbol string in DuckDB
+    (string_agg ORDER BY … DESC) and enumerates the non-overlapping
+    greedy 'PC+V' matches — match numbering and the final-row
+    classifier drop out of the subscript enumeration directly."""
+    return execute_trino(spark, TRINO_SQL_MR_DESC, sf_dir)
 
 
 TRINO_SQL_MR_SKIPLAST = """

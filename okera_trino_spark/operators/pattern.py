@@ -57,6 +57,21 @@ _PATTERN_OK_RE = re.compile(r"^[A-Z()|*+?{},0-9\s]+$")
 _NO_SYMBOL = "."
 
 
+def order_sort_cols(order_by: list[str]) -> tuple[list[str], list[Column]]:
+    """Split ``order_by`` entries (plain names, optionally suffixed
+    ``DESC`` — Trino MATCH_RECOGNIZE ORDER BY direction, r8) into the
+    bare column NAMES (for pruning/schema) and the Spark sort COLUMNS
+    (descending where suffixed)."""
+    names: list[str] = []
+    cols: list[Column] = []
+    for c in order_by:
+        dm = re.match(r"^(.*?)\s+DESC$", c.strip(), re.IGNORECASE)
+        name = (dm.group(1) if dm else c.strip()).strip("`")
+        names.append(name)
+        cols.append(F.col(name).desc() if dm else F.col(name))
+    return names, cols
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -76,7 +91,9 @@ def match_recognize(
 
     ``symbols`` is an ordered list of (single uppercase letter, boolean
     Column); a row takes the FIRST letter whose predicate is true, else
-    an unmatchable filler. ``pattern`` is a regex over those letters
+    an unmatchable filler. ``order_by`` entries may carry a ``DESC``
+    suffix (r8) — the pattern then walks that column descending,
+    Trino's MATCH_RECOGNIZE ORDER BY direction. ``pattern`` is a regex over those letters
     (quantifiers, groups, alternation). Output columns: the partition
     keys, ``match_num`` (1-based per partition, in order-by order),
     ``matched`` (the matched symbol string), plus one column per entry
@@ -171,10 +188,11 @@ def match_recognize(
     for name, cond in reversed(symbols):
         sym_col = F.when(cond, F.lit(name)).otherwise(sym_col)
 
+    order_names, order_cols = order_sort_cols(order_by)
     classified = df.withColumn("_sym", sym_col)
     if used_columns is not None:
         keep = list(dict.fromkeys(
-            [*partition_by, *order_by, *used_columns, "_sym"]))
+            [*partition_by, *order_names, *used_columns, "_sym"]))
         classified = classified.select(*keep)
     if all_rows:
         row_cols = [c for c in classified.columns if c != "_sym"]
@@ -330,7 +348,8 @@ def match_recognize(
 
     return (
         classified.repartition(*partition_by)
-        .sortWithinPartitions(*partition_by, *order_by)
+        .sortWithinPartitions(*[F.col(c) for c in partition_by],
+                              *order_cols)
         .mapInPandas(run, out_schema)
     )
 

@@ -102,10 +102,11 @@ def query(name: str, oracle: str | None = None,
 #:      vector measures);
 #:   3) the r2 cohort — six rounds stale, the oldest evidence in the
 #:      repo — filling the window to exactly 50 (the r2 keys left
-#:      out, q_udtf_split, q_count_star, q_fn_cast and q_union_all —
-#:      their slots went to the late-r8 q_events_pattern_empty /
-#:      q_llm_winnow / q_trino_sql_mr_vars — and q_join_right's r4
-#:      batch, have driver rows and re-enter next rotation).
+#:      out, q_udtf_split, q_count_star, q_fn_cast, q_union_all and
+#:      q_fn_array — their slots went to the late-r8
+#:      q_events_pattern_empty / q_llm_winnow / q_trino_sql_mr_vars /
+#:      q_trino_sql_mr_desc — and q_join_right's r4 batch, have
+#:      driver rows and re-enter next rotation).
 #: q_llm_bpe (rows-only, has its r7 driver row) exits the window: its
 #: weaker check never improves, so the slot buys nothing.
 _PRIORITY: tuple[str, ...] = (
@@ -116,7 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_mr_unmatched", "q_agg_approx_distinct_det",
     "q_agg_approx_percentile_det", "q_llm_project",
     "q_llm_heavy_hitters", "q_events_pattern_empty", "q_llm_winnow",
-    "q_trino_sql_mr_vars",
+    "q_trino_sql_mr_vars", "q_trino_sql_mr_desc",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
@@ -126,7 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_broadcast", "q_agg_group", "q_agg_rollup", "q_agg_stats",
     "q_win_rank", "q_win_frame_range", "q_topk",
     "q_subquery_corr", "q_cte", "q_case_expr", "q_fn_string",
-    "q_fn_date", "q_fn_array", "q_unnest",
+    "q_fn_date", "q_unnest",
     "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",
     "q_view_create_read",
     "q_stream_static_join", "q_llm_dedup_exact",

@@ -141,9 +141,10 @@ def test_match_recognize_sql_named_errors(spark):
         PATTERN (A B) DEFINE A AS value > 0, B AS value < 0)"""
     for body, msg in [
         ("ORDER BY ts", "PARTITION BY"),
-        # All three ALL-ROWS display modifiers and SUBSET are
-        # supported (r8); descending pattern order stays refused.
-        ("PARTITION BY user_id ORDER BY ts DESC", "DESC"),
+        # Display modifiers, SUBSET and ORDER BY DESC are supported
+        # (r8); a MEASURES item without an alias stays refused.
+        ("PARTITION BY user_id ORDER BY ts MEASURES count(*)",
+         "AS alias"),
         # SUBSET components must be defined pattern variables.
         ("PARTITION BY user_id ORDER BY ts SUBSET U = (A, Z)",
          "undefined"),
@@ -692,6 +693,30 @@ def test_show_empty_matches_operator(spark):
         match_recognize(_df(spark, rows), ["k"], ["seq"],
                         symbols=[("A", F.col("ev") == "a")], pattern="A*",
                         show_empty=True)
+
+
+def test_order_by_desc(spark):
+    """r8: ORDER BY … DESC walks the pattern in descending order —
+    equivalent to matching the reversed pattern ascending."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    _df(spark, [("u", i, ev, float(i)) for i, ev in
+                enumerate(["b", "a", "x", "b", "b", "a"])]
+        ).createOrReplaceTempView("mrd")
+    out = execute_trino(spark, """
+      SELECT seq, mn, cls
+      FROM mrd MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq DESC
+        MEASURES match_number() AS mn, classifier() AS cls
+        ALL ROWS PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS ev = 'a', B AS ev = 'b')
+    """).collect()
+    # Descending row order: seq 5(a) 4(b) 3(b) 2(x) 1(a) 0(b) — two
+    # matches: [5,4,3] then [1,0].
+    got = sorted((r.seq, r.mn, r.cls) for r in out)
+    assert got == [(0, 2, "B"), (1, 2, "A"),
+                   (3, 1, "B"), (4, 1, "B"), (5, 1, "A")]
 
 
 def test_qualified_measures_and_subset(spark):
