@@ -119,15 +119,28 @@ def _make_pattern_updater(pattern: str, symbols: dict[str, str],
         out, pos, consumed_to = [], 0, 0
         while True:
             m = compiled.search(s, pos)
-            if m is None or m.end() > limit:
+            # An EMPTY match at the frozen boundary belongs to the
+            # not-yet-frozen row there — hold it (the batch operator's
+            # end-of-string exclusion, r8).
+            if (m is None or m.end() > limit
+                    or (m.end() == m.start() and m.start() >= limit)):
                 break
             emitted += 1
+            # An empty match is hosted BY the row at its position
+            # (start_id == end_id, matched '') — the batch operator's
+            # ONE ROW PER MATCH shape.
             out.append((key[0], emitted, m.group(0),
-                        ids[m.start()], ids[m.end() - 1]))
-            if after_match == "past_last":
-                # finditer-style bump on an empty match (a fully
-                # optional pattern) — never stall the scan position.
-                pos = m.end() if m.end() > m.start() else m.end() + 1
+                        ids[m.start()],
+                        ids[m.end() - 1 if m.end() > m.start()
+                            else m.start()]))
+            if m.end() == m.start():
+                # Empty match: every skip mode resumes at the next row
+                # (nothing consumed; SKIP TO FIRST/LAST X has no X row
+                # to land on) — the batch operator's r8 rule; never
+                # stall the scan position.
+                pos = m.start() + 1
+            elif after_match == "past_last":
+                pos = m.end()
             elif after_match == "next_row":
                 pos = m.start() + 1
             else:

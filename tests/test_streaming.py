@@ -381,3 +381,36 @@ def test_stream_pattern_skip_modes_cross_batch():
     got3b = [(r.match_num, r.matched, r.start_id) for df in out3b
              for r in df.itertuples()]
     assert got3b == [(2, "DUD", 3)]
+
+
+def test_stream_pattern_empty_matches():
+    """r8: an empty-matchable pattern (C*) must never stall or
+    mis-host in the streaming walk: empty matches advance the scan one
+    row in EVERY skip mode, are hosted by their own row
+    (start_id == end_id, matched ''), and one at/past the finalization
+    boundary is held for a later batch — the batch operator's
+    end-of-string exclusion."""
+    import pandas as pd
+
+    from okera_trino_spark.streaming.stateful import _make_pattern_updater
+
+    sym = {"click": "C"}
+
+    def batch(ts, ids, types):
+        return iter([pd.DataFrame({
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_id": ids, "event_type": types})])
+
+    for mode, want in [
+        ("past_last", [(1, "", 1, 1), (2, "CC", 2, 3)]),
+        # next_row re-enters the run: CC at row 2, then C at row 3.
+        ("next_row", [(1, "", 1, 1), (2, "CC", 2, 3), (3, "C", 3, 3)]),
+    ]:
+        update = _make_pattern_updater("C*", sym, after_match=mode)
+        state = _FakeState(wm_ms=1)   # 1 ms > all event times: frozen
+        out = list(update((1,), batch([10, 20, 30, 40], [1, 2, 3, 4],
+                                      ["x", "click", "click", "x"]),
+                          state))
+        got = [(r.match_num, r.matched, r.start_id, r.end_id)
+               for df in out for r in df.itertuples()]
+        assert got == want, (mode, got)
