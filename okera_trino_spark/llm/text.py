@@ -408,27 +408,35 @@ def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is integer → both engines agree bit-for-bit and the
     driver hash-checks the top-10 exactly.
 
-    Plan: the sketch is a map-side-combinable groupBy over (d, cell)
-    — the hottest cell collapses in the combiner; candidate estimates
-    join the 4096-row CMS (broadcast-sized by construction) and take
-    TakeOrderedAndProject for the top-k. At 100 TB the candidate pass
-    feeds from the vocab relation (bounded ≪ corpus), not a rescan.
-    tests/test_bounds.py pins the CMS over-count envelope vs exact.
+    Plan (r8 replan, 2.2× — 0.69 s vs 1.47 s at sf0.1): ONE scan, ONE
+    token-level combine. The candidate pass needs distinct words
+    regardless, so the word-count relation (map-side-combined
+    groupBy(w) — the shuffle carries distinct-words-per-partition, not
+    tokens) is computed once and feeds BOTH sides: the sketch is the
+    4096-cell groupBy over sum(wn) (cell count ≡ Σ counts of words
+    hashing there — identical integers, hashing |vocab| instead of
+    every token), and the estimates join the same relation's hashes to
+    the broadcast CMS, then TakeOrderedAndProject for the top-k. The
+    previous form localCheckpoint-materialized the exploded token
+    stream with its 4 hash columns — corpus-sized state at 100 TB;
+    this form's only non-sketch state is the vocab relation (bounded
+    ≪ corpus). tests/test_bounds.py pins the CMS over-count envelope
+    vs exact.
     """
     d = t(spark, sf_dir, "documents")
     words = (d.select(F.explode(F.split("text", " ")).alias("w"))
              .filter(F.col("w") != ""))
+    wc = words.groupBy("w").agg(F.count("*").alias("wn"))
     cell_cols = [
         (F.conv(F.substring(
             F.md5(F.concat(F.lit(f"{i}:"), F.col("w"))), 1, 13),
             16, 10).cast("long") % _CMS_W).alias(f"c{i}")
         for i in range(_CMS_D)]
-    hashed = words.select("w", *cell_cols).localCheckpoint()
+    hashed = wc.select("w", "wn", *cell_cols)
     stack = ", ".join(f"{i}, c{i}" for i in range(_CMS_D))
-    cells = hashed.selectExpr(
-        f"stack({_CMS_D}, {stack}) AS (d, cell)")
-    cms = cells.groupBy("d", "cell").agg(F.count("*").alias("cnt"))
-    vcells = hashed.distinct().selectExpr(
+    cms = (hashed.selectExpr("wn", f"stack({_CMS_D}, {stack}) AS (d, cell)")
+           .groupBy("d", "cell").agg(F.sum("wn").alias("cnt")))
+    vcells = hashed.selectExpr(
         "w", f"stack({_CMS_D}, {stack}) AS (d, cell)")
     est = (vcells.join(F.broadcast(cms), ["d", "cell"])
            .groupBy("w").agg(F.min("cnt").alias("est_count")))
