@@ -47,9 +47,12 @@ from okera_trino_spark.operators._util import t
 from okera_trino_spark.registry import query
 
 #: Pattern alphabet guard: single-uppercase-letter symbols composed with
-#: regex quantifiers/groups/alternation only — anything else (dots,
-#: classes, anchors) would silently match the non-symbol filler char.
-_PATTERN_OK_RE = re.compile(r"^[A-Z()|*+?{},0-9\s]+$")
+#: regex quantifiers/groups/alternation, plus the ^/$ partition anchors
+#: (r8 — the per-partition symbol string IS the row sequence, so
+#: Python's string anchors coincide with Trino's partition anchors).
+#: Anything else (dots, classes) would silently match the non-symbol
+#: filler char.
+_PATTERN_OK_RE = re.compile(r"^[A-Z()|*+?{},0-9\s^$]+$")
 
 #: Classification char for rows matching no symbol. '.' is safe filler:
 #: it can appear in the symbol STRING but never in a validated PATTERN,

@@ -695,6 +695,43 @@ def test_show_empty_matches_operator(spark):
                         show_empty=True)
 
 
+def test_pattern_anchors(spark):
+    """r8: ^/$ partition anchors — the per-partition symbol string IS
+    the row sequence, so ^A matches only a partition-leading A and A$
+    only a partition-trailing one; exclusions stay a named error."""
+    from okera_trino_spark.functions.trino_sql import (
+        TrinoSqlUnsupported, execute_trino)
+
+    rows = [("u", i, ev, 0.0) for i, ev in
+            enumerate(["a", "b", "a", "b", "a"])]
+    _df(spark, rows).createOrReplaceTempView("mra")
+    head = execute_trino(spark, """
+      SELECT seq, mn FROM mra MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES match_number() AS mn
+        ALL ROWS PER MATCH
+        PATTERN (^ A B)
+        DEFINE A AS ev = 'a', B AS ev = 'b')
+    """).collect()
+    assert sorted((r.seq, r.mn) for r in head) == [(0, 1), (1, 1)]
+    tail = execute_trino(spark, """
+      SELECT seq, mn FROM mra MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES match_number() AS mn
+        ALL ROWS PER MATCH
+        PATTERN (B A $)
+        DEFINE A AS ev = 'a', B AS ev = 'b')
+    """).collect()
+    assert sorted((r.seq, r.mn) for r in tail) == [(3, 1), (4, 1)]
+    with pytest.raises(TrinoSqlUnsupported, match="exclusion"):
+        execute_trino(spark, """
+          SELECT * FROM mra MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            PATTERN (A {- B -} A)
+            DEFINE A AS ev = 'a', B AS ev = 'b')
+        """)
+
+
 def test_order_by_desc(spark):
     """r8: ORDER BY … DESC walks the pattern in descending order —
     equivalent to matching the reversed pattern ascending."""
