@@ -1973,14 +1973,11 @@ def execute_match_recognize(spark: SparkSession, sql: str,
 
     # PATTERN: identifiers must all be defined; quantifier punctuation
     # passes through (validated again by the operator) — including
-    # reluctant quantifiers (``B+?``) and the ^/$ partition anchors
-    # (r8), which Python regex implements with Trino's exact
-    # preference/anchor semantics over the per-partition symbol string.
-    if re.search(r"\{-", pat_body):
-        raise TrinoSqlUnsupported(
-            "PATTERN exclusion syntax {- … -} is not supported (rows "
-            "inside exclusions would need per-repetition span "
-            "tracking); filter the output rows by classifier instead")
+    # reluctant quantifiers (``B+?``), the ^/$ partition anchors and
+    # {- -} output exclusions (r8), which Python regex implements with
+    # Trino's exact preference/anchor semantics over the per-partition
+    # symbol string (exclusions become named groups in the operator;
+    # under a quantifier they raise the operator's named error).
     pattern = ""
     for tok in re.finditer(r"[A-Za-z_]\w*|[^A-Za-z_\s]", pat_body):
         text = tok.group(0)

@@ -60,6 +60,47 @@ _PATTERN_OK_RE = re.compile(r"^[A-Z()|*+?{},0-9\s^$]+$")
 _NO_SYMBOL = "."
 
 
+def _translate_exclusions(pattern: str) -> tuple[str, list[str]]:
+    """Rewrite Trino pattern exclusions ``{- X -}`` into Python NAMED
+    GROUPS ``(?P<_excN>X)`` and return (translated pattern, group
+    names). Restricted to parenthesis-depth 0 and unquantified: a
+    group under a quantifier keeps only its LAST repetition's span, so
+    per-row exclusion would silently drop the wrong rows — refused
+    loudly instead. Depth-0 alternation is fine (each branch matches
+    at most once per match)."""
+    out, names = "", []
+    i, depth = 0, 0
+    while i < len(pattern):
+        if pattern.startswith("{-", i):
+            if depth != 0:
+                raise ValueError(
+                    "pattern exclusion {- … -} inside a group: a "
+                    "quantified enclosing group would keep only the "
+                    "last repetition's span — hoist the exclusion to "
+                    "the top level")
+            j = pattern.find("-}", i)
+            if j < 0:
+                raise ValueError("unbalanced pattern exclusion {-")
+            inner = pattern[i + 2:j]
+            if "{-" in inner:
+                raise ValueError("nested pattern exclusions")
+            if pattern[j + 2:j + 3] in ("+", "*", "?", "{"):
+                raise ValueError(
+                    "quantified pattern exclusion {- … -}x: only the "
+                    "last repetition's span survives — quantify INSIDE "
+                    "the exclusion instead")
+            name = f"_exc{len(names)}"
+            names.append(name)
+            out += f"(?P<{name}>{inner})"
+            i = j + 2
+        else:
+            c = pattern[i]
+            depth += (c == "(") - (c == ")")
+            out += c
+            i += 1
+    return out, names
+
+
 def order_sort_cols(order_by: list[str]) -> tuple[list[str], list[Column]]:
     """Split ``order_by`` entries (plain names, optionally suffixed
     ``DESC`` — Trino MATCH_RECOGNIZE ORDER BY direction, r8) into the
@@ -96,7 +137,12 @@ def match_recognize(
     Column); a row takes the FIRST letter whose predicate is true, else
     an unmatchable filler. ``order_by`` entries may carry a ``DESC``
     suffix (r8) — the pattern then walks that column descending,
-    Trino's MATCH_RECOGNIZE ORDER BY direction. ``pattern`` is a regex over those letters
+    Trino's MATCH_RECOGNIZE ORDER BY direction. ``pattern`` may use
+    ``^``/``$`` partition anchors and ``{- X -}`` output exclusions
+    (r8): excluded rows stay part of the match — numbering, measures
+    and skip positions all see them — but are dropped from ALL-ROWS
+    output (Trino's exclusion semantics; irrelevant under ONE ROW PER
+    MATCH, as Trino). ``pattern`` is a regex over those letters
     (quantifiers, groups, alternation). Output columns: the partition
     keys, ``match_num`` (1-based per partition, in order-by order),
     ``matched`` (the matched symbol string), plus one column per entry
@@ -177,14 +223,20 @@ def match_recognize(
     if after_match not in ("past_last", "next_row", "first", "last"):
         raise ValueError(f"after_match {after_match!r}: 'past_last', "
                          "'next_row', 'first:X' or 'last:X'")
-    if not _PATTERN_OK_RE.match(pattern):
+    pat = pattern.replace(" ", "")
+    if not _PATTERN_OK_RE.match(pat.replace("{-", "(").replace("-}", ")")):
         raise ValueError(
             f"pattern {pattern!r}: only A-Z symbols with regex "
-            "quantifiers/groups/alternation are supported")
+            "quantifiers/groups/alternation, ^/$ anchors and {- -} "
+            "exclusions are supported")
     for name, _ in symbols:
         if not re.fullmatch(r"[A-Z]", name):
             raise ValueError(f"symbol {name!r}: must be one uppercase letter")
-    compiled = re.compile(pattern.replace(" ", ""))
+    # Trino output exclusions {- X -} (r8): matched as named groups;
+    # their rows stay part of the match (numbering, measures, skip
+    # positions all see them) but are dropped from ALL-ROWS output.
+    pat, exc_names = _translate_exclusions(pat)
+    compiled = re.compile(pat)
     measures = measures or {}
 
     sym_col = F.lit(_NO_SYMBOL)
@@ -302,6 +354,19 @@ def match_recognize(
                         v = fn(sl, m)   # vector (RUNNING) or scalar (FINAL)
                         chunk[alias] = (list(v) if hasattr(v, "__len__")
                                         and not isinstance(v, str) else v)
+                    if exc_names:
+                        # Exclusions drop OUTPUT rows only — measures
+                        # above already saw the full match; the kept
+                        # rows retain their RUNNING prefix values.
+                        dropped = set()
+                        for nm in exc_names:
+                            a, b = m.span(nm)
+                            if a >= 0:
+                                dropped.update(range(a, b))
+                        if dropped:
+                            keep = [k for k in range(len(chunk))
+                                    if k + m.start() not in dropped]
+                            chunk = chunk.iloc[keep]
                     parts.append(chunk)
                 if with_unmatched and not used.all():
                     rest = g.iloc[~used][row_cols].copy()

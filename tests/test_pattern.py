@@ -723,13 +723,50 @@ def test_pattern_anchors(spark):
         DEFINE A AS ev = 'a', B AS ev = 'b')
     """).collect()
     assert sorted((r.seq, r.mn) for r in tail) == [(3, 1), (4, 1)]
-    with pytest.raises(TrinoSqlUnsupported, match="exclusion"):
-        execute_trino(spark, """
-          SELECT * FROM mra MATCH_RECOGNIZE (
-            PARTITION BY k ORDER BY seq
-            PATTERN (A {- B -} A)
-            DEFINE A AS ev = 'a', B AS ev = 'b')
-        """)
+
+
+def test_pattern_exclusions(spark):
+    """r8: {- X -} output exclusions — excluded rows stay part of the
+    match (numbering, RUNNING measures, skip positions) but are
+    dropped from ALL-ROWS output; quantified/nested exclusions raise."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    rows = [("u", i, ev, float(i + 1)) for i, ev in
+            enumerate(["a", "b", "b", "c", "a", "b", "c"])]
+    _df(spark, rows).createOrReplaceTempView("mre")
+    out = execute_trino(spark, """
+      SELECT seq, mn, cls, rs
+      FROM mre MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES match_number() AS mn, classifier() AS cls,
+                 RUNNING sum(v) AS rs
+        ALL ROWS PER MATCH
+        PATTERN (A {- B+ -} C)
+        DEFINE A AS ev = 'a', B AS ev = 'b', C AS ev = 'c')
+    """).orderBy("seq").collect()
+    # B rows (seq 1, 2, 5) are matched but not emitted; the C row's
+    # RUNNING sum still includes them (1+2+3+4 = 10; 5+6+7 = 18).
+    assert [(r.seq, r.mn, r.cls, r.rs) for r in out] == [
+        (0, 1, "A", 1.0), (3, 1, "C", 10.0),
+        (4, 2, "A", 5.0), (6, 2, "C", 18.0)]
+    # ONE ROW PER MATCH: exclusions are irrelevant (Trino) — the
+    # summary row still aggregates every matched row.
+    one = execute_trino(spark, """
+      SELECT mn, n FROM mre MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES match_number() AS mn, count(*) AS n
+        PATTERN (A {- B+ -} C)
+        DEFINE A AS ev = 'a', B AS ev = 'b', C AS ev = 'c')
+    """).orderBy("mn").collect()
+    assert [(r.mn, r.n) for r in one] == [(1, 4), (2, 3)]
+    for bad in ("A {- B -}+ C", "A ({- B -} C)+"):
+        with pytest.raises(ValueError, match="exclusion"):
+            execute_trino(spark, f"""
+              SELECT * FROM mre MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY seq
+                PATTERN ({bad})
+                DEFINE A AS ev = 'a', B AS ev = 'b', C AS ev = 'c')
+            """)
 
 
 def test_order_by_desc(spark):
