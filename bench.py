@@ -84,10 +84,12 @@ HEADLINE = [
     "q_events_pattern_rows",
     "q_trino_sql_mr_prev",
     # round 8 sketch/projection family: the CMS heavy-hitter pass
-    # (corpus explode + 4-hash cell agg) and the 32-fold JL projection
-    # (the widest per-row codegen expression in the repo).
+    # (word-count-derived cell agg), the JL projection (Arrow-batched
+    # BLAS matmul), and the winnowing fingerprint pass (the heaviest
+    # pure higher-order-function pipeline — zero shuffle by design).
     "q_llm_heavy_hitters",
     "q_llm_project",
+    "q_llm_winnow",
 ]
 
 #: Timed steady-state repeats per query; per-query time is the MIN over

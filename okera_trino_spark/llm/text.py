@@ -213,37 +213,42 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale without all-pairs comparison.
 
     Spark-first shape: the whole pipeline is per-document higher-order
-    functions (transform/sequence/slice/array_min/array_distinct) in
-    whole-stage codegen — ZERO shuffle, zero Python; at 100 TB it is
-    embarrassingly parallel (output fingerprints would then feed the
-    same banded equi-join as MinHash for candidate pairing). The hash
-    is the cross-engine md5-prefix family (52-bit), so the DuckDB
-    oracle replays it bit-for-bit with a window-min; fingerprint
-    IDENTITY (the set of selected hash values per doc) is engine-order
-    independent — ties inside a window pick the same VALUE either way.
-    Docs shorter than k+w-1 normalized chars have no full window and
-    are dropped by both sides."""
+    functions (transform/sequence/slice/array_min/array_distinct) —
+    ZERO shuffle, zero Python; at 100 TB it is embarrassingly parallel
+    (output fingerprints would then feed the same banded equi-join as
+    MinHash for candidate pairing). The hash is the cross-engine
+    md5-prefix family (52-bit), so the DuckDB oracle replays it
+    bit-for-bit with a window-min; fingerprint IDENTITY (the set of
+    selected hash values per doc) is engine-order independent — ties
+    inside a window pick the same VALUE either way. Docs shorter than
+    k+w-1 normalized chars have no full window and are dropped by both
+    sides (the CASE guard also keeps ``sequence`` ascending — Spark's
+    sequence(1, n<1) silently DESCENDS).
+
+    The intermediates are bound ONCE per row as lambda variables
+    (``transform(array(expr), x -> …)``): expressed as chained
+    ``select`` columns instead, Catalyst's projection collapse
+    re-inlined the full k-gram transform into EVERY window position's
+    ``slice`` — O(n²) md5 calls per document, measured ~90× slower
+    (268 s vs 3 s for 500 docs). Lambda variables are the plan
+    algebra's let-binding; use them whenever a non-cheap array
+    intermediate feeds another higher-order function."""
     d = t(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id",
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("_s"),
-    ).where(F.length("_s") >= 10)
-    kg = s.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, length(_s) - 6), p -> "
-            "cast(conv(substring(md5(substring(_s, p, 7)), 1, 13), 16, 10)"
-            " as bigint))"
-        ).alias("_kg"),
-    )
-    wins = kg.select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform(sequence(1, size(_kg) - 3), i -> "
-            "array_min(slice(_kg, i, 4))))"
-        ).alias("_w"),
-    )
-    return wins.select("doc_id", F.explode("_w").alias("fingerprint"))
+    fps = """
+    element_at(transform(
+      array(regexp_replace(lower(text), '[^a-z0-9]', '')),
+      s -> CASE WHEN length(s) >= 10 THEN
+             element_at(transform(
+               array(transform(sequence(1, length(s) - 6),
+                     p -> cast(conv(substring(md5(substring(s, p, 7)),
+                                              1, 13), 16, 10) as bigint))),
+               kg -> array_distinct(
+                       transform(sequence(1, size(kg) - 3),
+                                 i -> array_min(slice(kg, i, 4))))),
+               1)
+           ELSE cast(array() as array<bigint>) END), 1)
+    """
+    return d.select("doc_id", F.explode(F.expr(fps)).alias("fingerprint"))
 
 
 @query(

@@ -343,3 +343,42 @@ def test_jl_projection_preserves_cosine_structure(spark, sf_dir):
     corr = float(np.corrcoef(his, los)[0, 1])
     mean_d = float(np.mean(np.abs(his - los)))
     assert corr > 0.35 and mean_d < 0.25, (corr, mean_d)
+
+
+def test_winnow_shared_substring_guarantee(spark, tmp_path):
+    """Winnowing's defining property (the MOSS guarantee): any two
+    documents sharing a substring of length >= k + w - 1 = 10
+    normalized characters share at least one selected fingerprint —
+    and documents over disjoint alphabets share none."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+
+    def blob(alpha, n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    docs, want_pairs = [], []
+    for i in range(10):
+        shared = blob("abcdefgh", rng.randint(12, 40))
+        a = blob("abcdefgh", 30) + shared + blob("abcdefgh", 30)
+        b = blob("abcdefgh", 25) + shared + blob("abcdefgh", 25)
+        docs.append((2 * i, a))
+        docs.append((2 * i + 1, b))
+        want_pairs.append((2 * i, 2 * i + 1))
+    # disjoint-alphabet controls: no shared 7-gram can even exist
+    docs.append((100, blob("qrstuv", 80)))
+    docs.append((101, blob("wxyz01", 80)))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    sf = str(tmp_path / "winnow_fixture")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    SPECS = load_all_queries()
+    out = SPECS["q_llm_winnow"].fn(spark, sf).collect()
+    fps: dict = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for a, b in want_pairs:
+        assert fps[a] & fps[b], (a, b)
+    assert not (fps[100] & fps[101])
