@@ -323,6 +323,17 @@ def match_recognize(
             for _, g in pdf.groupby(partition_by, sort=False, dropna=False):
                 s = "".join(g["_sym"])
                 used = np.zeros(len(g), dtype=bool)
+                # ONE output frame per group (r8): per-match pandas
+                # chunks made the emit O(#matches) DataFrame
+                # allocations — with short runs or SHOW EMPTY MATCHES
+                # that approaches O(rows) and measured 93 s at sf0.1
+                # on the C* key; accumulating flat position/value
+                # lists and slicing g ONCE brings it to ~3 s.
+                pos_l: list[int] = []
+                mn_l: list = []
+                cls_l: list = []
+                meas_l: dict[str, list] = {a: [] for a in measures}
+                empty_sl = g.iloc[0:0]
                 for i, m in enumerate(matches(s), start=1):
                     if m.start() == m.end():
                         # Empty match: numbered either way; emitted
@@ -332,41 +343,48 @@ def match_recognize(
                         if not show_empty:
                             continue
                         used[m.start()] = True
-                        sl = g.iloc[m.start():m.start()]
-                        chunk = g.iloc[m.start():m.start() + 1][
-                            row_cols].copy()
-                        chunk["match_num"] = i
-                        chunk["classifier"] = None
+                        pos_l.append(m.start())
+                        mn_l.append(i)
+                        cls_l.append(None)
                         for alias, fn in measures.items():
-                            v = fn(sl, m)
+                            v = fn(empty_sl, m)
                             if (hasattr(v, "__len__")
                                     and not isinstance(v, str)):
                                 v = list(v)[0] if len(v) else None
-                            chunk[alias] = v
-                        parts.append(chunk)
+                            meas_l[alias].append(v)
                         continue
                     used[m.start():m.end()] = True
                     sl = g.iloc[m.start():m.end()]
-                    chunk = sl[row_cols].copy()
-                    chunk["match_num"] = i
-                    chunk["classifier"] = list(m.group(0))
-                    for alias, fn in measures.items():
-                        v = fn(sl, m)   # vector (RUNNING) or scalar (FINAL)
-                        chunk[alias] = (list(v) if hasattr(v, "__len__")
-                                        and not isinstance(v, str) else v)
+                    rel = list(range(m.end() - m.start()))
                     if exc_names:
                         # Exclusions drop OUTPUT rows only — measures
-                        # above already saw the full match; the kept
+                        # below still see the full match; the kept
                         # rows retain their RUNNING prefix values.
                         dropped = set()
                         for nm in exc_names:
                             a, b = m.span(nm)
                             if a >= 0:
-                                dropped.update(range(a, b))
+                                dropped.update(
+                                    range(a - m.start(), b - m.start()))
                         if dropped:
-                            keep = [k for k in range(len(chunk))
-                                    if k + m.start() not in dropped]
-                            chunk = chunk.iloc[keep]
+                            rel = [k for k in rel if k not in dropped]
+                    pos_l.extend(k + m.start() for k in rel)
+                    mn_l.extend([i] * len(rel))
+                    gtxt = m.group(0)
+                    cls_l.extend(gtxt[k] for k in rel)
+                    for alias, fn in measures.items():
+                        v = fn(sl, m)   # vector (RUNNING) or scalar (FINAL)
+                        if hasattr(v, "__len__") and not isinstance(v, str):
+                            v = list(v)
+                            meas_l[alias].extend(v[k] for k in rel)
+                        else:
+                            meas_l[alias].extend([v] * len(rel))
+                if pos_l:
+                    chunk = g.iloc[pos_l][row_cols].copy()
+                    chunk["match_num"] = mn_l
+                    chunk["classifier"] = cls_l
+                    for alias in measures:
+                        chunk[alias] = meas_l[alias]
                     parts.append(chunk)
                 if with_unmatched and not used.all():
                     rest = g.iloc[~used][row_cols].copy()
