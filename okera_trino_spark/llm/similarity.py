@@ -143,13 +143,19 @@ def _nearest_centroid(emb: Column, cents: list[list[float]]) -> Column:
             F.zip_with(emb, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
             F.lit(0.0), lambda acc, v: acc + v)
 
-    best_d, best_i = F.round(sqdist(cents[0]), 6), F.lit(0)
-    for i, c in enumerate(cents[1:], start=1):
-        d = F.round(sqdist(c), 6)
-        closer = d < best_d
-        best_i = F.when(closer, F.lit(i)).otherwise(best_i)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return best_i
+    # The k distances live in ONE array, bound once as a lambda
+    # variable; argmin = first position of the min (lowest-index
+    # tie-break). The previous when-chain fold referenced each
+    # rounded distance inside every later comparison, and expression
+    # duplication re-evaluated the interpreted zip_with folds
+    # repeatedly per row (the q_llm_winnow lesson; measured 8× on
+    # this key). Same arithmetic term-for-term — the oracle replay is
+    # untouched.
+    ds = F.array(*[F.round(sqdist(c), 6) for c in cents])
+    return (F.element_at(
+        F.transform(F.array(ds),
+                    lambda d: F.array_position(d, F.array_min(d))), 1)
+            - 1).cast("int")
 
 
 def _ann_ivf_oracle(k: int = 8, dim: int = DIM, iters: int = 2) -> str:
@@ -232,7 +238,11 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     cents = ivf_centroids(e, k=8, iters=2)
     assigned = e.withColumn("c", _nearest_centroid(F.col("embedding"), cents))
-    probe_row = assigned.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    # The probe fetch reads the RAW embedding — fetching it from
+    # `assigned` re-evaluated the whole argmin pass just to discard it
+    # (r8; one of 4 assignment evaluations, now 3: two training
+    # iterations + the final pipeline).
+    probe_row = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     qv = probe_row["embedding"]
     # nprobe=2: the probe's own cell plus its next-nearest centroid.
     # Sequential Python sum = the same left-to-right fold as the
