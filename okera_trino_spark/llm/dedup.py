@@ -639,9 +639,13 @@ def embed_near_dups(e: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    from okera_trino_spark.llm.similarity import cosine_vec
+    # Candidate volume at a 0.5 threshold is large by design (weak
+    # band pruning buys recall), so the rescore is the Arrow-batched
+    # BLAS cosine, not the per-row interpreted fold (r8, ~4×).
     return (
         cands.join(a, "vec_a").join(b, "vec_b")
-        .withColumn("cos_sim_raw", cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("cos_sim_raw", cosine_vec(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos_sim_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
