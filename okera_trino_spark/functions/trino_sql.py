@@ -79,6 +79,14 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     patterns, measures match_number/classifier/count/first/last/sum/
     avg/min/max) onto the match_recognize operator
     (operators/pattern.py) and splice the result into the statement
+  - wave 15 (r8): histogram→map over a lambda-bound collect;
+    multimap_agg→grouped entry map; hamming_distance (length-guarded
+    position compare); 2-arg bit_count (bits-wide two's complement
+    with Trino's representability check); ngrams (whole-array n-gram
+    when n ≥ cardinality); json_array_contains with literal search
+    values (type drives the decode); array-form cosine_similarity;
+    named errors for approx_most_frequent / numeric_histogram
+    (non-deterministic sketches) and the map-vector cosine form
   - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
     (Trino's repeat builds an ARRAY; Spark's same-named repeat is
     string repetition — a silent mistranslation if passed through);
@@ -935,6 +943,138 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         return None
 
     code = _rewrite_calls(code, "truncate", _truncate_fn)
+
+    # ---- wave 15 (r8): aggregate/array/string breadth. The collect
+    # results are bound ONCE as lambda variables (transform(array(agg),
+    # x -> …) — aggregates may not appear inside lambda bodies, and
+    # the binding also avoids re-evaluating the buffer per element.
+    code = _rewrite_calls(
+        code, "histogram",
+        lambda a: (
+            f"element_at(transform(array(collect_list({a[0]})), _hl -> "
+            "map_from_entries(transform(array_distinct(_hl), _hv -> "
+            "struct(_hv, CAST(size(filter(_hl, _hx -> _hx <=> _hv)) "
+            "AS BIGINT))))), 1)")
+        if len(a) == 1 else None)
+    code = _rewrite_calls(
+        code, "multimap_agg",
+        lambda a: (
+            "element_at(transform(array(collect_list(named_struct("
+            f"'k', {a[0]}, 'v', {a[1]}))), _ml -> "
+            "map_from_entries(transform("
+            "array_distinct(transform(_ml, _me -> _me.k)), _kk -> "
+            "struct(_kk, transform(filter(_ml, _me -> _me.k <=> _kk), "
+            "_me -> _me.v))))), 1)")
+        if len(a) == 2 else None)
+
+    def _hamming_fn(a):
+        if len(a) != 2:
+            return None
+        x, y = f"({a[0]})", f"({a[1]})"
+        return (
+            f"(CASE WHEN length({x}) <> length({y}) THEN "
+            "CAST(raise_error('hamming_distance: the input strings must "
+            "have the same length') AS BIGINT) "
+            f"WHEN length({x}) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(size(filter(sequence(1, length({x})), _hp -> "
+            f"substring({x}, _hp, 1) <> substring({y}, _hp, 1))) "
+            "AS BIGINT) END)")
+
+    code = _rewrite_calls(code, "hamming_distance", _hamming_fn)
+
+    def _bit_count_fn(a):
+        # Trino bit_count(x, bits) counts ones in the bits-wide two's
+        # complement and VALIDATES x fits; Spark's is 64-bit 1-arg.
+        if len(a) != 2 or not re.fullmatch(r"\d+", a[1].strip()):
+            return None
+        b = int(a[1])
+        if not 2 <= b <= 64:
+            return None
+        x = f"({a[0]})"
+        if b == 64:
+            return f"CAST(bit_count({x}) AS BIGINT)"
+        lo, hi = -(1 << (b - 1)), (1 << (b - 1)) - 1
+        mask = (1 << b) - 1
+        return (
+            f"(CASE WHEN {x} BETWEEN {lo} AND {hi} "
+            f"THEN CAST(bit_count({x} & {mask}) AS BIGINT) "
+            f"ELSE CAST(raise_error('bit_count: value must be "
+            f"representable in {b} bits') AS BIGINT) END)")
+
+    code = _rewrite_calls(code, "bit_count", _bit_count_fn)
+
+    def _ngrams_fn(a):
+        # n > cardinality yields the single whole-array n-gram (Trino).
+        if len(a) != 2 or not re.fullmatch(r"\d+", a[1].strip()):
+            return None
+        n = int(a[1])
+        if n < 1:
+            return None
+        return (
+            f"element_at(transform(array(({a[0]})), _na -> "
+            f"CASE WHEN size(_na) <= {n} THEN array(_na) "
+            f"ELSE transform(sequence(1, size(_na) - {n} + 1), "
+            f"_ni -> slice(_na, _ni, {n})) END), 1)")
+
+    code = _rewrite_calls(code, "ngrams", _ngrams_fn)
+
+    def _json_array_contains_fn(a):
+        if len(a) != 2:
+            return None
+        v = a[1].strip()
+        if re.fullmatch(r"-?\d+(\.\d+)?", v):
+            et, cast_v = "double", f"CAST({v} AS DOUBLE)"
+        elif re.fullmatch(r"'(?:[^']|'')*'", v) or re.fullmatch(
+                "'\x00\\d+\x00'", v):   # string literal (masked form)
+            et, cast_v = "string", v
+        elif v.upper() in ("TRUE", "FALSE"):
+            et, cast_v = "boolean", v.lower()
+        else:
+            raise TrinoSqlUnsupported(
+                "json_array_contains with a non-literal search value "
+                "(the element type drives the JSON decode)")
+        return (
+            f"element_at(transform(array(from_json(({a[0]}), "
+            f"'array<{et}>')), _ja -> CASE WHEN _ja IS NULL THEN NULL "
+            f"ELSE coalesce(array_contains(_ja, {cast_v}), false) END), "
+            "1)")
+
+    code = _rewrite_calls(code, "json_array_contains",
+                          _json_array_contains_fn)
+
+    def _cosine_similarity_fn(a):
+        # Trino's array form (the map-vector form stays unsupported —
+        # it would need sparse-map alignment, and Spark's analyzer
+        # rejects the map inputs loudly anyway).
+        if len(a) != 2:
+            return None
+        x, y = f"({a[0]})", f"({a[1]})"
+        def ssq(v):
+            return (f"aggregate(transform({v}, _cx -> _cx * _cx), "
+                    "CAST(0 AS DOUBLE), (_ca, _cv) -> _ca + _cv)")
+        return (
+            f"(aggregate(zip_with({x}, {y}, (_cx, _cy) -> _cx * _cy), "
+            "CAST(0 AS DOUBLE), (_ca, _cv) -> _ca + _cv) "
+            f"/ (sqrt({ssq(x)}) * sqrt({ssq(y)})))")
+
+    code = _rewrite_calls(code, "cosine_similarity", _cosine_similarity_fn)
+
+    def _named_unsupported(name, why):
+        def fn(a):
+            raise TrinoSqlUnsupported(f"{name}() is not supported ({why})")
+        return fn
+
+    code = _rewrite_calls(
+        code, "approx_most_frequent",
+        _named_unsupported("approx_most_frequent",
+                           "non-deterministic sketch; use the exact "
+                           "group-count top-k or the deterministic CMS "
+                           "heavy-hitter operator"))
+    code = _rewrite_calls(
+        code, "numeric_histogram",
+        _named_unsupported("numeric_histogram",
+                           "non-deterministic streaming bucketer; use "
+                           "width_bucket + count"))
 
     # URL family → Spark parse_url parts.
     for name, part in (("url_extract_protocol", "PROTOCOL"),
@@ -2778,6 +2918,51 @@ def q_trino_sql_breadth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle recomputes each value independently (constant
     results as literals, corpus-dependent ones re-derived)."""
     return execute_trino(spark, TRINO_SQL_BREADTH2, sf_dir)
+
+
+TRINO_SQL_BREADTH3 = """
+SELECT n_nationkey,
+       bit_count(n_nationkey, 8) AS bits,
+       ngrams(split(n_name, '_'), 1) AS ng,
+       json_array_contains('[0,2,4,6,8]', 4) AS jc,
+       round(cosine_similarity(ARRAY[1.0, CAST(n_nationkey AS DOUBLE)],
+                               ARRAY[1.0, 1.0]), 4) AS cs,
+       hamming_distance(substring(n_name, 1, 6), 'NATION') AS hd,
+       element_at((SELECT histogram(n_regionkey) FROM nation),
+                  n_nationkey % 5) AS hcnt
+FROM nation
+"""
+
+
+@query(
+    "q_trino_sql_breadth3",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(bit_count(n_nationkey) AS BIGINT) AS bits,
+           list_transform(str_split(n_name, '_'), x -> [x]) AS ng,
+           true AS jc,
+           round(list_cosine_similarity(
+               [1.0, CAST(n_nationkey AS DOUBLE)], [1.0, 1.0]), 4) AS cs,
+           CAST(hamming(substring(n_name, 1, 6), 'NATION') AS BIGINT)
+               AS hd,
+           CAST((SELECT histogram(n_regionkey) FROM nation)
+                [n_nationkey % 5][1] AS BIGINT) AS hcnt
+    FROM nation
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_breadth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect wave 15 (r8): 2-arg ``bit_count`` (bits-wide two's
+    complement with Trino's representability check — the nation keys
+    fit 8 bits, so DuckDB's 64-bit popcount is the oracle),
+    ``ngrams`` (1-grams of the split name), ``json_array_contains``
+    (literal-typed decode), array ``cosine_similarity`` (the fold
+    Trino's array form computes), ``hamming_distance`` (position
+    compare with a length guard), and ``histogram`` (map<value,
+    count> — collect bound once as a lambda variable; DuckDB has the
+    same aggregate natively). Every shim is JVM-side; map values
+    compare canonically (sorted key order) in the driver hash."""
+    return execute_trino(spark, TRINO_SQL_BREADTH3, sf_dir)
 
 
 TRINO_SQL_MR_RUNNING = """

@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_approx_percentile_det", "q_llm_project",
     "q_llm_heavy_hitters", "q_events_pattern_empty", "q_llm_winnow",
     "q_trino_sql_mr_vars", "q_trino_sql_mr_desc",
+    "q_trino_sql_breadth3",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
@@ -126,7 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_inner", "q_join_left", "q_join_semi",
     "q_join_broadcast", "q_agg_group", "q_agg_rollup", "q_agg_stats",
     "q_win_rank", "q_win_frame_range", "q_topk",
-    "q_subquery_corr", "q_cte", "q_case_expr", "q_fn_string",
+    "q_cte", "q_case_expr", "q_fn_string",
     "q_fn_date", "q_unnest",
     "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",
     "q_view_create_read",

@@ -1330,3 +1330,66 @@ def test_limit_all_is_no_limit(spark, sf_dir, oracle):
             "WHERE o_orderkey <= 50 ORDER BY o_orderkey")
     df = execute_trino(spark, trino, sf_dir)
     check_query(df, oracle, duck, name="limit_all")
+
+
+WAVE15 = [
+    ("hamming", "SELECT hamming_distance('karolin', 'kathrin') AS d",
+     "SELECT CAST(3 AS BIGINT) AS d"),
+    ("bit8_neg", "SELECT bit_count(-7, 8) AS b",
+     "SELECT CAST(6 AS BIGINT) AS b"),
+    ("bit64", "SELECT bit_count(7, 64) AS b",
+     "SELECT CAST(3 AS BIGINT) AS b"),
+    ("ngrams", "SELECT ngrams(ARRAY['a','b','c'], 2) AS n",
+     "SELECT [['a','b'],['b','c']] AS n"),
+    ("ngrams_short", "SELECT ngrams(ARRAY['a','b'], 5) AS n",
+     "SELECT [['a','b']] AS n"),
+    ("jac_num", "SELECT json_array_contains('[1,2,3]', 2) AS b",
+     "SELECT true AS b"),
+    ("jac_str_miss", "SELECT json_array_contains('[\"x\"]', 'y') AS b",
+     "SELECT false AS b"),
+    ("cos_arr",
+     "SELECT round(cosine_similarity(ARRAY[1.0, 2.0], "
+     "ARRAY[2.0, 4.0]), 4) AS c",
+     "SELECT round(CAST(1.0 AS DOUBLE), 4) AS c"),
+    ("histogram_probe",
+     "SELECT n_regionkey, histogram(n_nationkey % 2)[1] AS odd "
+     "FROM nation GROUP BY n_regionkey",
+     "SELECT n_regionkey, CAST(count(*) FILTER (WHERE n_nationkey % 2 "
+     "= 1) AS BIGINT) AS odd FROM nation GROUP BY n_regionkey"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", WAVE15,
+                         ids=[c[0] for c in WAVE15])
+def test_trino_wave15(spark, sf_dir, oracle, name, trino, duck):
+    """Dialect wave 15 (r8): histogram/multimap_agg/hamming_distance/
+    2-arg bit_count/ngrams/json_array_contains/array cosine."""
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name=f"wave15:{name}")
+
+
+def test_trino_wave15_errors_and_multimap(spark, sf_dir):
+    """Wave-15 edges: length/representability guards raise at runtime,
+    the non-deterministic sketches raise named errors, and
+    multimap_agg groups values per key (order-insensitive check —
+    collect order is partition-dependent)."""
+    with pytest.raises(Exception, match="same length"):
+        execute_trino(spark, "SELECT hamming_distance('ab', 'abc') AS d",
+                      sf_dir).collect()
+    with pytest.raises(Exception, match="representable"):
+        execute_trino(spark, "SELECT bit_count(300, 8) AS b",
+                      sf_dir).collect()
+    with pytest.raises(TrinoSqlUnsupported, match="approx_most_frequent"):
+        execute_trino(
+            spark, "SELECT approx_most_frequent(3, n_regionkey, 10) "
+            "FROM nation", sf_dir)
+    with pytest.raises(TrinoSqlUnsupported, match="non-literal"):
+        execute_trino(
+            spark, "SELECT json_array_contains('[1]', n_regionkey) "
+            "FROM nation", sf_dir)
+    m = execute_trino(
+        spark, "SELECT multimap_agg(n_regionkey, n_name) AS m "
+        "FROM nation", sf_dir).collect()[0].m
+    assert sorted(m.keys()) == [0, 1, 2, 3, 4]
+    assert all(sorted(v) == sorted(set(v)) and len(v) == 5
+               for v in m.values())
