@@ -85,8 +85,13 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     with Trino's representability check); ngrams (whole-array n-gram
     when n ≥ cardinality); json_array_contains with literal search
     values (type drives the decode); array-form cosine_similarity;
-    named errors for approx_most_frequent / numeric_histogram
-    (non-deterministic sketches) and the map-vector cosine form
+    combinations (n = 1..3, index-lexicographic); reduce_agg →
+    sequential fold of the collected inputs (commutative/associative
+    by Trino contract); FROM UNNEST and comma-lateral UNNEST
+    spellings (join the CROSS JOIN form's lowering); named errors for
+    approx_most_frequent / numeric_histogram (non-deterministic
+    sketches), normalize (no JVM normalizer), combinations n > 3, and
+    the map-vector cosine form
   - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
     (Trino's repeat builds an ARRAY; Spark's same-named repeat is
     string repetition — a silent mistranslation if passed through);
@@ -364,6 +369,8 @@ _EXTRACT_FIELD_MAP = {
 _TRY_RE = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
 _UNNEST_RE = re.compile(
     r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+_FROM_UNNEST_RE = re.compile(
+    r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
 _UNNEST_TAIL_RE = re.compile(
     r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)",
     re.IGNORECASE)
@@ -547,7 +554,56 @@ def _rewrite_unnest(code: str) -> str:
         transform(arr, (x, i) -> struct(x, CAST(i + 1 AS BIGINT))))`` —
         1-based like Trino, and a plain higher-order expression so the
         plan stays whole-stage codegen.
+
+    All three Trino spellings reach the same lowering (r8): explicit
+    ``CROSS JOIN UNNEST``, the implicit-lateral comma form
+    (``FROM t, UNNEST(…)``), and the standalone ``FROM UNNEST(…)``
+    (wrapped as a single-row-seeded derived table so the alias exposes
+    exactly the declared columns).
     """
+    # Implicit-lateral comma form → CROSS JOIN (UNNEST is table-level
+    # only in Trino, so a depth-any ", UNNEST(" is always a join item).
+    code = re.sub(r",\s*UNNEST\s*\(", " CROSS JOIN UNNEST (", code,
+                  flags=re.IGNORECASE)
+
+    def _gen_for(args, cols, with_ord):
+        if with_ord:   # WITH ORDINALITY — last alias column is 1-based
+            if len(args) != 1 or len(cols) != 2:
+                raise TrinoSqlUnsupported(
+                    "UNNEST ... WITH ORDINALITY is supported for a single "
+                    "array with AS t(col, ord) aliasing")
+            return (f"inline(transform({args[0]}, "
+                    f"(__x, __i) -> struct(__x, CAST(__i + 1 AS BIGINT))))")
+        if len(args) == 1 and len(cols) == 1:
+            return f"explode({args[0]})"
+        if len(args) == 1 and len(cols) == 2:
+            # Trino map unnest: one MAP argument, (key, value) columns.
+            return f"explode({args[0]})"
+        if len(args) == len(cols) and len(args) >= 2:
+            return f"inline(arrays_zip({', '.join(args)}))"
+        raise TrinoSqlUnsupported(
+            f"UNNEST with {len(args)} arguments and {len(cols)} alias "
+            "columns has no Spark translation")
+
+    while True:   # standalone FROM UNNEST(…) [WITH ORDINALITY] AS t(…)
+        m = _FROM_UNNEST_RE.search(code)
+        if not m:
+            break
+        open_idx = m.end() - 1
+        close = _find_close(code, open_idx)
+        args = _split_top_level(code[open_idx + 1:close])
+        tail = _UNNEST_TAIL_RE.match(code, close + 1)
+        if not tail:
+            raise TrinoSqlUnsupported(
+                "FROM UNNEST requires the AS alias(columns...) form")
+        alias = tail.group(2)
+        cols = ", ".join(c.strip() for c in tail.group(3).split(","))
+        gen = _gen_for(args, [c.strip() for c in tail.group(3).split(",")],
+                       tail.group(1))
+        code = (code[:m.start()]
+                + f"FROM (SELECT {cols} FROM (SELECT 1) "
+                + f"LATERAL VIEW {gen} __uv AS {cols}) AS {alias}"
+                + code[tail.end():])
     while True:
         m = _UNNEST_RE.search(code)
         if not m:
@@ -561,24 +617,7 @@ def _rewrite_unnest(code: str) -> str:
                 "CROSS JOIN UNNEST requires the AS alias(columns...) form")
         alias = tail.group(2)
         cols = [c.strip() for c in tail.group(3).split(",")]
-        if tail.group(1):  # WITH ORDINALITY — last alias column is 1-based
-            if len(args) != 1 or len(cols) != 2:
-                raise TrinoSqlUnsupported(
-                    "UNNEST ... WITH ORDINALITY is supported for a single "
-                    "array with AS t(col, ord) aliasing")
-            gen = (f"inline(transform({args[0]}, "
-                   f"(__x, __i) -> struct(__x, CAST(__i + 1 AS BIGINT))))")
-        elif len(args) == 1 and len(cols) == 1:
-            gen = f"explode({args[0]})"
-        elif len(args) == 1 and len(cols) == 2:
-            # Trino map unnest: one MAP argument, (key, value) columns.
-            gen = f"explode({args[0]})"
-        elif len(args) == len(cols) and len(args) >= 2:
-            gen = f"inline(arrays_zip({', '.join(args)}))"
-        else:
-            raise TrinoSqlUnsupported(
-                f"UNNEST with {len(args)} arguments and {len(cols)} alias "
-                "columns has no Spark translation")
+        gen = _gen_for(args, cols, tail.group(1))
         code = (code[:m.start()]
                 + f" LATERAL VIEW {gen} {alias} AS {', '.join(cols)} "
                 + code[tail.end():])
@@ -1075,6 +1114,57 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         _named_unsupported("numeric_histogram",
                            "non-deterministic streaming bucketer; use "
                            "width_bucket + count"))
+    code = _rewrite_calls(
+        code, "normalize",
+        _named_unsupported("normalize",
+                           "Spark SQL has no Unicode normalizer "
+                           "builtin; normalize text upstream"))
+
+    def _combinations_fn(a):
+        # n-element subsets in Trino's index-lexicographic order; the
+        # nested index transforms stay whole-stage codegen. n is
+        # literal 1..3 here (Trino caps at 5; 4-5 raise named).
+        if len(a) != 2 or not re.fullmatch(r"\d+", a[1].strip()):
+            return None
+        n = int(a[1])
+        arr = f"({a[0]})"
+        if n == 1:
+            return f"transform({arr}, _c0 -> array(_c0))"
+        # size < n yields a typed empty array-of-arrays (transform of
+        # an empty slice — sequence(1, n<1) would DESCEND, the pinned
+        # r8 lesson, so every sequence below is CASE-guarded).
+        empty = "transform(slice(_ca, 1, 0), _x -> array(_x))"
+        if n == 2:
+            return (
+                f"element_at(transform(array({arr}), _ca -> "
+                f"CASE WHEN size(_ca) < 2 THEN {empty} ELSE "
+                "flatten(transform(sequence(1, size(_ca) - 1), _i -> "
+                "transform(sequence(_i + 1, size(_ca)), _j -> "
+                "array(_ca[_i - 1], _ca[_j - 1])))) END), 1)")
+        if n == 3:
+            return (
+                f"element_at(transform(array({arr}), _ca -> "
+                f"CASE WHEN size(_ca) < 3 THEN {empty} ELSE "
+                "flatten(flatten(transform(sequence(1, size(_ca) - 2), "
+                "_i -> transform(sequence(_i + 1, size(_ca) - 1), _j -> "
+                "transform(sequence(_j + 1, size(_ca)), _k -> "
+                "array(_ca[_i - 1], _ca[_j - 1], _ca[_k - 1])))))) "
+                "END), 1)")
+        raise TrinoSqlUnsupported(
+            f"combinations(arr, {n}) — supported for n in 1..3 (the "
+            "expansion is C(size, n); enumerate larger subsets with an "
+            "explicit join)")
+
+    code = _rewrite_calls(code, "combinations", _combinations_fn)
+
+    # reduce_agg(x, s0, input_fn, combine_fn): Trino REQUIRES the
+    # functions to be commutative/associative, so folding the collected
+    # inputs sequentially with input_fn is semantically identical (the
+    # combiner exists only for partial-state merging).
+    code = _rewrite_calls(
+        code, "reduce_agg",
+        lambda a: (f"aggregate(collect_list({a[0]}), {a[1]}, {a[2]})")
+        if len(a) == 4 else None)
 
     # URL family → Spark parse_url parts.
     for name, part in (("url_extract_protocol", "PROTOCOL"),

@@ -1393,3 +1393,53 @@ def test_trino_wave15_errors_and_multimap(spark, sf_dir):
     assert sorted(m.keys()) == [0, 1, 2, 3, 4]
     assert all(sorted(v) == sorted(set(v)) and len(v) == 5
                for v in m.values())
+
+
+WAVE15B = [
+    ("comb2", "SELECT combinations(ARRAY[1,2,3], 2) AS c",
+     "SELECT [[1,2],[1,3],[2,3]] AS c"),
+    ("comb3", "SELECT combinations(ARRAY[1,2,3,4], 3) AS c",
+     "SELECT [[1,2,3],[1,2,4],[1,3,4],[2,3,4]] AS c"),
+    ("comb1", "SELECT combinations(ARRAY['a','b'], 1) AS c",
+     "SELECT [['a'],['b']] AS c"),
+    ("comb_small", "SELECT combinations(ARRAY[1,2], 3) AS c",
+     "SELECT []::BIGINT[][] AS c"),
+    ("reduce_agg",
+     "SELECT reduce_agg(n_nationkey, 0, (a, b) -> a + b, "
+     "(a, b) -> a + b) AS s FROM nation",
+     "SELECT CAST(sum(n_nationkey) AS BIGINT) AS s FROM nation"),
+    ("from_unnest_ord",
+     "SELECT * FROM UNNEST(ARRAY['a','b']) WITH ORDINALITY AS t(v, i)",
+     "SELECT * FROM (VALUES ('a', CAST(1 AS BIGINT)), "
+     "('b', CAST(2 AS BIGINT))) t(v, i)"),
+    ("from_unnest_plain",
+     "SELECT v FROM UNNEST(ARRAY[7, 8]) AS t(v)",
+     "SELECT unnest([7, 8]) AS v"),
+    ("comma_unnest",
+     "SELECT n_name, w FROM nation, UNNEST(split(n_name, '_')) AS t(w) "
+     "WHERE n_nationkey < 2",
+     "SELECT n_name, unnest(str_split(n_name, '_')) AS w FROM nation "
+     "WHERE n_nationkey < 2"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", WAVE15B,
+                         ids=[c[0] for c in WAVE15B])
+def test_trino_wave15b(spark, sf_dir, oracle, name, trino, duck):
+    """Dialect wave 15b (r8): combinations (n = 1..3, CASE-guarded
+    against the descending-sequence trap), reduce_agg (sequential fold
+    of the collected inputs — Trino requires commutative/associative
+    functions, so order is immaterial), and the two remaining UNNEST
+    spellings (standalone FROM UNNEST and the implicit-lateral comma
+    form)."""
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name=f"wave15b:{name}")
+
+
+def test_trino_wave15b_named_errors(spark, sf_dir):
+    with pytest.raises(TrinoSqlUnsupported, match="combinations"):
+        execute_trino(spark,
+                      "SELECT combinations(ARRAY[1,2,3,4,5,6], 5) AS c",
+                      sf_dir)
+    with pytest.raises(TrinoSqlUnsupported, match="normalize"):
+        execute_trino(spark, "SELECT normalize('x') AS n", sf_dir)
