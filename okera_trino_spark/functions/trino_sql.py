@@ -92,6 +92,23 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     approx_most_frequent / numeric_histogram (non-deterministic
     sketches), normalize (no JVM normalizer), combinations n > 3, and
     the map-vector cosine form
+  - wave 16 (r8): string literals restore with backslashes DOUBLED —
+    Trino literals have no escape character, Spark's parser eats one
+    layer, so '\\d' now reaches the regex engine intact (previously a
+    silent mistranslation of every backslash); 2-arg regexp_extract_all
+    → group 0 (Spark defaults to group 1); to_base/from_base → signed
+    lowercase conv; strpos(s, sub, n) occurrence instances (filtered
+    index sequence, negative n from the end); regexp_position →
+    regexp_instr with the -1 miss convention; parse_duration (literal)
+    → make_dt_interval; to_milliseconds → DAY-TO-SECOND-normalized
+    DECIMAL cast; to_iso8601 (typeof-dispatched DATE/timestamp forms);
+    timezone_hour/timezone_minute (session-zone offset at the
+    instant); with_timezone → UTC-instant convert_timezone;
+    from/to_big_endian_64 via signed conv/hex; wilson_interval_lower/
+    _upper arithmetic; human_readable_seconds (week→second parts,
+    pluralized, ', '-joined); md5/sha1 → unhex'd VARBINARY like
+    sha256; named errors for xxhash64 (Spark seeds with 42 — values
+    differ), murmur3, word_stem, spooky_hash_v2_*, format_number
   - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
     (Trino's repeat builds an ARRAY; Spark's same-named repeat is
     string repetition — a silent mistranslation if passed through);
@@ -767,6 +784,12 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(code, "regexp_extract",
                           lambda a: f"regexp_extract({', '.join(a)}, 0)"
                           if len(a) == 2 else None)
+    # Same group-0 default for the _all form (Spark's 2-arg
+    # regexp_extract_all errors on group-less patterns and silently
+    # returns group 1 otherwise).
+    code = _rewrite_calls(code, "regexp_extract_all",
+                          lambda a: f"regexp_extract_all({', '.join(a)}, 0)"
+                          if len(a) == 2 else None)
     # Trino sha256/sha512 return VARBINARY; Spark's sha2 returns the hex
     # STRING, so unhex restores binary-for-binary semantics (to_hex of
     # the result then round-trips exactly).
@@ -1324,6 +1347,223 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
 
     code = _rewrite_calls(code, "date_format", _datefmt("date_format"))
     code = _rewrite_calls(code, "date_parse", _datefmt("to_timestamp"))
+
+    # ---- wave 16 (r8): base/byte-order conversion, occurrence
+    # positions, durations, time-zone parts, interval→ms, Wilson
+    # intervals, binary-returning digests. Inputs referenced more than
+    # once are bound as lambda variables (the transform(array(x), …)
+    # let-binding) so projection collapse can't re-inline them.
+    def _raise(exc: Exception):
+        raise exc
+
+    code = _rewrite_calls(
+        code, "to_base",
+        lambda a: (
+            # Trino emits lowercase digits and a leading '-' for
+            # negatives; Spark's conv is uppercase and treats negative
+            # input as unsigned 64-bit.
+            f"element_at(transform(array(CAST(({a[0]}) AS BIGINT)), _tb -> "
+            f"CASE WHEN _tb < 0 THEN '-' || lower(conv(-_tb, 10, {a[1]})) "
+            f"ELSE lower(conv(_tb, 10, {a[1]})) END), 1)")
+        if len(a) == 2 else None)
+    code = _rewrite_calls(
+        code, "from_base",
+        lambda a: (
+            f"element_at(transform(array(({a[0]})), _fb -> "
+            f"CASE WHEN substring(_fb, 1, 1) = '-' "
+            f"THEN -CAST(conv(substring(_fb, 2), {a[1]}, 10) AS BIGINT) "
+            f"WHEN substring(_fb, 1, 1) = '+' "
+            f"THEN CAST(conv(substring(_fb, 2), {a[1]}, 10) AS BIGINT) "
+            f"ELSE CAST(conv(_fb, {a[1]}, 10) AS BIGINT) END), 1)")
+        if len(a) == 2 else None)
+
+    # strpos(s, sub, n): position of the n-th occurrence (occurrences
+    # may overlap — Trino's walk restarts at match+1; negative n counts
+    # from the end, 0 of either missing occurrence → 0). The candidate
+    # positions are a filtered index sequence; sequence(1, n) DESCENDS
+    # for n < 1, so the short-input case returns an empty array
+    # explicitly. The 2-arg form falls through to the instr rename.
+    code = _rewrite_calls(
+        code, "strpos",
+        lambda a: (
+            f"coalesce(try_element_at(filter("
+            f"CASE WHEN length({a[0]}) >= length({a[1]}) "
+            f"THEN sequence(1, length({a[0]}) - length({a[1]}) + 1) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END, "
+            f"_sp -> substring({a[0]}, _sp, length({a[1]})) = ({a[1]})), "
+            f"({a[2]})), 0)")
+        if len(a) == 3 else None)
+
+    code = _rewrite_calls(
+        code, "regexp_position",
+        lambda a: (
+            "element_at(transform(array(regexp_instr("
+            f"{a[0]}, {a[1]})), _rp -> "
+            "CASE WHEN _rp = 0 THEN -1 ELSE CAST(_rp AS INT) END), 1)")
+        if len(a) == 2 else _raise(TrinoSqlUnsupported(
+            "regexp_position with start/occurrence arguments is not "
+            "supported — compose regexp_instr over a substring")))
+
+    def _parse_duration_fn(a):
+        if len(a) != 1:
+            return None
+        lit = _lit(a[0])
+        if lit is None:
+            raise TrinoSqlUnsupported(
+                "parse_duration: non-literal duration string")
+        m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)\s*",
+                         lit)
+        if not m:
+            raise TrinoSqlUnsupported(
+                f"parse_duration: unparsable duration {lit!r}")
+        mult = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+                "m": 60.0, "h": 3600.0, "d": 86400.0}[m.group(2)]
+        secs = round(float(m.group(1)) * mult, 6)
+        return f"make_dt_interval(0, 0, 0, CAST({secs} AS DECIMAL(18, 6)))"
+
+    code = _rewrite_calls(code, "parse_duration", _parse_duration_fn)
+
+    # Normalizing to DAY TO SECOND first makes the numeric cast yield
+    # seconds (a day-time interval casts in its END-field unit).
+    code = _rewrite_calls(
+        code, "to_milliseconds",
+        lambda a: (
+            f"CAST(CAST(CAST(({a[0]}) AS INTERVAL DAY TO SECOND) "
+            "AS DECIMAL(30, 6)) * 1000 AS BIGINT)")
+        if len(a) == 1 else None)
+
+    # to_iso8601: DATE → yyyy-MM-dd, timestamps → the T form with
+    # millis (Trino's timestamp(3) default rendering). typeof() folds
+    # to a constant per plan, so the CASE costs nothing at runtime.
+    code = _rewrite_calls(
+        code, "to_iso8601",
+        lambda a: (
+            f"element_at(transform(array(({a[0]})), _ti -> "
+            "CASE WHEN typeof(_ti) = 'date' "
+            "THEN date_format(_ti, 'yyyy-MM-dd') "
+            "ELSE date_format(_ti, 'yyyy-MM-dd\\'T\\'HH:mm:ss.SSS') "
+            "END), 1)")
+        if len(a) == 1 else None)
+
+    # timezone_hour/_minute: the session-zone UTC offset at the given
+    # wall-clock instant (Trino coerces a timestamp to the session
+    # zone). offset = wall-clock minus its UTC rendering, both
+    # interpreted in one fixed zone so the interpretation cancels.
+    def _tz_part(hour: bool):
+        def fn(a):
+            if len(a) != 1:
+                return None
+            off = ("CAST((unix_micros(CAST(({x}) AS TIMESTAMP)) - "
+                   "unix_micros(CAST(convert_timezone("
+                   "current_timezone(), 'UTC', ({x})) AS TIMESTAMP))) "
+                   "DIV 1000000 AS BIGINT)").replace("{x}", a[0])
+            return (f"element_at(transform(array({off}), _tz -> "
+                    + ("_tz DIV 3600" if hour else "(_tz DIV 60) % 60")
+                    + "), 1)")
+        return fn
+
+    code = _rewrite_calls(code, "timezone_hour", _tz_part(True))
+    code = _rewrite_calls(code, "timezone_minute", _tz_part(False))
+
+    # with_timezone(ts, zone): the wall clock read in `zone`, rendered
+    # as its UTC instant — the same convention as zoned TIMESTAMP
+    # literals in this front end.
+    code = _rewrite_calls(
+        code, "with_timezone",
+        lambda a: f"convert_timezone({a[1]}, 'UTC', {a[0]})"
+        if len(a) == 2 else None)
+
+    # 64-bit big-endian byte order. conv's negative to-base is its
+    # signed mode, so 0xFFFF… round-trips to -1 and not 2^64-1.
+    code = _rewrite_calls(
+        code, "from_big_endian_64",
+        lambda a: f"CAST(conv(hex({a[0]}), 16, -10) AS BIGINT)"
+        if len(a) == 1 else None)
+    code = _rewrite_calls(
+        code, "to_big_endian_64",
+        lambda a: f"unhex(lpad(hex(CAST({a[0]} AS BIGINT)), 16, '0'))"
+        if len(a) == 1 else None)
+
+    def _wilson(sign):
+        def fn(a):
+            if len(a) != 3:
+                return None
+            s, n, z = a
+            return (
+                f"element_at(transform("
+                f"array(CAST(({s}) AS DOUBLE) / ({n})), _wp -> "
+                f"((_wp + ({z}) * ({z}) / (2.0 * ({n})) {sign} ({z}) * "
+                f"sqrt(_wp * (1.0 - _wp) / ({n}) + "
+                f"({z}) * ({z}) / (4.0 * ({n}) * ({n})))) "
+                f"/ (1.0 + ({z}) * ({z}) / ({n})))), 1)")
+        return fn
+
+    code = _rewrite_calls(code, "wilson_interval_lower", _wilson("-"))
+    code = _rewrite_calls(code, "wilson_interval_upper", _wilson("+"))
+
+    # human_readable_seconds: weeks/days/hours/minutes/seconds parts,
+    # singular/plural, ", "-joined, zero-valued parts dropped (CASE
+    # without ELSE is NULL and concat_ws skips NULLs), all-zero → the
+    # literal '0 seconds'. Input rounds half-up to whole seconds.
+    def _hrs_fn(a):
+        if len(a) != 1:
+            return None
+        part = ("CASE WHEN {v} > 0 THEN concat({v}, "
+                "IF({v} = 1, ' {u}', ' {u}s')) END")
+        units = [("_hr DIV 604800", "week"),
+                 ("_hr % 604800 DIV 86400", "day"),
+                 ("_hr % 86400 DIV 3600", "hour"),
+                 ("_hr % 3600 DIV 60", "minute"),
+                 ("_hr % 60", "second")]
+        parts = ", ".join(part.replace("{v}", f"({v})").replace("{u}", u)
+                          for v, u in units)
+        return (f"element_at(transform(array(CAST(floor(({a[0]}) + 0.5) "
+                f"AS BIGINT)), _hr -> CASE WHEN _hr = 0 "
+                f"THEN '0 seconds' "
+                f"ELSE concat_ws(', ', {parts}) END), 1)")
+
+    code = _rewrite_calls(code, "human_readable_seconds", _hrs_fn)
+
+    # Trino's md5/sha1 return VARBINARY; Spark's return the hex STRING
+    # (sha256/sha512 are handled the same way earlier in this pass).
+    code = _rewrite_calls(
+        code, "md5",
+        lambda a: f"unhex(md5({a[0]}))" if len(a) == 1 else None)
+    code = _rewrite_calls(
+        code, "sha1",
+        lambda a: f"unhex(sha1({a[0]}))" if len(a) == 1 else None)
+
+    # Honest refusals — passing these through would be silently wrong
+    # or a bare unresolved-routine error.
+    code = _rewrite_calls(
+        code, "xxhash64",
+        _named_unsupported(
+            "xxhash64", "Spark's xxhash64 seeds with 42 and returns "
+            "BIGINT — different values than Trino's seed-0 VARBINARY; "
+            "use md5/sha256 for portable fingerprints"))
+    code = _rewrite_calls(
+        code, "murmur3",
+        _named_unsupported(
+            "murmur3", "Spark's hash() is 32-bit murmur3 with a "
+            "different seed — no 128-bit twin"))
+    code = _rewrite_calls(
+        code, "word_stem",
+        _named_unsupported("word_stem", "no stemmer builtin in Spark"))
+    code = _rewrite_calls(
+        code, "spooky_hash_v2_64",
+        _named_unsupported("spooky_hash_v2_64",
+                             "no SpookyHash builtin in Spark"))
+    code = _rewrite_calls(
+        code, "spooky_hash_v2_32",
+        _named_unsupported("spooky_hash_v2_32",
+                             "no SpookyHash builtin in Spark"))
+    code = _rewrite_calls(
+        code, "format_number",
+        lambda a: _raise(TrinoSqlUnsupported(
+            "format_number(x): Trino's unit-suffix formatting (123K) "
+            "has no Spark twin — Spark's 2-arg format_number is "
+            "thousands separators, a different function"))
+        if len(a) == 1 else None)
     return code
 
 
@@ -1720,7 +1960,20 @@ def _mask(sql: str) -> tuple[str, list[str]]:
 
 
 def _unmask(code: str, stash: list[str]) -> str:
-    code = _STRING_PH_RE.sub(lambda m: stash[int(m.group(1))], code)
+    """Restore masked literals/comments into the rewritten statement.
+
+    Trino string literals have NO escape character — a backslash is a
+    literal backslash (the only escape is '' for a quote). Spark's
+    parser (spark.sql and F.expr alike) consumes one backslash layer by
+    default ('\\d' parses as 'd'), so every backslash in a restored
+    literal is doubled here — the regex in ``regexp_like(x, '\\d+')``
+    survives the trip exactly as Trino would run it. Literals the
+    rewrites themselves emit (requote'd split delimiters, Java date
+    patterns) are raw text in ``code``, not stash entries, and already
+    escape their own backslashes where needed.
+    """
+    code = _STRING_PH_RE.sub(
+        lambda m: stash[int(m.group(1))].replace("\\", "\\\\"), code)
     return _COMMENT_PH_RE.sub(lambda m: stash[int(m.group(1))], code)
 
 

@@ -216,7 +216,10 @@ def test_tablesample_bernoulli(spark, sf_dir):
 
 def test_rewrite_never_touches_literals_property():
     """Property: for ANY string literal content, the rewrite emits the
-    literal byte-for-byte and applies renames only outside it."""
+    literal so that SPARK'S PARSER recovers the exact Trino value —
+    byte-for-byte except backslashes, which are doubled because Trino
+    literals have no escape character while Spark's parser consumes one
+    layer (wave 16). Renames apply only outside the literal."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -232,7 +235,8 @@ def test_rewrite_never_touches_literals_property():
         embedded = s.replace("'", "''")
         sql = f"SELECT strpos(col, '{embedded}') AS p FROM t"
         out = rewrite_trino_sql(sql)
-        assert f"'{embedded}'" in out          # literal intact
+        spark_form = embedded.replace("\\", "\\\\")
+        assert f"'{spark_form}'" in out        # Spark-parses to the Trino value
         assert out.startswith("SELECT instr(col, ")  # rename applied
 
     check()
@@ -1443,3 +1447,125 @@ def test_trino_wave15b_named_errors(spark, sf_dir):
                       sf_dir)
     with pytest.raises(TrinoSqlUnsupported, match="normalize"):
         execute_trino(spark, "SELECT normalize('x') AS n", sf_dir)
+
+
+# -------------------------------------------- wave 16: conversions +
+# durations + tz parts + digests, and the backslash-literal contract.
+WAVE16 = [
+    ("backslash_regex",
+     # Trino string literals have NO escape character — '\d' must reach
+     # the regex engine as backslash-d (Spark's parser would eat it).
+     r"SELECT doc_id, regexp_extract(text, '\w+') AS w, "
+     r"regexp_like(text, '\s') AS has_ws, "
+     r"cardinality(regexp_extract_all(text, '[a-z]+\s')) AS n "
+     "FROM documents ORDER BY doc_id LIMIT 200",
+     r"SELECT doc_id, regexp_extract(text, '\w+') AS w, "
+     r"regexp_matches(text, '\s') AS has_ws, "
+     r"len(regexp_extract_all(text, '[a-z]+\s')) AS n "
+     "FROM documents ORDER BY doc_id LIMIT 200"),
+    ("to_from_base",
+     "SELECT o_orderkey, to_base(o_orderkey, 16) AS hx, "
+     "from_base(to_base(o_orderkey, 8), 8) AS rt "
+     "FROM orders ORDER BY o_orderkey LIMIT 200",
+     "SELECT o_orderkey, printf('%x', o_orderkey) AS hx, "
+     "o_orderkey AS rt FROM orders ORDER BY o_orderkey LIMIT 200"),
+    ("strpos_instance",
+     "SELECT strpos('banana', 'an', 2) AS a, strpos('banana', 'an', -1) AS b, "
+     "strpos('banana', 'zz', 1) AS c, strpos('aaaa', 'aa', 3) AS d",
+     "SELECT CAST(4 AS BIGINT) AS a, CAST(4 AS BIGINT) AS b, "
+     "CAST(0 AS BIGINT) AS c, CAST(3 AS BIGINT) AS d"),
+    ("strpos_instance_col",
+     "SELECT doc_id, strpos(text, 'a', 2) AS p "
+     "FROM documents ORDER BY doc_id LIMIT 200",
+     "SELECT doc_id, coalesce("
+     "list_filter(range(1, length(text) + 1), "
+     "i -> substring(text, CAST(i AS INT), 1) = 'a')[2], 0) AS p "
+     "FROM documents ORDER BY doc_id LIMIT 200"),
+    ("regexp_position_fn",
+     r"SELECT regexp_position('a1b2', '\d') AS a, "
+     r"regexp_position('abc', '\d') AS b",
+     "SELECT 2 AS a, -1 AS b"),
+    ("duration_ms",
+     "SELECT to_milliseconds(parse_duration('1.5m')) AS ms, "
+     "to_milliseconds(INTERVAL '90' MINUTE) AS m90, "
+     "to_milliseconds(INTERVAL '2 03:04:05' DAY TO SECOND) AS dts",
+     "SELECT CAST(90000 AS BIGINT) AS ms, CAST(5400000 AS BIGINT) AS m90, "
+     "CAST((((2 * 24 + 3) * 60 + 4) * 60 + 5) * 1000 AS BIGINT) AS dts"),
+    ("to_iso8601_date",
+     # o_orderdate is a TIMESTAMP in the fixtures → the T form;
+     # the CAST exercises the DATE branch of the typeof dispatch.
+     "SELECT o_orderkey, to_iso8601(o_orderdate) AS iso, "
+     "to_iso8601(CAST(o_orderdate AS DATE)) AS iso_d "
+     "FROM orders ORDER BY o_orderkey LIMIT 200",
+     "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.000') AS iso, "
+     "strftime(o_orderdate, '%Y-%m-%d') AS iso_d "
+     "FROM orders ORDER BY o_orderkey LIMIT 200"),
+    ("tz_parts",
+     # session zone is UTC in tests → offset 0; with_timezone reads the
+     # wall clock in the given zone and renders the UTC instant (the
+     # same convention as zoned TIMESTAMP literals here).
+     "SELECT timezone_hour(TIMESTAMP '2024-01-02 03:04:05') AS th, "
+     "timezone_minute(TIMESTAMP '2024-01-02 03:04:05') AS tm, "
+     "with_timezone(TIMESTAMP '2024-01-02 03:04:05', 'America/New_York') AS wt",
+     "SELECT CAST(0 AS BIGINT) AS th, CAST(0 AS BIGINT) AS tm, "
+     "TIMESTAMP '2024-01-02 08:04:05' AS wt"),
+    ("big_endian_roundtrip",
+     "SELECT o_orderkey, from_big_endian_64(to_big_endian_64(o_orderkey)) AS rt, "
+     "from_big_endian_64(to_big_endian_64(-o_orderkey)) AS nrt "
+     "FROM orders ORDER BY o_orderkey LIMIT 200",
+     "SELECT o_orderkey, o_orderkey AS rt, -o_orderkey AS nrt "
+     "FROM orders ORDER BY o_orderkey LIMIT 200"),
+    ("wilson_interval",
+     # identical double-arithmetic text on both sides → identical IEEE
+     # results; round(9) guards any fold-order difference.
+     "SELECT o_orderkey, round(wilson_interval_lower(o_orderkey % 20, 25, 1.96), 9) AS lo, "
+     "round(wilson_interval_upper(o_orderkey % 20, 25, 1.96), 9) AS hi "
+     "FROM orders ORDER BY o_orderkey LIMIT 200",
+     "SELECT o_orderkey, "
+     "round(((o_orderkey % 20) / CAST(25 AS DOUBLE) + 1.96 * 1.96 / (2.0 * 25) - 1.96 * "
+     "sqrt(((o_orderkey % 20) / CAST(25 AS DOUBLE)) * (1.0 - (o_orderkey % 20) / CAST(25 AS DOUBLE)) / 25 "
+     "+ 1.96 * 1.96 / (4.0 * 25 * 25))) / (1.0 + 1.96 * 1.96 / 25), 9) AS lo, "
+     "round(((o_orderkey % 20) / CAST(25 AS DOUBLE) + 1.96 * 1.96 / (2.0 * 25) + 1.96 * "
+     "sqrt(((o_orderkey % 20) / CAST(25 AS DOUBLE)) * (1.0 - (o_orderkey % 20) / CAST(25 AS DOUBLE)) / 25 "
+     "+ 1.96 * 1.96 / (4.0 * 25 * 25))) / (1.0 + 1.96 * 1.96 / 25), 9) AS hi "
+     "FROM orders ORDER BY o_orderkey LIMIT 200"),
+    ("human_readable",
+     "SELECT human_readable_seconds(0) AS z, human_readable_seconds(96) AS a, "
+     "human_readable_seconds(3762) AS b, human_readable_seconds(691200) AS c",
+     "SELECT '0 seconds' AS z, '1 minute, 36 seconds' AS a, "
+     "'1 hour, 2 minutes, 42 seconds' AS b, '1 week, 1 day' AS c"),
+    ("binary_digests",
+     "SELECT doc_id, to_hex(md5(to_utf8(text))) AS m, "
+     "to_hex(sha256(to_utf8(text))) AS s "
+     "FROM documents ORDER BY doc_id LIMIT 200",
+     "SELECT doc_id, upper(md5(text)) AS m, "
+     "upper(sha256(text)) AS s "
+     "FROM documents ORDER BY doc_id LIMIT 200"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", WAVE16,
+                         ids=[c[0] for c in WAVE16])
+def test_trino_wave16(spark, sf_dir, oracle, name, trino, duck):
+    """Dialect wave 16 (r8): literal-backslash preservation (Trino
+    literals have no escape character; _unmask doubles backslashes so
+    Spark's parser delivers them intact), group-0 regexp defaults,
+    base/byte-order conversion, occurrence-instance strpos, durations,
+    time-zone parts, Wilson intervals, human_readable_seconds, and
+    VARBINARY-returning digests."""
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name=f"wave16:{name}")
+
+
+def test_trino_wave16_named_errors(spark, sf_dir):
+    for sql, pat in [
+        ("SELECT xxhash64(to_utf8('a')) AS x", "xxhash64"),
+        ("SELECT murmur3(to_utf8('a')) AS x", "murmur3"),
+        ("SELECT word_stem('running') AS x", "word_stem"),
+        ("SELECT spooky_hash_v2_64(to_utf8('a')) AS x", "spooky"),
+        ("SELECT format_number(123456) AS x", "format_number"),
+        ("SELECT parse_duration(text) AS x FROM documents", "parse_duration"),
+        ("SELECT regexp_position('a1', '1', 1) AS x", "regexp_position"),
+    ]:
+        with pytest.raises(TrinoSqlUnsupported, match=pat):
+            execute_trino(spark, sql, sf_dir)
