@@ -90,6 +90,8 @@ HEADLINE = [
     "q_llm_heavy_hitters",
     "q_llm_project",
     "q_llm_winnow",
+    "q_llm_ann_pq",
+    "q_llm_bpe_apply",
 ]
 
 #: Timed steady-state repeats per query; per-query time is the MIN over

@@ -659,3 +659,130 @@ def q_llm_ann_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
         .limit(10)
     )
+
+
+# ------------------------------------------------ product quantization
+PQ_M = 8       # subspaces
+PQ_SUB = DIM // PQ_M   # dims per subspace
+PQ_K = 4       # codewords per subspace
+
+
+def _pq_oracle(m: int = PQ_M, sub: int = PQ_SUB, k: int = PQ_K) -> str:
+    """DuckDB replay of the full PQ-ADC pipeline from the same
+    relations: codewords = subvectors of the k lowest-vec_id
+    embeddings, per-subspace argmin encoding (6dp-rounded squared
+    distance, cid tie-break — the static-IVF ordering), probe distance
+    table from vec_id 0, ADC = the sum of per-subspace table entries.
+    Exactness rests on the proven invariants: list_sum's left-to-right
+    float64 fold ≡ F.aggregate's, and the Python driver's sequential
+    sum over the collected probe ≡ both (the q_llm_ann_ivf nprobe
+    precedent); every cross-engine comparison is pinned to 6dp."""
+    parts = [
+        f"cw AS (SELECT vec_id AS cid, embedding AS cv "
+        f"FROM embeddings WHERE vec_id < {k})",
+        "probe AS (SELECT embedding AS qv FROM embeddings "
+        "WHERE vec_id = 0)"]
+    dcols = []
+    for j in range(m):
+        off = j * sub
+        sq = (f"round(list_sum(list_transform(range(1, {sub + 1}), "
+              f"i -> (CAST(e.embedding[{off} + i] AS DOUBLE) "
+              f"- CAST(c.cv[{off} + i] AS DOUBLE)) "
+              f"* (CAST(e.embedding[{off} + i] AS DOUBLE) "
+              f"- CAST(c.cv[{off} + i] AS DOUBLE)))), 6)")
+        parts.append(
+            f"enc{j} AS (SELECT e.vec_id, e.label, c.cid, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {sq}, c.cid) AS rn "
+            f"FROM embeddings e CROSS JOIN cw c)")
+        qd = (f"round(list_sum(list_transform(range(1, {sub + 1}), "
+              f"i -> (CAST(p.qv[{off} + i] AS DOUBLE) "
+              f"- CAST(c.cv[{off} + i] AS DOUBLE)) "
+              f"* (CAST(p.qv[{off} + i] AS DOUBLE) "
+              f"- CAST(c.cv[{off} + i] AS DOUBLE)))), 6)")
+        parts.append(
+            f"dt{j} AS (SELECT c.cid, {qd} AS d "
+            f"FROM cw c CROSS JOIN probe p)")
+        dcols.append(f"d{j}")
+    joins = " ".join(
+        f"JOIN enc{j} ON enc{j}.vec_id = e.vec_id AND enc{j}.rn = 1 "
+        f"JOIN dt{j} ON dt{j}.cid = enc{j}.cid"
+        for j in range(m))
+    adc = " + ".join(f"dt{j}.d" for j in range(m))
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT e.vec_id, e.label, round({adc}, 4) AS adc_dist
+    FROM embeddings e {joins}
+    WHERE e.vec_id <> 0
+    ORDER BY round({adc}, 6), e.vec_id
+    LIMIT 10""")
+
+
+@query("q_llm_ann_pq", oracle=_pq_oracle(), tags=("llm", "similarity", "pq"))
+def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 approximate top-k via PRODUCT QUANTIZATION with asymmetric
+    distance computation (ADC) — the memory-bound ANN shape (Jégou et
+    al., PAMI 2011) the IVF family composes with at billion-vector
+    scale: vectors compress to M=8 one-byte codes (one argmin per
+    8-dim subspace against a K=4 codebook), and a probe scores the
+    WHOLE corpus with M table lookups per vector instead of a
+    64-dim fold.
+
+    Codebook: the per-subspace codewords are subvectors of the K
+    lowest-vec_id embeddings (the static-IVF seeding rule) — collected
+    once as constant driver state (K×DIM floats, the sanctioned
+    codebook pattern). The probe's per-subspace distance table (M×K
+    doubles) is computed driver-side with the same sequential float64
+    sum the engines use and embedded as literals, so encoding AND
+    scoring are pure map-side codegen: zero shuffles, zero Python in
+    the row loop, TakeOrderedAndProject for the top-k.
+
+    Scale: encoding is one pass over the corpus (map-only — at 100 TB
+    the M byte codes persist as a 64x-smaller sidecar table and probes
+    never touch raw vectors); ADC is M element_at lookups per row.
+    Distances compare at 6dp with cid tie-break; the per-subspace
+    distance arrays are bound ONCE via the array/array_position argmin
+    (the let-binding rule) — no expression re-inlining.
+
+    Reference: the engine's connector exposes Trino ANN-over-parquet
+    only through full scans; this key is part of the LLM-pipeline
+    extension surface (SURVEY.md §2.4 L3).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    rows = (e.orderBy("vec_id").limit(PQ_K)
+            .select("vec_id", "embedding").collect())
+    codebook = [[float(x) for x in r["embedding"]] for r in rows]
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding")
+          .collect()[0]["embedding"]]
+
+    # Per-subspace probe distance tables (driver constants; sequential
+    # L2R float64 sum = the engines' fold, rounded 6dp like every
+    # cross-engine distance comparison).
+    dtab = [[round(sum((qv[j * PQ_SUB + i] - cw[j * PQ_SUB + i]) ** 2
+                       for i in range(PQ_SUB)), 6)
+             for cw in codebook] for j in range(PQ_M)]
+
+    def sub_sqdist(j: int, cw: list[float]) -> Column:
+        off = j * PQ_SUB
+        arr = F.array(*[F.lit(cw[off + i]) for i in range(PQ_SUB)])
+        return F.aggregate(
+            F.zip_with(F.slice(F.col("embedding"), off + 1, PQ_SUB), arr,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    adc = F.lit(0.0)
+    for j in range(PQ_M):
+        ds = F.array(*[F.round(sub_sqdist(j, cw), 6) for cw in codebook])
+        code = (F.element_at(
+            F.transform(F.array(ds),
+                        lambda d: F.array_position(d, F.array_min(d))),
+            1)).cast("int")  # 1-based codeword index, lowest-index ties
+        lut = F.array(*[F.lit(d) for d in dtab[j]])
+        adc = adc + F.element_at(lut, code)
+    scored = (e.filter(F.col("vec_id") != 0)
+              .select("vec_id", "label", adc.alias("adc_raw")))
+    return (scored.orderBy(F.round("adc_raw", 6), F.col("vec_id"))
+            .select("vec_id", "label",
+                    F.round("adc_raw", 4).alias("adc_dist"))
+            .limit(10))

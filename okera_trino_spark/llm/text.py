@@ -1100,17 +1100,8 @@ def bpe_learn(docs: DataFrame, n_merges: int = 10) -> DataFrame:
             break
         left, right, weight = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["w"]
         merges.append((step, left, right, int(weight)))
-        joined = left + right
         vocab = vocab.select(
-            F.aggregate(
-                F.col("seq"), F.expr("CAST(array() AS array<string>)"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (x == F.lit(right)),
-                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
-                             F.array(F.lit(joined)))
-                ).otherwise(F.concat(acc, F.array(x)))).alias("seq"),
+            _apply_merge(F.col("seq"), left, right).alias("seq"),
             "freq",
             # LAZY: the next round's top-1 collect is the action that
             # materializes it — one Spark job per round, not two (the
@@ -1128,3 +1119,131 @@ def q_llm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent choices are not one-shot-SQL-expressible) with the exact
     pure-Python reference comparison in tests/test_llm.py."""
     return bpe_learn(t(spark, sf_dir, "documents"), n_merges=10)
+
+
+def _apply_merge(seq: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a symbol array — the exact greedy
+    left-to-right fold ``bpe_learn`` re-tokenizes with: append each
+    symbol, or fuse it into the previous one when (prev, x) equals the
+    merge pair. Shared by learning and application so the two can never
+    diverge."""
+    joined = left + right
+    return F.aggregate(
+        seq, F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(joined)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge list — the APPLY
+    half of the tokenizer (bpe_learn is the training half): each
+    document's words map to their merged symbol sequences, applied in
+    merge order with the same greedy fold learning used.
+
+    Scale shape: merges apply over the DISTINCT-WORD vocabulary (the
+    standard fast-tokenizer trick — the working set is |vocab|, not
+    corpus size), then one join maps corpus words to their cached
+    tokenizations and a per-doc aggregation stitches them back in
+    word order. The join key is the word itself (AQE handles skew);
+    the per-doc collect_list carries (pos, tok) structs so ordering
+    never relies on shuffle order.
+
+    Returns (doc_id, n_tokens, tok_sig) where tok_sig is the md5 of
+    the space-joined token stream — a value-exact fingerprint the
+    oracle reproduces."""
+    words = (docs.select(
+        "doc_id",
+        F.posexplode(_words(F.col("text"))).alias("pos", "word"))
+        .filter(F.col("word") != ""))
+    vocab = words.select("word").distinct() \
+        .select("word", F.split("word", "").alias("seq"))
+    for left, right in merges:
+        vocab = vocab.select("word", _apply_merge(F.col("seq"), left, right)
+                             .alias("seq"))
+    vocab = vocab.select(
+        "word", F.array_join("seq", " ").alias("tok"),
+        F.size("seq").alias("n_tok")).localCheckpoint(eager=False)
+    per_doc = (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("n_tokens"),
+             F.md5(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda s: s["tok"]),
+                 " ").cast("binary")).alias("tok_sig")))
+    return per_doc.select("doc_id", "n_tokens", "tok_sig")
+
+
+def _bpe_apply_oracle(n_merges: int = 10) -> str:
+    """DuckDB replay of BOTH halves of the BPE tokenizer: the 10
+    learning rounds (adjacent-pair counts over the word vocabulary,
+    frequency-weighted, (weight DESC, left, right) tie-break — exactly
+    bpe_learn's choice rule) unrolled as chained CTEs, then the
+    application join back to each document's word stream. The greedy
+    merge fold is a list_reduce over the symbol list with an
+    empty-string seed: a symbol fuses into the accumulator when the
+    accumulator ends with ' '||left and the symbol equals right — the
+    space anchor makes the suffix test equivalent to an exact
+    last-token comparison, so the fold is bpe_learn's aggregate lambda
+    verbatim."""
+    fold = ("trim(list_reduce(list_prepend('', str_split(tok, ' ')), "
+            "(acc, x) -> CASE WHEN ends_with(acc, ' ' || m.pl) "
+            "AND x = m.pr THEN acc || x "
+            "ELSE acc || ' ' || x END))")
+    parts = [
+        "w AS (SELECT word, count(*) AS freq FROM ("
+        "SELECT unnest(str_split_regex(trim(text), ' +')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY word)",
+        "v0 AS (SELECT word, array_to_string(str_split(word, ''), ' ') "
+        "AS tok, freq FROM w)"]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"p{r} AS (SELECT p.* , sum(freq) AS w FROM ("
+            f"SELECT freq, unnest(list_transform("
+            f"range(1, len(str_split(tok, ' '))), "
+            f"i -> struct_pack(pl := str_split(tok, ' ')[i], "
+            f"pr := str_split(tok, ' ')[i + 1]))) AS p "
+            f"FROM v{r - 1}) GROUP BY p.pl, p.pr)")
+        parts.append(
+            f"m{r} AS (SELECT p.pl AS pl, p.pr AS pr FROM p{r} p "
+            f"ORDER BY w DESC, pl, pr LIMIT 1)")
+        parts.append(
+            f"v{r} AS (SELECT v.word, {fold} AS tok, v.freq "
+            f"FROM v{r - 1} v CROSS JOIN m{r} m)")
+    parts.append(
+        "dw AS (SELECT doc_id, unnest(words) AS word, "
+        "generate_subscripts(words, 1) AS pos FROM ("
+        "SELECT doc_id, str_split_regex(trim(text), ' +') AS words "
+        "FROM documents))")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT d.doc_id,
+           CAST(sum(len(str_split(v.tok, ' '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(v.tok, ' ' ORDER BY d.pos)) AS tok_sig
+    FROM dw d JOIN v{n_merges} v ON v.word = d.word
+    WHERE d.word <> ''
+    GROUP BY d.doc_id""")
+
+
+@query("q_llm_bpe_apply", oracle=_bpe_apply_oracle(),
+       tags=("llm", "text", "tokenizer"))
+def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 tokenizer APPLICATION: learn 10 BPE merges from the corpus
+    (bpe_learn — its own key stays the rows-only training demo), then
+    tokenize every document with them. Unlike learning, application is
+    a one-shot deterministic pipeline, so the DuckDB oracle replays
+    the whole thing — training rounds unrolled as CTEs (the Lloyd-replay
+    technique of q_llm_ann_ivf) and the same greedy merge fold — and
+    hash-checks a value-exact tokenization fingerprint per document.
+
+    The merge table is the only driver state (10 rows — the sanctioned
+    constant-size pattern)."""
+    docs = t(spark, sf_dir, "documents")
+    learned = bpe_learn(docs, n_merges=10).collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    return bpe_apply(docs, merges)

@@ -382,3 +382,78 @@ def test_winnow_shared_substring_guarantee(spark, tmp_path):
     for a, b in want_pairs:
         assert fps[a] & fps[b], (a, b)
     assert not (fps[100] & fps[101])
+
+
+def test_ann_pq_adc_bounds_true_distance(spark, sf_dir):
+    """PQ-ADC sanity: every returned approximate distance must be
+    non-negative, the list must come back sorted ascending, and the
+    ADC distance of each hit must be within the quantization error
+    bound of its true squared distance to the probe: |adc - d²| ≤
+    Σ_m (2·||q_m − c_m||·e_m + e_m²) is data-dependent, so the test
+    checks the cheap invariant instead — ADC equals the TRUE squared
+    distance computed against the RECONSTRUCTED (codeword) vector,
+    exactly (that is what ADC computes by definition)."""
+    import numpy as np
+
+    from okera_trino_spark.llm.similarity import PQ_K, PQ_M, PQ_SUB
+    from okera_trino_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    rows = qs["q_llm_ann_pq"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    dists = [r.adc_dist for r in rows]
+    assert all(d >= 0 for d in dists)
+    assert dists == sorted(dists)
+
+    # Reconstruction identity: ADC(v) = ||q - recon(v)||² where
+    # recon(v) concatenates v's chosen codewords.
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").collect()}
+    q = emb[0]
+    cw = [emb[i] for i in range(PQ_K)]
+    for r in rows[:3]:
+        v = emb[r.vec_id]
+        adc = 0.0
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+            ds = [round(float(((v[lo:hi] - c[lo:hi]) ** 2).sum()), 6)
+                  for c in cw]
+            code = ds.index(min(ds))
+            adc += round(float(((q[lo:hi] - cw[code][lo:hi]) ** 2).sum()), 6)
+        assert abs(round(adc, 4) - r.adc_dist) < 1e-9
+
+
+def test_bpe_apply_matches_python_reference(spark, sf_dir):
+    """bpe_apply's per-doc tokenization must equal a standalone
+    pure-Python application of the same learned merges (greedy
+    left-to-right fold per word, words joined in document order)."""
+    import hashlib
+
+    from okera_trino_spark.llm.text import bpe_apply, bpe_learn
+    from okera_trino_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(r.left, r.right)
+              for r in bpe_learn(docs, n_merges=10).collect()]
+    got = {r.doc_id: (r.n_tokens, r.tok_sig)
+           for r in bpe_apply(docs, merges).collect()}
+
+    def tokenize(word: str) -> list[str]:
+        seq = list(word)
+        for left, right in merges:
+            out = []
+            for x in seq:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            seq = out
+        return seq
+
+    for row in docs.select("doc_id", "text").collect():
+        toks = []
+        for w in row.text.strip().split():
+            toks.extend(tokenize(w))
+        sig = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got[row.doc_id] == (len(toks), sig), row.doc_id
