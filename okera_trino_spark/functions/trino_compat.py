@@ -120,3 +120,36 @@ def register_reference_udfs(spark: SparkSession, database: str = "okera") -> Non
     ``okera_current_database`` to avoid shadowing the builtin.
     """
     spark.udf.register("okera_current_database", lambda: database, "string")
+
+
+def register_unicode_normalize(spark: SparkSession) -> None:
+    """Register ``trino_normalize(s, form)`` — Trino's ``normalize()``
+    (UAX #15 Unicode normalization, forms NFC/NFD/NFKC/NFKD).
+
+    Spark SQL has no normalizer builtin, so this is the sanctioned
+    slow-path shape: an Arrow-batched pandas UDF over ``unicodedata``
+    (the C-backed CPython implementation of the same UAX #15 algorithm
+    Trino's java.text.Normalizer runs; a Unicode-VERSION skew between
+    the two runtimes can diverge on codepoints newer than the older
+    table — the only caveat, and a documented one). Built inside the
+    function because pandas_udf construction needs an active session.
+
+    Reference: the connector forwards normalize() to the Trino engine
+    untouched (RecordServicePageSourceProvider.java:39 pushdown list
+    excludes it), so engine semantics are the contract.
+    """
+    import pandas as pd  # noqa: PLC0415 — lazy, session-scoped
+    import unicodedata  # noqa: PLC0415
+
+    def _normalize(s, form):
+        return pd.Series(
+            [None if v is None else unicodedata.normalize(f, v)
+             for v, f in zip(s, form)], dtype=object)
+
+    # Annotations are assigned as real objects (not strings) because
+    # this module uses `from __future__ import annotations` and
+    # pandas_udf's eval-type inference cannot resolve a stringified
+    # 'pd.Series' against a function-local import.
+    _normalize.__annotations__ = {
+        "s": pd.Series, "form": pd.Series, "return": pd.Series}
+    spark.udf.register("trino_normalize", F.pandas_udf(_normalize, "string"))

@@ -89,9 +89,8 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     sequential fold of the collected inputs (commutative/associative
     by Trino contract); FROM UNNEST and comma-lateral UNNEST
     spellings (join the CROSS JOIN form's lowering); named errors for
-    approx_most_frequent / numeric_histogram (non-deterministic
-    sketches), normalize (no JVM normalizer), combinations n > 3, and
-    the map-vector cosine form
+    numeric_histogram (order-dependent streaming sketch),
+    combinations n > 3, and the map-vector cosine form
   - wave 16 (r8): string literals restore with backslashes DOUBLED —
     Trino literals have no escape character, Spark's parser eats one
     layer, so '\\d' now reaches the regex engine intact (previously a
@@ -109,6 +108,19 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     pluralized, ', '-joined); md5/sha1 → unhex'd VARBINARY like
     sha256; named errors for xxhash64 (Spark seeds with 42 — values
     differ), murmur3, word_stem, spooky_hash_v2_*, format_number
+  - wave 17 (r8): chr → the Unicode CODEPOINT character (Spark's char
+    wraps at 256 — a silent mistranslation until now): literal
+    codepoints embed the exact character via the stash, column-driven
+    ones lower to UTF-8 byte arithmetic + decode (codegen, BMP +
+    astral verified); normalize(s[, NFC|NFD|NFKC|NFKD]) → the
+    session-registered Arrow-batched trino_normalize UDF
+    (trino_compat.register_unicode_normalize — Spark SQL has no
+    normalizer builtin); approx_most_frequent → the EXACT top-buckets
+    value→count map (count DESC, value ASC tie-break — exact satisfies
+    every sketch error bound, deterministically; the capacity knob is
+    moot on an exact computation); named errors for invalid codepoints
+    (surrogates, > U+10FFFF), non-standard normalization forms, and
+    non-literal bucket counts
   - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
     (Trino's repeat builds an ARRAY; Spark's same-named repeat is
     string repetition — a silent mistranslation if passed through);
@@ -252,7 +264,9 @@ _RENAMES = {
     "week": "weekofyear",
     "day_of_month": "dayofmonth",
     "codepoint": "ascii",
-    "chr": "char",
+    # chr is NOT a rename: Spark's char(n) wraps at 256 (chr(8364)
+    # silently becomes a control byte) — wave 17 rewrites it
+    # structurally to the exact Unicode codepoint character.
     "to_hex": "hex",
     "from_hex": "unhex",
     "to_base64": "base64",
@@ -1126,22 +1140,92 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             raise TrinoSqlUnsupported(f"{name}() is not supported ({why})")
         return fn
 
-    code = _rewrite_calls(
-        code, "approx_most_frequent",
-        _named_unsupported("approx_most_frequent",
-                           "non-deterministic sketch; use the exact "
-                           "group-count top-k or the deterministic CMS "
-                           "heavy-hitter operator"))
+    # approx_most_frequent(buckets, value, capacity) → the EXACT top-
+    # `buckets` value→count map (count DESC, value ASC tie-break) — an
+    # exact answer satisfies every error bound the Trino sketch
+    # permits, and is deterministic where the sketch is not. The
+    # capacity argument is the sketch's memory knob and has no effect
+    # on an exact computation; buckets must be a literal so the slice
+    # bound is plan-constant. Collect buffers bind once as lambda
+    # variables (the wave-15 rule).
+    def _approx_most_frequent_fn(a):
+        if len(a) != 3:
+            return None
+        if not re.fullmatch(r"\d+", a[0].strip()):
+            raise TrinoSqlUnsupported(
+                "approx_most_frequent: the bucket count must be a "
+                "literal integer")
+        return (
+            f"element_at(transform(array(collect_list({a[1]})), _hl -> "
+            "map_from_entries(slice(array_sort("
+            "transform(array_distinct(_hl), _hv -> "
+            "struct(_hv AS k, CAST(size(filter(_hl, _hx -> _hx <=> _hv)) "
+            "AS BIGINT) AS c)), "
+            "(_hx, _hy) -> CASE WHEN _hx.c > _hy.c THEN -1 "
+            "WHEN _hx.c < _hy.c THEN 1 WHEN _hx.k < _hy.k THEN -1 "
+            "WHEN _hx.k > _hy.k THEN 1 ELSE 0 END), "
+            f"1, {a[0].strip()}))), 1)")
+
+    code = _rewrite_calls(code, "approx_most_frequent",
+                          _approx_most_frequent_fn)
     code = _rewrite_calls(
         code, "numeric_histogram",
         _named_unsupported("numeric_histogram",
                            "non-deterministic streaming bucketer; use "
                            "width_bucket + count"))
-    code = _rewrite_calls(
-        code, "normalize",
-        _named_unsupported("normalize",
-                           "Spark SQL has no Unicode normalizer "
-                           "builtin; normalize text upstream"))
+    # normalize(s[, form]) — UAX #15 Unicode normalization. Spark SQL
+    # has no builtin, so this lowers onto the session-registered
+    # trino_normalize pandas UDF (trino_compat.register_unicode_
+    # normalize; execute_trino and the governed SQL path register it
+    # on demand). The form is a bare keyword in Trino's grammar, not a
+    # string — anything outside the four standard forms is refused.
+    def _normalize_fn(a):
+        if len(a) == 1:
+            form = "NFC"
+        elif len(a) == 2 and re.fullmatch(r"(?i)NFK?[CD]", a[1].strip()):
+            form = a[1].strip().upper()
+        else:
+            raise TrinoSqlUnsupported(
+                "normalize: the form must be the bare keyword NFC, NFD, "
+                "NFKC or NFKD")
+        return f"trino_normalize({a[0]}, '{form}')"
+
+    code = _rewrite_calls(code, "normalize", _normalize_fn)
+
+    # chr(cp) — the Unicode codepoint character. Spark's char() wraps
+    # at 256 (chr(8364) would silently emit \x04 instead of '€'), so a
+    # literal codepoint becomes the exact character, masked into the
+    # stash like any source literal (so later rewrite passes can never
+    # mis-split on a synthesized quote/comma, and _unmask applies the
+    # same backslash contract as user literals). A non-literal
+    # codepoint lowers to UTF-8 byte construction — pure arithmetic +
+    # decode, whole-stage codegen, the codepoint bound once via the
+    # let-binding transform. Out-of-range codepoints yield NULL/garbage
+    # where Trino raises (documented divergence; Trino-valid inputs
+    # agree exactly).
+    def _chr_fn(a):
+        if len(a) != 1:
+            return None
+        arg = a[0].strip()
+        if re.fullmatch(r"\d+", arg):
+            cp = int(arg)
+            if not (0 <= cp <= 0x10FFFF) or 0xD800 <= cp <= 0xDFFF:
+                raise TrinoSqlUnsupported(
+                    f"chr({cp}): not a valid Unicode codepoint")
+            stash.append("'" + chr(cp).replace("'", "''") + "'")
+            return f"'\x00{len(stash) - 1}\x00'"
+        b = ("CASE WHEN _cp < 128 THEN lpad(hex(_cp), 2, '0') "
+             "WHEN _cp < 2048 THEN hex(192 + _cp DIV 64) "
+             "|| hex(128 + _cp % 64) "
+             "WHEN _cp < 65536 THEN hex(224 + _cp DIV 4096) "
+             "|| hex(128 + _cp DIV 64 % 64) || hex(128 + _cp % 64) "
+             "ELSE hex(240 + _cp DIV 262144) "
+             "|| hex(128 + _cp DIV 4096 % 64) "
+             "|| hex(128 + _cp DIV 64 % 64) || hex(128 + _cp % 64) END")
+        return (f"element_at(transform(array(CAST(({arg}) AS BIGINT)), "
+                f"_cp -> decode(unhex({b}), 'UTF-8')), 1)")
+
+    code = _rewrite_calls(code, "chr", _chr_fn)
 
     def _combinations_fn(a):
         # n-element subsets in Trino's index-lexicographic order; the
@@ -2778,9 +2862,23 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     spliced = (masked[:m.start(1)] + "_mr_result" + alias_txt
                + masked[tail_at:])
     code = _unmask(_rewrite_code(spliced, stash), stash)
+    ensure_dialect_udfs(spark, code)
     if params is not None:
         return spark.sql(code, args=params)
     return spark.sql(code)
+
+
+def ensure_dialect_udfs(spark: SparkSession, sql: str) -> None:
+    """Register the session UDFs a rewritten statement may reference.
+
+    Only ``normalize()`` needs one (Spark SQL has no Unicode
+    normalizer); registration is gated on the original text actually
+    mentioning it, so the common path pays one regex and no py4j
+    round-trips."""
+    if re.search(r"\b(trino_)?normalize\s*\(", sql, re.IGNORECASE):
+        from okera_trino_spark.functions.trino_compat import (
+            register_unicode_normalize)
+        register_unicode_normalize(spark)
 
 
 def execute_trino(spark: SparkSession, sql: str,
@@ -2799,6 +2897,7 @@ def execute_trino(spark: SparkSession, sql: str,
     """
     if sf_dir is not None:
         register_tables(spark, sf_dir)
+    ensure_dialect_udfs(spark, sql)
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         mr = execute_match_recognize(spark, sql, params)
         if mr is not None:
@@ -3306,6 +3405,60 @@ def q_trino_sql_breadth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate natively). Every shim is JVM-side; map values
     compare canonically (sorted key order) in the driver hash."""
     return execute_trino(spark, TRINO_SQL_BREADTH3, sf_dir)
+
+
+TRINO_SQL_UNICODE = """
+SELECT doc_id,
+       normalize(substring(text, 1, 8) || 'e' || chr(769)) AS nfc,
+       length(normalize('a' || chr(776))) AS lone,
+       normalize(chr(8320) || chr(64257), NFKC) AS nfkc,
+       chr(doc_id % 400 + 161) AS bmp,
+       chr(doc_id % 64 + 128512) AS emoji,
+       codepoint(chr(doc_id % 400 + 161)) AS cp_rt
+FROM documents
+ORDER BY doc_id
+LIMIT 500
+"""
+
+
+@query(
+    "q_trino_sql_unicode",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(substring(text, 1, 8) || 'e' || chr(769)) AS nfc,
+           CAST(1 AS INT) AS lone,
+           '0fi' AS nfkc,
+           chr(CAST(doc_id % 400 + 161 AS INT)) AS bmp,
+           chr(CAST(doc_id % 64 + 128512 AS INT)) AS emoji,
+           CAST(doc_id % 400 + 161 AS INT) AS cp_rt
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    tags=("trino", "sql", "dialect", "unicode"),
+)
+def q_trino_sql_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect wave 17 (r8): Unicode surface through the string path.
+
+    ``chr`` is a CODEPOINT in Trino — Spark's same-named ``char`` wraps
+    at 256, so until this wave ``chr(8364)`` silently produced a
+    control byte; literal codepoints now embed the exact character
+    (stash-masked) and column-driven ones lower to UTF-8 byte
+    arithmetic + decode (whole-stage codegen, exercised here across
+    the BMP and the astral plane). ``normalize`` (UAX #15) runs on the
+    session-registered Arrow-batched ``trino_normalize`` UDF — the one
+    sanctioned Python hop, since Spark SQL has no normalizer builtin.
+    ``codepoint`` round-trips the non-literal chr output.
+
+    Oracle: DuckDB's chr/ascii are natively codepoint-based and
+    nfc_normalize covers NFC; the NFKC column is an all-literal
+    composition whose value ('0fi') is fixed by the Unicode data
+    tables, so it replays as a constant.
+
+    Reference: normalize/chr reach the engine unpushed
+    (RecordServicePageSourceProvider.java:39); engine semantics are
+    the contract."""
+    return execute_trino(spark, TRINO_SQL_UNICODE, sf_dir)
 
 
 TRINO_SQL_MR_RUNNING = """

@@ -104,8 +104,9 @@ def query(name: str, oracle: str | None = None,
 #:      repo — filling the window to exactly 50 (the r2 keys left
 #:      out, q_udtf_split, q_count_star, q_fn_cast, q_union_all,
 #:      q_fn_array, and — for the session-3 keys q_llm_ann_pq /
-#:      q_llm_bpe_apply — q_fn_string and q_fn_date: all have driver
-#:      rows and re-enter next rotation; the late-r8
+#:      q_llm_bpe_apply / q_trino_sql_unicode — q_fn_string, q_fn_date
+#:      and q_unnest: all have driver rows and re-enter next
+#:      rotation; the late-r8
 #:      q_events_pattern_empty / q_llm_winnow / q_trino_sql_mr_vars /
 #:      q_trino_sql_mr_desc took the first five slots).
 #: q_llm_bpe (rows-only, has its r7 driver row) exits the window: its
@@ -120,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_llm_heavy_hitters", "q_events_pattern_empty", "q_llm_winnow",
     "q_trino_sql_mr_vars", "q_trino_sql_mr_desc",
     "q_trino_sql_breadth3", "q_llm_ann_pq", "q_llm_bpe_apply",
+    "q_trino_sql_unicode",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
@@ -128,7 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_inner", "q_join_left", "q_join_semi",
     "q_join_broadcast", "q_agg_group", "q_agg_rollup", "q_agg_stats",
     "q_win_rank", "q_win_frame_range", "q_topk",
-    "q_cte", "q_case_expr", "q_unnest",
+    "q_cte", "q_case_expr",
     "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",
     "q_view_create_read",
     "q_stream_static_join", "q_llm_dedup_exact",

@@ -892,7 +892,9 @@ class GovernedCatalog:
         try:
             if dialect == "trino":
                 from okera_trino_spark.functions.trino_sql import (
-                    execute_match_recognize, rewrite_trino_sql)
+                    ensure_dialect_udfs, execute_match_recognize,
+                    rewrite_trino_sql)
+                ensure_dialect_udfs(self.spark, sql)
                 if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
                     # Lowered onto the match_recognize operator over the
                     # GOVERNED temp views registered above — policies

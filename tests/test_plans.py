@@ -314,3 +314,16 @@ def test_winnow_is_shuffle_free_codegen(spark, sf_dir):
     assert "Python" not in plan, plan
     plan_f = plan_string(df, "formatted")
     assert "struct<doc_id:bigint,text:string>" in plan_f, plan_f
+
+
+def test_pq_adc_is_shuffle_free_take_ordered(spark, sf_dir):
+    """PQ-ADC (q_llm_ann_pq): encoding + table-lookup scoring are
+    map-side expressions over one scan — the plan must contain no
+    exchange other than the top-k's single-partition gather
+    (TakeOrderedAndProject handles it without a hash shuffle), and no
+    Python node (the codebook and distance tables are literals)."""
+    df = SPECS["q_llm_ann_pq"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Python" not in plan, plan

@@ -1383,10 +1383,8 @@ def test_trino_wave15_errors_and_multimap(spark, sf_dir):
     with pytest.raises(Exception, match="representable"):
         execute_trino(spark, "SELECT bit_count(300, 8) AS b",
                       sf_dir).collect()
-    with pytest.raises(TrinoSqlUnsupported, match="approx_most_frequent"):
-        execute_trino(
-            spark, "SELECT approx_most_frequent(3, n_regionkey, 10) "
-            "FROM nation", sf_dir)
+    # approx_most_frequent gained an exact implementation in wave 17
+    # (only a non-literal bucket count is refused — see wave 17 tests).
     with pytest.raises(TrinoSqlUnsupported, match="non-literal"):
         execute_trino(
             spark, "SELECT json_array_contains('[1]', n_regionkey) "
@@ -1445,8 +1443,8 @@ def test_trino_wave15b_named_errors(spark, sf_dir):
         execute_trino(spark,
                       "SELECT combinations(ARRAY[1,2,3,4,5,6], 5) AS c",
                       sf_dir)
-    with pytest.raises(TrinoSqlUnsupported, match="normalize"):
-        execute_trino(spark, "SELECT normalize('x') AS n", sf_dir)
+    # normalize() gained a real implementation in wave 17 — only a
+    # non-standard form keyword is refused now (see wave 17 tests).
 
 
 # -------------------------------------------- wave 16: conversions +
@@ -1566,6 +1564,102 @@ def test_trino_wave16_named_errors(spark, sf_dir):
         ("SELECT format_number(123456) AS x", "format_number"),
         ("SELECT parse_duration(text) AS x FROM documents", "parse_duration"),
         ("SELECT regexp_position('a1', '1', 1) AS x", "regexp_position"),
+    ]:
+        with pytest.raises(TrinoSqlUnsupported, match=pat):
+            execute_trino(spark, sql, sf_dir)
+
+
+# -------------------------------------------- wave 17: Unicode chr +
+# normalize (UAX #15). Trino's chr is a CODEPOINT (Spark's char wraps
+# at 256 — a silent mistranslation until this wave); normalize lowers
+# onto the session-registered trino_normalize pandas UDF.
+WAVE17 = [
+    ("chr_literal",
+     "SELECT chr(8364) AS a, chr(65) AS b, chr(128512) AS c, "
+     "chr(10) AS nl, chr(39) AS q",
+     "SELECT chr(8364) AS a, chr(65) AS b, chr(128512) AS c, "
+     "chr(10) AS nl, chr(39) AS q"),
+    ("chr_nonliteral",
+     # column-driven codepoints across one-, two- and three-byte UTF-8
+     # ranges plus the astral plane — exercises the arithmetic byte
+     # construction, not the literal fast path.
+     "SELECT o_orderkey, chr(o_orderkey % 500 + 160) AS bmp, "
+     "chr(o_orderkey % 100 + 128000) AS astral, "
+     "chr(o_orderkey % 26 + 97) AS ascii_c "
+     "FROM orders ORDER BY o_orderkey LIMIT 200",
+     "SELECT o_orderkey, chr(CAST(o_orderkey % 500 + 160 AS INT)) AS bmp, "
+     "chr(CAST(o_orderkey % 100 + 128000 AS INT)) AS astral, "
+     "chr(CAST(o_orderkey % 26 + 97 AS INT)) AS ascii_c "
+     "FROM orders ORDER BY o_orderkey LIMIT 200"),
+    ("normalize_nfc",
+     # combining acute composes with the preceding letter under NFC;
+     # ASCII document text is NFC-invariant and rides along to prove
+     # the pass-through.
+     "SELECT doc_id, normalize(substring(text, 1, 6) || 'e' || chr(769)) "
+     "AS nfc, length(normalize('a' || chr(776))) AS one "
+     "FROM documents ORDER BY doc_id LIMIT 200",
+     "SELECT doc_id, nfc_normalize(substring(text, 1, 6) || 'e' || chr(769)) "
+     "AS nfc, length(nfc_normalize('a' || chr(776))) AS one "
+     "FROM documents ORDER BY doc_id LIMIT 200"),
+    ("normalize_nfkc",
+     # subscript zero → '0', the fi ligature → 'fi' under NFKC
+     # (DuckDB has no NFKC builtin — expected values are constants).
+     "SELECT normalize(chr(8320) || chr(64257), NFKC) AS k, "
+     "normalize('x', nfd) AS passthru",
+     "SELECT '0fi' AS k, 'x' AS passthru"),
+    ("approx_most_frequent_exact",
+     # the exact top-buckets map satisfies every sketch error bound
+     # and is deterministic (count DESC, value ASC tie-break); the
+     # map is rendered as an ordered entry string because Spark and
+     # DuckDB MAP columns canonicalize differently through pandas.
+     "SELECT o_orderstatus, "
+     "array_join(transform(map_entries("
+     "approx_most_frequent(2, o_orderpriority, 100)), "
+     "e -> concat(e.key, ':', CAST(e.value AS VARCHAR))), ',') AS m "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     "WITH c AS (SELECT o_orderstatus, o_orderpriority AS k, "
+     "count(*) AS c FROM orders GROUP BY 1, 2), "
+     "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus "
+     "ORDER BY c DESC, k) AS rn FROM c) "
+     "SELECT o_orderstatus, string_agg(k || ':' || c, ',' "
+     "ORDER BY c DESC, k) AS m "
+     "FROM r WHERE rn <= 2 GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", WAVE17,
+                         ids=[c[0] for c in WAVE17])
+def test_trino_wave17(spark, sf_dir, oracle, name, trino, duck):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name=f"wave17:{name}")
+
+
+def test_trino_wave17_normalize_matches_unicodedata(spark, sf_dir):
+    """All four normalization forms must agree with CPython's
+    unicodedata (the same UAX #15 algorithm Trino's
+    java.text.Normalizer implements)."""
+    import unicodedata
+
+    samples = ["éclair", "éclair", "ﬁn", "x₀",
+               "Å", "ä́b", "", "plain"]
+    vals = ", ".join(f"('{s}')" for s in samples)
+    for form in ["NFC", "NFD", "NFKC", "NFKD"]:
+        rows = execute_trino(
+            spark,
+            f"SELECT s, normalize(s, {form}) AS n FROM (VALUES {vals}) "
+            "AS t(s) ORDER BY s", sf_dir).collect()
+        for r in rows:
+            assert r.n == unicodedata.normalize(form, r.s), (form, r.s)
+
+
+def test_trino_wave17_named_errors(spark, sf_dir):
+    for sql, pat in [
+        ("SELECT normalize('x', NFX) AS n", "form"),
+        ("SELECT normalize('x', 'NFC') AS n", "form"),  # quoted ≠ keyword
+        ("SELECT chr(55296) AS n", "codepoint"),
+        ("SELECT chr(1114112) AS n", "codepoint"),
+        ("SELECT approx_most_frequent(doc_id, lang, 100) AS m "
+         "FROM documents", "literal integer"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
