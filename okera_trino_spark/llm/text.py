@@ -1111,13 +1111,71 @@ def bpe_learn(docs: DataFrame, n_merges: int = 10) -> DataFrame:
         merges, "step int, left string, right string, weight bigint")
 
 
-@query("q_llm_bpe", oracle=None, tags=("llm", "text", "tokenizer"))
+def _bpe_rounds_cte(n_merges: int = 10) -> list[str]:
+    """The shared DuckDB CTE chain replaying bpe_learn's rounds:
+    adjacent-pair counts over the word vocabulary, frequency-weighted,
+    (weight DESC, left, right) tie-break — exactly bpe_learn's choice
+    rule — then the greedy merge fold re-tokenizing the vocabulary.
+    The fold is a list_reduce over the symbol list with an
+    empty-string seed: a symbol fuses into the accumulator when the
+    accumulator ends with ' '||left and the symbol equals right — the
+    space anchor makes the suffix test equivalent to an exact
+    last-token comparison, so the fold is bpe_learn's aggregate lambda
+    verbatim. Returns the CTE list through v{n} (m{r} carries the
+    round's winning pair AND its weight, so both the learn and the
+    apply oracle build on the same chain)."""
+    fold = ("trim(list_reduce(list_prepend('', str_split(tok, ' ')), "
+            "(acc, x) -> CASE WHEN ends_with(acc, ' ' || m.pl) "
+            "AND x = m.pr THEN acc || x "
+            "ELSE acc || ' ' || x END))")
+    parts = [
+        "w AS (SELECT word, count(*) AS freq FROM ("
+        "SELECT unnest(str_split_regex(trim(text), ' +')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY word)",
+        "v0 AS (SELECT word, array_to_string(str_split(word, ''), ' ') "
+        "AS tok, freq FROM w)"]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"p{r} AS (SELECT p.* , sum(freq) AS w FROM ("
+            f"SELECT freq, unnest(list_transform("
+            f"range(1, len(str_split(tok, ' '))), "
+            f"i -> struct_pack(pl := str_split(tok, ' ')[i], "
+            f"pr := str_split(tok, ' ')[i + 1]))) AS p "
+            f"FROM v{r - 1}) GROUP BY p.pl, p.pr)")
+        parts.append(
+            f"m{r} AS (SELECT p.pl AS pl, p.pr AS pr, p.w AS w "
+            f"FROM p{r} p ORDER BY w DESC, pl, pr LIMIT 1)")
+        parts.append(
+            f"v{r} AS (SELECT v.word, {fold} AS tok, v.freq "
+            f"FROM v{r - 1} v CROSS JOIN m{r} m)")
+    return parts
+
+
+def _bpe_learn_oracle(n_merges: int = 10) -> str:
+    """DuckDB replay of the LEARNING loop itself: each round's winning
+    (left, right, weight) row, unioned in step order — the iterative
+    argmax unrolled as chained CTEs (the Lloyd-replay technique). The
+    final v{n} re-tokenization is unreferenced and pruned by the
+    optimizer."""
+    union = " UNION ALL ".join(
+        f'SELECT CAST({r} AS INT) AS step, pl AS "left", pr AS "right", '
+        f"CAST(w AS BIGINT) AS weight FROM m{r}"
+        for r in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(_bpe_rounds_cte(n_merges))
+            + f" SELECT * FROM ({union}) ORDER BY step")
+
+
+@query("q_llm_bpe", oracle=_bpe_learn_oracle(),
+       tags=("llm", "text", "tokenizer"))
 def q_llm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 tokenizer training: the first 10 BPE merges learned from the
     corpus (see bpe_learn). Deterministic merge sequence (lexicographic
-    tie-break); rows-only driver check by nature (iterative corpus-
-    dependent choices are not one-shot-SQL-expressible) with the exact
-    pure-Python reference comparison in tests/test_llm.py."""
+    tie-break). HARD oracle (r8): the learning loop's per-round argmax
+    is not ONE-shot SQL, but a FIXED number of rounds unrolls as
+    chained CTEs — each round's winning pair + weight replayed and
+    unioned in step order (the technique that graduated q_llm_ann_ivf
+    and q_llm_bpe_apply); the exact pure-Python reference comparison in
+    tests/test_llm.py stands as a second, engine-free witness."""
     return bpe_learn(t(spark, sf_dir, "documents"), n_merges=10)
 
 
@@ -1181,41 +1239,10 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
 
 
 def _bpe_apply_oracle(n_merges: int = 10) -> str:
-    """DuckDB replay of BOTH halves of the BPE tokenizer: the 10
-    learning rounds (adjacent-pair counts over the word vocabulary,
-    frequency-weighted, (weight DESC, left, right) tie-break — exactly
-    bpe_learn's choice rule) unrolled as chained CTEs, then the
-    application join back to each document's word stream. The greedy
-    merge fold is a list_reduce over the symbol list with an
-    empty-string seed: a symbol fuses into the accumulator when the
-    accumulator ends with ' '||left and the symbol equals right — the
-    space anchor makes the suffix test equivalent to an exact
-    last-token comparison, so the fold is bpe_learn's aggregate lambda
-    verbatim."""
-    fold = ("trim(list_reduce(list_prepend('', str_split(tok, ' ')), "
-            "(acc, x) -> CASE WHEN ends_with(acc, ' ' || m.pl) "
-            "AND x = m.pr THEN acc || x "
-            "ELSE acc || ' ' || x END))")
-    parts = [
-        "w AS (SELECT word, count(*) AS freq FROM ("
-        "SELECT unnest(str_split_regex(trim(text), ' +')) AS word "
-        "FROM documents) WHERE word <> '' GROUP BY word)",
-        "v0 AS (SELECT word, array_to_string(str_split(word, ''), ' ') "
-        "AS tok, freq FROM w)"]
-    for r in range(1, n_merges + 1):
-        parts.append(
-            f"p{r} AS (SELECT p.* , sum(freq) AS w FROM ("
-            f"SELECT freq, unnest(list_transform("
-            f"range(1, len(str_split(tok, ' '))), "
-            f"i -> struct_pack(pl := str_split(tok, ' ')[i], "
-            f"pr := str_split(tok, ' ')[i + 1]))) AS p "
-            f"FROM v{r - 1}) GROUP BY p.pl, p.pr)")
-        parts.append(
-            f"m{r} AS (SELECT p.pl AS pl, p.pr AS pr FROM p{r} p "
-            f"ORDER BY w DESC, pl, pr LIMIT 1)")
-        parts.append(
-            f"v{r} AS (SELECT v.word, {fold} AS tok, v.freq "
-            f"FROM v{r - 1} v CROSS JOIN m{r} m)")
+    """DuckDB replay of BOTH halves of the BPE tokenizer: the shared
+    learning-round chain (_bpe_rounds_cte), then the application join
+    back to each document's word stream."""
+    parts = _bpe_rounds_cte(n_merges)
     parts.append(
         "dw AS (SELECT doc_id, unnest(words) AS word, "
         "generate_subscripts(words, 1) AS pos FROM ("

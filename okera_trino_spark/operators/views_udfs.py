@@ -165,3 +165,44 @@ def q_meta_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal expected listing."""
     cat = GovernedCatalog(spark, sf_dir)
     return cat.execute("SHOW TABLES", dialect="trino")
+
+
+@query(
+    "q_trino_info_schema",
+    oracle="""
+    SELECT table_name, column_name,
+           CAST(ordinal_position AS INT) AS ordinal_position,
+           CASE data_type
+               WHEN 'BIGINT' THEN 'bigint'
+               WHEN 'INTEGER' THEN 'integer'
+               WHEN 'DOUBLE' THEN 'double'
+               WHEN 'VARCHAR' THEN 'varchar'
+               WHEN 'TIMESTAMP' THEN 'timestamp(3)'
+               WHEN 'FLOAT[]' THEN 'array(real)'
+           END AS data_type,
+           is_nullable
+    FROM information_schema.columns
+    WHERE table_schema = 'main'
+    ORDER BY table_name, ordinal_position
+    """,
+    tags=("catalog", "metadata", "trino"),
+)
+def q_trino_info_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12/C14 depth: ``information_schema.columns`` through the
+    governed SQL path — the introspection surface BI tools use. Trino
+    serves information_schema for every catalog by driving the
+    connector's metadata SPI (the listSchemaNames/listTables/
+    getTableMetadata calls behind SHOW, RecordServiceMetadata.java:
+    166-282); the schema is hidden from LISTINGS (:82) but queryable,
+    so the governed path synthesizes it from the registry with
+    policy-scoped columns and Trino-rendered types
+    (sources/types.py spark_type_to_trino).
+
+    The oracle is DuckDB's OWN information_schema over the same
+    fixture views, its type names mapped to the Trino renderings — a
+    genuine cross-engine metadata check, not a literal listing."""
+    cat = GovernedCatalog(spark, sf_dir)
+    return cat.execute(
+        "SELECT table_name, column_name, ordinal_position, data_type, "
+        "is_nullable FROM information_schema.columns "
+        "ORDER BY table_name, ordinal_position", dialect="trino")

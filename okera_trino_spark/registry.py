@@ -104,13 +104,16 @@ def query(name: str, oracle: str | None = None,
 #:      repo — filling the window to exactly 50 (the r2 keys left
 #:      out, q_udtf_split, q_count_star, q_fn_cast, q_union_all,
 #:      q_fn_array, and — for the session-3 keys q_llm_ann_pq /
-#:      q_llm_bpe_apply / q_trino_sql_unicode — q_fn_string, q_fn_date
-#:      and q_unnest: all have driver rows and re-enter next
+#:      q_llm_bpe_apply / q_trino_sql_unicode / q_llm_bpe /
+#:      q_trino_info_schema — q_fn_string, q_fn_date, q_unnest,
+#:      q_case_expr and q_project: all have driver rows (q_project's
+#:      pushdown shape is also plan-asserted) and re-enter next
 #:      rotation; the late-r8
 #:      q_events_pattern_empty / q_llm_winnow / q_trino_sql_mr_vars /
 #:      q_trino_sql_mr_desc took the first five slots).
-#: q_llm_bpe (rows-only, has its r7 driver row) exits the window: its
-#: weaker check never improves, so the slot buys nothing.
+#: q_llm_bpe RE-ENTERS the window (late r8): it graduated from
+#: rows-only to a hash oracle (the learning rounds unrolled as chained
+#: CTEs), so its driver check upgrades — the changed-key rule applies.
 _PRIORITY: tuple[str, ...] = (
     # 1) zero-driver-signal + new in r8
     "q_trino_sql_mr_prev", "q_events_pattern_rows",
@@ -121,16 +124,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_llm_heavy_hitters", "q_events_pattern_empty", "q_llm_winnow",
     "q_trino_sql_mr_vars", "q_trino_sql_mr_desc",
     "q_trino_sql_breadth3", "q_llm_ann_pq", "q_llm_bpe_apply",
-    "q_trino_sql_unicode",
+    "q_trino_sql_unicode", "q_llm_bpe", "q_trino_info_schema",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
     # 3) r2-stale cohort
-    "q_pricing_summary", "q_scan_full", "q_project", "q_filter_range",
+    "q_pricing_summary", "q_scan_full", "q_filter_range",
     "q_join_inner", "q_join_left", "q_join_semi",
     "q_join_broadcast", "q_agg_group", "q_agg_rollup", "q_agg_stats",
     "q_win_rank", "q_win_frame_range", "q_topk",
-    "q_cte", "q_case_expr",
+    "q_cte",
     "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",
     "q_view_create_read",
     "q_stream_static_join", "q_llm_dedup_exact",

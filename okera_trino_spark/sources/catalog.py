@@ -816,6 +816,77 @@ class GovernedCatalog:
                       "nulls_fraction double, row_count double")
         return None
 
+    # ------------------------------------------- information_schema
+    #: Trino serves information_schema for every catalog by driving
+    #: the connector's metadata SPI (the same listSchemaNames /
+    #: listTables / getTableMetadata calls behind SHOW —
+    #: RecordServiceMetadata.java:166-282); the schema is hidden from
+    #: LISTINGS (:82) but its views are queryable. BI tools introspect
+    #: through it, so the governed SQL path answers SELECTs over
+    #: schemata/tables/columns/views from the registry.
+    _INFO_SCHEMA_RE = re.compile(
+        r"\binformation_schema\s*\.\s*(schemata|tables|columns|views)\b",
+        re.IGNORECASE)
+
+    def _rewrite_information_schema(self, sql: str,
+                                    user: str) -> str | None:
+        """When ``sql`` references information_schema views, register
+        policy-scoped temp views backing them and return the statement
+        with the references renamed onto those views (projection,
+        filtering, joins then plan as normal Spark SQL). Returns None
+        when the statement doesn't touch information_schema.
+
+        Column listings go through :meth:`table_schema` with the
+        calling user, so policy-hidden columns are ABSENT exactly as in
+        DESCRIBE (RecordServiceMetadata.java:804); types render as the
+        Trino engine would show them (sources/types.py
+        spark_type_to_trino)."""
+        wanted = {m.group(1).lower()
+                  for m in self._INFO_SCHEMA_RE.finditer(sql)}
+        if not wanted:
+            return None
+        from okera_trino_spark.sources.types import spark_type_to_trino
+        cat = self.catalog_name
+        if "schemata" in wanted:
+            rows = [(cat, s) for s in self.list_schemas()]
+            self.spark.createDataFrame(
+                rows, "catalog_name string, schema_name string"
+            ).createOrReplaceTempView("_info_schema_schemata")
+        if "tables" in wanted:
+            rows = [(cat, s, t, "BASE TABLE")
+                    for s in self.list_schemas()
+                    for t in self.list_tables(s)]
+            rows += [(cat, "default", v, "VIEW")
+                     for v in self.list_views()]
+            self.spark.createDataFrame(
+                rows, "table_catalog string, table_schema string, "
+                      "table_name string, table_type string"
+            ).createOrReplaceTempView("_info_schema_tables")
+        if "columns" in wanted:
+            rows = []
+            for s in self.list_schemas():
+                for t in self.list_tables(s):
+                    fields = self.table_schema(t, user=user).fields
+                    rows += [(cat, s, t, f.name, i + 1, None,
+                              "YES" if f.nullable else "NO",
+                              spark_type_to_trino(f.dataType))
+                             for i, f in enumerate(fields)]
+            self.spark.createDataFrame(
+                rows, "table_catalog string, table_schema string, "
+                      "table_name string, column_name string, "
+                      "ordinal_position int, column_default string, "
+                      "is_nullable string, data_type string"
+            ).createOrReplaceTempView("_info_schema_columns")
+        if "views" in wanted:
+            rows = [(cat, "default", v, self._views[v])
+                    for v in self.list_views()]
+            self.spark.createDataFrame(
+                rows, "table_catalog string, table_schema string, "
+                      "table_name string, view_definition string"
+            ).createOrReplaceTempView("_info_schema_views")
+        return self._INFO_SCHEMA_RE.sub(
+            lambda m: "_info_schema_" + m.group(1).lower(), sql)
+
     # ---------------------------------------------------------------- audit
     def execute(self, sql: str, user: str | None = None,
                 on_behalf_of: str | None = None,
@@ -890,6 +961,11 @@ class GovernedCatalog:
             raise
         self._register_governed(user)
         try:
+            # information_schema SELECTs (both dialects): swap the
+            # references onto policy-scoped registry views; the audit
+            # below records the ORIGINAL text.
+            info = self._rewrite_information_schema(sql, user)
+            plan_sql = info if info is not None else sql
             if dialect == "trino":
                 from okera_trino_spark.functions.trino_sql import (
                     ensure_dialect_udfs, execute_match_recognize,
@@ -907,9 +983,9 @@ class GovernedCatalog:
                             elapsed_ms=(time.time() - start) * 1000.0,
                             success=True))
                         return mr
-                text = rewrite_trino_sql(sql)
+                text = rewrite_trino_sql(plan_sql)
             elif dialect == "spark":
-                text = sql
+                text = plan_sql
             else:
                 raise ValueError(f"dialect must be spark|trino, got {dialect!r}")
             df = (self.spark.sql(text, args=params) if params is not None

@@ -162,3 +162,46 @@ def spark_type_to_okera(dtype: T.DataType) -> str:
                          for f in dtype.fields)
         return f"STRUCT<{inner}>"
     raise ValueError(f"unsupported Spark type: {dtype!r}")
+
+
+def spark_type_to_trino(dtype: T.DataType) -> str:
+    """Spark DataType → the Trino type string the engine would show in
+    ``information_schema.columns.data_type`` for this connector's
+    columns (the engine-side rendering of the C11 mapping;
+    RecordServiceMetadata.java:632-718 is the connector half).
+    Lowercase, parameterized forms per Trino convention."""
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, T.ByteType):
+        return "tinyint"
+    if isinstance(dtype, T.ShortType):
+        return "smallint"
+    if isinstance(dtype, T.IntegerType):
+        return "integer"
+    if isinstance(dtype, T.LongType):
+        return "bigint"
+    if isinstance(dtype, T.FloatType):
+        return "real"
+    if isinstance(dtype, T.DoubleType):
+        return "double"
+    if isinstance(dtype, T.StringType):
+        return "varchar"
+    if isinstance(dtype, T.BinaryType):
+        return "varbinary"
+    if isinstance(dtype, T.DateType):
+        return "date"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # Trino's default timestamp precision for this surface.
+        return "timestamp(3)"
+    if isinstance(dtype, T.DecimalType):
+        return f"decimal({dtype.precision},{dtype.scale})"
+    if isinstance(dtype, T.ArrayType):
+        return f"array({spark_type_to_trino(dtype.elementType)})"
+    if isinstance(dtype, T.MapType):
+        return (f"map({spark_type_to_trino(dtype.keyType)}, "
+                f"{spark_type_to_trino(dtype.valueType)})")
+    if isinstance(dtype, T.StructType):
+        inner = ", ".join(f"{f.name} {spark_type_to_trino(f.dataType)}"
+                          for f in dtype.fields)
+        return f"row({inner})"
+    raise ValueError(f"unsupported Spark type: {dtype!r}")

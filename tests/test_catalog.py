@@ -705,3 +705,69 @@ def test_execute_immediate_passes_through(cat):
     the prepared-statement handler."""
     rows = cat.execute("EXECUTE IMMEDIATE 'SELECT 41 + 1 AS x'").collect()
     assert rows[0].x == 42
+
+
+# --------------------------------------------------- information_schema
+def test_info_schema_tables_lists_registry(cat):
+    """SELECT over information_schema.tables answers from the governed
+    registry (Trino serves information_schema by driving the metadata
+    SPI; the schema is hidden from listings but queryable)."""
+    rows = cat.execute(
+        "SELECT table_schema, table_name, table_type "
+        "FROM information_schema.tables ORDER BY table_schema, table_name",
+        dialect="trino").collect()
+    names = [(r.table_schema, r.table_name) for r in rows]
+    assert ("default", "orders") in names
+    assert ("llm", "documents") in names
+    assert all(r.table_type == "BASE TABLE" for r in rows)
+
+
+def test_info_schema_columns_policy_scoped(cat):
+    """Policy-hidden columns are ABSENT from information_schema.columns
+    for the restricted caller — same contract as DESCRIBE."""
+    cat.set_policy("alice", "customer", TablePolicy(
+        allowed_columns=["c_custkey", "c_name"]))
+    rows = cat.execute(
+        "SELECT column_name FROM information_schema.columns "
+        "WHERE table_name = 'customer' ORDER BY ordinal_position",
+        user="alice", dialect="trino").collect()
+    assert [r.column_name for r in rows] == ["c_custkey", "c_name"]
+    rows_b = cat.execute(
+        "SELECT column_name FROM information_schema.columns "
+        "WHERE table_name = 'customer'", user="bob",
+        dialect="trino").collect()
+    assert len(rows_b) == 5
+
+
+def test_info_schema_types_render_as_trino(cat):
+    """data_type strings are the Trino renderings (bigint / varchar /
+    timestamp(3) / array(real)) — the C11 mapping's engine-side view."""
+    rows = cat.execute(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'embeddings' OR column_name = 'o_orderdate' "
+        "ORDER BY table_name, ordinal_position", dialect="spark").collect()
+    types = {r.column_name: r.data_type for r in rows}
+    assert types["vec_id"] == "bigint"
+    assert types["embedding"] == "array(real)"
+    assert types["o_orderdate"] == "timestamp(3)"
+
+
+def test_info_schema_views_and_schemata(cat):
+    cat.create_view("v_info", "SELECT r_name FROM region")
+    rows = cat.execute(
+        "SELECT table_name, view_definition FROM information_schema.views",
+        dialect="trino").collect()
+    assert [(r.table_name) for r in rows] == ["v_info"]
+    assert "region" in rows[0].view_definition
+    # the view also appears in .tables as table_type VIEW
+    trow = cat.execute(
+        "SELECT table_type FROM information_schema.tables "
+        "WHERE table_name = 'v_info'", dialect="trino").collect()
+    assert [r.table_type for r in trow] == ["VIEW"]
+    srows = cat.execute(
+        "SELECT schema_name FROM information_schema.schemata "
+        "ORDER BY schema_name", dialect="trino").collect()
+    assert [r.schema_name for r in srows] == ["default", "llm"]
+    # the original statement text is what the audit records
+    assert any("information_schema.schemata" in a.sql
+               for a in cat.audit_log)
