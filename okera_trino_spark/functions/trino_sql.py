@@ -121,6 +121,20 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     moot on an exact computation); named errors for invalid codepoints
     (surrogates, > U+10FFFF), non-standard normalization forms, and
     non-literal bucket counts
+  - wave 18 (r8): LISTAGG(e[, sep]) WITHIN GROUP (ORDER BY …)
+    (SQL:2016) → sorted collect_list struct fold with the value as the
+    final tie-break (partition order can never leak) and NULLs dropped
+    like Trino; ON OVERFLOW ERROR stripped (the default, unreachable —
+    no string cap on Spark), TRUNCATE / DESC / NULLS FIRST|LAST keys
+    refused by name; luhn_check → codegen mod-10 fold, NULL-safe,
+    raising on non-digit input like Trino
+  - wave 19 (r8, divergence audit): skewness/kurtosis — Trino computes
+    the SAMPLE-adjusted (bias-corrected) statistics, Spark's
+    same-named aggregates are the POPULATION formulas (verified: n=6
+    gives 1.0952 vs Trino's 1.4997) — lowered to one-pass power sums
+    with the central moments let-bound per group; NULL below the
+    defined n and on constant groups (both engines' convention);
+    geometric_mean → exp(avg(ln(x)))
   - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
     (Trino's repeat builds an ARRAY; Spark's same-named repeat is
     string repetition — a silent mistranslation if passed through);
@@ -736,6 +750,68 @@ def _mysql_fmt_to_java(fmt: str) -> str:
 
 
 _REGEX_META = re.compile(r"[.^$*+?()\[\]{}|\\]")
+
+_LISTAGG_RE = re.compile(r"\blistagg\s*\(", re.IGNORECASE)
+_WITHIN_GROUP_RE = re.compile(r"\s*WITHIN\s+GROUP\s*\(", re.IGNORECASE)
+
+
+def _rewrite_listagg(code: str) -> str:
+    """``LISTAGG(e [, sep]) WITHIN GROUP (ORDER BY k, …)`` (SQL:2016 —
+    the sorted string aggregation BI tools emit; Trino 355+) → a
+    deterministic Spark fold: ``collect_list(struct(keys…, value))``
+    sorted on the keys (value as final tie-break, so partition order
+    can never leak into the output), NULL values dropped after the
+    sort (Trino listagg skips NULLs), ``array_join`` with the
+    separator. ``ON OVERFLOW ERROR`` is the default and unreachable —
+    Spark strings have no 1 MB cap, so the clause is stripped;
+    ``ON OVERFLOW TRUNCATE`` changes the OUTPUT and is refused.
+    DESC / NULLS FIRST sort keys are refused rather than mis-sorted
+    (struct sort is ASC NULLS FIRST per field)."""
+    for m in reversed(list(_LISTAGG_RE.finditer(code))):
+        close = _find_close(code, m.end() - 1)
+        args = [a.strip() for a in _split_top_level(code[m.end():close])]
+        wm = _WITHIN_GROUP_RE.match(code, close + 1)
+        if wm is None:
+            raise TrinoSqlUnsupported(
+                "listagg requires WITHIN GROUP (ORDER BY …)")
+        close2 = _find_close(code, wm.end() - 1)
+        om = re.match(r"\s*ORDER\s+BY\s+(.*)\Z",
+                      code[wm.end():close2], re.IGNORECASE | re.DOTALL)
+        if om is None:
+            raise TrinoSqlUnsupported(
+                "listagg WITHIN GROUP must contain ORDER BY")
+        keys = [k.strip() for k in _split_top_level(om.group(1))]
+        cleaned = []
+        for k in keys:
+            if re.search(r"\b(DESC|NULLS\s+(FIRST|LAST))\b", k,
+                         re.IGNORECASE):
+                raise TrinoSqlUnsupported(
+                    "listagg: only default (ASC) ORDER BY keys are "
+                    "supported — struct sort order is ASC per field")
+            cleaned.append(re.sub(r"\s+ASC\s*$", "", k,
+                                  flags=re.IGNORECASE))
+        if not 1 <= len(args) <= 2:
+            raise TrinoSqlUnsupported(
+                "listagg takes (expression [, separator])")
+        sep = "''"
+        if len(args) == 2:
+            s = args[1]
+            ow = re.search(r"\bON\s+OVERFLOW\b(.*)\Z", s,
+                           re.IGNORECASE | re.DOTALL)
+            if ow:
+                if re.search(r"\bTRUNCATE\b", ow.group(1), re.IGNORECASE):
+                    raise TrinoSqlUnsupported(
+                        "listagg ON OVERFLOW TRUNCATE is not supported "
+                        "(Spark strings have no overflow to truncate)")
+                s = s[:ow.start()].strip()  # ERROR = the default
+            sep = s
+        key_fields = ", ".join(f"({k}) AS _lo{i}"
+                               for i, k in enumerate(cleaned))
+        new = ("array_join(transform(filter(array_sort(collect_list("
+               f"struct({key_fields}, ({args[0]}) AS _lv))), "
+               f"_la -> _la._lv IS NOT NULL), _la -> _la._lv), {sep})")
+        code = code[:m.start()] + new + code[close2 + 1:]
+    return code
 
 
 def _structural_rewrites(code: str, stash: list[str]) -> str:
@@ -1608,6 +1684,82 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
 
     code = _rewrite_calls(code, "human_readable_seconds", _hrs_fn)
 
+    # luhn_check (wave 18): the Luhn mod-10 checksum as a pure codegen
+    # fold — from the RIGHT, every second digit doubles (minus 9 above
+    # 9). NULL → NULL; non-digit input raises like Trino (raise_error
+    # inside the guarded branch). The input binds once as a lambda
+    # variable.
+    def _luhn_fn(a):
+        if len(a) != 1:
+            return None
+        d = "(ascii(substring(_lu, _li, 1)) - 48)"
+        term = (f"CASE WHEN (length(_lu) - _li) % 2 = 1 THEN "
+                f"CASE WHEN {d} > 4 THEN {d} * 2 - 9 ELSE {d} * 2 END "
+                f"ELSE {d} END")
+        return (f"element_at(transform(array(({a[0]})), _lu -> "
+                "CASE WHEN _lu IS NULL THEN CAST(NULL AS BOOLEAN) "
+                "WHEN NOT (_lu RLIKE '^[0-9]+$') THEN "
+                "CAST(raise_error('luhn_check: input must contain only "
+                "digits') AS BOOLEAN) "
+                "ELSE aggregate(sequence(1, length(_lu)), 0, "
+                f"(_ls, _li) -> _ls + ({term})) % 10 = 0 END), 1)")
+
+    code = _rewrite_calls(code, "luhn_check", _luhn_fn)
+
+    # ---- wave 19 (r8, divergence audit): skewness/kurtosis. Trino
+    # computes the SAMPLE-adjusted statistics (bias-corrected, the
+    # n/((n-1)(n-2)) family); Spark's same-named aggregates are the
+    # POPULATION formulas (g1, m4/m2²-3) — a silent value divergence
+    # on every finite group (verified: n=6 gives 1.0952 vs Trino's
+    # 1.4997). Lowered to power sums (one pass, codegen) with the
+    # central moments bound once per group via the nested-transform
+    # let-binding; n below the defined minimum divides by zero → NULL,
+    # matching both engines' NULL-for-undefined convention.
+    def _sample_moment_fn(kind: str):
+        def fn(a):
+            if len(a) != 1:
+                return None
+            x = f"CAST(({a[0]}) AS DOUBLE)"
+            sums = (f"array(named_struct('n', CAST(count({x}) AS DOUBLE), "
+                    f"'s1', sum({x}), 's2', sum({x} * {x}), "
+                    f"'s3', sum({x} * {x} * {x}), "
+                    f"'s4', sum({x} * {x} * {x} * {x})))")
+            mu = "(_m.s1 / _m.n)"
+            cm = (f"array(named_struct('n', _m.n, "
+                  f"'m2', _m.s2 - _m.n * {mu} * {mu}, "
+                  f"'m3', _m.s3 - 3 * {mu} * _m.s2 "
+                  f"+ 2 * _m.n * {mu} * {mu} * {mu}, "
+                  f"'m4', _m.s4 - 4 * {mu} * _m.s3 "
+                  f"+ 6 * {mu} * {mu} * _m.s2 "
+                  f"- 3 * _m.n * {mu} * {mu} * {mu} * {mu}))")
+            if kind == "skewness":
+                # Undefined below n=3 or on a constant group → NULL
+                # (DuckDB's convention too, so oracles line up).
+                final = ("CASE WHEN _c.n < 3 OR _c.m2 <= 0 "
+                         "THEN CAST(NULL AS DOUBLE) ELSE "
+                         "(_c.n / ((_c.n - 1) * (_c.n - 2))) * _c.m3 "
+                         "/ pow(sqrt(_c.m2 / (_c.n - 1)), 3) END")
+            else:
+                final = ("CASE WHEN _c.n < 4 OR _c.m2 <= 0 "
+                         "THEN CAST(NULL AS DOUBLE) ELSE "
+                         "_c.n * (_c.n + 1) / ((_c.n - 1) * (_c.n - 2) "
+                         "* (_c.n - 3)) * _c.m4 "
+                         "/ pow(_c.m2 / (_c.n - 1), 2) "
+                         "- 3 * (_c.n - 1) * (_c.n - 1) "
+                         "/ ((_c.n - 2) * (_c.n - 3)) END")
+            return (f"element_at(transform({sums}, _m -> "
+                    f"element_at(transform({cm}, _c -> {final}), 1)), 1)")
+        return fn
+
+    code = _rewrite_calls(code, "skewness", _sample_moment_fn("skewness"))
+    code = _rewrite_calls(code, "kurtosis", _sample_moment_fn("kurtosis"))
+
+    # geometric_mean(x) = exp(avg(ln(x))) — no Spark twin.
+    code = _rewrite_calls(
+        code, "geometric_mean",
+        lambda a: f"exp(avg(ln(CAST(({a[0]}) AS DOUBLE))))"
+        if len(a) == 1 else None)
+
     # Trino's md5/sha1 return VARBINARY; Spark's return the hex STRING
     # (sha256/sha512 are handled the same way earlier in this pass).
     code = _rewrite_calls(
@@ -1948,6 +2100,7 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     code = _rewrite_subscripts(code)
     code = _rewrite_try(code, stash)
     code = _rewrite_unnest(code)
+    code = _rewrite_listagg(code)
     code = _structural_rewrites(code, stash)
     code = _DATE_ARITH_RE.sub(
         lambda m: ("timestampadd(" if m.group(1).lower() == "date_add"
@@ -3405,6 +3558,42 @@ def q_trino_sql_breadth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate natively). Every shim is JVM-side; map values
     compare canonically (sorted key order) in the driver hash."""
     return execute_trino(spark, TRINO_SQL_BREADTH3, sf_dir)
+
+
+TRINO_SQL_LISTAGG = """
+SELECT o_orderstatus,
+       listagg(o_orderpriority, ',') WITHIN GROUP (
+           ORDER BY o_orderdate, o_orderkey) AS prio_list,
+       count(*) AS n
+FROM orders
+WHERE o_orderkey < 2000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "q_trino_sql_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority, ','
+                      ORDER BY o_orderdate, o_orderkey) AS prio_list,
+           count(*) AS n
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect wave 18 (r8): SQL:2016 LISTAGG … WITHIN GROUP through
+    the string path — the sorted string aggregation BI tools emit.
+    Lowered to a collect_list struct fold sorted on the ORDER BY keys
+    (value as final tie-break). The ORDER BY ends in the unique
+    o_orderkey on BOTH sides — dates repeat, and an unpinned tie would
+    flap the cross-engine hash."""
+    return execute_trino(spark, TRINO_SQL_LISTAGG, sf_dir)
 
 
 TRINO_SQL_UNICODE = """

@@ -841,8 +841,14 @@ class GovernedCatalog:
         DESCRIBE (RecordServiceMetadata.java:804); types render as the
         Trino engine would show them (sources/types.py
         spark_type_to_trino)."""
+        # Rewrite only OUTSIDE single-quoted literals — a string value
+        # that happens to contain "information_schema.tables" must
+        # survive byte-for-byte (split keeps literals at odd indices;
+        # '' quote escapes stay inside one span).
+        spans = re.split(r"('(?:[^']|'')*')", sql)
         wanted = {m.group(1).lower()
-                  for m in self._INFO_SCHEMA_RE.finditer(sql)}
+                  for i, p in enumerate(spans) if i % 2 == 0
+                  for m in self._INFO_SCHEMA_RE.finditer(p)}
         if not wanted:
             return None
         from okera_trino_spark.sources.types import spark_type_to_trino
@@ -884,8 +890,10 @@ class GovernedCatalog:
                 rows, "table_catalog string, table_schema string, "
                       "table_name string, view_definition string"
             ).createOrReplaceTempView("_info_schema_views")
-        return self._INFO_SCHEMA_RE.sub(
-            lambda m: "_info_schema_" + m.group(1).lower(), sql)
+        return "".join(
+            p if i % 2 else self._INFO_SCHEMA_RE.sub(
+                lambda m: "_info_schema_" + m.group(1).lower(), p)
+            for i, p in enumerate(spans))
 
     # ---------------------------------------------------------------- audit
     def execute(self, sql: str, user: str | None = None,

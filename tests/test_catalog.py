@@ -771,3 +771,14 @@ def test_info_schema_views_and_schemata(cat):
     # the original statement text is what the audit records
     assert any("information_schema.schemata" in a.sql
                for a in cat.audit_log)
+
+
+def test_info_schema_name_inside_literal_untouched(cat):
+    """A string VALUE containing 'information_schema.tables' is data,
+    not a reference — it must survive byte-for-byte."""
+    row = cat.execute(
+        "SELECT 'information_schema.tables' AS s, count(*) AS n "
+        "FROM information_schema.tables GROUP BY 1",
+        dialect="trino").collect()[0]
+    assert row.s == "information_schema.tables"
+    assert row.n == 10

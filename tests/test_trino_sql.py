@@ -1663,3 +1663,110 @@ def test_trino_wave17_named_errors(spark, sf_dir):
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
+
+
+# -------------------------------------------- wave 18: LISTAGG (SQL:2016)
+# and luhn_check.
+_DUCK_LUHN = (
+    "list_sum(list_transform(range(1, length({S}) + 1), i -> "
+    "CASE WHEN (length({S}) - i) % 2 = 1 THEN "
+    "CASE WHEN ascii({S}[CAST(i AS INT)]) - 48 > 4 "
+    "THEN (ascii({S}[CAST(i AS INT)]) - 48) * 2 - 9 "
+    "ELSE (ascii({S}[CAST(i AS INT)]) - 48) * 2 END "
+    "ELSE ascii({S}[CAST(i AS INT)]) - 48 END)) % 10 = 0")
+
+WAVE18 = [
+    ("listagg_basic",
+     "SELECT o_orderstatus, listagg(o_orderpriority, ',') "
+     "WITHIN GROUP (ORDER BY o_orderkey) AS lst "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     "SELECT o_orderstatus, string_agg(o_orderpriority, ',' "
+     "ORDER BY o_orderkey) AS lst "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    ("listagg_overflow_error_multikey",
+     # ON OVERFLOW ERROR is Trino's default and unreachable on Spark
+     # (no string cap) — stripped; multi-key ORDER BY; value itself is
+     # the final deterministic tie-break on both sides.
+     "SELECT listagg(o_orderpriority, ';' ON OVERFLOW ERROR) "
+     "WITHIN GROUP (ORDER BY o_orderdate, o_orderkey) AS l "
+     "FROM orders WHERE o_orderkey < 200",
+     "SELECT string_agg(o_orderpriority, ';' "
+     "ORDER BY o_orderdate, o_orderkey) AS l "
+     "FROM orders WHERE o_orderkey < 200"),
+    ("luhn_literal",
+     "SELECT luhn_check('79927398713') AS t, luhn_check('79927398714') "
+     "AS f, luhn_check('0') AS z",
+     "SELECT true AS t, false AS f, true AS z"),
+    ("luhn_column",
+     "SELECT o_orderkey, luhn_check(CAST(o_orderkey AS VARCHAR)) AS ok "
+     "FROM orders ORDER BY o_orderkey LIMIT 500",
+     "SELECT o_orderkey, " + _DUCK_LUHN.replace(
+         "{S}", "CAST(o_orderkey AS VARCHAR)")
+     + " AS ok FROM orders ORDER BY o_orderkey LIMIT 500"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", WAVE18,
+                         ids=[c[0] for c in WAVE18])
+def test_trino_wave18(spark, sf_dir, oracle, name, trino, duck):
+    """Dialect wave 18 (r8): LISTAGG … WITHIN GROUP (sorted
+    collect_list struct fold, NULL values dropped, deterministic
+    value tie-break) and luhn_check (codegen mod-10 fold)."""
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name=f"wave18:{name}")
+
+
+def test_trino_wave18_named_errors(spark, sf_dir):
+    for sql, pat in [
+        ("SELECT listagg(o_orderpriority, ',') FROM orders",
+         "WITHIN GROUP"),
+        ("SELECT listagg(o_orderpriority) WITHIN GROUP (GROUP BY 1) "
+         "FROM orders", "ORDER BY"),
+        ("SELECT listagg(o_orderpriority, ',' ON OVERFLOW TRUNCATE "
+         "'...') WITHIN GROUP (ORDER BY o_orderkey) FROM orders",
+         "TRUNCATE"),
+        ("SELECT listagg(o_orderpriority, ',') WITHIN GROUP "
+         "(ORDER BY o_orderkey DESC) FROM orders", "ASC"),
+        ("SELECT listagg(o_orderpriority, ',') WITHIN GROUP "
+         "(ORDER BY o_orderkey NULLS LAST) FROM orders", "ASC"),
+    ]:
+        with pytest.raises(TrinoSqlUnsupported, match=pat):
+            execute_trino(spark, sql, sf_dir)
+    # Trino raises on non-digit luhn input; so do we — at runtime,
+    # with the function named in the error.
+    with pytest.raises(Exception, match="luhn_check"):
+        execute_trino(spark, "SELECT luhn_check('12a4') AS x",
+                      sf_dir).collect()
+
+
+# -------------------------------------------- wave 19: sample-moment
+# statistics. Trino's skewness/kurtosis are the SAMPLE-adjusted
+# (bias-corrected) statistics; Spark's same-named aggregates are the
+# POPULATION formulas — passing them through was a silent value
+# divergence on every finite group. DuckDB natively computes the
+# Trino convention, so the oracle is direct.
+WAVE19 = [
+    ("sample_moments_grouped",
+     "SELECT o_orderstatus, round(skewness(o_totalprice), 6) AS sk, "
+     "round(kurtosis(o_totalprice), 6) AS ku, "
+     "round(geometric_mean(o_totalprice), 4) AS gm "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     "SELECT o_orderstatus, round(skewness(o_totalprice), 6) AS sk, "
+     "round(kurtosis(o_totalprice), 6) AS ku, "
+     "round(geomean(o_totalprice), 4) AS gm "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    ("sample_moments_degenerate",
+     # n below the defined minimum and constant groups → NULL, the
+     # convention both engines share.
+     "SELECT skewness(x) AS s2, kurtosis(x) AS k2 "
+     "FROM (VALUES 1.0, 2.0) AS t(x)",
+     "SELECT skewness(x) AS s2, kurtosis(x) AS k2 "
+     "FROM (VALUES (1.0), (2.0)) AS t(x)"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", WAVE19,
+                         ids=[c[0] for c in WAVE19])
+def test_trino_wave19(spark, sf_dir, oracle, name, trino, duck):
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name=f"wave19:{name}")
