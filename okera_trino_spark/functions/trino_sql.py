@@ -135,6 +135,15 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     with the central moments let-bound per group; NULL below the
     defined n and on constant groups (both engines' convention);
     geometric_mean → exp(avg(ln(x)))
+  - wave 20 (r8): entropy(count) → the one-pass log2 fold
+    log2(S) − Σ(c·log2 c)/S (zero counts contribute 0, negative
+    counts poison to NaN where Trino raises); 3-arg max_by/min_by →
+    sorted collect_list slice (NULL keys dropped like Trino,
+    deterministic value tie-break where Trino leaves ties arbitrary);
+    named error for checksum (order-insensitive xxhash64 sketch —
+    engine-specific values); parse_datetime hardened — Joda-only
+    pattern letters (Z/z zones, x/w week fields) now refuse by name
+    instead of passing through to Java re-interpretation
   - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
     (Trino's repeat builds an ARRAY; Spark's same-named repeat is
     string repetition — a silent mistranslation if passed through);
@@ -997,15 +1006,25 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                           lambda a: f"CAST({a[0]} AS DATE)"
                           if len(a) == 1 else None)
     # parse_datetime(s, fmt): Trino takes a Joda-Time pattern; the
-    # y/M/d/H/m/s/S core is identical in Java time, so a LITERAL
-    # pattern passes through to to_timestamp. Computed patterns refuse
-    # (can't validate the Joda-only letters).
+    # y/M/d/H/m/s/S/E/a core is identical in Java time, so a LITERAL
+    # pattern built only of those passes through to to_timestamp.
+    # Computed patterns refuse (can't validate the Joda-only letters),
+    # and any other pattern letter refuses BY NAME (wave 20 — Joda
+    # Z/z zone handling and x/w week fields differ from Java's; a
+    # pass-through would silently re-interpret them).
     def _parse_datetime_fn(a):
         if len(a) != 2:
             return None
-        if _lit(a[1]) is None:
+        fmt = _lit(a[1])
+        if fmt is None:
             raise TrinoSqlUnsupported(
                 "parse_datetime() needs a literal format pattern")
+        bare = re.sub(r"'[^']*'", "", fmt)  # quoted literals are inert
+        bad = set(re.findall(r"[A-Za-z]", bare)) - set("yMdHmsSEa")
+        if bad:
+            raise TrinoSqlUnsupported(
+                f"parse_datetime: Joda pattern letters {sorted(bad)} "
+                "have no exact Java-pattern equivalent")
         return f"to_timestamp({a[0]}, {a[1]})"
 
     code = _rewrite_calls(code, "parse_datetime", _parse_datetime_fn)
@@ -1759,6 +1778,58 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         code, "geometric_mean",
         lambda a: f"exp(avg(ln(CAST(({a[0]}) AS DOUBLE))))"
         if len(a) == 1 else None)
+
+    # ---- wave 20 (r8): counting-distribution entropy, top-n
+    # max_by/min_by, checksum refusal.
+    # entropy(c): Shannon log-2 entropy of COUNT inputs —
+    # -Σ (c/S)·log2(c/S) = log2(S) - Σ(c·log2 c)/S, a one-pass pair of
+    # sums. Zero counts contribute 0; a NEGATIVE count poisons the
+    # result to NaN (Trino raises — NaN is the visible equivalent this
+    # front end can express without a per-row branch to raise_error).
+    def _entropy_fn(a):
+        if len(a) != 1:
+            return None
+        c = f"CAST(({a[0]}) AS DOUBLE)"
+        term = (f"CASE WHEN {c} > 0 THEN {c} * log2({c}) "
+                f"WHEN {c} = 0 THEN 0.0 ELSE {c} * log2({c}) END")
+        return (f"element_at(transform(array(named_struct("
+                f"'s', sum({c}), 'sl', sum({term}))), _en -> "
+                "CASE WHEN _en.s IS NULL OR _en.s = 0 THEN 0.0 "
+                "ELSE log2(_en.s) - _en.sl / _en.s END), 1)")
+
+    code = _rewrite_calls(code, "entropy", _entropy_fn)
+
+    # max_by(x, y, n) / min_by(x, y, n): the x values of the n
+    # largest/smallest y — Spark's twins are 2-arg only. Sorted
+    # collect_list fold, NULL keys dropped (Trino ignores them), value
+    # as final tie-break so equal keys order deterministically (Trino
+    # leaves ties arbitrary). The 2-arg forms fall through untouched
+    # (same name, same semantics in Spark).
+    def _n_by_fn(desc: bool):
+        def fn(a):
+            if len(a) != 3:
+                return None
+            lo, hi = ("-1", "1") if desc else ("1", "-1")
+            cmp = (f"CASE WHEN _na.k > _nb.k THEN {lo} "
+                   f"WHEN _na.k < _nb.k THEN {hi} "
+                   f"WHEN _na.v > _nb.v THEN {lo} "
+                   f"WHEN _na.v < _nb.v THEN {hi} ELSE 0 END")
+            return (f"transform(slice(array_sort(filter(collect_list("
+                    f"struct(({a[1]}) AS k, ({a[0]}) AS v)), "
+                    f"_nf -> _nf.k IS NOT NULL), "
+                    f"(_na, _nb) -> {cmp}), 1, {a[2]}), _nv -> _nv.v)")
+        return fn
+
+    code = _rewrite_calls(code, "max_by", _n_by_fn(desc=True))
+    code = _rewrite_calls(code, "min_by", _n_by_fn(desc=False))
+
+    code = _rewrite_calls(
+        code, "checksum",
+        _named_unsupported(
+            "checksum", "order-insensitive xxhash64 sketch — engine-"
+            "specific values; hash a canonical sorted rendering "
+            "(e.g. md5 of listagg) for a portable checksum"))
+
 
     # Trino's md5/sha1 return VARBINARY; Spark's return the hex STRING
     # (sha256/sha512 are handled the same way earlier in this pass).

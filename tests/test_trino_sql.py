@@ -1770,3 +1770,76 @@ WAVE19 = [
 def test_trino_wave19(spark, sf_dir, oracle, name, trino, duck):
     df = execute_trino(spark, trino, sf_dir)
     check_query(df, oracle, duck, name=f"wave19:{name}")
+
+
+# -------------------------------------------- wave 20: entropy over
+# count distributions, top-n max_by/min_by, checksum refusal.
+WAVE20 = [
+    ("entropy_counts",
+     # log-2 entropy of the per-status priority-count distribution —
+     # replayed in DuckDB as log2(S) - Σ(c·log2 c)/S over the same
+     # grouped counts.
+     "SELECT o_orderstatus, round(entropy(c), 9) AS h FROM ("
+     "SELECT o_orderstatus, count(*) AS c FROM orders "
+     "GROUP BY o_orderstatus, o_orderpriority) "
+     "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     "SELECT o_orderstatus, round(log2(s) - sl / s, 9) AS h FROM ("
+     "SELECT o_orderstatus, CAST(sum(c) AS DOUBLE) AS s, "
+     "sum(c * log2(c)) AS sl FROM ("
+     "SELECT o_orderstatus, count(*) AS c FROM orders "
+     "GROUP BY o_orderstatus, o_orderpriority) GROUP BY o_orderstatus) "
+     "ORDER BY o_orderstatus"),
+    ("n_by_top",
+     # unique keys (o_orderkey) so the two engines' tie conventions
+     # cannot differ; DuckDB's 3-arg max_by/min_by are native.
+     "SELECT o_orderstatus, max_by(o_orderkey, o_totalprice * 1000 + "
+     "o_orderkey, 3) AS top3, min_by(o_orderkey, o_totalprice * 1000 + "
+     "o_orderkey, 3) AS bot3 FROM orders "
+     "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     "SELECT o_orderstatus, list_slice(list(o_orderkey "
+     "ORDER BY o_totalprice * 1000 + o_orderkey DESC), 1, 3) AS top3, "
+     "list_slice(list(o_orderkey "
+     "ORDER BY o_totalprice * 1000 + o_orderkey), 1, 3) AS bot3 "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+]
+
+
+@pytest.mark.parametrize("name,trino,duck", WAVE20,
+                         ids=[c[0] for c in WAVE20])
+def test_trino_wave20(spark, sf_dir, oracle, name, trino, duck):
+    """Dialect wave 20 (r8): entropy (one-pass log2 count-distribution
+    fold), 3-arg max_by/min_by (sorted collect_list, NULL keys
+    dropped, deterministic value tie-break), checksum named error."""
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name=f"wave20:{name}")
+
+
+def test_trino_wave20_named_errors(spark, sf_dir):
+    with pytest.raises(TrinoSqlUnsupported, match="checksum"):
+        execute_trino(spark, "SELECT checksum(o_orderkey) FROM orders",
+                      sf_dir)
+
+
+def test_trino_wave20_parse_datetime(spark, sf_dir, oracle):
+    """parse_datetime with the JODA/Java-shared token subset; zone or
+    week tokens raise by name."""
+    df = execute_trino(
+        spark,
+        "SELECT doc_id, parse_datetime('2024-03-0' || CAST(doc_id % 9 + 1 "
+        "AS VARCHAR) || ' 10:2' || CAST(doc_id % 10 AS VARCHAR) || ':05', "
+        "'yyyy-MM-dd HH:mm:ss') AS ts "
+        "FROM documents ORDER BY doc_id LIMIT 200", sf_dir)
+    check_query(
+        df,
+        oracle,
+        "SELECT doc_id, strptime('2024-03-0' || CAST(doc_id % 9 + 1 "
+        "AS VARCHAR) || ' 10:2' || CAST(doc_id % 10 AS VARCHAR) || ':05', "
+        "'%Y-%m-%d %H:%M:%S') AS ts "
+        "FROM documents ORDER BY doc_id LIMIT 200",
+        name="wave20:parse_datetime")
+    with pytest.raises(TrinoSqlUnsupported, match="pattern letters"):
+        execute_trino(spark, "SELECT parse_datetime('x', 'yyyy ZZ') AS t",
+                      sf_dir)
+    with pytest.raises(TrinoSqlUnsupported, match="literal format"):
+        execute_trino(spark, "SELECT parse_datetime(text, text) AS t "
+                      "FROM documents", sf_dir)
