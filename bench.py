@@ -92,6 +92,7 @@ HEADLINE = [
     "q_llm_winnow",
     "q_llm_ann_pq",
     "q_llm_bpe_apply",
+    "q_llm_quality_clf",
 ]
 
 #: Timed steady-state repeats per query; per-query time is the MIN over

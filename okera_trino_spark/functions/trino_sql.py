@@ -802,6 +802,10 @@ def _rewrite_listagg(code: str) -> str:
         if not 1 <= len(args) <= 2:
             raise TrinoSqlUnsupported(
                 "listagg takes (expression [, separator])")
+        if re.match(r"DISTINCT\b", args[0], re.IGNORECASE):
+            raise TrinoSqlUnsupported(
+                "listagg DISTINCT is not supported — deduplicate in a "
+                "subquery, then aggregate")
         sep = "''"
         if len(args) == 2:
             s = args[1]

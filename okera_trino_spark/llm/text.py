@@ -1274,3 +1274,79 @@ def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned = bpe_learn(docs, n_merges=10).collect()
     merges = [(r["left"], r["right"]) for r in learned]
     return bpe_apply(docs, merges)
+
+
+# ------------------------------------------------ hashed linear classifier
+#: Hashing-trick dimensionality and a deterministic pseudo-trained
+#: weight vector — the stand-in for fastText-style quality-classifier
+#: weights, which at production scale would be trained offline and
+#: slotted in as the same literal/broadcast constants.
+CLF_DIM = 64
+CLF_BIAS = -0.35
+CLF_WEIGHTS = [((b * 37 + 11) % CLF_DIM - CLF_DIM // 2) / CLF_DIM
+               for b in range(CLF_DIM)]
+
+
+def _clf_oracle() -> str:
+    """DuckDB replay: the identical md5-prefix bucket hash, the same
+    literal weight vector, the same mean-of-weights linear identity and
+    sigmoid — z rounds to 6dp before the sigmoid on BOTH engines so a
+    last-bit exp() difference cannot move the 4dp score."""
+    w = "[" + ", ".join(repr(x) for x in CLF_WEIGHTS) + "]"
+    words = "list_filter(str_split_regex(trim(text), ' +'), x -> x <> '')"
+    wsum = (f"list_sum(list_transform({words}, x -> "
+            f"{w}[CAST(('0x' || substring(md5(x), 1, 13))::BIGINT "
+            f"% {CLF_DIM} AS INT) + 1]))")
+    z = (f"round({CLF_BIAS} + coalesce({wsum}, 0.0) "
+         f"/ greatest(len({words}), 1), 6)")
+    return f"""
+    SELECT doc_id,
+           CAST(len({words}) AS INT) AS n_words,
+           round(1.0 / (1.0 + exp(-({z}))), 4) AS score,
+           1.0 / (1.0 + exp(-({z}))) > 0.45 AS keep
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@query("q_llm_quality_clf", oracle=_clf_oracle(),
+       tags=("llm", "text", "quality"))
+def q_llm_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 model-based quality scoring — the classifier stage
+    q_llm_curation's docstring leaves as a slot-in: a fastText-style
+    LINEAR model over hashing-trick bag-of-words features, run as pure
+    inference.
+
+    The linear identity does the heavy lifting: with feature vector
+    x_b = c_b / n (normalized bucket counts) the score
+    sigmoid(bias + Σ_b w_b·x_b) equals
+    sigmoid(bias + (Σ_word w[bucket(word)]) / n) — so scoring needs NO
+    per-bucket aggregation at all: one transform+aggregate fold over
+    the word array per document, a 64-element literal weight lookup
+    per word. ZERO shuffles, zero Python, whole-stage codegen
+    (plan-asserted). At 100 TB this is exactly how a trained linear
+    quality gate runs: weights broadcast as literals, scoring
+    embarrassingly parallel with the scan, composing with pushdown.
+
+    Buckets use the proven md5-prefix 52-bit hash family; z rounds to
+    6dp before the sigmoid on both engines (4dp score compare).
+    Reference scope: the connector itself ships no classifier — this
+    is part of the training-pipeline extension surface (SURVEY.md
+    §2.4), modeled on published fastText/CCNet-style quality gates.
+    """
+    d = t(spark, sf_dir, "documents")
+    w_arr = F.array(*[F.lit(x) for x in CLF_WEIGHTS])
+    words = _words(F.col("text"))
+    bucket = lambda x: (  # noqa: E731 — md5-prefix bucket, 0-based
+        F.conv(F.substring(F.md5(x), 1, 13), 16, 10).cast("bigint")
+        % CLF_DIM).cast("int")
+    wsum = F.aggregate(
+        F.transform(words, lambda x: F.element_at(w_arr, bucket(x) + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    n = F.greatest(F.size(words), F.lit(1))
+    z = F.round(F.lit(CLF_BIAS) + wsum / n, 6)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (d.select("doc_id", F.size(words).alias("n_words"),
+                     F.round(score, 4).alias("score"),
+                     (score > 0.45).alias("keep"))
+            .orderBy("doc_id"))

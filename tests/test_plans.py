@@ -327,3 +327,12 @@ def test_pq_adc_is_shuffle_free_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_quality_clf_is_shuffle_free_codegen(spark, sf_dir):
+    """The hashed linear classifier scores map-side: no exchange, no
+    Python — the linear identity removes the per-bucket aggregation."""
+    df = SPECS["q_llm_quality_clf"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Python" not in plan, plan

@@ -1843,3 +1843,76 @@ def test_trino_wave20_parse_datetime(spark, sf_dir, oracle):
     with pytest.raises(TrinoSqlUnsupported, match="literal format"):
         execute_trino(spark, "SELECT parse_datetime(text, text) AS t "
                       "FROM documents", sf_dir)
+
+
+def test_rewrite_contract_never_crashes_property():
+    """CONTRACT fuzz: for ANY nesting of dialect fragments — including
+    ones with masked literals, keyword arguments, trailing clauses and
+    arbitrary embedded strings — the REWRITER either produces a string
+    or raises TrinoSqlUnsupported. A bare Python exception
+    (IndexError from arg splitting, KeyError from a map, re.error)
+    is a rewriter bug regardless of whether the SQL was meaningful."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    leaves = ["n_name", "n_nationkey", "'lit''eral'", "42", "x"]
+
+    def wrap(inner: str, pick: int, n: int, s: str) -> str:
+        esc = s.replace("'", "''")
+        forms = [
+            f"chr({n % 1200})",
+            f"chr({inner})",
+            f"normalize({inner})",
+            f"normalize({inner}, NFKC)",
+            f"normalize({inner}, {esc or 'NFX'})",
+            f"strpos({inner}, '{esc}', {n % 5 - 2})",
+            f"listagg({inner}, ',') WITHIN GROUP (ORDER BY {inner})",
+            f"listagg({inner})",
+            f"approx_most_frequent({n % 4}, {inner}, 10)",
+            f"approx_most_frequent({inner}, {inner}, 10)",
+            f"to_base({inner}, 16)",
+            f"human_readable_seconds({inner})",
+            f"entropy({inner})",
+            f"max_by({inner}, {inner}, {n % 4})",
+            f"wilson_interval_lower({inner}, 25, 1.96)",
+            f"to_iso8601({inner})",
+            f"parse_duration('{(n % 9)}m')",
+            f"parse_duration({inner})",
+            f"date_format({inner}, '%Y-%m')",
+            f"date_format({inner}, '%Q')",
+            f"TRY({inner} / 0)",
+            f"CAST({inner} AS VARCHAR(3))",
+            f"json_value({inner}, 'strict $.a[*]')",
+            f"regexp_extract_all({inner}, '\\w+{esc}')",
+            f"luhn_check({inner})",
+            f"skewness({inner})",
+            f"concat({inner}, '{esc}')",
+            f"parse_datetime({inner}, 'yyyy Z')",
+            f"checksum({inner})",
+        ]
+        return forms[pick % len(forms)]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 10_000),
+                              st.text(max_size=6)),
+                    min_size=1, max_size=3),
+           st.sampled_from(leaves))
+    def check(ops, leaf):
+        expr = leaf
+        for pick, n, s in ops:
+            expr = wrap(expr, pick, n, s)
+        sql = f"SELECT {expr} AS c FROM nation"
+        try:
+            out = rewrite_trino_sql(sql)
+        except TrinoSqlUnsupported:
+            return
+        assert isinstance(out, str) and out
+
+    check()
+
+
+def test_listagg_distinct_named_error(spark, sf_dir):
+    with pytest.raises(TrinoSqlUnsupported, match="DISTINCT"):
+        execute_trino(
+            spark, "SELECT listagg(DISTINCT o_orderpriority, ',') "
+            "WITHIN GROUP (ORDER BY o_orderpriority) FROM orders", sf_dir)
