@@ -143,7 +143,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     named error for checksum (order-insensitive xxhash64 sketch —
     engine-specific values); parse_datetime hardened — Joda-only
     pattern letters (Z/z zones, x/w week fields) now refuse by name
-    instead of passing through to Java re-interpretation
+    instead of passing through to Java re-interpretation; grammar
+    edges: count-less FETCH FIRST ROW ONLY → LIMIT 1, named errors
+    for FETCH … WITH TIES (a LIMIT rewrite would DROP tied rows) and
+    BETWEEN SYMMETRIC (Spark parse error otherwise)
   - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
     (Trino's repeat builds an ARRAY; Spark's same-named repeat is
     string repetition — a silent mistranslation if passed through);
@@ -400,7 +403,13 @@ _CAST_VARCHAR_N_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 _FETCH_RE = re.compile(
-    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE)
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+ONLY\b", re.IGNORECASE)
+#: FETCH … WITH TIES keeps every row tying the cutoff's sort key —
+#: Spark's LIMIT cannot express it; refuse by name (a LIMIT n rewrite
+#: would silently DROP the tied rows).
+_FETCH_TIES_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:\d+\s+)?ROWS?\s+WITH\s+TIES\b",
+    re.IGNORECASE)
 
 #: Trino TABLESAMPLE BERNOULLI(p) → Spark TABLESAMPLE (p PERCENT)
 #: (row-level Bernoulli in both engines). SYSTEM(p) is block sampling
@@ -2208,7 +2217,17 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
         lambda m: "AS " + _CAST_TYPE_MAP[
             re.sub(r"\s*\(.*\)", "", re.sub(r"\s+", " ", m.group(1).upper()))],
         code)
-    code = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", code)
+    if _FETCH_TIES_RE.search(code):
+        raise TrinoSqlUnsupported(
+            "FETCH … WITH TIES is not supported — Spark's LIMIT cannot "
+            "keep cutoff ties; use rank() <= n over the sort key")
+    if re.search(r"\bBETWEEN\s+SYMMETRIC\b", code, re.IGNORECASE):
+        raise TrinoSqlUnsupported(
+            "BETWEEN SYMMETRIC is not supported — write BETWEEN "
+            "least(a, b) AND greatest(a, b)")
+    # Count-less FETCH FIRST ROW ONLY defaults to 1 (Trino grammar).
+    code = _FETCH_RE.sub(
+        lambda m: f"LIMIT {(m.group(1) or '1').strip()}", code)
     # Trino LIMIT ALL = no limit; Spark has no ALL spelling (r8).
     code = re.sub(r"\bLIMIT\s+ALL\b", "", code, flags=re.IGNORECASE)
     code = _TABLESAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", code)

@@ -1916,3 +1916,25 @@ def test_listagg_distinct_named_error(spark, sf_dir):
         execute_trino(
             spark, "SELECT listagg(DISTINCT o_orderpriority, ',') "
             "WITHIN GROUP (ORDER BY o_orderpriority) FROM orders", sf_dir)
+
+
+def test_fetch_first_row_only_and_with_ties(spark, sf_dir, oracle):
+    """Count-less FETCH FIRST ROW ONLY = LIMIT 1 (Trino grammar);
+    WITH TIES refuses by name (a LIMIT rewrite would silently DROP
+    the tied rows)."""
+    df = execute_trino(
+        spark, "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+        "FETCH FIRST ROW ONLY", sf_dir)
+    check_query(df, oracle,
+                "SELECT min(o_orderkey) AS o_orderkey FROM orders",
+                name="fetch_first_row")
+    with pytest.raises(TrinoSqlUnsupported, match="TIES"):
+        execute_trino(
+            spark, "SELECT o_orderkey FROM orders ORDER BY o_totalprice "
+            "FETCH FIRST 5 ROWS WITH TIES", sf_dir)
+
+
+def test_between_symmetric_named_error(spark, sf_dir):
+    with pytest.raises(TrinoSqlUnsupported, match="SYMMETRIC"):
+        execute_trino(spark, "SELECT o_orderkey FROM orders WHERE "
+                      "o_orderkey BETWEEN SYMMETRIC 10 AND 5", sf_dir)
