@@ -2756,11 +2756,13 @@ def execute_match_recognize(spark: SparkSession, sql: str,
             qual_sets[uname] = "".join(letters[c] for c in comps)
     if skip_to_var is not None:
         kind, var = skip_to_var
-        if var not in letters:
+        if var not in qual_sets:
             raise TrinoSqlUnsupported(
-                f"AFTER MATCH SKIP TO {kind.upper()} {var}: {var} has "
-                "no DEFINE")
-        after_match = f"{kind}:{letters[var]}"
+                f"AFTER MATCH SKIP TO {kind.upper()} {var}: {var} is "
+                "neither a DEFINEd pattern variable nor a SUBSET")
+        # A SUBSET target resolves to its member-letter SET — the
+        # operator skips to the first/last row mapped to ANY member.
+        after_match = f"{kind}:{qual_sets[var]}"
 
     # PERMUTE(A, B, …) (r8): alternation of every permutation. Trino's
     # preference order IS the lexicographic order of the listed
@@ -4140,6 +4142,77 @@ def q_trino_sql_mr_skiplast(spark: SparkSession, sf_dir: str) -> DataFrame:
     length(m) - 2, so the restart offset is pure arithmetic.
     """
     return execute_trino(spark, TRINO_SQL_MR_SKIPLAST, sf_dir)
+
+
+TRINO_SQL_MR_SKIPSUBSET = """
+SELECT user_id, match_num, n_rows
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES match_number() AS match_num, count(*) AS n_rows
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST W
+  PATTERN (V C+ P)
+  SUBSET W = (V, C)
+  DEFINE V AS event_type = 'view',
+         C AS event_type = 'click',
+         P AS event_type = 'purchase'
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr_skipsubset",
+    oracle="""
+    WITH RECURSIVE sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), hits AS (
+        SELECT user_id, pos,
+               regexp_extract(substring(s, CAST(pos AS INT)),
+                              '^VC+P') AS m
+        FROM sym, unnest(generate_series(1, length(s))) AS u(pos)
+        WHERE regexp_extract(substring(s, CAST(pos AS INT)),
+                             '^VC+P') <> ''
+    ), first_hit AS (
+        SELECT user_id, pos, m FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY pos) AS rn
+            FROM hits) WHERE rn = 1
+    ), walk AS (
+        SELECT user_id, pos, m, 1 AS k FROM first_hit
+        UNION ALL
+        SELECT h.user_id, h.pos, h.m, w.k + 1
+        FROM walk w JOIN hits h ON h.user_id = w.user_id
+            AND h.pos >= w.pos + length(w.m) - 2
+            AND h.pos = (SELECT min(h2.pos) FROM hits h2
+                         WHERE h2.user_id = w.user_id
+                           AND h2.pos >= w.pos + length(w.m) - 2)
+    )
+    SELECT user_id, CAST(k AS BIGINT) AS match_num,
+           CAST(length(m) AS BIGINT) AS n_rows
+    FROM walk
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr_skipsubset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO LAST <SUBSET variable>`` (late r8 — the
+    last SKIP form): the target row is the last row mapped to ANY
+    member of the union variable. For PATTERN (V C+ P) with
+    W = (V, C), the last W row is the final click at match offset
+    length(m) − 2 — the scan resumes AT it, so a purchase-preceding
+    click can seed the next funnel (impossible under PAST LAST ROW).
+
+    The oracle is the proven recursive-CTE skip replay
+    (q_trino_sql_mr_skiplast's technique): anchored matches at every
+    offset, the walk following each match to the earliest anchored
+    match at-or-after its last-W position — pure arithmetic for this
+    pattern shape, executed by an independent engine."""
+    return execute_trino(spark, TRINO_SQL_MR_SKIPSUBSET, sf_dir)
 
 
 @query(

@@ -217,9 +217,13 @@ def match_recognize(
     if after_match.startswith(("first:", "last:")):
         mode, _, skip_sym = after_match.partition(":")
         after_match = mode
-        if not re.fullmatch(r"[A-Z]", skip_sym):
+        # One letter = SKIP TO a pattern variable; several = SKIP TO a
+        # SUBSET union variable (the target row is the first/last row
+        # mapped to ANY member letter — Trino's union-variable rule).
+        if not re.fullmatch(r"[A-Z]+", skip_sym):
             raise ValueError(
-                f"after_match skip symbol {skip_sym!r}: one uppercase letter")
+                f"after_match skip symbol {skip_sym!r}: uppercase "
+                "letters only")
     if after_match not in ("past_last", "next_row", "first", "last"):
         raise ValueError(f"after_match {after_match!r}: 'past_last', "
                          "'next_row', 'first:X' or 'last:X'")
@@ -301,8 +305,15 @@ def match_recognize(
                 pos = m.start() + 1
                 continue
             g = m.group(0)
-            idx = (g.find(skip_sym) if after_match == "first"
-                   else g.rfind(skip_sym))
+            if len(skip_sym) == 1:
+                idx = (g.find(skip_sym) if after_match == "first"
+                       else g.rfind(skip_sym))
+            else:   # SUBSET target: first/last row mapped to ANY member
+                hits = [i for i in (g.find(c) if after_match == "first"
+                                    else g.rfind(c) for c in skip_sym)
+                        if i >= 0]
+                idx = ((min(hits) if after_match == "first" else max(hits))
+                       if hits else -1)
             if idx < 0:
                 raise ValueError(
                     f"AFTER MATCH SKIP TO {after_match.upper()} "

@@ -107,7 +107,8 @@ def query(name: str, oracle: str | None = None,
 #:      q_llm_bpe_apply / q_trino_sql_unicode / q_llm_bpe /
 #:      q_trino_info_schema — q_fn_string, q_fn_date, q_unnest,
 #:      q_case_expr, q_project and — for q_trino_sql_listagg /
-#:      q_llm_quality_clf — q_win_frame_range and q_agg_stats: all
+#:      q_llm_quality_clf — q_win_frame_range, q_agg_stats and (for
+#:      q_trino_sql_mr_skipsubset) q_agg_rollup: all
 #:      have driver rows (q_project's pushdown and q_win_frame_range's
 #:      E16 surface are also covered by plan-asserted/r7 sibling keys)
 #:      and re-enter next rotation; the late-r8
@@ -128,13 +129,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_breadth3", "q_llm_ann_pq", "q_llm_bpe_apply",
     "q_trino_sql_unicode", "q_llm_bpe", "q_trino_info_schema",
     "q_trino_sql_listagg", "q_llm_quality_clf",
+    "q_trino_sql_mr_skipsubset",
     # 2) changed in r8
     "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
     "q_trino_sql_mr",
     # 3) r2-stale cohort
     "q_pricing_summary", "q_scan_full", "q_filter_range",
     "q_join_inner", "q_join_left", "q_join_semi",
-    "q_join_broadcast", "q_agg_group", "q_agg_rollup",
+    "q_join_broadcast", "q_agg_group",
     "q_win_rank", "q_topk",
     "q_cte",
     "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",

@@ -145,8 +145,16 @@ def _make_pattern_updater(pattern: str, symbols: dict[str, str],
                 pos = m.start() + 1
             else:
                 g = m.group(0)
-                idx = (g.find(skip_sym) if after_match == "first"
-                       else g.rfind(skip_sym))
+                if len(skip_sym) == 1:
+                    idx = (g.find(skip_sym) if after_match == "first"
+                           else g.rfind(skip_sym))
+                else:   # SUBSET target (late r8) — the batch walk's rule
+                    hits = [i for i in
+                            (g.find(c) if after_match == "first"
+                             else g.rfind(c) for c in skip_sym)
+                            if i >= 0]
+                    idx = ((min(hits) if after_match == "first"
+                            else max(hits)) if hits else -1)
                 if idx < 0:
                     raise ValueError(
                         f"AFTER MATCH SKIP TO {after_match.upper()} "

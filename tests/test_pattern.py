@@ -148,10 +148,10 @@ def test_match_recognize_sql_named_errors(spark):
         # SUBSET components must be defined pattern variables.
         ("PARTITION BY user_id ORDER BY ts SUBSET U = (A, Z)",
          "undefined"),
-        # SKIP TO FIRST/LAST var is supported (r8); an undefined skip
-        # target is the named error now.
+        # SKIP TO FIRST/LAST var (r8) and SUBSET targets (late r8) are
+        # supported; an undefined skip target is the named error now.
         ("PARTITION BY user_id ORDER BY ts AFTER MATCH SKIP TO FIRST Z",
-         "no DEFINE"),
+         "neither a DEFINEd pattern variable nor a SUBSET"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=msg):
             execute_match_recognize(spark, base.format(body=body))
@@ -896,3 +896,20 @@ def test_show_empty_matches_string_path(spark, sf_dir):
     for r in show:
         mns.setdefault(r.user_id, set()).add(r.mn)
     assert all(max(v) == len(v) for v in mns.values())  # 1..k per user
+
+
+def test_skip_to_subset_operator(spark):
+    """SKIP TO LAST of a SUBSET (multi-letter skip symbol): the target
+    is the last row mapped to ANY member variable."""
+    rows = [("u", i, ev, float(i)) for i, ev in
+            enumerate(["d", "u", "d", "u", "d"])]
+    out = match_recognize(
+        _df(spark, rows), ["k"], ["seq"],
+        symbols=[("D", F.col("ev") == "d"), ("U", F.col("ev") == "u")],
+        pattern="D+U+D",
+        after_match="last:UD",   # SUBSET W = (U, D) → member set
+    ).orderBy("match_num").collect()
+    # match 1 = rows 0-2 "DUD": last row in {U, D} is the final D
+    # (index 2) — the scan resumes AT it, which seeds match 2 rows 2-4.
+    assert [(r.match_num, r.matched) for r in out] == [
+        (1, "DUD"), (2, "DUD")]

@@ -414,3 +414,29 @@ def test_stream_pattern_empty_matches():
         got = [(r.match_num, r.matched, r.start_id, r.end_id)
                for df in out for r in df.itertuples()]
         assert got == want, (mode, got)
+
+
+def test_stream_pattern_skip_to_subset():
+    """late r8: a multi-letter (SUBSET) skip symbol in the streaming
+    walk — the scan resumes AT the last row mapped to ANY member."""
+    import pandas as pd
+
+    from okera_trino_spark.streaming.stateful import _make_pattern_updater
+
+    sym = {"D": "D", "U": "U"}
+
+    def batch(ts, ids, types):
+        return iter([pd.DataFrame({
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_id": ids, "event_type": types})])
+
+    update = _make_pattern_updater("D+U+D", sym, after_match="last:UD")
+    state = _FakeState(wm_ms=1)
+    out = list(update((1,), batch([10, 20, 30, 40, 50, 60],
+                                  [1, 2, 3, 4, 5, 9],
+                                  ["D", "U", "D", "U", "D", "x"]), state))
+    got = [(r.match_num, r.matched, r.start_id) for df in out
+           for r in df.itertuples()]
+    # match 1 = DUD (ids 1-3); last of {U, D} = the final D (id 3),
+    # the scan resumes AT it → match 2 = DUD (ids 3-5), row reused.
+    assert got == [(1, "DUD", 1), (2, "DUD", 3)]
