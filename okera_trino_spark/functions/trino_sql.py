@@ -133,8 +133,7 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     same-named aggregates are the POPULATION formulas (verified: n=6
     gives 1.0952 vs Trino's 1.4997) — lowered to one-pass power sums
     with the central moments let-bound per group; NULL below the
-    defined n and on constant groups (both engines' convention);
-    geometric_mean → exp(avg(ln(x)))
+    defined n and on constant groups (both engines' convention)
   - wave 20 (r8): entropy(count) → the one-pass log2 fold
     log2(S) − Σ(c·log2 c)/S (zero counts contribute 0, negative
     counts poison to NaN where Trino raises); 3-arg max_by/min_by →
@@ -144,9 +143,11 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     engine-specific values); parse_datetime hardened — Joda-only
     pattern letters (Z/z zones, x/w week fields) now refuse by name
     instead of passing through to Java re-interpretation; grammar
-    edges: count-less FETCH FIRST ROW ONLY → LIMIT 1, named errors
-    for FETCH … WITH TIES (a LIMIT rewrite would DROP tied rows) and
-    BETWEEN SYMMETRIC (Spark parse error otherwise)
+    edges: count-less FETCH FIRST ROW ONLY → LIMIT 1, U&'…' Unicode
+    literals decoded to ordinary literals before masking (UESCAPE
+    refused), named errors for FETCH … WITH TIES (a LIMIT rewrite
+    would DROP tied rows) and BETWEEN SYMMETRIC (Spark parse error
+    otherwise)
   - wave 14 (r8, divergence audit): repeat(element, n)→array_repeat
     (Trino's repeat builds an ARRAY; Spark's same-named repeat is
     string repetition — a silent mistranslation if passed through);
@@ -1786,11 +1787,7 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(code, "skewness", _sample_moment_fn("skewness"))
     code = _rewrite_calls(code, "kurtosis", _sample_moment_fn("kurtosis"))
 
-    # geometric_mean(x) = exp(avg(ln(x))) — no Spark twin.
-    code = _rewrite_calls(
-        code, "geometric_mean",
-        lambda a: f"exp(avg(ln(CAST(({a[0]}) AS DOUBLE))))"
-        if len(a) == 1 else None)
+    # (geometric_mean is wave 7's guarded exp(avg(ln)) above.)
 
     # ---- wave 20 (r8): counting-distribution entropy, top-n
     # max_by/min_by, checksum refusal.
@@ -2415,8 +2412,55 @@ def _rewrite_groups_frames(masked: str) -> str:
     return masked[:fm.start()] + "FROM " + inner + masked[splice_end:]
 
 
+_UNICODE_LIT_RE = re.compile(r"\bU&'((?:[^']|'')*)'", re.IGNORECASE)
+
+
+def _decode_unicode_literals(sql: str) -> str:
+    """``U&'…'`` Unicode string literals (wave 20): ``\\XXXX`` (4 hex)
+    and ``\\+XXXXXX`` (6 hex) escapes decode to their codepoints,
+    ``\\\\`` to a literal backslash — the decoded text becomes an
+    ordinary literal BEFORE masking, so every later pass (including
+    the backslash-doubling restore) treats it like any other string.
+    A custom ``UESCAPE`` clause is refused rather than mis-decoded."""
+    if re.search(r"\bUESCAPE\b", sql, re.IGNORECASE) \
+            and _UNICODE_LIT_RE.search(sql):
+        raise TrinoSqlUnsupported(
+            "U&'…' with a custom UESCAPE character is not supported — "
+            "use the default backslash escapes")
+
+    def decode(m: re.Match) -> str:
+        body = m.group(1)
+        out, i, n = [], 0, len(body)
+        while i < n:
+            c = body[i]
+            if c == "\\":
+                if body[i + 1:i + 2] == "\\":
+                    decoded = "\\"
+                    i += 2
+                elif body[i + 1:i + 2] == "+":
+                    decoded = chr(int(body[i + 2:i + 8], 16))
+                    i += 8
+                else:
+                    decoded = chr(int(body[i + 1:i + 5], 16))
+                    i += 5
+                # a decoded quote must re-escape to stay inside the
+                # literal; pre-existing '' pairs pass through verbatim
+                out.append("''" if decoded == "'" else decoded)
+            else:
+                out.append(c)
+                i += 1
+        return "'" + "".join(out) + "'"   # '' escapes stay escaped
+
+    try:
+        return _UNICODE_LIT_RE.sub(decode, sql)
+    except ValueError as exc:
+        raise TrinoSqlUnsupported(
+            f"malformed U&'…' Unicode escape: {exc}") from None
+
+
 def rewrite_trino_sql(sql: str) -> str:
     """Rewrite a Trino-dialect SQL string to Spark SQL (pure text)."""
+    sql = _decode_unicode_literals(sql)
     masked, stash = _mask(sql)
     masked = _rewrite_groups_frames(masked)
     return _unmask(_rewrite_code(masked, stash), stash)

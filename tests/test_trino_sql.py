@@ -1938,3 +1938,21 @@ def test_between_symmetric_named_error(spark, sf_dir):
     with pytest.raises(TrinoSqlUnsupported, match="SYMMETRIC"):
         execute_trino(spark, "SELECT o_orderkey FROM orders WHERE "
                       "o_orderkey BETWEEN SYMMETRIC 10 AND 5", sf_dir)
+
+
+def test_unicode_string_literals(spark, sf_dir, oracle):
+    """U&'…' literals decode the \\XXXX / \\+XXXXXX escapes to their
+    codepoints BEFORE masking — they behave like ordinary literals
+    from then on (including the backslash-restore contract)."""
+    df = execute_trino(
+        spark,
+        r"SELECT U&'\0041\00E9 +\+01F600' AS s, U&'q\0027t' AS q, "
+        r"U&'back\\slash' AS b", sf_dir)
+    rows = df.collect()[0]
+    assert rows.s == "Aé +\U0001F600"
+    assert rows.q == "q't"
+    assert rows.b == "back\\slash"
+    with pytest.raises(TrinoSqlUnsupported, match="UESCAPE"):
+        execute_trino(spark, "SELECT U&'#0041' UESCAPE '#' AS s", sf_dir)
+    with pytest.raises(TrinoSqlUnsupported, match="malformed"):
+        execute_trino(spark, r"SELECT U&'\00ZZ' AS s", sf_dir)
