@@ -140,7 +140,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     sorted collect_list slice (NULL keys dropped like Trino,
     deterministic value tie-break where Trino leaves ties arbitrary);
     named error for checksum (order-insensitive xxhash64 sketch —
-    engine-specific values); parse_datetime hardened — Joda-only
+    engine-specific values); 2-arg trim/ltrim/rtrim — Spark's forms
+    take (trimStr, string), REVERSED from Trino's (string, chars) —
+    lowered to the unambiguous TRIM(BOTH|LEADING|TRAILING … FROM …)
+    (was a silent wrong-value pass-through); parse_datetime hardened — Joda-only
     pattern letters (Z/z zones, x/w week fields) now refuse by name
     instead of passing through to Java re-interpretation; grammar
     edges: count-less FETCH FIRST ROW ONLY → LIMIT 1, U&'…' Unicode
@@ -1788,6 +1791,26 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(code, "kurtosis", _sample_moment_fn("kurtosis"))
 
     # (geometric_mean is wave 7's guarded exp(avg(ln)) above.)
+
+    # 2-arg trim family (wave 20, divergence audit): Trino's
+    # trim/ltrim/rtrim(string, chars) — Spark's 2-arg forms take
+    # (trimStr, string), the arguments REVERSED (verified:
+    # trim('xax', 'x') is 'a' in Trino/DuckDB but '' in Spark) — a
+    # silent wrong-value pass-through until now. Lowered to the
+    # unambiguous SQL-standard TRIM(BOTH|LEADING|TRAILING c FROM s),
+    # identical in both engines. 1-arg forms (and the standard FROM
+    # spelling, which arrives as a single comma-less argument) pass
+    # through untouched.
+    def _trim_fn(kind: str):
+        def fn(a):
+            if len(a) != 2:
+                return None
+            return f"TRIM({kind} ({a[1]}) FROM ({a[0]}))"
+        return fn
+
+    code = _rewrite_calls(code, "trim", _trim_fn("BOTH"))
+    code = _rewrite_calls(code, "ltrim", _trim_fn("LEADING"))
+    code = _rewrite_calls(code, "rtrim", _trim_fn("TRAILING"))
 
     # ---- wave 20 (r8): counting-distribution entropy, top-n
     # max_by/min_by, checksum refusal.

@@ -1956,3 +1956,22 @@ def test_unicode_string_literals(spark, sf_dir, oracle):
         execute_trino(spark, "SELECT U&'#0041' UESCAPE '#' AS s", sf_dir)
     with pytest.raises(TrinoSqlUnsupported, match="malformed"):
         execute_trino(spark, r"SELECT U&'\00ZZ' AS s", sf_dir)
+
+
+def test_trim_family_argument_order(spark, sf_dir, oracle):
+    """Trino's 2-arg trim/ltrim/rtrim take (string, chars); Spark's
+    same-named 2-arg forms take (trimStr, string) — REVERSED. The
+    rewrite lowers to TRIM(BOTH/LEADING/TRAILING … FROM …), identical
+    in both engines; 1-arg and standard-FROM forms pass through."""
+    df = execute_trino(
+        spark,
+        "SELECT doc_id, trim(text, 'aeT ') AS t, ltrim(text, 'aeT ') AS l, "
+        "rtrim(text, 'aeT .') AS r, trim('  p  ') AS p, "
+        "TRIM(LEADING 'x' FROM 'xax') AS std "
+        "FROM documents ORDER BY doc_id LIMIT 200", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT doc_id, trim(text, 'aeT ') AS t, ltrim(text, 'aeT ') AS l, "
+        "rtrim(text, 'aeT .') AS r, trim('  p  ') AS p, 'ax' AS std "
+        "FROM documents ORDER BY doc_id LIMIT 200",
+        name="trim_family")
