@@ -143,7 +143,12 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     engine-specific values); 2-arg trim/ltrim/rtrim — Spark's forms
     take (trimStr, string), REVERSED from Trino's (string, chars) —
     lowered to the unambiguous TRIM(BOTH|LEADING|TRAILING … FROM …)
-    (was a silent wrong-value pass-through); parse_datetime hardened — Joda-only
+    (was a silent wrong-value pass-through); split_part past the last
+    field → NULL like Trino (Spark's builtin returns '' — lowered to
+    try_element_at over a literal-escaped split, real empty fields
+    keep ''); element_at with an over-length array index → NULL like
+    Trino (Spark ANSI raises — try_element_at matches every edge:
+    missing map key NULL, index 0 error); parse_datetime hardened — Joda-only
     pattern letters (Z/z zones, x/w week fields) now refuse by name
     instead of passing through to Java re-interpretation; grammar
     edges: count-less FETCH FIRST ROW ONLY → LIMIT 1, U&'…' Unicode
@@ -990,6 +995,41 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         return f"split({a[0]}, {requote(escaped)}{rest})"
 
     code = _rewrite_calls(code, "split", _split_fn)
+
+    # split_part (wave 20, divergence audit): Spark's same-named
+    # builtin returns '' when the index is past the last field; Trino
+    # returns NULL — a silent value divergence (and nullif('') would
+    # corrupt genuinely empty fields like 'a,,b' part 2). Lowered to
+    # try_element_at over a literal-escaped split, which yields NULL
+    # past the end and '' for real empty fields. Negative indexes
+    # count from the end here (Trino rejects them — this front end is
+    # permissive, never wrong-valued). Computed delimiters refuse like
+    # split()'s.
+    def _split_part_fn(a):
+        if len(a) != 3:
+            return None
+        lit = _lit(a[1])
+        if lit is None:
+            raise TrinoSqlUnsupported(
+                "split_part() with a non-literal delimiter: Spark "
+                "cannot return Trino's NULL past the last field — "
+                "rewrite explicitly")
+        escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
+        escaped = escaped.replace("\\", "\\\\")
+        return (f"try_element_at(split({a[0]}, {requote(escaped)}, -1), "
+                f"{a[2]})")
+
+    code = _rewrite_calls(code, "split_part", _split_part_fn)
+
+    # element_at (wave 20, divergence audit): Trino returns NULL when
+    # an array index exceeds the length; Spark's ANSI element_at
+    # RAISES there. try_element_at matches Trino on every edge we
+    # checked: over-length index → NULL, missing map key → NULL,
+    # index 0 → error in both.
+    code = _rewrite_calls(
+        code, "element_at",
+        lambda a: f"try_element_at({a[0]}, {a[1]})"
+        if len(a) == 2 else None)
 
     # wave 13 (r8). split_to_map(s, entryDelim, kvDelim) →
     # str_to_map — same argument order, but Spark's delimiters are

@@ -1975,3 +1975,29 @@ def test_trim_family_argument_order(spark, sf_dir, oracle):
         "rtrim(text, 'aeT .') AS r, trim('  p  ') AS p, 'ax' AS std "
         "FROM documents ORDER BY doc_id LIMIT 200",
         name="trim_family")
+
+
+def test_split_part_and_element_at_edges(spark, sf_dir, oracle):
+    """Trino returns NULL past split_part's last field (Spark's builtin
+    returns '') and NULL for an over-length element_at index (Spark
+    ANSI raises) — both now lowered to try_element_at forms. Genuinely
+    empty mid-fields stay ''."""
+    df = execute_trino(
+        spark,
+        "SELECT doc_id, split_part(text, ' ', 3) AS w3, "
+        "split_part(text, ' ', 9999) AS past, "
+        "split_part('a,,b', ',', 2) AS empty_mid, "
+        "element_at(ARRAY[doc_id, doc_id + 1], 5) AS oob "
+        "FROM documents ORDER BY doc_id LIMIT 200", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT doc_id, "
+        "CASE WHEN len(str_split(text, ' ')) >= 3 "
+        "THEN str_split(text, ' ')[3] END AS w3, "
+        "CAST(NULL AS VARCHAR) AS past, '' AS empty_mid, "
+        "CAST(NULL AS BIGINT) AS oob "
+        "FROM documents ORDER BY doc_id LIMIT 200",
+        name="split_part_edges")
+    with pytest.raises(TrinoSqlUnsupported, match="delimiter"):
+        execute_trino(spark, "SELECT split_part(text, lang, 1) AS x "
+                      "FROM documents", sf_dir)
