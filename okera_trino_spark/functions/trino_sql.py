@@ -148,7 +148,15 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     try_element_at over a literal-escaped split, real empty fields
     keep ''); element_at with an over-length array index → NULL like
     Trino (Spark ANSI raises — try_element_at matches every edge:
-    missing map key NULL, index 0 error); parse_datetime hardened — Joda-only
+    missing map key NULL, index 0 error); ln/log2/log10 of
+    non-positive input → Java Math.log's IEEE values like Trino
+    (ln(0) = -Infinity, ln(negative) = NaN; Spark returned NULL —
+    sqrt/acos/power/exp already agree on specials). KNOWN DIVERGENCE
+    left in place: DOUBLE division by zero — Trino yields IEEE
+    ±Infinity for floating operands while Spark's ANSI mode raises for
+    every numeric type; a text rewriter cannot type-dispatch `/`, and
+    wrapping all division would also break the integer-/-by-zero
+    ERROR parity the two engines share; parse_datetime hardened — Joda-only
     pattern letters (Z/z zones, x/w week fields) now refuse by name
     instead of passing through to Java re-interpretation; grammar
     edges: count-less FETCH FIRST ROW ONLY → LIMIT 1, U&'…' Unicode
@@ -1030,6 +1038,25 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         code, "element_at",
         lambda a: f"try_element_at({a[0]}, {a[1]})"
         if len(a) == 2 else None)
+
+    # log family (wave 20, divergence audit): Trino follows Java
+    # Math.log — ln(0) = -Infinity, ln(negative) = NaN — while Spark
+    # returns NULL for any non-positive input (verified; sqrt/acos/
+    # power/exp already agree on IEEE specials). The wrapper restores
+    # the IEEE values; NULL in → NULL out (no CASE branch matches).
+    def _log_fn(name: str):
+        def fn(a):
+            if len(a) != 1:
+                return None
+            return (f"element_at(transform(array(CAST(({a[0]}) "
+                    f"AS DOUBLE)), _lg -> CASE WHEN _lg > 0 "
+                    f"THEN {name}(_lg) "
+                    "WHEN _lg = 0 THEN CAST('-Infinity' AS DOUBLE) "
+                    "WHEN _lg < 0 THEN CAST('NaN' AS DOUBLE) END), 1)")
+        return fn
+
+    for _log_name in ("ln", "log2", "log10"):
+        code = _rewrite_calls(code, _log_name, _log_fn(_log_name))
 
     # wave 13 (r8). split_to_map(s, entryDelim, kvDelim) →
     # str_to_map — same argument order, but Spark's delimiters are

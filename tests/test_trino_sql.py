@@ -2001,3 +2001,21 @@ def test_split_part_and_element_at_edges(spark, sf_dir, oracle):
     with pytest.raises(TrinoSqlUnsupported, match="delimiter"):
         execute_trino(spark, "SELECT split_part(text, lang, 1) AS x "
                       "FROM documents", sf_dir)
+
+
+def test_log_family_ieee_edges(spark, sf_dir, oracle):
+    """Trino's log family follows Java Math.log (ln(0) = -Infinity,
+    ln(negative) = NaN); Spark returns NULL for non-positive input —
+    the wrapper restores the IEEE values, NULL stays NULL."""
+    df = execute_trino(
+        spark,
+        "SELECT ln(0.0) AS l0, ln(-2.0) AS lneg, round(ln(2.0), 9) AS lp, "
+        "log2(0.0) AS g0, round(log10(100.0), 9) AS g2, "
+        "ln(CAST(NULL AS DOUBLE)) AS lnull", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT CAST('-Infinity' AS DOUBLE) AS l0, "
+        "CAST('NaN' AS DOUBLE) AS lneg, round(ln(2.0), 9) AS lp, "
+        "CAST('-Infinity' AS DOUBLE) AS g0, 2.0 AS g2, "
+        "CAST(NULL AS DOUBLE) AS lnull",
+        name="log_family_edges")
