@@ -151,10 +151,11 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     missing map key NULL, index 0 error); ln/log2/log10 of
     non-positive input → Java Math.log's IEEE values like Trino
     (ln(0) = -Infinity, ln(negative) = NaN; Spark returned NULL —
-    sqrt/acos/power/exp already agree on specials). KNOWN DIVERGENCE
-    left in place: DOUBLE division by zero — Trino yields IEEE
-    ±Infinity for floating operands while Spark's ANSI mode raises for
-    every numeric type; a text rewriter cannot type-dispatch `/`, and
+    sqrt/acos/power/exp already agree on specials); 2-arg log(b, x) →
+    the same-wrapped ln(x)/ln(b). KNOWN DIVERGENCE left in place:
+    DOUBLE division (and %) by zero — Trino yields IEEE ±Infinity/NaN
+    for floating operands while Spark's ANSI mode raises for every
+    numeric type; a text rewriter cannot type-dispatch `/`, and
     wrapping all division would also break the integer-/-by-zero
     ERROR parity the two engines share; parse_datetime hardened — Joda-only
     pattern letters (Z/z zones, x/w week fields) now refuse by name
@@ -1054,6 +1055,14 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                     "WHEN _lg = 0 THEN CAST('-Infinity' AS DOUBLE) "
                     "WHEN _lg < 0 THEN CAST('NaN' AS DOUBLE) END), 1)")
         return fn
+
+    # 2-arg log(b, x) = Math.log(x) / Math.log(b) in Trino — emitted
+    # BEFORE the 1-arg pass so both ln() calls pick up the IEEE
+    # wrapper. (b = 1 makes the divisor 0.0 — that lands in the
+    # documented double-division divergence.)
+    code = _rewrite_calls(
+        code, "log",
+        lambda a: f"(ln({a[1]}) / ln({a[0]}))" if len(a) == 2 else None)
 
     for _log_name in ("ln", "log2", "log10"):
         code = _rewrite_calls(code, _log_name, _log_fn(_log_name))

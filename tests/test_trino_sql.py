@@ -2019,3 +2019,15 @@ def test_log_family_ieee_edges(spark, sf_dir, oracle):
         "CAST('-Infinity' AS DOUBLE) AS g0, 2.0 AS g2, "
         "CAST(NULL AS DOUBLE) AS lnull",
         name="log_family_edges")
+
+
+def test_log_two_arg_base(spark, sf_dir, oracle):
+    """Trino's log(b, x) = Math.log(x)/Math.log(b); the lowering routes
+    both operands through the IEEE-wrapped ln."""
+    df = execute_trino(
+        spark, "SELECT round(log(2.0, 8.0), 9) AS l8, "
+        "log(10.0, 0.0) AS l0, log(2.0, -4.0) AS lneg", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT 3.0 AS l8, CAST('-Infinity' AS DOUBLE) AS l0, "
+        "CAST('NaN' AS DOUBLE) AS lneg", name="log_two_arg")
