@@ -543,6 +543,7 @@ def _try_arith_lower(s: str) -> str | None:
 #: NULL exactly where Trino's TRY catches the error (r8 wave).
 _TRY_CALL_TWINS = {
     "element_at": lambda b: f"try_element_at({b})",
+    "__subscript_at": lambda b: f"try_element_at({b})",
     "to_timestamp": lambda b: f"try_to_timestamp({b})",
     "from_base64": lambda b: f"try_to_binary({b}, 'base64')",
     "from_hex": lambda b: f"try_to_binary({b}, 'hex')",
@@ -2068,7 +2069,12 @@ def _rewrite_subscripts(code: str) -> str:
                 j -= 1
             expr_start = j
         expr = code[expr_start:head_end]
-        code = (code[:expr_start] + f"element_at({expr}, {index})"
+        # __subscript_at is a STRICT marker restored to element_at at
+        # the end of _rewrite_code: Trino subscripts ERROR out of
+        # bounds (unlike element_at-the-function, which returns NULL),
+        # so the wave-20 element_at→try_element_at pass must not relax
+        # subscript accesses.
+        code = (code[:expr_start] + f"__subscript_at({expr}, {index})"
                 + code[close + 1:])
 
 
@@ -2282,6 +2288,10 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     code = _rewrite_unnest(code)
     code = _rewrite_listagg(code)
     code = _structural_rewrites(code, stash)
+    # Strict subscript accesses keep Trino's out-of-bounds ERROR (the
+    # wave-20 try_element_at relaxation applies only to the function
+    # spelling, which Trino defines as NULL-on-miss).
+    code = code.replace("__subscript_at(", "element_at(")
     code = _DATE_ARITH_RE.sub(
         lambda m: ("timestampadd(" if m.group(1).lower() == "date_add"
                    else "timestampdiff(")

@@ -2031,3 +2031,16 @@ def test_log_two_arg_base(spark, sf_dir, oracle):
         df, oracle,
         "SELECT 3.0 AS l8, CAST('-Infinity' AS DOUBLE) AS l0, "
         "CAST('NaN' AS DOUBLE) AS lneg", name="log_two_arg")
+
+
+def test_subscript_strict_vs_element_at_relaxed(spark, sf_dir):
+    """Trino's SUBSCRIPT errors out of bounds while the element_at
+    FUNCTION returns NULL — the strictness marker keeps them apart
+    (and TRY over a subscript still relaxes to NULL)."""
+    row = execute_trino(
+        spark, "SELECT element_at(ARRAY[1,2], 5) AS e, "
+        "TRY(ARRAY[1,2][5]) AS t, ARRAY[1,2][2] AS ok", sf_dir).collect()[0]
+    assert row.e is None and row.t is None and row.ok == 2
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        execute_trino(spark, "SELECT ARRAY[1,2][5] AS boom",
+                      sf_dir).collect()
