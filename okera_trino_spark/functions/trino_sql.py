@@ -2025,8 +2025,12 @@ def _rewrite_subscripts(code: str) -> str:
     THE off-by-one trap of Trino→Spark migration: Trino subscripts are
     1-based, Spark's bracket subscript is 0-based — the same text
     silently reads the neighboring element. Spark's element_at is
-    1-based, matching Trino exactly (including negative = from end for
-    arrays, and map key access semantics).
+    1-based, matching Trino's ARRAY subscript exactly (negative = from
+    end; out of bounds ERRORS — the strict marker below protects that
+    from the wave-20 function-spelling relaxation). One documented
+    divergence: a MAP subscript with a missing key returns NULL here
+    where Trino raises "Key not present in map" — Spark has no strict
+    map access, and a text rewriter cannot type-dispatch the bracket.
 
     The preceding expression is recognized textually: an identifier /
     qualified / backticked name, a ')' (call or parenthesized expr —
