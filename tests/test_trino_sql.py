@@ -1889,6 +1889,15 @@ def test_rewrite_contract_never_crashes_property():
             f"concat({inner}, '{esc}')",
             f"parse_datetime({inner}, 'yyyy Z')",
             f"checksum({inner})",
+            f"split_part({inner}, '{esc or ','}', {n % 5})",
+            f"split_part({inner}, {inner}, 1)",
+            f"trim({inner}, '{esc}')",
+            f"rtrim({inner})",
+            f"element_at({inner}, {n % 7 - 3})",
+            f"ln({inner})",
+            f"log({inner}, {inner})",
+            f"entropy({inner})",
+            f"min_by({inner}, {inner}, 2)",
         ]
         return forms[pick % len(forms)]
 
