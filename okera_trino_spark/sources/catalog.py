@@ -682,11 +682,16 @@ class GovernedCatalog:
                     [(i, "unknown") for i in range(n_params)],
                     "position int, type string")
             # OUTPUT: the planned schema WITHOUT executing — plan with
-            # NULL bound to every marker (lazy; no action runs).
+            # NULL bound to every marker (lazy; no action runs). Types
+            # render as the Trino engine would show them to the client
+            # (late r8 — the same C11 rendering information_schema
+            # uses), not as Spark simpleStrings.
+            from okera_trino_spark.sources.types import spark_type_to_trino
+
             out = self.execute(text, user=user, dialect=dialect,
                                params=[None] * n_params
                                if n_params else None)
-            rows = [(f.name, f.dataType.simpleString())
+            rows = [(f.name, spark_type_to_trino(f.dataType))
                     for f in out.schema.fields]
             return self.spark.createDataFrame(
                 rows, "column_name string, type string")

@@ -678,6 +678,8 @@ def test_describe_input_output_prepared(cat):
     assert [(r.position, r.type) for r in inp] == [(0, "unknown"), (1, "unknown")]
     out = cat.execute("DESCRIBE OUTPUT dq").collect()
     assert [r.column_name for r in out] == ["o_orderkey", "v"]
+    # Trino-rendered types (late r8), not Spark simpleStrings
+    assert out[0].type == "bigint"
     with pytest.raises(KeyError, match="nope"):
         cat.execute("DESCRIBE OUTPUT nope")
 
