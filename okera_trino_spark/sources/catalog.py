@@ -778,6 +778,20 @@ class GovernedCatalog:
                 raise KeyError(f"no such schema: {schema}")
             self._current_schema = schema
             return self.spark.sql("SELECT ? AS current_schema", args=[schema])
+        m = re.match(r"^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\s*$",
+                     sql, re.IGNORECASE)
+        if m:
+            # Trino clients enumerate functions for autocomplete. The
+            # answer is the engine surface a query can actually call:
+            # Spark's builtin registry (everything the dialect passes
+            # through or lowers onto) plus the session-registered
+            # dialect UDFs. One name per row, sorted — the subset of
+            # Trino's six-column shape every client actually reads.
+            names = sorted({f.name for f in
+                            self.spark.catalog.listFunctions()}
+                           | {"trino_normalize"})
+            rows = [(n,) for n in self._like(m.group(1), names)]
+            return self.spark.createDataFrame(rows, "function string")
         m = re.match(r"^\s*SHOW\s+CREATE\s+VIEW\s+([\w.`\"]+)\s*$",
                      sql, re.IGNORECASE)
         if m:

@@ -784,3 +784,14 @@ def test_info_schema_name_inside_literal_untouched(cat):
         dialect="trino").collect()[0]
     assert row.s == "information_schema.tables"
     assert row.n == 10
+
+
+def test_show_functions(cat):
+    """SHOW FUNCTIONS answers the callable engine surface (Spark's
+    builtin registry + the dialect's session UDFs), LIKE-filterable."""
+    rows = cat.execute("SHOW FUNCTIONS", dialect="trino").collect()
+    names = {r.function for r in rows}
+    assert {"abs", "concat", "array_sort", "trino_normalize"} <= names
+    liked = cat.execute("SHOW FUNCTIONS LIKE 'regexp%'",
+                        dialect="trino").collect()
+    assert liked and all(r.function.startswith("regexp") for r in liked)
