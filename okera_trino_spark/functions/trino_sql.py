@@ -148,7 +148,13 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     try_element_at over a literal-escaped split, real empty fields
     keep ''); element_at with an over-length array index → NULL like
     Trino (Spark ANSI raises — try_element_at matches every edge:
-    missing map key NULL, index 0 error); ln/log2/log10 of
+    missing map key NULL, index 0 error); array_min/array_max → NULL
+    when the array CONTAINS a null element like Trino (Spark skips
+    nulls — silently different values); map_concat → LAST map's value
+    wins on duplicate keys like Trino (earlier maps filtered to their
+    unique keys; Spark's default dedup policy errors, and flipping it
+    session-wide would also relax map()/map_from_entries, where both
+    engines correctly reject duplicates); ln/log2/log10 of
     non-positive input → Java Math.log's IEEE values like Trino
     (ln(0) = -Infinity, ln(negative) = NaN; Spark returned NULL —
     sqrt/acos/power/exp already agree on specials); 2-arg log(b, x) →
@@ -1056,6 +1062,41 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                     "WHEN _lg = 0 THEN CAST('-Infinity' AS DOUBLE) "
                     "WHEN _lg < 0 THEN CAST('NaN' AS DOUBLE) END), 1)")
         return fn
+
+    # array_min/array_max (wave 20, divergence audit): Trino returns
+    # NULL when the array CONTAINS a null element; Spark skips nulls
+    # and returns the min/max of the rest — silently different values.
+    def _array_extreme_fn(name: str):
+        def fn(a):
+            if len(a) != 1:
+                return None
+            return (f"element_at(transform(array(({a[0]})), _am -> "
+                    "CASE WHEN exists(_am, _ae -> _ae IS NULL) "
+                    f"THEN NULL ELSE {name}(_am) END), 1)")
+        return fn
+
+    code = _rewrite_calls(code, "array_min", _array_extreme_fn("array_min"))
+    code = _rewrite_calls(code, "array_max", _array_extreme_fn("array_max"))
+
+    # map_concat (wave 20, divergence audit): Trino keeps the value
+    # from the LAST map holding a key; Spark's default dedup policy
+    # ERRORS on any duplicate. Earlier maps are filtered to the keys
+    # no later map holds, so the concat inputs are disjoint — last-wins
+    # semantics without touching the session-wide dedup policy (which
+    # would also relax map()/map_from_entries, where BOTH engines
+    # reject duplicates).
+    def _map_concat_fn(a):
+        if len(a) < 2:
+            return None
+        parts = []
+        for i, m in enumerate(a[:-1]):
+            later = " OR ".join(f"map_contains_key({x}, _mk)"
+                                for x in a[i + 1:])
+            parts.append(f"map_filter({m}, (_mk, _mv) -> NOT ({later}))")
+        parts.append(a[-1])
+        return f"map_concat({', '.join(parts)})"
+
+    code = _rewrite_calls(code, "map_concat", _map_concat_fn)
 
     # 2-arg log(b, x) = Math.log(x) / Math.log(b) in Trino — emitted
     # BEFORE the 1-arg pass so both ln() calls pick up the IEEE

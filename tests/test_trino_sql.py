@@ -2053,3 +2053,28 @@ def test_subscript_strict_vs_element_at_relaxed(spark, sf_dir):
     with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
         execute_trino(spark, "SELECT ARRAY[1,2][5] AS boom",
                       sf_dir).collect()
+
+
+def test_array_extremes_and_map_concat_conventions(spark, sf_dir, oracle):
+    """Trino's array_min/max return NULL when the array CONTAINS a
+    null (Spark skips nulls); map_concat keeps the LAST map's value
+    for a duplicate key (Spark's default dedup policy errors). Both
+    rendered as ordered entry strings / scalars for the cross-engine
+    compare."""
+    df = execute_trino(
+        spark,
+        "SELECT doc_id, array_min(ARRAY[n_chars, doc_id, NULL]) AS mn_null, "
+        "array_min(ARRAY[n_chars, doc_id]) AS mn, "
+        "array_max(ARRAY[n_chars, doc_id]) AS mx, "
+        "array_join(array_sort(transform(map_entries(map_concat("
+        "MAP(ARRAY['a','b'], ARRAY[doc_id, doc_id + 1]), "
+        "MAP(ARRAY['a'], ARRAY[0]))), "
+        "e -> concat(e.key, ':', CAST(e.value AS VARCHAR)))), ',') AS mc "
+        "FROM documents ORDER BY doc_id LIMIT 200", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT doc_id, CAST(NULL AS BIGINT) AS mn_null, "
+        "least(n_chars, doc_id) AS mn, greatest(n_chars, doc_id) AS mx, "
+        "'a:0,b:' || CAST(doc_id + 1 AS VARCHAR) AS mc "
+        "FROM documents ORDER BY doc_id LIMIT 200",
+        name="array_map_conventions")
