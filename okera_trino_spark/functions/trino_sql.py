@@ -428,12 +428,64 @@ _CAST_VARCHAR_N_RE = re.compile(
 
 _FETCH_RE = re.compile(
     r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+ONLY\b", re.IGNORECASE)
-#: FETCH … WITH TIES keeps every row tying the cutoff's sort key —
-#: Spark's LIMIT cannot express it; refuse by name (a LIMIT n rewrite
-#: would silently DROP the tied rows).
+#: FETCH … WITH TIES keeps every row tying the cutoff's sort key.
+#: The statement-tail form with a depth-0 ORDER BY rewrites to a
+#: rank() <= n filter (r9); other placements refuse by name (a LIMIT n
+#: rewrite would silently DROP the tied rows).
 _FETCH_TIES_RE = re.compile(
-    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:\d+\s+)?ROWS?\s+WITH\s+TIES\b",
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+WITH\s+TIES\b",
     re.IGNORECASE)
+
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _depth0_spans(code: str, rx: re.Pattern) -> list[re.Match]:
+    """Matches of ``rx`` at paren/bracket depth 0 of masked text."""
+    depths, d = [], 0
+    for c in code:
+        depths.append(d)
+        if c in "([":
+            d += 1
+        elif c in ")]":
+            d -= 1
+    return [m for m in rx.finditer(code) if depths[m.start()] == 0]
+
+
+def _rewrite_fetch_ties(code: str) -> str:
+    """``ORDER BY k FETCH FIRST n ROWS WITH TIES`` at statement tail →
+    ``rank() OVER (ORDER BY k) <= n`` — Trino keeps every row tying
+    the n-th row's sort key, which is exactly rank's gap semantics.
+    The sort keys are reused verbatim in both the rank window and the
+    final ORDER BY (output order preserved); the rank column is
+    dropped with ``* EXCEPT`` so the output schema is unchanged.
+    TIES without ORDER BY raises — Trino rejects it too."""
+    ties = _depth0_spans(code, _FETCH_TIES_RE)
+    if not ties:
+        return code
+    m = ties[-1]
+    if len(ties) > 1 or code[m.end():].strip():
+        raise TrinoSqlUnsupported(
+            "FETCH … WITH TIES is only supported as the statement's "
+            "final clause — rewrite inner uses as rank() <= n")
+    obs = [o for o in _depth0_spans(code, _ORDER_BY_RE)
+           if o.end() <= m.start()]
+    if not obs:
+        raise TrinoSqlUnsupported(
+            "FETCH … WITH TIES requires ORDER BY (Trino rejects the "
+            "un-ordered form too)")
+    ob = obs[-1]
+    ord_keys = code[ob.end():m.start()].strip()
+    if any(re.fullmatch(r"\d+", k.strip())
+           for k in _split_top_level(ord_keys)):
+        raise TrinoSqlUnsupported(
+            "FETCH … WITH TIES with an ordinal ORDER BY key — name "
+            "the sort column instead")
+    n = m.group(1) or "1"
+    body = code[:ob.start()].strip()
+    return (f"SELECT * EXCEPT(__tie_rnk) FROM (SELECT *, rank() OVER "
+            f"(ORDER BY {ord_keys}) AS __tie_rnk FROM ({body}) "
+            f"__tie_base) __tie_ranked WHERE __tie_rnk <= {n} "
+            f"ORDER BY {ord_keys}")
 
 #: Trino TABLESAMPLE BERNOULLI(p) → Spark TABLESAMPLE (p PERCENT)
 #: (row-level Bernoulli in both engines). SYSTEM(p) is block sampling
@@ -513,6 +565,9 @@ def _try_arith_lower(s: str) -> str | None:
                 continue  # unary minus
             if c == "-" and i + 1 < len(t) and t[i + 1] == ">":
                 continue  # lambda arrow
+            if c in "+-" and re.search(r"(?<![\w.])\d+(?:\.\d*)?[eE]$",
+                                       prev):
+                continue  # scientific-notation exponent sign (1e-5)
             if c in "+-":
                 add_idx = i
             else:
@@ -873,7 +928,16 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         return stash[int(m.group(1))][1:-1].replace("''", "'")
 
     def requote(text: str) -> str:
-        return "'" + text.replace("'", "''") + "'"
+        """Emit a literal as a STASH PLACEHOLDER, not raw quoted text
+        (r9, advice): later passes (_find_close/_split_top_level/
+        greatest-least) rely on the invariant that string literals are
+        atomic placeholders — a raw quoted delimiter containing a
+        paren, e.g. split_part(s, ')', 1), made them mis-parse and
+        emit unbalanced SQL. _unmask doubles backslashes on restore
+        (Trino literals have no escapes), so callers pass text with
+        SINGLE backslashes — regex escapes must NOT be pre-doubled."""
+        stash.append("'" + text.replace("'", "''") + "'")
+        return f"'\x00{len(stash) - 1}\x00'"
 
     # CAST(x AS VARCHAR(n)) — Trino TRUNCATES to n characters; Spark's
     # STRING is unbounded, so the faithful form wraps a substring.
@@ -1002,11 +1066,10 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             raise TrinoSqlUnsupported(
                 "split() with a non-literal delimiter: Trino splits on a "
                 "literal, Spark on a regex — rewrite explicitly")
-        escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
         # Spark's SQL string literals consume one backslash layer
-        # ('\.'→'.'), so the regex's backslashes must be doubled in the
-        # emitted literal text.
-        escaped = escaped.replace("\\", "\\\\")
+        # ('\.'→'.'); requote stashes the single-escaped regex and
+        # _unmask doubles the backslashes on restore.
+        escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
         rest = f", {a[2]}" if len(a) == 3 else ""
         return f"split({a[0]}, {requote(escaped)}{rest})"
 
@@ -1031,7 +1094,6 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                 "cannot return Trino's NULL past the last field — "
                 "rewrite explicitly")
         escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
-        escaped = escaped.replace("\\", "\\\\")
         return (f"try_element_at(split({a[0]}, {requote(escaped)}, -1), "
                 f"{a[2]})")
 
@@ -1125,7 +1187,7 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                     "splits on literals, Spark on regexes — rewrite "
                     "explicitly")
             esc = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
-            outs.append(requote(esc.replace("\\", "\\\\")))
+            outs.append(requote(esc))
         return f"str_to_map({', '.join(outs)})"
 
     code = _rewrite_calls(code, "split_to_map", _split_to_map_fn)
@@ -1941,8 +2003,13 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         if len(a) != 1:
             return None
         c = f"CAST(({a[0]}) AS DOUBLE)"
+        # Negative branch emits NaN DIRECTLY (r9, advice): bare
+        # log2(negative) is NULL in Spark (the IEEE log wrapper runs
+        # before this pass), and sum() would SKIP the NULL — a silently
+        # wrong finite entropy instead of the documented NaN poison.
         term = (f"CASE WHEN {c} > 0 THEN {c} * log2({c}) "
-                f"WHEN {c} = 0 THEN 0.0 ELSE {c} * log2({c}) END")
+                f"WHEN {c} = 0 THEN 0.0 "
+                f"ELSE CAST('NaN' AS DOUBLE) END")
         return (f"element_at(transform(array(named_struct("
                 f"'s', sum({c}), 'sl', sum({term}))), _en -> "
                 "CASE WHEN _en.s IS NULL OR _en.s = 0 THEN 0.0 "
@@ -2310,6 +2377,37 @@ def _rewrite_ddl_head(code: str, stash: list[str]) -> str:
             + " " + code[rest_at:])
 
 
+#: Fully-literal integer-division chain: 7/2, 100/7/3, … (each operand
+#: a bare integer literal, no adjacent word/dot chars).
+_LIT_DIV_CHAIN_RE = re.compile(
+    r"(?<![\w.])\d+(?:\s*/\s*\d+)+(?![\w.])(?!\s*/)")
+
+
+def _rewrite_literal_int_division(code: str) -> str:
+    """Rewrite all-literal division chains to Trino's truncating
+    semantics, folding left-associatively: ``7/2/2`` → ``((7 div 2)
+    div 2)``. VETO when the chain is preceded (ignoring whitespace) by
+    an equal-precedence operator ``*`` ``/`` ``%`` — Trino parses
+    ``x * 7/10`` as ``(x*7)/10``, so localizing the div would zero it —
+    or when the leading literal is a scientific-exponent tail
+    (``1e-5``: the ``5`` is a bare literal after the sign). Those forms
+    keep Spark's double semantics (documented divergence)."""
+
+    def fold(m: re.Match) -> str:
+        prefix = code[: m.start()].rstrip()
+        if prefix and prefix[-1] in "*/%":
+            return m.group(0)
+        if re.search(r"\d[eE][+-]$", prefix):
+            return m.group(0)
+        nums = re.findall(r"\d+", m.group(0))
+        expr = nums[0]
+        for n in nums[1:]:
+            expr = f"({expr} div {n})"
+        return expr
+
+    return _LIT_DIV_CHAIN_RE.sub(fold, code)
+
+
 def _rewrite_code(code: str, stash: list[str]) -> str:
     """Dialect rewrites over the full masked statement. ``stash[k]`` is
     the original text behind placeholder k (string literals keep their
@@ -2343,15 +2441,20 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
         + stash[int(m.group(2))][1:-1].upper() + ",",
         code)
     code = _rewrite_dow(code)
-    # wave 14 (r8): Trino's / TRUNCATES for integer operands (7/2 = 3);
-    # Spark's / is always double division (3.5). A pure-text rewriter
-    # cannot see column types, so only the all-literal form is fixed
-    # (→ div, Trino's exact value AND type); division involving
-    # columns keeps Spark's double semantics — the one documented
-    # value divergence of this front end (write a div b, or cast,
-    # where integer-column division is intended).
-    code = re.sub(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])",
-                  r"(\1 div \2)", code)
+    # wave 14 (r8, context-hardened r9): Trino's / TRUNCATES for
+    # integer operands (7/2 = 3); Spark's / is always double division
+    # (3.5). A pure-text rewriter cannot see column types, so only the
+    # all-literal form is fixed (→ div, Trino's exact value AND type);
+    # division involving columns keeps Spark's double semantics — the
+    # one documented value divergence of this front end (write a div b,
+    # or cast, where integer-column division is intended).
+    # r9 (advice): equal-precedence LEFT context must veto the rewrite —
+    # Trino parses x * 7/10 as (x*7)/10, so emitting x * (7 div 10)
+    # would zero the expression. Skip when the chain is preceded by
+    # * / % (after whitespace) or sits in a scientific-exponent tail
+    # (1e-5). Fully-literal chains 7/2/2 fold LEFT-ASSOCIATIVELY to
+    # ((7 div 2) div 2) = 1, matching Trino.
+    code = _rewrite_literal_int_division(code)
     # wave 14 (r8): EXTRACT field spellings. Trino's DOW/DAY_OF_WEEK is
     # ISO (Monday=1); Spark's DOW is Sunday=1 — passing it through is a
     # silent off-by-one-day-of-week. Spark's DOW_ISO matches Trino
@@ -2451,8 +2554,9 @@ def _unmask(code: str, stash: list[str]) -> str:
     literal is doubled here — the regex in ``regexp_like(x, '\\d+')``
     survives the trip exactly as Trino would run it. Literals the
     rewrites themselves emit (requote'd split delimiters, Java date
-    patterns) are raw text in ``code``, not stash entries, and already
-    escape their own backslashes where needed.
+    patterns) are ALSO stash entries since r9 (advice: raw quoted text
+    in the masked stream broke the literal-atomicity invariant), so
+    they carry SINGLE backslashes and get the same doubling here.
     """
     code = _STRING_PH_RE.sub(
         lambda m: stash[int(m.group(1))].replace("\\", "\\\\"), code)
@@ -2691,12 +2795,15 @@ def _mr_qual_agg(fn: str, ls: str, col: str, is_int: bool, running: bool):
         vals = c[col].tolist()
         out: list = []
         if fn == "sum":
+            # seen flips only when a NON-NULL value is accumulated
+            # (r9, advice): Trino's RUNNING sum over only-NULL
+            # qualifying rows stays NULL — flipping on the first
+            # qualifying row emitted a premature 0.
             acc, seen = 0, False
             for v, ok in zip(vals, mask):
-                if ok:
+                if ok and not pd.isna(v):
                     seen = True
-                    if not pd.isna(v):
-                        acc += v
+                    acc += v
                 out.append((int(acc) if is_int else float(acc))
                            if seen else None)
             return out
@@ -3780,8 +3887,12 @@ ORDER BY d.doc_id
     "q_trino_sql_breadth2",
     oracle="""
     SELECT doc_id,
-           list_sum(list_transform(str_split(text, ' '),
-                                   w -> length(w))) AS chars_ns,
+           -- CAST: DuckDB list_sum over BIGINT lengths yields HUGEINT,
+           -- which pandas materializes as float64 — the driver hashes
+           -- 126.0 != Spark's 126. BIGINT keeps both sides int64.
+           CAST(list_sum(list_transform(str_split(text, ' '),
+                                        w -> length(w))) AS BIGINT)
+               AS chars_ns,
            n_chars + n_chars * 2 - 1 AS arith3,
            CAST(NULL AS DOUBLE) AS dz,
            lang AS lang2,
@@ -3812,7 +3923,8 @@ def q_trino_sql_breadth2(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRINO_SQL_BREADTH3 = """
 SELECT n_nationkey,
        bit_count(n_nationkey, 8) AS bits,
-       ngrams(split(n_name, '_'), 1) AS ng,
+       array_join(transform(ngrams(split(n_name, '_'), 1),
+                            g -> array_join(g, '+')), ' ') AS ng,
        json_array_contains('[0,2,4,6,8]', 4) AS jc,
        round(cosine_similarity(ARRAY[1.0, CAST(n_nationkey AS DOUBLE)],
                                ARRAY[1.0, 1.0]), 4) AS cs,
@@ -3828,7 +3940,11 @@ FROM nation
     oracle="""
     SELECT n_nationkey,
            CAST(bit_count(n_nationkey) AS BIGINT) AS bits,
-           list_transform(str_split(n_name, '_'), x -> [x]) AS ng,
+           -- each 1-gram is a singleton list, so join-of-joins reduces
+           -- to the space-joined token list; serialized to a flat
+           -- VARCHAR because the driver's pandas canonicalizer cannot
+           -- sort/hash nested list cells (r8 driver ERR).
+           array_to_string(str_split(n_name, '_'), ' ') AS ng,
            true AS jc,
            round(list_cosine_similarity(
                [1.0, CAST(n_nationkey AS DOUBLE)], [1.0, 1.0]), 4) AS cs,
@@ -3849,8 +3965,10 @@ def q_trino_sql_breadth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trino's array form computes), ``hamming_distance`` (position
     compare with a length guard), and ``histogram`` (map<value,
     count> — collect bound once as a lambda variable; DuckDB has the
-    same aggregate natively). Every shim is JVM-side; map values
-    compare canonically (sorted key order) in the driver hash."""
+    same aggregate natively). Every shim is JVM-side; nested outputs
+    (the 1-gram array-of-arrays) are serialized to flat VARCHAR on
+    BOTH sides — the driver's pandas canonicalizer cannot hash list
+    cells (r8 driver ERR), so no key may emit array/map columns."""
     return execute_trino(spark, TRINO_SQL_BREADTH3, sf_dir)
 
 

@@ -14,7 +14,15 @@ from okera_trino_spark.functions.trino_sql import (
     execute_trino,
     rewrite_trino_sql,
 )
-from tests.parity import check_query
+from functools import partial
+
+from tests.parity import check_query as _check_query_strict
+
+# These are LOCAL-ONLY dialect-semantics tests: many cases deliberately
+# compare array/map cells and cross-engine numeric widths, which the
+# r9 driver-strict canon rejects (the driver itself never sees them —
+# registry keys are gated strictly in tests/test_oracle_parity.py).
+check_query = partial(_check_query_strict, driver_strict=False)
 
 # (name, trino_sql, duckdb_sql) — duckdb_sql None means "same text".
 CASES = [
