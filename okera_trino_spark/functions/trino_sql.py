@@ -195,11 +195,17 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
   - wave 12 (r8): CAST(.. AS ROW(a T, ..)) named-row types →
     STRUCT<a: T', ..> recursively (both engines cast row fields by
     position); ARRAY(T)/MAP(K, V) type spellings inside casts
+  - wave 21 (r9): json_query → VARIANT lowering (exact JSON item
+    text, KEEP QUOTES); single-[*] wildcard chains via
+    ARRAY<VARIANT>; WITHOUT / WITH [UNCONDITIONAL] / WITH CONDITIONAL
+    ARRAY WRAPPER all exact; FETCH FIRST n ROWS WITH TIES → rank()
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
-    zones, strict JSON paths with wildcards/filters (plain member
-    chains lower to get_json_object, r7; CAST(.. AS JSON) serializes
-    via to_json, r7), ROW(..) types with unnamed fields,
+    zones, JSON paths with filters/methods/multiple wildcards
+    (json_value plain member chains lower to get_json_object, r7;
+    json_query chains + one [*] lower via VARIANT, r9; CAST(.. AS
+    JSON) serializes via to_json, r7), ROW(..) types with unnamed
+    fields,
     array_agg(DISTINCT x ORDER BY y) with y != x,
     MATCH_RECOGNIZE beyond the subset, and unnest arg/column-count
     mismatches raise TrinoSqlUnsupported naming the construct, never
@@ -438,6 +444,16 @@ _FETCH_TIES_RE = re.compile(
 
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 
+#: json_query second argument: literal-path placeholder + optional
+#: ARRAY WRAPPER clause (r9). QUOTES / ON EMPTY / ON ERROR clauses
+#: don't match and refuse by name.
+_JSON_ARG_WRAPPER_RE = re.compile(
+    r"^(?P<ph>'\x00\d+\x00')\s*"
+    r"(?:WITHOUT\s+ARRAY\s+WRAPPER|"
+    r"(?P<wrap>WITH\s+(?:(?P<cond>CONDITIONAL)\s+|UNCONDITIONAL\s+)?"
+    r"ARRAY\s+WRAPPER))?\s*$",
+    re.IGNORECASE)
+
 
 def _depth0_spans(code: str, rx: re.Pattern) -> list[re.Match]:
     """Matches of ``rx`` at paren/bracket depth 0 of masked text."""
@@ -451,12 +467,39 @@ def _depth0_spans(code: str, rx: re.Pattern) -> list[re.Match]:
     return [m for m in rx.finditer(code) if depths[m.start()] == 0]
 
 
+_SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+
+
+def _select_alias_map(select_list: str) -> dict[str, str]:
+    """Output-column name → defining expression for a select list
+    (``expr AS name`` and bare-identifier items)."""
+    amap: dict[str, str] = {}
+    for item in _split_top_level(select_list):
+        item = item.strip()
+        m = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+        if m:
+            amap[m.group(1).lower()] = item[: m.start()].strip()
+        elif re.fullmatch(r"[\w.]+", item):
+            amap[item.split(".")[-1].lower()] = item
+    return amap
+
+
 def _rewrite_fetch_ties(code: str) -> str:
     """``ORDER BY k FETCH FIRST n ROWS WITH TIES`` at statement tail →
     ``rank() OVER (ORDER BY k) <= n`` — Trino keeps every row tying
     the n-th row's sort key, which is exactly rank's gap semantics.
-    The sort keys are reused verbatim in both the rank window and the
-    final ORDER BY (output order preserved); the rank column is
+
+    For a plain depth-0 ``SELECT … FROM …`` the rank is injected INTO
+    the select list so sort keys may reference base-table columns not
+    in the output (Trino allows that); keys naming a select ALIAS are
+    substituted with the alias's defining expression inside the window
+    spec (a window cannot see lateral aliases), while the final ORDER
+    BY sorts by the rank itself — identical order, and it resolves
+    even when the sort key is not an output column (Spark's sort sees
+    pre-EXCEPT columns). DISTINCT / set-op / WITH bodies
+    wrap as a derived table instead (sort keys must then be output
+    columns — Trino's own rule for DISTINCT). The rank column is
     dropped with ``* EXCEPT`` so the output schema is unchanged.
     TIES without ORDER BY raises — Trino rejects it too."""
     ties = _depth0_spans(code, _FETCH_TIES_RE)
@@ -482,10 +525,32 @@ def _rewrite_fetch_ties(code: str) -> str:
             "the sort column instead")
     n = m.group(1) or "1"
     body = code[:ob.start()].strip()
+
+    simple = (re.match(r"^SELECT\s", body, re.IGNORECASE)
+              and not re.match(r"^SELECT\s+DISTINCT\b", body, re.IGNORECASE)
+              and not _depth0_spans(body, _SETOP_RE))
+    if simple:
+        froms = _depth0_spans(body, _FROM_RE)
+        if froms:
+            sel_list = body[6:froms[0].start()].strip()
+            amap = _select_alias_map(sel_list)
+            win_keys = re.sub(
+                r"\b\w+\b",
+                lambda t: f"({amap[t.group(0).lower()]})"
+                if t.group(0).lower() in amap
+                and not re.fullmatch(r"(?i)ASC|DESC|NULLS|FIRST|LAST",
+                                     t.group(0))
+                else t.group(0),
+                ord_keys)
+            inner = (f"SELECT {sel_list}, rank() OVER (ORDER BY "
+                     f"{win_keys}) AS __tie_rnk {body[froms[0].start():]}")
+            return (f"SELECT * EXCEPT(__tie_rnk) FROM ({inner}) "
+                    f"__tie_ranked WHERE __tie_rnk <= {n} "
+                    f"ORDER BY __tie_rnk")
     return (f"SELECT * EXCEPT(__tie_rnk) FROM (SELECT *, rank() OVER "
             f"(ORDER BY {ord_keys}) AS __tie_rnk FROM ({body}) "
             f"__tie_base) __tie_ranked WHERE __tie_rnk <= {n} "
-            f"ORDER BY {ord_keys}")
+            f"ORDER BY __tie_rnk")
 
 #: Trino TABLESAMPLE BERNOULLI(p) → Spark TABLESAMPLE (p PERCENT)
 #: (row-level Bernoulli in both engines). SYSTEM(p) is block sampling
@@ -863,8 +928,11 @@ def _rewrite_listagg(code: str) -> str:
     separator. ``ON OVERFLOW ERROR`` is the default and unreachable —
     Spark strings have no 1 MB cap, so the clause is stripped;
     ``ON OVERFLOW TRUNCATE`` changes the OUTPUT and is refused.
-    DESC / NULLS FIRST sort keys are refused rather than mis-sorted
-    (struct sort is ASC NULLS FIRST per field)."""
+    DESC / NULLS FIRST / NULLS LAST keys (r9) compile to an explicit
+    array_sort COMPARATOR — Trino treats a NULL key as LARGER than
+    every value (last when ASC, first when DESC) unless NULLS
+    FIRST/LAST overrides, which the default struct sort (ASC NULLS
+    FIRST) cannot express."""
     for m in reversed(list(_LISTAGG_RE.finditer(code))):
         close = _find_close(code, m.end() - 1)
         args = [a.strip() for a in _split_top_level(code[m.end():close])]
@@ -879,15 +947,24 @@ def _rewrite_listagg(code: str) -> str:
             raise TrinoSqlUnsupported(
                 "listagg WITHIN GROUP must contain ORDER BY")
         keys = [k.strip() for k in _split_top_level(om.group(1))]
-        cleaned = []
+        cleaned, descs, nulls_first = [], [], []
         for k in keys:
-            if re.search(r"\b(DESC|NULLS\s+(FIRST|LAST))\b", k,
-                         re.IGNORECASE):
-                raise TrinoSqlUnsupported(
-                    "listagg: only default (ASC) ORDER BY keys are "
-                    "supported — struct sort order is ASC per field")
-            cleaned.append(re.sub(r"\s+ASC\s*$", "", k,
-                                  flags=re.IGNORECASE))
+            nm = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", k,
+                           re.IGNORECASE)
+            nf = None
+            if nm:
+                nf = nm.group(1).upper() == "FIRST"
+                k = k[: nm.start()].strip()
+            dm = re.search(r"\b(ASC|DESC)\s*$", k, re.IGNORECASE)
+            desc = False
+            if dm:
+                desc = dm.group(1).upper() == "DESC"
+                k = k[: dm.start()].strip()
+            # Trino: NULL keys sort as LARGER than any value — last
+            # for ASC, first for DESC — unless NULLS FIRST/LAST says.
+            cleaned.append(k)
+            descs.append(desc)
+            nulls_first.append(desc if nf is None else nf)
         if not 1 <= len(args) <= 2:
             raise TrinoSqlUnsupported(
                 "listagg takes (expression [, separator])")
@@ -909,11 +986,39 @@ def _rewrite_listagg(code: str) -> str:
             sep = s
         key_fields = ", ".join(f"({k}) AS _lo{i}"
                                for i, k in enumerate(cleaned))
+        cmp = _listagg_cmp(len(cleaned), descs, nulls_first)
         new = ("array_join(transform(filter(array_sort(collect_list("
-               f"struct({key_fields}, ({args[0]}) AS _lv))), "
+               f"struct({key_fields}, ({args[0]}) AS _lv)), {cmp}), "
                f"_la -> _la._lv IS NOT NULL), _la -> _la._lv), {sep})")
         code = code[:m.start()] + new + code[close2 + 1:]
     return code
+
+
+def _listagg_cmp(nkeys: int, descs: list[bool],
+                 nulls_first: list[bool]) -> str:
+    """Comparator lambda for array_sort ordering structs by
+    ``_lo0.._loN`` under per-key direction and null placement (Trino:
+    NULL key = largest), with ``_lv`` as the final ascending
+    tie-break."""
+    def key_cmp(i: int, rest: str) -> str:
+        lo, hi = ("1", "-1") if descs[i] else ("-1", "1")
+        nf, nl = ("-1", "1") if nulls_first[i] else ("1", "-1")
+        f = f"_lo{i}"
+        return (f"CASE WHEN _la.{f} IS NULL AND _lb.{f} IS NULL "
+                f"THEN {rest} "
+                f"WHEN _la.{f} IS NULL THEN {nf} "
+                f"WHEN _lb.{f} IS NULL THEN {nl} "
+                f"WHEN _la.{f} < _lb.{f} THEN {lo} "
+                f"WHEN _la.{f} > _lb.{f} THEN {hi} "
+                f"ELSE {rest} END")
+
+    cmp = ("CASE WHEN _la._lv IS NULL AND _lb._lv IS NULL THEN 0 "
+           "WHEN _la._lv IS NULL THEN 1 WHEN _lb._lv IS NULL THEN -1 "
+           "WHEN _la._lv < _lb._lv THEN -1 "
+           "WHEN _la._lv > _lb._lv THEN 1 ELSE 0 END")
+    for i in range(nkeys - 1, -1, -1):
+        cmp = key_cmp(i, cmp)
+    return f"(_la, _lb) -> {cmp}"
 
 
 def _structural_rewrites(code: str, stash: list[str]) -> str:
@@ -1663,6 +1768,22 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             return None
         lit = _lit(a[1])
         if lit is None:
+            # r9 (advice close-out): name the clause when the refusal
+            # is an explicit ON EMPTY / ON ERROR / RETURNING — with the
+            # DEFAULT clauses (NULL ON EMPTY, NULL ON ERROR) the
+            # get_json_object lowering is faithful even in strict mode
+            # (Trino turns the strict-mode structural error into NULL);
+            # an explicit ERROR/DEFAULT handler would change behavior,
+            # so it must refuse VISIBLY rather than lower silently.
+            cm = re.search(r"\bON\s+(?:EMPTY|ERROR)\b|\bRETURNING\b"
+                           r"|\bPASSING\b", a[1], re.IGNORECASE)
+            if cm:
+                raise TrinoSqlUnsupported(
+                    f"json_value with an explicit {cm.group(0).upper()} "
+                    "clause — only the defaults (NULL ON EMPTY, NULL ON "
+                    "ERROR) lower faithfully; ERROR/DEFAULT handlers "
+                    "would need runtime raise semantics Spark's "
+                    "get_json_object cannot express")
             raise TrinoSqlUnsupported(
                 "json_value/json_query need a literal JSON path")
         path = lit.strip()
@@ -1683,7 +1804,78 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         return f"get_json_object({a[0]}, {requote(path)})"
 
     code = _rewrite_calls(code, "json_value", _json_path_fn)
-    code = _rewrite_calls(code, "json_query", _json_path_fn)
+
+    # json_query (r9): returns JSON TEXT (KEEP QUOTES default — string
+    # items stay quoted, so get_json_object's scalar unquoting is NOT
+    # faithful here). Lowered through Spark's VARIANT type:
+    # to_json(variant_get(parse_json(x), path)) reproduces exact JSON
+    # item text. Single-[*] wildcard chains cast the head to
+    # ARRAY<VARIANT> and extract the tail per element — lax skips
+    # non-matching elements (filter), strict agrees on conforming data
+    # (the r7 member-chain precedent). All three wrapper forms:
+    #   WITHOUT (default): one item → its text; empty/multi → NULL
+    #     (NULL ON EMPTY / NULL ON ERROR defaults);
+    #   WITH [UNCONDITIONAL]: always '[items…]', empty → NULL;
+    #   WITH CONDITIONAL: single array/object item bare, else wrapped.
+    # Filters/methods/multiple wildcards keep the named error.
+    def _json_query_fn(a):
+        if len(a) != 2:
+            return None
+        wm = _JSON_ARG_WRAPPER_RE.match(a[1].strip())
+        lit = _lit(wm.group("ph")) if wm else None
+        if lit is None:
+            raise TrinoSqlUnsupported(
+                "json_query needs a literal JSON path (QUOTES/ON EMPTY/"
+                "ON ERROR clauses beyond the defaults are unsupported)")
+        wrapper = ("without" if not wm.group("wrap")
+                   else "cond" if wm.group("cond") else "with")
+        path = re.sub(r"^(?:lax|strict)\s+", "", lit.strip(),
+                      flags=re.IGNORECASE)
+        wc = re.fullmatch(
+            r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]"
+            r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
+        if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
+            item = (f"to_json(variant_get(try_parse_json({a[0]}), "
+                    f"{requote(path)}, 'variant'))")
+            if wrapper == "without":
+                return item
+            tail_case = (
+                "CASE WHEN _ji IS NULL THEN NULL "
+                "WHEN startswith(_ji, '[') OR startswith(_ji, '{') "
+                "THEN _ji ELSE concat('[', _ji, ']') END"
+                if wrapper == "cond" else
+                "CASE WHEN _ji IS NULL THEN NULL "
+                "ELSE concat('[', _ji, ']') END")
+            return (f"element_at(transform(array({item}), "
+                    f"_ji -> {tail_case}), 1)")
+        if wc:
+            matches = (
+                f"filter(transform(try_cast(variant_get("
+                f"try_parse_json({a[0]}), {requote(wc.group('head'))}, "
+                f"'variant') AS ARRAY<VARIANT>), _je -> to_json("
+                f"variant_get(_je, {requote('$' + wc.group('tail'))}, "
+                f"'variant'))), _jm -> _jm IS NOT NULL)")
+            if wrapper == "with":
+                agg = ("CASE WHEN _m IS NULL OR size(_m) = 0 THEN NULL "
+                       "ELSE concat('[', array_join(_m, ','), ']') END")
+            elif wrapper == "cond":
+                agg = ("CASE WHEN _m IS NULL OR size(_m) = 0 THEN NULL "
+                       "WHEN size(_m) = 1 AND "
+                       "(startswith(element_at(_m, 1), '[') OR "
+                       "startswith(element_at(_m, 1), '{')) "
+                       "THEN element_at(_m, 1) "
+                       "ELSE concat('[', array_join(_m, ','), ']') END")
+            else:
+                agg = ("CASE WHEN _m IS NULL OR size(_m) <> 1 "
+                       "THEN NULL ELSE element_at(_m, 1) END")
+            return (f"element_at(transform(array({matches}), "
+                    f"_m -> {agg}), 1)")
+        raise TrinoSqlUnsupported(
+            "json_query path with filters, methods, or multiple "
+            "wildcards — only member/subscript chains with at most "
+            "one [*] are supported")
+
+    code = _rewrite_calls(code, "json_query", _json_query_fn)
 
     # at_timezone(ts, zone) — the function form of AT TIME ZONE; the
     # zone may be any expression here (the call shape is unambiguous).
@@ -2471,10 +2663,7 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
         lambda m: "AS " + _CAST_TYPE_MAP[
             re.sub(r"\s*\(.*\)", "", re.sub(r"\s+", " ", m.group(1).upper()))],
         code)
-    if _FETCH_TIES_RE.search(code):
-        raise TrinoSqlUnsupported(
-            "FETCH … WITH TIES is not supported — Spark's LIMIT cannot "
-            "keep cutoff ties; use rank() <= n over the sort key")
+    code = _rewrite_fetch_ties(code)
     if re.search(r"\bBETWEEN\s+SYMMETRIC\b", code, re.IGNORECASE):
         raise TrinoSqlUnsupported(
             "BETWEEN SYMMETRIC is not supported — write BETWEEN "
@@ -3095,10 +3284,11 @@ def execute_match_recognize(spark: SparkSession, sql: str,
     # PATTERN: identifiers must all be defined; quantifier punctuation
     # passes through (validated again by the operator) — including
     # reluctant quantifiers (``B+?``), the ^/$ partition anchors and
-    # {- -} output exclusions (r8), which Python regex implements with
-    # Trino's exact preference/anchor semantics over the per-partition
-    # symbol string (exclusions become named groups in the operator;
-    # under a quantifier they raise the operator's named error).
+    # {- -} output exclusions (r8; quantified/nested-in-group forms r9
+    # via the regex module's every-repetition group spans), which
+    # implement Trino's exact preference/anchor semantics over the
+    # per-partition symbol string (exclusions become named groups in
+    # the operator).
     pattern = ""
     for tok in re.finditer(r"[A-Za-z_]\w*|[^A-Za-z_\s]", pat_body):
         text = tok.group(0)
@@ -3972,6 +4162,100 @@ def q_trino_sql_breadth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_trino(spark, TRINO_SQL_BREADTH3, sf_dir)
 
 
+#: SQL/JSON wave 21 (r9): json_query over member chains and [*]
+#: wildcards with every ARRAY WRAPPER form. The JSON document is
+#: CONSTRUCTED per row from orders columns so every value is
+#: row-discriminating and the oracle can replay it by string algebra.
+TRINO_SQL_JSONPATH = """
+SELECT o_orderkey,
+       json_query(j, 'lax $.k[*].v' WITH ARRAY WRAPPER) AS vs,
+       json_query(j, 'strict $.k[*].v' WITH UNCONDITIONAL ARRAY WRAPPER)
+           AS vs_strict,
+       json_query(j, 'lax $.s') AS s_quoted,
+       json_query(j, 'lax $.k[0]' WITH CONDITIONAL ARRAY WRAPPER)
+           AS first_obj,
+       json_query(j, 'lax $.k[1].v') AS second_v,
+       json_query(j, 'lax $.missing' WITH ARRAY WRAPPER) AS none_v
+FROM (
+    SELECT o_orderkey,
+           '{"k":[{"v":' || CAST(o_orderkey AS VARCHAR) || '},{"v":' ||
+           CAST(o_custkey AS VARCHAR) || '}],"s":"' || o_orderstatus ||
+           '"}' AS j
+    FROM orders
+    WHERE o_orderkey < 2000
+) t
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_trino_sql_jsonpath",
+    oracle="""
+    SELECT o_orderkey,
+           '[' || o_orderkey || ',' || o_custkey || ']' AS vs,
+           '[' || o_orderkey || ',' || o_custkey || ']' AS vs_strict,
+           '"' || o_orderstatus || '"' AS s_quoted,
+           '{"v":' || o_orderkey || '}' AS first_obj,
+           CAST(o_custkey AS VARCHAR) AS second_v,
+           CAST(NULL AS VARCHAR) AS none_v
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_jsonpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL/JSON ``json_query`` (r9): lowered through Spark's VARIANT
+    type — ``to_json(variant_get(try_parse_json(x), path))`` preserves
+    exact JSON item text (KEEP QUOTES default, which get_json_object's
+    scalar unquoting cannot), and a single-``[*]`` wildcard casts the
+    chain head to ARRAY<VARIANT> and extracts the tail per element
+    (lax skips non-matching elements). WITHOUT / WITH [UNCONDITIONAL]
+    / WITH CONDITIONAL ARRAY WRAPPER all lower exactly; the DuckDB
+    oracle replays each value by string algebra on the source columns.
+    All JVM codegen — no Python, no shuffle beyond the scan."""
+    return execute_trino(spark, TRINO_SQL_JSONPATH, sf_dir)
+
+
+#: BI-pagination tail clause (r9): FETCH FIRST n ROWS WITH TIES keeps
+#: every row tying the cutoff's sort key. o_orderdate has heavy
+#: duplication, so the tie expansion is exercised for real (the result
+#: is strictly larger than 20 rows at every SF).
+TRINO_SQL_TIES = """
+SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od
+FROM orders
+WHERE o_orderkey < 4000
+ORDER BY od
+FETCH FIRST 20 ROWS WITH TIES
+"""
+
+
+@query(
+    "q_trino_sql_ties",
+    oracle="""
+    SELECT o_orderkey, od FROM (
+        SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od,
+               rank() OVER (ORDER BY CAST(o_orderdate AS VARCHAR)) AS r
+        FROM orders WHERE o_orderkey < 4000) t
+    WHERE r <= 20
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FETCH FIRST n ROWS WITH TIES`` (r9): the statement-tail form
+    lowers to ``rank() OVER (ORDER BY <sort keys>) <= n`` over the
+    original query block, with the rank column dropped via
+    ``* EXCEPT`` — Trino's tie semantics are exactly rank's gap
+    semantics, so every row sharing the 20th date survives. Plan:
+    Spark's WindowGroupLimit kicks in PARTIAL per input partition
+    (each keeps only its local rank<=n rows) before the single final
+    pass — the scalable top-K-with-ties shape, not a full global
+    sort; filters stay pushed to the parquet scan. DuckDB's own
+    window engine replays the rank filter as the oracle (DuckDB 1.0
+    has no native WITH TIES)."""
+    return execute_trino(spark, TRINO_SQL_TIES, sf_dir)
+
+
 TRINO_SQL_LISTAGG = """
 SELECT o_orderstatus,
        listagg(o_orderpriority, ',') WITHIN GROUP (
@@ -4381,6 +4665,100 @@ def q_trino_sql_mr_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy 'PC+V' matches — match numbering and the final-row
     classifier drop out of the subscript enumeration directly."""
     return execute_trino(spark, TRINO_SQL_MR_DESC, sf_dir)
+
+
+#: r9: QUANTIFIED output exclusion — {- C -}+ drops EVERY repetition's
+#: span (the last-span-only limitation of stdlib re was the one
+#: remaining MATCH_RECOGNIZE gap; the regex module reports all group
+#: repetition spans). RUNNING sum proves excluded rows still
+#: participate in measures.
+TRINO_SQL_MR_EXCL = """
+SELECT user_id, event_id, mn, cls, round(run_sum, 4) AS run_sum
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES match_number() AS mn, classifier() AS cls,
+           RUNNING sum(value) AS run_sum
+  ALL ROWS PER MATCH
+  PATTERN (V {- C -}+ P)
+  DEFINE V AS event_type = 'view',
+         C AS event_type = 'click',
+         P AS event_type = 'purchase'
+)
+"""
+
+
+@query(
+    "q_trino_sql_mr_excl",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                          WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' ELSE '.' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT user_id,
+               unnest(regexp_extract_all(s, 'VC+P')) AS mstr,
+               generate_subscripts(regexp_extract_all(s, 'VC+P'), 1) AS k
+        FROM sym
+    ), g AS (
+        SELECT user_id,
+               unnest(str_split_regex(s, 'VC+P')) AS gap,
+               generate_subscripts(str_split_regex(s, 'VC+P'), 1) AS gi
+        FROM sym
+    ), gcum AS (
+        SELECT user_id, gi,
+               sum(length(gap)) OVER (PARTITION BY user_id
+                                      ORDER BY gi) AS cg
+        FROM g
+    ), mcum AS (
+        SELECT user_id, k,
+               sum(length(mstr)) OVER (PARTITION BY user_id
+                                       ORDER BY k) AS cm
+        FROM m
+    ), starts AS (
+        SELECT m.user_id, m.k, m.mstr,
+               gcum.cg + coalesce(mcum.cm, 0) + 1 AS start
+        FROM m
+        JOIN gcum ON gcum.user_id = m.user_id AND gcum.gi = m.k
+        LEFT JOIN mcum ON mcum.user_id = m.user_id AND mcum.k = m.k - 1
+    ), rows_ AS (
+        SELECT s.user_id, s.k AS match_num,
+               s.start + u.i - 1 AS rn,
+               substring(s.mstr, CAST(u.i AS INT), 1) AS classifier
+        FROM starts s,
+             unnest(generate_series(1, length(s.mstr))) AS u(i)
+    ), runsum AS (
+        SELECT r.user_id, o.event_id, r.match_num, r.classifier,
+               sum(o.value) OVER (PARTITION BY r.user_id, r.match_num
+                                  ORDER BY r.rn) AS run_sum
+        FROM rows_ r
+        JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn
+    )
+    SELECT user_id, event_id, CAST(match_num AS BIGINT) AS mn,
+           classifier AS cls, round(run_sum, 4) AS run_sum
+    FROM runsum
+    WHERE classifier <> 'C'
+    """,
+    tags=("trino", "sql", "dialect", "pattern"),
+)
+def q_trino_sql_mr_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ``{- C -}+`` output exclusion (r9 — the last
+    MATCH_RECOGNIZE gap): every repetition of the excluded C is
+    matched, numbered and aggregated (the P row's RUNNING sum includes
+    the clicks) but dropped from ALL-ROWS output. The oracle extends
+    the position-reconstruction replay (matches + gaps + cumulative
+    offsets → per-row positions) with the exclusion filter: emitted
+    rows are exactly the match rows whose classifier is not C, while
+    the running sum windows over ALL match rows before filtering."""
+    return execute_trino(spark, TRINO_SQL_MR_EXCL, sf_dir)
 
 
 TRINO_SQL_MR_SKIPLAST = """

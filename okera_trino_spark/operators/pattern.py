@@ -61,42 +61,32 @@ _NO_SYMBOL = "."
 
 
 def _translate_exclusions(pattern: str) -> tuple[str, list[str]]:
-    """Rewrite Trino pattern exclusions ``{- X -}`` into Python NAMED
-    GROUPS ``(?P<_excN>X)`` and return (translated pattern, group
-    names). Restricted to parenthesis-depth 0 and unquantified: a
-    group under a quantifier keeps only its LAST repetition's span, so
-    per-row exclusion would silently drop the wrong rows — refused
-    loudly instead. Depth-0 alternation is fine (each branch matches
-    at most once per match)."""
+    """Rewrite Trino pattern exclusions ``{- X -}`` into NAMED GROUPS
+    ``(?P<_excN>X)`` and return (translated pattern, group names).
+
+    r9: exclusions may sit inside (quantified) groups and carry their
+    own quantifiers — patterns with exclusions compile under the
+    ``regex`` module, whose ``Match.spans(name)`` reports EVERY
+    repetition's span (stdlib ``re`` keeps only the last, which is why
+    these forms used to refuse). Nested exclusions stay refused: the
+    outer exclusion already drops the inner's rows, so the nesting is
+    at best redundant and Trino itself rejects it."""
     out, names = "", []
-    i, depth = 0, 0
+    i = 0
     while i < len(pattern):
         if pattern.startswith("{-", i):
-            if depth != 0:
-                raise ValueError(
-                    "pattern exclusion {- … -} inside a group: a "
-                    "quantified enclosing group would keep only the "
-                    "last repetition's span — hoist the exclusion to "
-                    "the top level")
             j = pattern.find("-}", i)
             if j < 0:
                 raise ValueError("unbalanced pattern exclusion {-")
             inner = pattern[i + 2:j]
             if "{-" in inner:
                 raise ValueError("nested pattern exclusions")
-            if pattern[j + 2:j + 3] in ("+", "*", "?", "{"):
-                raise ValueError(
-                    "quantified pattern exclusion {- … -}x: only the "
-                    "last repetition's span survives — quantify INSIDE "
-                    "the exclusion instead")
             name = f"_exc{len(names)}"
             names.append(name)
             out += f"(?P<{name}>{inner})"
             i = j + 2
         else:
-            c = pattern[i]
-            depth += (c == "(") - (c == ")")
-            out += c
+            out += pattern[i]
             i += 1
     return out, names
 
@@ -240,7 +230,15 @@ def match_recognize(
     # their rows stay part of the match (numbering, measures, skip
     # positions all see them) but are dropped from ALL-ROWS output.
     pat, exc_names = _translate_exclusions(pat)
-    compiled = re.compile(pat)
+    if exc_names:
+        # The regex module's Match.spans(name) records EVERY repetition
+        # of a named group — required for quantified/nested-in-group
+        # exclusions. Identical matching semantics (leftmost-greedy
+        # backtracking) for this symbol/quantifier alphabet.
+        import regex as _rx
+        compiled = _rx.compile(pat)
+    else:
+        compiled = re.compile(pat)
     measures = measures or {}
 
     sym_col = F.lit(_NO_SYMBOL)
@@ -373,8 +371,7 @@ def match_recognize(
                         # rows retain their RUNNING prefix values.
                         dropped = set()
                         for nm in exc_names:
-                            a, b = m.span(nm)
-                            if a >= 0:
+                            for a, b in m.spans(nm):
                                 dropped.update(
                                     range(a - m.start(), b - m.start()))
                         if dropped:

@@ -88,62 +88,46 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-8 ROTATION. Slots, in order:
-#:   1) the two r7 keys that were registered without a window slot (the
-#:      r7 process miss — zero driver signal ever) + the NEW r8 keys
-#:      (SKIP TO NEXT ROW, ALL-ROWS RUNNING measures) — new keys must
-#:      sit in-window to keep the test_entry.py union-closure
-#:      invariant green;
-#:   2) keys whose implementation or oracle CHANGED in r8:
-#:      q_llm_ann_ivf (graduated to the Lloyd-replay hard oracle —
-#:      deterministic 4dp centroids / 6dp argmin), q_llm_trigram_lm
-#:      (model broadcast hint dropped for AQE), q_events_pattern /
-#:      q_trino_sql_mr (shared operator gained the skip-mode walk and
-#:      vector measures);
-#:   3) the r2 cohort — six rounds stale, the oldest evidence in the
-#:      repo — filling the window to exactly 50 (the r2 keys left
-#:      out, q_udtf_split, q_count_star, q_fn_cast, q_union_all,
-#:      q_fn_array, and — for the session-3 keys q_llm_ann_pq /
-#:      q_llm_bpe_apply / q_trino_sql_unicode / q_llm_bpe /
-#:      q_trino_info_schema — q_fn_string, q_fn_date, q_unnest,
-#:      q_case_expr, q_project and — for q_trino_sql_listagg /
-#:      q_llm_quality_clf — q_win_frame_range, q_agg_stats and (for
-#:      q_trino_sql_mr_skipsubset) q_agg_rollup: all
-#:      have driver rows (q_project's pushdown and q_win_frame_range's
-#:      E16 surface are also covered by plan-asserted/r7 sibling keys)
-#:      and re-enter next rotation; the late-r8
-#:      q_events_pattern_empty / q_llm_winnow / q_trino_sql_mr_vars /
-#:      q_trino_sql_mr_desc took the first five slots).
-#: q_llm_bpe RE-ENTERS the window (late r8): it graduated from
-#: rows-only to a hash oracle (the learning rounds unrolled as chained
-#: CTEs), so its driver check upgrades — the changed-key rule applies.
+#: ROUND-9 ROTATION (data-driven: slots ranked by last-green round
+#: computed from CORRECTNESS_r01..r08). Slots, in order:
+#:   1) the two r8 driver-reds — breadth2 (oracle HUGEINT drift) and
+#:      breadth3 (nested-array canonicalizer crash) — both FIXED this
+#:      round and still without a green driver row;
+#:   2) the NEW r9 keys: q_trino_sql_ties (FETCH FIRST n ROWS WITH
+#:      TIES → rank), q_trino_sql_jsonpath (json_query VARIANT
+#:      lowering, wildcard + wrapper forms), q_trino_sql_mr_excl
+#:      (quantified {- -} exclusions) — new keys must sit in-window
+#:      to keep the test_entry.py union-closure invariant green;
+#:   3) keys whose implementation CHANGED in r9: q_trino_sql_listagg
+#:      (struct sort → explicit comparator, DESC/NULLS keys),
+#:      q_trino_sql_mr_running (RUNNING sum stays NULL until a
+#:      non-null value accumulates — advice fix);
+#:   4) the stalest greens: the full r2 cohort (16 keys, last green
+#:      six rounds ago) and the 27 oldest r4 keys. The r8 window's 48
+#:      greens all rotate OUT (fresh evidence last round); the r4/r5
+#:      tail (q_scan_nested, q_fn_url, q_fn_decimal, streaming S1-S3,
+#:      q_udf_current_db …) re-enters next rotation.
 _PRIORITY: tuple[str, ...] = (
-    # 1) zero-driver-signal + new in r8
-    "q_trino_sql_mr_prev", "q_events_pattern_rows",
-    "q_events_pattern_skipnext", "q_trino_sql_mr_running",
-    "q_trino_sql_breadth2", "q_trino_sql_mr_skiplast",
-    "q_trino_sql_mr_unmatched", "q_agg_approx_distinct_det",
-    "q_agg_approx_percentile_det", "q_llm_project",
-    "q_llm_heavy_hitters", "q_events_pattern_empty", "q_llm_winnow",
-    "q_trino_sql_mr_vars", "q_trino_sql_mr_desc",
-    "q_trino_sql_breadth3", "q_llm_ann_pq", "q_llm_bpe_apply",
-    "q_trino_sql_unicode", "q_llm_bpe", "q_trino_info_schema",
-    "q_trino_sql_listagg", "q_llm_quality_clf",
-    "q_trino_sql_mr_skipsubset",
-    # 2) changed in r8
-    "q_llm_ann_ivf", "q_llm_trigram_lm", "q_events_pattern",
-    "q_trino_sql_mr",
-    # 3) r2-stale cohort
-    "q_pricing_summary", "q_scan_full", "q_filter_range",
-    "q_join_inner", "q_join_left", "q_join_semi",
-    "q_join_broadcast", "q_agg_group",
-    "q_win_rank", "q_topk",
-    "q_cte",
-    "q_tpch_q3", "q_tpch_q18", "q_pandas_group_norm", "q_agg_salted",
-    "q_view_create_read",
-    "q_stream_static_join", "q_llm_dedup_exact",
-    "q_llm_similarity", "q_llm_decontaminate", "q_llm_curation",
-    "q_llm_multimodal",
+    # 1) r8 driver-reds, fixed in r9, no green row yet
+    "q_trino_sql_breadth2", "q_trino_sql_breadth3",
+    # 2) new in r9
+    "q_trino_sql_ties", "q_trino_sql_jsonpath", "q_trino_sql_mr_excl",
+    # 3) changed in r9
+    "q_trino_sql_listagg", "q_trino_sql_mr_running",
+    # 4a) r2-stale cohort (16)
+    "q_project", "q_count_star", "q_agg_rollup", "q_agg_stats",
+    "q_win_frame_range", "q_union_all", "q_subquery_corr",
+    "q_case_expr", "q_fn_string", "q_fn_date", "q_fn_cast",
+    "q_fn_array", "q_unnest", "q_udf_custom", "q_udtf_split",
+    "q_stream_watermark",
+    # 4b) r4-stale cohort (27)
+    "q_join_right", "q_agg_pivot", "q_agg_unpivot",
+    "q_agg_grouping_id", "q_win_ntile", "q_fn_regex", "q_fn_math",
+    "q_fn_map", "q_fn_struct", "q_tpch_q5", "q_tpch_q10", "q_tpch_q4",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q14",
+    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+    "q_profile_orders", "q_fn_bitwise", "q_agg_minmax_by",
+    "q_agg_bool", "q_agg_listagg", "q_fn_try",
 )
 
 

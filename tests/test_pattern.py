@@ -759,14 +759,39 @@ def test_pattern_exclusions(spark):
         DEFINE A AS ev = 'a', B AS ev = 'b', C AS ev = 'c')
     """).orderBy("mn").collect()
     assert [(r.mn, r.n) for r in one] == [(1, 4), (2, 3)]
-    for bad in ("A {- B -}+ C", "A ({- B -} C)+"):
-        with pytest.raises(ValueError, match="exclusion"):
-            execute_trino(spark, f"""
-              SELECT * FROM mre MATCH_RECOGNIZE (
-                PARTITION BY k ORDER BY seq
-                PATTERN ({bad})
-                DEFINE A AS ev = 'a', B AS ev = 'b', C AS ev = 'c')
-            """)
+    # r9: QUANTIFIED exclusions — every repetition's span is dropped
+    # (the regex module reports all group-repetition spans; stdlib re
+    # kept only the last, which is why these used to refuse).
+    quant = execute_trino(spark, """
+      SELECT seq, mn, cls FROM mre MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES match_number() AS mn, classifier() AS cls
+        ALL ROWS PER MATCH
+        PATTERN (A {- B -}+ C)
+        DEFINE A AS ev = 'a', B AS ev = 'b', C AS ev = 'c')
+    """).orderBy("seq").collect()
+    assert [(r.seq, r.mn, r.cls) for r in quant] == [
+        (0, 1, "A"), (3, 1, "C"), (4, 2, "A"), (6, 2, "C")]
+    # Exclusion inside a quantified GROUP: each repetition's B-span is
+    # excluded, the C of every repetition is kept.
+    grouped = execute_trino(spark, """
+      SELECT seq, mn, cls FROM mre MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES match_number() AS mn, classifier() AS cls
+        ALL ROWS PER MATCH
+        PATTERN (({- B+ -} C)+)
+        DEFINE B AS ev = 'b', C AS ev = 'c')
+    """).orderBy("seq").collect()
+    assert [(r.seq, r.mn, r.cls) for r in grouped] == [
+        (3, 1, "C"), (6, 2, "C")]
+    # nested exclusions stay refused (Trino rejects them too)
+    with pytest.raises(ValueError, match="nested"):
+        execute_trino(spark, """
+          SELECT * FROM mre MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            PATTERN (A {- B {- C -} -})
+            DEFINE A AS ev = 'a', B AS ev = 'b', C AS ev = 'c')
+        """)
 
 
 def test_order_by_desc(spark):

@@ -159,7 +159,12 @@ def test_no_partitionless_window_in_any_registered_plan(spark, sf_dir):
     - q_sort_nulls: 8 inline literal rows (NULL-ordering semantics key);
     - q_tpch_q15: max-filter window over the already-aggregated
       per-supplier revenue frame (|suppliers| rows, docstring-documented
-      single-scan shape).
+      single-scan shape);
+    - (r9) any partitionless Window whose subtree carries a
+      WindowGroupLimit: Spark's rank-limit pushdown bounds each input
+      partition to the top-k rows BEFORE the single-partition exchange
+      (the q_trino_sql_ties FETCH…WITH TIES shape) — the reducer sees
+      O(k × partitions), not the frame.
 
     Notably NOT exempt: the packing keys (q_llm_pack / q_llm_pipeline,
     shard-partitioned) and q_sort_multi (two-phase global row-number)."""
@@ -168,8 +173,16 @@ def test_no_partitionless_window_in_any_registered_plan(spark, sf_dir):
     def partitionless(df):
         found = []
 
+        def bounded(node):
+            if node.nodeName() == "WindowGroupLimit":
+                return True
+            return any(bounded(node.children().apply(i))
+                       for i in range(node.children().length()))
+
         def walk(node):
-            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            if (node.nodeName() == "Window"
+                    and node.partitionSpec().isEmpty()
+                    and not bounded(node)):
                 found.append(node.nodeName())
             for i in range(node.children().length()):
                 walk(node.children().apply(i))

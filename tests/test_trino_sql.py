@@ -1344,6 +1344,109 @@ def test_limit_all_is_no_limit(spark, sf_dir, oracle):
     check_query(df, oracle, duck, name="limit_all")
 
 
+JSON_QUERY_DOC = '{"a":[{"b":1},{"b":"x"}],"c":"s","d":[{"b":[1,2]}]}'
+
+JSON_QUERY_CASES = [
+    ("wc_wrap", "json_query(j, 'lax $.a[*].b' WITH ARRAY WRAPPER)",
+     "'[1,\"x\"]'"),
+    ("wc_strict",
+     "json_query(j, 'strict $.a[*].b' WITH UNCONDITIONAL ARRAY WRAPPER)",
+     "'[1,\"x\"]'"),
+    ("wc_nowrap_multi", "json_query(j, 'lax $.a[*].b')",
+     "CAST(NULL AS VARCHAR)"),
+    ("wc_nowrap_single", "json_query(j, 'lax $.d[*].b')", "'[1,2]'"),
+    ("wc_wrap_nested",
+     "json_query(j, 'lax $.d[*].b' WITH ARRAY WRAPPER)", "'[[1,2]]'"),
+    ("wc_cond_single_arr",
+     "json_query(j, 'lax $.d[*].b' WITH CONDITIONAL ARRAY WRAPPER)",
+     "'[1,2]'"),
+    ("keep_quotes", "json_query(j, 'lax $.c')", "'\"s\"'"),
+    ("scalar_wrap", "json_query(j, 'lax $.c' WITH ARRAY WRAPPER)",
+     "'[\"s\"]'"),
+    ("scalar_cond",
+     "json_query(j, 'lax $.c' WITH CONDITIONAL ARRAY WRAPPER)",
+     "'[\"s\"]'"),
+    ("missing_wrap", "json_query(j, 'lax $.zzz' WITH ARRAY WRAPPER)",
+     "CAST(NULL AS VARCHAR)"),
+]
+
+
+@pytest.mark.parametrize("name,expr,expected",
+                         JSON_QUERY_CASES, ids=[c[0] for c in JSON_QUERY_CASES])
+def test_json_query_wrappers(spark, sf_dir, oracle, name, expr, expected):
+    """json_query VARIANT lowering (r9): exact JSON item text with
+    KEEP QUOTES, single-[*] wildcards, all three wrapper forms."""
+    trino = (f"SELECT {expr} AS v FROM (SELECT '{JSON_QUERY_DOC}' AS j "
+             "FROM nation WHERE n_nationkey = 0) t")
+    duck = f"SELECT {expected} AS v"
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name=f"json_query:{name}")
+
+
+def test_json_value_handler_clauses_refuse_by_name():
+    """r9: with the DEFAULT handlers (NULL ON EMPTY / NULL ON ERROR)
+    the get_json_object lowering is faithful even for strict paths —
+    Trino's default turns the strict structural error into NULL. An
+    explicit ERROR/DEFAULT handler would change runtime behavior, so
+    it refuses naming the clause."""
+    with pytest.raises(TrinoSqlUnsupported, match="ON ERROR"):
+        rewrite_trino_sql(
+            "SELECT json_value(p, 'strict $.k' ERROR ON ERROR) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="ON EMPTY"):
+        rewrite_trino_sql(
+            "SELECT json_value(p, 'lax $.k' DEFAULT 'x' ON EMPTY) FROM t")
+
+
+def test_json_query_refusals():
+    for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
+                "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
+                "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
+        with pytest.raises(TrinoSqlUnsupported, match="json_query"):
+            rewrite_trino_sql(bad)
+
+
+def test_fetch_with_ties(spark, sf_dir, oracle):
+    """WITH TIES keeps every row tying the cutoff sort key (rank()
+    lowering, r9); result is strictly larger than n when the n-th key
+    is duplicated."""
+    trino = ("SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od "
+             "FROM orders WHERE o_orderkey < 4000 "
+             "ORDER BY od FETCH FIRST 10 ROWS WITH TIES")
+    duck = ("SELECT o_orderkey, od FROM ("
+            "SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od, "
+            "rank() OVER (ORDER BY CAST(o_orderdate AS VARCHAR)) AS r "
+            "FROM orders WHERE o_orderkey < 4000) t WHERE r <= 10")
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name="fetch_ties")
+
+
+def test_fetch_with_ties_desc_multikey(spark, sf_dir, oracle):
+    trino = ("SELECT o_orderpriority, o_orderstatus FROM orders "
+             "WHERE o_orderkey < 2000 "
+             "ORDER BY o_orderpriority DESC, o_orderstatus "
+             "FETCH NEXT 7 ROWS WITH TIES")
+    duck = ("SELECT o_orderpriority, o_orderstatus FROM ("
+            "SELECT o_orderpriority, o_orderstatus, rank() OVER ("
+            "ORDER BY o_orderpriority DESC, o_orderstatus) AS r "
+            "FROM orders WHERE o_orderkey < 2000) t WHERE r <= 7")
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name="fetch_ties_desc")
+
+
+def test_fetch_with_ties_refusals():
+    # Trino itself rejects TIES without ORDER BY.
+    with pytest.raises(TrinoSqlUnsupported, match="requires ORDER BY"):
+        rewrite_trino_sql(
+            "SELECT n_name FROM nation FETCH FIRST 3 ROWS WITH TIES")
+    with pytest.raises(TrinoSqlUnsupported, match="ordinal"):
+        rewrite_trino_sql("SELECT n_name FROM nation ORDER BY 1 "
+                          "FETCH FIRST 3 ROWS WITH TIES")
+    # count-less form defaults to 1 row
+    out = rewrite_trino_sql("SELECT n_name AS a FROM nation "
+                            "ORDER BY a FETCH FIRST ROW WITH TIES")
+    assert "__tie_rnk <= 1" in out and "rank() OVER" in out
+
+
 WAVE15 = [
     ("hamming", "SELECT hamming_distance('karolin', 'kathrin') AS d",
      "SELECT CAST(3 AS BIGINT) AS d"),
@@ -1724,7 +1827,7 @@ def test_trino_wave18(spark, sf_dir, oracle, name, trino, duck):
     check_query(df, oracle, duck, name=f"wave18:{name}")
 
 
-def test_trino_wave18_named_errors(spark, sf_dir):
+def test_trino_wave18_named_errors(spark, sf_dir, oracle):
     for sql, pat in [
         ("SELECT listagg(o_orderpriority, ',') FROM orders",
          "WITHIN GROUP"),
@@ -1733,13 +1836,19 @@ def test_trino_wave18_named_errors(spark, sf_dir):
         ("SELECT listagg(o_orderpriority, ',' ON OVERFLOW TRUNCATE "
          "'...') WITHIN GROUP (ORDER BY o_orderkey) FROM orders",
          "TRUNCATE"),
-        ("SELECT listagg(o_orderpriority, ',') WITHIN GROUP "
-         "(ORDER BY o_orderkey DESC) FROM orders", "ASC"),
-        ("SELECT listagg(o_orderpriority, ',') WITHIN GROUP "
-         "(ORDER BY o_orderkey NULLS LAST) FROM orders", "ASC"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
+    # listagg DESC / NULLS placement (r9, formerly refused): Trino
+    # sorts NULL keys as LARGEST (last ASC, first DESC) — the
+    # comparator-lambda sort reproduces it; DuckDB string_agg agrees.
+    df = execute_trino(
+        spark, "SELECT listagg(v, '|') WITHIN GROUP "
+        "(ORDER BY k DESC NULLS LAST, v) AS s FROM (VALUES (1, 'a'), "
+        "(CAST(NULL AS INTEGER), 'n'), (2, 'b'), (1, 'c')) AS t(k, v)",
+        sf_dir)
+    check_query(df, oracle, "SELECT 'b|a|c|n' AS s",
+                name="listagg_desc_nulls")
     # Trino raises on non-digit luhn input; so do we — at runtime,
     # with the function named in the error.
     with pytest.raises(Exception, match="luhn_check"):
@@ -1928,6 +2037,75 @@ def test_rewrite_contract_never_crashes_property():
     check()
 
 
+def test_rewrite_fuzz_execution_leg(spark, sf_dir):
+    """EXECUTION fuzz (r9 — the breadth-class closer): for a sampled
+    population of nested dialect fragments, a successful rewrite must
+    produce SQL that Spark can at least PARSE — an emitted-text bug
+    (unbalanced parens from a synthesized literal, a stray keyword)
+    surfaces here at fuzz time instead of in a driver round. Analysis/
+    runtime errors are allowed (the fragments are type-nonsense on
+    purpose); a ParseException after a non-refusing rewrite is always
+    a rewriter bug. Frames that DO execute are additionally run
+    through the driver-strict canonicalizability check when every
+    output column is scalar — catching uncanonicalizable shapes the
+    way the driver would."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.errors import ParseException
+
+    from tests.parity import assert_driver_canonicalizable
+
+    frags = [
+        "split_part(n_name, '){0}', 2)",
+        "greatest(split_part(n_name, ')', 1), n_name)",
+        "least(split_part(n_name, '(', 1), split_to_map('a.1', '|', '.')['a'])",
+        "json_query('{{\"a\":[1]}}', 'lax $.a[*]' WITH ARRAY WRAPPER)",
+        "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name DESC)",
+        "TRY(n_nationkey + 1e-{1})",
+        "{1} / {2}",
+        "n_nationkey * {1}/{2}",
+        "entropy(-n_nationkey)",
+        "chr(n_nationkey + 65)",
+        "split(n_name, '{0}')",
+        "concat(n_name, '{0}')",
+    ]
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, len(frags) - 1), st.integers(0, len(frags) - 1),
+           st.text(alphabet="()'\\|.*+,x", max_size=3),
+           st.integers(1, 9), st.integers(1, 9))
+    def check(i, j, s, n1, n2):
+        esc = s.replace("'", "''").replace("{", "{{").replace("}", "}}")
+        inner = frags[i].format(esc, n1, n2)
+        outer = frags[j].format(esc, n1, n2)
+        sql = (f"SELECT {inner} AS a, {outer} AS b "
+               "FROM nation ORDER BY n_nationkey LIMIT 2")
+        try:
+            out = rewrite_trino_sql(sql)
+        except TrinoSqlUnsupported:
+            return
+        try:
+            df = spark.sql(out)
+        except ParseException as ex:
+            raise AssertionError(
+                f"rewriter emitted unparseable SQL for {sql!r}:\n{out}"
+            ) from ex
+        except Exception:
+            return   # analysis-level type nonsense — allowed
+        try:
+            pdf = df.toPandas()
+        except Exception:
+            return   # runtime errors (ANSI arithmetic etc.) — allowed
+        if not any(str(f.dataType).startswith(("ArrayType", "MapType",
+                                               "StructType"))
+                   for f in df.schema.fields):
+            assert_driver_canonicalizable(pdf, name="fuzz-exec")
+
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW nation AS "
+              f"SELECT * FROM parquet.`{sf_dir}/nation.parquet`")
+    check()
+
+
 def test_listagg_distinct_named_error(spark, sf_dir):
     with pytest.raises(TrinoSqlUnsupported, match="DISTINCT"):
         execute_trino(
@@ -1937,18 +2115,22 @@ def test_listagg_distinct_named_error(spark, sf_dir):
 
 def test_fetch_first_row_only_and_with_ties(spark, sf_dir, oracle):
     """Count-less FETCH FIRST ROW ONLY = LIMIT 1 (Trino grammar);
-    WITH TIES refuses by name (a LIMIT rewrite would silently DROP
-    the tied rows)."""
+    WITH TIES over a NON-OUTPUT sort column works via select-list rank
+    injection (r9 — Trino resolves sort keys against input columns)."""
     df = execute_trino(
         spark, "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
         "FETCH FIRST ROW ONLY", sf_dir)
     check_query(df, oracle,
                 "SELECT min(o_orderkey) AS o_orderkey FROM orders",
                 name="fetch_first_row")
-    with pytest.raises(TrinoSqlUnsupported, match="TIES"):
-        execute_trino(
-            spark, "SELECT o_orderkey FROM orders ORDER BY o_totalprice "
-            "FETCH FIRST 5 ROWS WITH TIES", sf_dir)
+    df = execute_trino(
+        spark, "SELECT o_orderkey FROM orders ORDER BY o_totalprice "
+        "FETCH FIRST 5 ROWS WITH TIES", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT o_orderkey FROM (SELECT o_orderkey, rank() OVER "
+        "(ORDER BY o_totalprice) AS r FROM orders) t WHERE r <= 5",
+        name="fetch_ties_hidden_key")
 
 
 def test_between_symmetric_named_error(spark, sf_dir):
