@@ -153,3 +153,84 @@ def register_unicode_normalize(spark: SparkSession) -> None:
     _normalize.__annotations__ = {
         "s": pd.Series, "form": pd.Series, "return": pd.Series}
     spark.udf.register("trino_normalize", F.pandas_udf(_normalize, "string"))
+
+
+# ------------------------------------------------------------- XXH64
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """Pure-Python XXH64 (Collet's xxHash, public spec). Verified two
+    ways in tests/test_trino_sql.py: the canonical empty-input vector
+    (0xEF46DB3751D8E999) and bit-equality with SPARK'S OWN xxhash64
+    builtin at seed 42 across stripe/tail boundary lengths — the same
+    algorithm Trino's io.airlift.slice.XxHash64 runs at seed 0."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    def rnd(acc: int, lane: int) -> int:
+        return (rotl((acc + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            v1 = rnd(v1, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v2 = rnd(v2, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v3 = rnd(v3, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v4 = rnd(v4, int.from_bytes(data[i:i + 8], "little")); i += 8
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12)
+             + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ rnd(0, v)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h = (rotl(h ^ rnd(0, int.from_bytes(data[i:i + 8], "little")),
+                  27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (rotl(h ^ (int.from_bytes(data[i:i + 4], "little")
+                       * _XXP1) & _M64, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (rotl(h ^ (data[i] * _XXP5) & _M64, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def register_xxhash64(spark: SparkSession) -> None:
+    """Register ``trino_xxhash64(b)`` — Trino's ``xxhash64(varbinary)
+    → varbinary`` (VarbinaryFunctions.java in trino-main): seed-0
+    XXH64 of the raw bytes, the 64-bit result written as Slice bytes
+    (little-endian — airlift Slice.setLong). Spark's builtin xxhash64
+    can't express it: it seeds with 42 and returns BIGINT. Arrow-
+    batched pandas UDF — dialect-parity path, not a hot loop (use
+    Spark's native xxhash64 for internal fingerprints)."""
+    import pandas as pd  # noqa: PLC0415 — lazy, session-scoped
+
+    def _xxh(b):
+        return pd.Series(
+            [None if v is None
+             else xxh64(bytes(v)).to_bytes(8, "little")
+             for v in b], dtype=object)
+
+    _xxh.__annotations__ = {"b": pd.Series, "return": pd.Series}
+    spark.udf.register("trino_xxhash64", F.pandas_udf(_xxh, "binary"))

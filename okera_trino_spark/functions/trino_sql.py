@@ -106,8 +106,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     from/to_big_endian_64 via signed conv/hex; wilson_interval_lower/
     _upper arithmetic; human_readable_seconds (week→second parts,
     pluralized, ', '-joined); md5/sha1 → unhex'd VARBINARY like
-    sha256; named errors for xxhash64 (Spark seeds with 42 — values
-    differ), murmur3, word_stem, spooky_hash_v2_*, format_number
+    sha256; xxhash64 → the session-registered trino_xxhash64 pandas
+    UDF (r9 — seed-0 XXH64 as little-endian VARBINARY, bit-verified
+    against Spark's seed-42 builtin); named errors for murmur3,
+    word_stem, spooky_hash_v2_*, format_number
   - wave 17 (r8): chr → the Unicode CODEPOINT character (Spark's char
     wraps at 256 — a silent mistranslation until now): literal
     codepoints embed the exact character via the stash, column-driven
@@ -2252,12 +2254,15 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
 
     # Honest refusals — passing these through would be silently wrong
     # or a bare unresolved-routine error.
+    # xxhash64 (r9, formerly refused): Trino's form is seed-0 XXH64
+    # returning the 64-bit result as little-endian VARBINARY
+    # (VarbinaryFunctions.java — airlift Slice.setLong); Spark's
+    # builtin seeds with 42 and returns BIGINT, so it lowers to the
+    # session-registered trino_xxhash64 pandas UDF (trino_compat.xxh64
+    # — bit-verified against Spark's own builtin at seed 42).
     code = _rewrite_calls(
         code, "xxhash64",
-        _named_unsupported(
-            "xxhash64", "Spark's xxhash64 seeds with 42 and returns "
-            "BIGINT — different values than Trino's seed-0 VARBINARY; "
-            "use md5/sha256 for portable fingerprints"))
+        lambda a: f"trino_xxhash64({a[0]})" if len(a) == 1 else None)
     code = _rewrite_calls(
         code, "murmur3",
         _named_unsupported(
@@ -3615,14 +3620,19 @@ def execute_match_recognize(spark: SparkSession, sql: str,
 def ensure_dialect_udfs(spark: SparkSession, sql: str) -> None:
     """Register the session UDFs a rewritten statement may reference.
 
-    Only ``normalize()`` needs one (Spark SQL has no Unicode
-    normalizer); registration is gated on the original text actually
-    mentioning it, so the common path pays one regex and no py4j
+    ``normalize()`` (no Spark Unicode normalizer) and ``xxhash64()``
+    (Trino's seed-0 VARBINARY form — Spark's builtin is seed-42
+    BIGINT); registration is gated on the original text actually
+    mentioning them, so the common path pays two regexes and no py4j
     round-trips."""
     if re.search(r"\b(trino_)?normalize\s*\(", sql, re.IGNORECASE):
         from okera_trino_spark.functions.trino_compat import (
             register_unicode_normalize)
         register_unicode_normalize(spark)
+    if re.search(r"\b(trino_)?xxhash64\s*\(", sql, re.IGNORECASE):
+        from okera_trino_spark.functions.trino_compat import (
+            register_xxhash64)
+        register_xxhash64(spark)
 
 
 def execute_trino(spark: SparkSession, sql: str,
@@ -4160,6 +4170,41 @@ def q_trino_sql_breadth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH sides — the driver's pandas canonicalizer cannot hash list
     cells (r8 driver ERR), so no key may emit array/map columns."""
     return execute_trino(spark, TRINO_SQL_BREADTH3, sf_dir)
+
+
+def _xxh64_oracle() -> str:
+    """Oracle for q_trino_sql_xxhash64: nation is FIXED (25 rows,
+    NATION_0..24, identical at every SF), so the expected little-endian
+    hex digests are embedded as literals. The literals are generated by
+    the same trino_compat.xxh64 — deliberately: this key proves the
+    SESSION PLUMBING (UDF registration, VARBINARY byte order, to_hex),
+    while the ALGORITHM's proof is the independent bit-equality test
+    against Spark's own seed-42 xxhash64 builtin
+    (tests/test_trino_sql.py::test_xxh64_bit_exact_vs_spark_builtin)."""
+    from okera_trino_spark.functions.trino_compat import xxh64
+    rows = ", ".join(
+        f"({i}, '{xxh64(f'NATION_{i}'.encode()).to_bytes(8, 'little').hex().upper()}')"
+        for i in range(25))
+    return (f"SELECT n_nationkey, hx FROM (VALUES {rows}) "
+            f"AS t(n_nationkey, hx) ORDER BY n_nationkey")
+
+
+@query(
+    "q_trino_sql_xxhash64",
+    oracle=_xxh64_oracle(),
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino ``xxhash64(varbinary) → varbinary`` (r9, formerly a named
+    error): seed-0 XXH64 with the 64-bit result as little-endian Slice
+    bytes (VarbinaryFunctions.java), via the session-registered
+    Arrow-batched ``trino_xxhash64`` pandas UDF. See _xxh64_oracle for
+    the two-sided verification split (plumbing here, algorithm vs
+    Spark's builtin in pytest)."""
+    return execute_trino(
+        spark,
+        "SELECT n_nationkey, to_hex(xxhash64(to_utf8(n_name))) AS hx "
+        "FROM nation ORDER BY n_nationkey", sf_dir)
 
 
 #: SQL/JSON wave 21 (r9): json_query over member chains and [*]

@@ -96,8 +96,10 @@ def query(name: str, oracle: str | None = None,
 #:   2) the NEW r9 keys: q_trino_sql_ties (FETCH FIRST n ROWS WITH
 #:      TIES → rank), q_trino_sql_jsonpath (json_query VARIANT
 #:      lowering, wildcard + wrapper forms), q_trino_sql_mr_excl
-#:      (quantified {- -} exclusions) — new keys must sit in-window
-#:      to keep the test_entry.py union-closure invariant green;
+#:      (quantified {- -} exclusions), q_trino_sql_xxhash64 (seed-0
+#:      XXH64 varbinary via session UDF; q_fn_try yielded its slot) —
+#:      new keys must sit in-window to keep the test_entry.py
+#:      union-closure invariant green;
 #:   3) keys whose implementation CHANGED in r9: q_trino_sql_listagg
 #:      (struct sort → explicit comparator, DESC/NULLS keys),
 #:      q_trino_sql_mr_running (RUNNING sum stays NULL until a
@@ -112,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_breadth2", "q_trino_sql_breadth3",
     # 2) new in r9
     "q_trino_sql_ties", "q_trino_sql_jsonpath", "q_trino_sql_mr_excl",
+    "q_trino_sql_xxhash64",
     # 3) changed in r9
     "q_trino_sql_listagg", "q_trino_sql_mr_running",
     # 4a) r2-stale cohort (16)
@@ -127,7 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q14",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
     "q_profile_orders", "q_fn_bitwise", "q_agg_minmax_by",
-    "q_agg_bool", "q_agg_listagg", "q_fn_try",
+    "q_agg_bool", "q_agg_listagg",
 )
 
 
