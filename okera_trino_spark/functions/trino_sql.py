@@ -98,7 +98,9 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     → group 0 (Spark defaults to group 1); to_base/from_base → signed
     lowercase conv; strpos(s, sub, n) occurrence instances (filtered
     index sequence, negative n from the end); regexp_position →
-    regexp_instr with the -1 miss convention; parse_duration (literal)
+    regexp_instr with the -1 miss convention (start = suffix
+    re-offset; occurrence = matcher.find() replay fold, r9);
+    parse_duration (literal)
     → make_dt_interval; to_milliseconds → DAY-TO-SECOND-normalized
     DECIMAL cast; to_iso8601 (typeof-dispatched DATE/timestamp forms);
     timezone_hour/timezone_minute (session-zone offset at the
@@ -108,8 +110,9 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     pluralized, ', '-joined); md5/sha1 → unhex'd VARBINARY like
     sha256; xxhash64 → the session-registered trino_xxhash64 pandas
     UDF (r9 — seed-0 XXH64 as little-endian VARBINARY, bit-verified
-    against Spark's seed-42 builtin); named errors for murmur3,
-    word_stem, spooky_hash_v2_*, format_number
+    against Spark's seed-42 builtin); format_number → unit-suffix
+    K/M/B/T/Q rendering with DecimalFormat precision-by-magnitude
+    (r9); named errors for murmur3, word_stem, spooky_hash_v2_*
   - wave 17 (r8): chr → the Unicode CODEPOINT character (Spark's char
     wraps at 256 — a silent mistranslation until now): literal
     codepoints embed the exact character via the stash, column-driven
@@ -582,6 +585,91 @@ _UNNEST_TAIL_RE = re.compile(
     re.IGNORECASE)
 
 
+_BETWEEN_SYM_RE = re.compile(r"\bBETWEEN\s+SYMMETRIC\b", re.IGNORECASE)
+
+# Tokens that terminate a BETWEEN bound at depth 0: the grammar's
+# lower-precedence connectives and clause heads. A bound can only
+# contain these inside parentheses or a CASE … END (tracked).
+_SYM_TERMINATORS = frozenset({
+    "AND", "OR", "THEN", "ELSE", "WHEN", "END", "ORDER", "GROUP",
+    "HAVING", "LIMIT", "OFFSET", "FETCH", "WINDOW", "UNION",
+    "INTERSECT", "EXCEPT", "FROM", "WHERE", "JOIN", "ON", "USING",
+    "ASC", "DESC", "NULLS", "AS", "IS", "NOT", "IN", "LIKE", "BETWEEN",
+})
+
+_SYM_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _scan_bound(code: str, i: int) -> int:
+    """End index of the value expression starting at ``i``: the first
+    depth-0 terminator keyword, comma, or unbalanced closer. Paren /
+    bracket depth and CASE…END nesting are tracked so a bound like
+    ``CASE WHEN a AND b THEN 1 ELSE 2 END`` stays whole."""
+    depth = case_depth = 0
+    n = len(code)
+    j = i
+    while j < n:
+        ch = code[j]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            if depth == 0:
+                return j
+            depth -= 1
+        elif ch == "," and depth == 0 and case_depth == 0:
+            return j
+        else:
+            m = _SYM_WORD_RE.match(code, j)
+            if m:
+                w = m.group(0).upper()
+                if w == "CASE":
+                    case_depth += 1
+                elif w == "END" and case_depth > 0:
+                    case_depth -= 1
+                elif (depth == 0 and case_depth == 0
+                      and w in _SYM_TERMINATORS):
+                    return j
+                j = m.end()
+                continue
+        j += 1
+    return n
+
+
+def _rewrite_between_symmetric(code: str) -> str:
+    """``x [NOT] BETWEEN SYMMETRIC a AND b`` (SQL:2016; Trino parses
+    it, Spark does not) → ``BETWEEN lo AND hi`` where both bounds are
+    NULL-guarded ``least``/``greatest``: the standard defines
+    SYMMETRIC as the two-way disjunction, which for non-null operands
+    equals [min(a,b), max(a,b)], and is UNKNOWN whenever either bound
+    is NULL (the disjunct that would decide always contains an
+    UNKNOWN comparison). Spark's least/greatest SKIP nulls — passing
+    them bare would turn a NULL bound into a one-sided check — so
+    each bound collapses to NULL when either operand is. The operand
+    ``x`` is untouched: only the two bounds are rewritten, so no
+    left-context parsing is needed. NOT distributes over the rewrite
+    unchanged."""
+    for m in reversed(list(_BETWEEN_SYM_RE.finditer(code))):
+        a_start = m.end()
+        a_end = _scan_bound(code, a_start)
+        if not re.match(r"\s*AND\b", code[a_end:], re.IGNORECASE):
+            raise TrinoSqlUnsupported(
+                "BETWEEN SYMMETRIC: could not find the bound "
+                "separator AND — parenthesize the bounds")
+        b_start = a_end + len(re.match(r"\s*AND\b", code[a_end:],
+                                       re.IGNORECASE).group(0))
+        b_end = _scan_bound(code, b_start)
+        a = code[a_start:a_end].strip()
+        b = code[b_start:b_end].strip()
+        if not a or not b:
+            raise TrinoSqlUnsupported(
+                "BETWEEN SYMMETRIC: empty bound expression")
+        guard = f"WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL"
+        new = (f"BETWEEN (CASE {guard} ELSE least(({a}), ({b})) END) "
+               f"AND (CASE {guard} ELSE greatest(({a}), ({b})) END)")
+        code = code[:m.start()] + new + code[b_end:]
+    return code
+
+
 def _rewrite_dow(code: str) -> str:
     """day_of_week(x) / dow(x) → (weekday(x) + 1) — ISO Monday=1."""
     while True:
@@ -919,6 +1007,12 @@ _REGEX_META = re.compile(r"[.^$*+?()\[\]{}|\\]")
 _LISTAGG_RE = re.compile(r"\blistagg\s*\(", re.IGNORECASE)
 _WITHIN_GROUP_RE = re.compile(r"\s*WITHIN\s+GROUP\s*\(", re.IGNORECASE)
 
+# Trino caps LISTAGG output at its page size (1 MiB, io.trino SPI
+# DEFAULT_MAX_PAGE_SIZE_IN_BYTES); ON OVERFLOW decides what happens at
+# the cap. Module-level so unit tests can shrink it to exercise the
+# truncation fold without megabyte fixtures.
+_LISTAGG_MAX_BYTES = 1048576
+
 
 def _rewrite_listagg(code: str) -> str:
     """``LISTAGG(e [, sep]) WITHIN GROUP (ORDER BY k, …)`` (SQL:2016 —
@@ -929,7 +1023,13 @@ def _rewrite_listagg(code: str) -> str:
     sort (Trino listagg skips NULLs), ``array_join`` with the
     separator. ``ON OVERFLOW ERROR`` is the default and unreachable —
     Spark strings have no 1 MB cap, so the clause is stripped;
-    ``ON OVERFLOW TRUNCATE`` changes the OUTPUT and is refused.
+    ``ON OVERFLOW TRUNCATE ['filler'] [WITH|WITHOUT COUNT]`` (r9)
+    replays Trino's cap: entries are kept greedily while the running
+    UTF-8 byte length (value + separator when not first) stays within
+    ``_LISTAGG_MAX_BYTES`` (Trino's 1 MiB page cap), then the
+    separator, the filler (default ``'...'``) and — WITH COUNT, the
+    SQL:2016 default — the omitted-entry count in parentheses are
+    appended (uncounted against the cap, as in Trino's output pass).
     DESC / NULLS FIRST / NULLS LAST keys (r9) compile to an explicit
     array_sort COMPARATOR — Trino treats a NULL key as LARGER than
     every value (last when ASC, first when DESC) unless NULLS
@@ -975,25 +1075,75 @@ def _rewrite_listagg(code: str) -> str:
                 "listagg DISTINCT is not supported — deduplicate in a "
                 "subquery, then aggregate")
         sep = "''"
+        truncate = False
+        filler = "'...'"
+        with_count = True
         if len(args) == 2:
             s = args[1]
             ow = re.search(r"\bON\s+OVERFLOW\b(.*)\Z", s,
                            re.IGNORECASE | re.DOTALL)
             if ow:
-                if re.search(r"\bTRUNCATE\b", ow.group(1), re.IGNORECASE):
+                tm = re.fullmatch(
+                    r"\s*TRUNCATE\s*(?P<fill>'\x00\d+\x00')?\s*"
+                    r"(?:(?P<mode>WITH|WITHOUT)\s+COUNT\s*)?",
+                    ow.group(1), re.IGNORECASE | re.DOTALL)
+                if tm:
+                    truncate = True
+                    if tm.group("fill"):
+                        filler = tm.group("fill")
+                    if tm.group("mode"):
+                        with_count = tm.group("mode").upper() == "WITH"
+                elif re.search(r"\bTRUNCATE\b", ow.group(1),
+                               re.IGNORECASE):
                     raise TrinoSqlUnsupported(
-                        "listagg ON OVERFLOW TRUNCATE is not supported "
-                        "(Spark strings have no overflow to truncate)")
+                        "listagg ON OVERFLOW TRUNCATE: the filler must "
+                        "be a string literal")
                 s = s[:ow.start()].strip()  # ERROR = the default
             sep = s
         key_fields = ", ".join(f"({k}) AS _lo{i}"
                                for i, k in enumerate(cleaned))
         cmp = _listagg_cmp(len(cleaned), descs, nulls_first)
-        new = ("array_join(transform(filter(array_sort(collect_list("
+        arr = ("transform(filter(array_sort(collect_list("
                f"struct({key_fields}, ({args[0]}) AS _lv)), {cmp}), "
-               f"_la -> _la._lv IS NOT NULL), _la -> _la._lv), {sep})")
+               f"_la -> _la._lv IS NOT NULL), _la -> _la._lv)")
+        if truncate:
+            new = _listagg_truncate(arr, sep, filler, with_count)
+        else:
+            new = f"array_join({arr}, {sep})"
         code = code[:m.start()] + new + code[close2 + 1:]
     return code
+
+
+def _listagg_truncate(arr: str, sep: str, filler: str,
+                      with_count: bool) -> str:
+    """ON OVERFLOW TRUNCATE lowering: a greedy byte-budget fold over
+    the sorted value array. ``aggregate`` carries (len, k, stop) — an
+    entry is admitted while the running UTF-8 length (value plus
+    separator when not first) stays within the cap; the first miss
+    latches ``stop`` so later shorter entries cannot sneak in (Trino
+    truncates a PREFIX, it does not best-fit). Cumulative length is
+    monotone, so the admitted prefix equals Trino's output pass. The
+    filler (and WITH COUNT's ``(omitted)``) is appended uncounted,
+    matching Trino, which only budgets entries. Pure HOF codegen —
+    per-group O(n), no Python, no extra shuffle."""
+    cap = _LISTAGG_MAX_BYTES
+    step = f"octet_length(_lx) + IF(_ac.k > 0, octet_length({sep}), 0)"
+    k_expr = (
+        "aggregate(_lr, "
+        "named_struct('len', CAST(0 AS BIGINT), 'k', 0, 'stop', false), "
+        f"(_ac, _lx) -> IF(_ac.stop OR _ac.len + {step} > {cap}, "
+        "named_struct('len', _ac.len, 'k', _ac.k, 'stop', true), "
+        f"named_struct('len', _ac.len + {step}, 'k', _ac.k + 1, "
+        "'stop', false)), _ac -> _ac.k)")
+    count_tail = (", '(', CAST(size(_lr) - _lk AS STRING), ')'"
+                  if with_count else "")
+    trunc = (f"concat(array_join(slice(_lr, 1, _lk), {sep}), "
+             f"IF(_lk > 0, {sep}, ''), {filler}{count_tail})")
+    body = (f"IF(octet_length(array_join(_lr, {sep})) <= {cap}, "
+            f"array_join(_lr, {sep}), "
+            f"element_at(transform(array({k_expr}), "
+            f"_lk -> {trunc}), 1))")
+    return f"element_at(transform(array({arr}), _lr -> {body}), 1)"
 
 
 def _listagg_cmp(nkeys: int, descs: list[bool],
@@ -1021,6 +1171,41 @@ def _listagg_cmp(nkeys: int, descs: list[bool],
     for i in range(nkeys - 1, -1, -1):
         cmp = key_cmp(i, cmp)
     return f"(_la, _lb) -> {cmp}"
+
+
+_VARIANT_NUM_TYPES = ("'TINYINT', 'SMALLINT', 'INT', 'BIGINT', "
+                      "'FLOAT', 'DOUBLE'")
+
+
+def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
+                          is_str: bool) -> str:
+    """Predicate body for a ``?(@.chain <op> literal)`` jsonpath
+    filter over the bound array element ``_jf``. SQL/JSON comparisons
+    are TYPED: a JSON string never equals a JSON number, so the cast
+    is gated on ``schema_of_variant`` (``try_variant_get`` alone
+    coerces "5" → 5.0). Lax mode auto-unwraps a single array level:
+    an array-valued member matches when ANY element satisfies the
+    comparison (``exists``). Missing member, JSON null, or a
+    non-conforming type leaves the predicate NULL → the element drops
+    (UNKNOWN-drop)."""
+    if is_str:
+        def typed(x: str) -> str:
+            return (f"CASE WHEN schema_of_variant({x}) = 'STRING' "
+                    f"THEN try_cast({x} AS STRING) END")
+    else:
+        def typed(x: str) -> str:
+            return (f"CASE WHEN schema_of_variant({x}) IN "
+                    f"({_VARIANT_NUM_TYPES}) OR schema_of_variant({x}) "
+                    f"LIKE 'DECIMAL%' THEN try_cast({x} AS DOUBLE) END")
+    scalar = f"{typed('_jv')} {op} {lit_sql}"
+    unwrap = (f"exists(try_cast(_jv AS ARRAY<VARIANT>), "
+              f"_jw -> {typed('_jw')} {op} {lit_sql})")
+    body = ("CASE WHEN _jv IS NULL THEN NULL "
+            f"WHEN schema_of_variant(_jv) LIKE 'ARRAY%' THEN {unwrap} "
+            f"ELSE {scalar} END")
+    return (f"element_at(transform(array("
+            f"try_variant_get(_jf, {fpath}, 'variant')), "
+            f"_jv -> {body}), 1)")
 
 
 def _structural_rewrites(code: str, stash: list[str]) -> str:
@@ -1162,47 +1347,73 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                           lambda a: f"timestamp_seconds({a[0]})"
                           if len(a) == 1 else None)
 
+    def _regex_quote(expr: str) -> str:
+        """Runtime Pattern.quote for a COMPUTED delimiter (r9 —
+        formerly refused): wrap in \\Q…\\E with any embedded \\E
+        broken out exactly as java.util.regex.Pattern.quote does, so
+        Spark's regex-splitting functions see a literal. Empty/NULL
+        callers guard separately."""
+        q_open = requote("\\Q")
+        q_close = requote("\\E")
+        fix = requote("\\E\\\\E\\Q")
+        return (f"concat({q_open}, "
+                f"replace({expr}, {q_close}, {fix}), {q_close})")
+
     # Trino split(s, delim) splits on a LITERAL delimiter; Spark's
-    # second argument is a REGEX. Escape metachars when the delimiter is
-    # a literal; a computed delimiter can't be translated faithfully.
+    # second argument is a REGEX. Escape metachars when the delimiter
+    # is a literal; a COMPUTED delimiter is runtime-quoted with
+    # \\Q…\\E (r9) and the empty delimiter raises like Trino's
+    # INVALID_FUNCTION_ARGUMENT.
     def _split_fn(a):
         if len(a) not in (2, 3):
             return None
         lit = _lit(a[1])
-        if lit is None:
-            raise TrinoSqlUnsupported(
-                "split() with a non-literal delimiter: Trino splits on a "
-                "literal, Spark on a regex — rewrite explicitly")
-        # Spark's SQL string literals consume one backslash layer
-        # ('\.'→'.'); requote stashes the single-escaped regex and
-        # _unmask doubles the backslashes on restore.
-        escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
         rest = f", {a[2]}" if len(a) == 3 else ""
-        return f"split({a[0]}, {requote(escaped)}{rest})"
+        if lit is not None:
+            # Spark's SQL string literals consume one backslash layer
+            # ('\.'→'.'); requote stashes the single-escaped regex and
+            # _unmask doubles the backslashes on restore.
+            escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
+            return f"split({a[0]}, {requote(escaped)}{rest})"
+        err = requote("split: the delimiter must not be empty")
+        return (f"element_at(transform(array(({a[1]})), _sd -> "
+                f"CASE WHEN length(_sd) = 0 THEN "
+                f"CAST(raise_error({err}) AS ARRAY<STRING>) "
+                f"ELSE split({a[0]}, {_regex_quote('_sd')}{rest}) "
+                f"END), 1)")
 
     code = _rewrite_calls(code, "split", _split_fn)
 
     # split_part (wave 20, divergence audit): Spark's same-named
     # builtin returns '' when the index is past the last field; Trino
     # returns NULL — a silent value divergence (and nullif('') would
-    # corrupt genuinely empty fields like 'a,,b' part 2). Lowered to
-    # try_element_at over a literal-escaped split, which yields NULL
-    # past the end and '' for real empty fields. Negative indexes
-    # count from the end here (Trino rejects them — this front end is
-    # permissive, never wrong-valued). Computed delimiters refuse like
-    # split()'s.
+    # corrupt genuinely empty fields like 'a,,b' part 2). Literal
+    # delimiters lower to try_element_at over a literal-escaped
+    # split, which yields NULL past the end and '' for real empty
+    # fields. Negative indexes count from the end here (Trino rejects
+    # them — this front end is permissive, never wrong-valued). A
+    # COMPUTED delimiter (r9, formerly refused) uses Spark's native
+    # LITERAL split_part guarded by a parts-count check — replace()
+    # removes exactly split's non-overlapping occurrences, so
+    # (len(s) - len(replace)) / len(d) + 1 is the field count and
+    # indexes past it return Trino's NULL instead of ''.
     def _split_part_fn(a):
         if len(a) != 3:
             return None
         lit = _lit(a[1])
-        if lit is None:
-            raise TrinoSqlUnsupported(
-                "split_part() with a non-literal delimiter: Spark "
-                "cannot return Trino's NULL past the last field — "
-                "rewrite explicitly")
-        escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
-        return (f"try_element_at(split({a[0]}, {requote(escaped)}, -1), "
-                f"{a[2]})")
+        if lit is not None:
+            escaped = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
+            return (f"try_element_at(split({a[0]}, {requote(escaped)}, "
+                    f"-1), {a[2]})")
+        err = requote("split_part: the delimiter must not be empty")
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'s', ({a[0]}), 'd', ({a[1]}), 'n', ({a[2]}))), _sp -> "
+            f"CASE WHEN length(_sp.d) = 0 THEN "
+            f"CAST(raise_error({err}) AS STRING) "
+            f"WHEN _sp.n > (length(_sp.s) - length(replace(_sp.s, "
+            f"_sp.d, {requote('')}))) div length(_sp.d) + 1 THEN NULL "
+            f"ELSE split_part(_sp.s, _sp.d, _sp.n) END), 1)")
 
     code = _rewrite_calls(code, "split_part", _split_part_fn)
 
@@ -1281,20 +1492,19 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     # wave 13 (r8). split_to_map(s, entryDelim, kvDelim) →
     # str_to_map — same argument order, but Spark's delimiters are
     # REGEXES where Trino's are literals, so literal delimiters are
-    # escaped exactly like split(); computed delimiters refuse.
+    # escaped exactly like split(); computed delimiters (r9) are
+    # runtime-quoted with \\Q…\\E like split()'s.
     def _split_to_map_fn(a):
         if len(a) != 3:
             return None
         outs = [a[0]]
         for arg in a[1:]:
             lit = _lit(arg)
-            if lit is None:
-                raise TrinoSqlUnsupported(
-                    "split_to_map() with a non-literal delimiter: Trino "
-                    "splits on literals, Spark on regexes — rewrite "
-                    "explicitly")
-            esc = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
-            outs.append(requote(esc))
+            if lit is not None:
+                esc = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
+                outs.append(requote(esc))
+            else:
+                outs.append(_regex_quote(f"({arg})"))
         return f"str_to_map({', '.join(outs)})"
 
     code = _rewrite_calls(code, "split_to_map", _split_to_map_fn)
@@ -1834,7 +2044,10 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         path = re.sub(r"^(?:lax|strict)\s+", "", lit.strip(),
                       flags=re.IGNORECASE)
         wc = re.fullmatch(
-            r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]"
+            r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*"
+            r"(?:\?\s*\(\s*@(?P<fchain>(?:\.\w+|\[\d+\])*)\s*"
+            r"(?P<fop>==|!=|<>|<=|>=|<|>)\s*"
+            r"(?P<flit>-?\d+(?:\.\d+)?|\"[^\"]*\")\s*\)\s*)?"
             r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
         if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
             item = (f"to_json(variant_get(try_parse_json({a[0]}), "
@@ -1851,10 +2064,33 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             return (f"element_at(transform(array({item}), "
                     f"_ji -> {tail_case}), 1)")
         if wc:
+            src = (f"try_cast(variant_get(try_parse_json({a[0]}), "
+                   f"{requote(wc.group('head'))}, 'variant') "
+                   f"AS ARRAY<VARIANT>)")
+            if wc.group("fop"):
+                # ?(@.chain <op> literal) filter step (r9): the
+                # member is extracted as VARIANT and compared under
+                # SQL/JSON typing — schema_of_variant GATES the cast
+                # (a JSON string "5" must NOT compare equal to the
+                # number 5; try_variant_get alone would coerce it), a
+                # missing member / type mismatch / JSON null yields
+                # NULL and the NULL-valued predicate drops the
+                # element: the UNKNOWN-drop rule. An ARRAY-valued
+                # member auto-unwraps one level (lax mode): the item
+                # matches when ANY element satisfies the comparison.
+                op = {"==": "=", "!=": "<>"}.get(wc.group("fop"),
+                                                 wc.group("fop"))
+                flit = wc.group("flit")
+                fpath = requote("$" + wc.group("fchain"))
+                if flit.startswith('"'):
+                    lit_sql = requote(flit[1:-1])
+                else:
+                    lit_sql = flit
+                pred = _jsonpath_filter_pred(
+                    fpath, op, lit_sql, flit.startswith('"'))
+                src = f"filter({src}, _jf -> {pred})"
             matches = (
-                f"filter(transform(try_cast(variant_get("
-                f"try_parse_json({a[0]}), {requote(wc.group('head'))}, "
-                f"'variant') AS ARRAY<VARIANT>), _je -> to_json("
+                f"filter(transform({src}, _je -> to_json("
                 f"variant_get(_je, {requote('$' + wc.group('tail'))}, "
                 f"'variant'))), _jm -> _jm IS NOT NULL)")
             if wrapper == "with":
@@ -1873,9 +2109,10 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             return (f"element_at(transform(array({matches}), "
                     f"_m -> {agg}), 1)")
         raise TrinoSqlUnsupported(
-            "json_query path with filters, methods, or multiple "
-            "wildcards — only member/subscript chains with at most "
-            "one [*] are supported")
+            "json_query path with methods, multiple wildcards, or a "
+            "filter beyond one '?(@.chain <op> literal)' comparison — "
+            "member/subscript chains with at most one [*] and one "
+            "comparison filter are the supported surface")
 
     code = _rewrite_calls(code, "json_query", _json_query_fn)
 
@@ -1964,15 +2201,58 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             f"({a[2]})), 0)")
         if len(a) == 3 else None)
 
-    code = _rewrite_calls(
-        code, "regexp_position",
-        lambda a: (
-            "element_at(transform(array(regexp_instr("
-            f"{a[0]}, {a[1]})), _rp -> "
-            "CASE WHEN _rp = 0 THEN -1 ELSE CAST(_rp AS INT) END), 1)")
-        if len(a) == 2 else _raise(TrinoSqlUnsupported(
-            "regexp_position with start/occurrence arguments is not "
-            "supported — compose regexp_instr over a substring")))
+    # regexp_position start/occurrence forms (r9, formerly refused).
+    # 3-arg: search the suffix, re-offset the hit. 4-arg: replay
+    # matcher.find() — each round finds the next match at/after the
+    # cursor, then advances the cursor past the match (max(len, 1) so
+    # empty matches still advance), `occurrence` rounds via an
+    # aggregate fold over sequence(1, occ). Anchors (^) see the
+    # suffix, not the original string — the one documented divergence
+    # of the substring approach.
+    def _regexp_position_fn(a):
+        if len(a) == 2:
+            return ("element_at(transform(array(regexp_instr("
+                    f"{a[0]}, {a[1]})), _rp -> "
+                    "CASE WHEN _rp = 0 THEN -1 "
+                    "ELSE CAST(_rp AS INT) END), 1)")
+        if len(a) not in (3, 4):
+            return None
+        err = requote(
+            "regexp_position: start and occurrence must be positive "
+            "(Trino INVALID_FUNCTION_ARGUMENT)")
+        if len(a) == 3:
+            return (
+                f"element_at(transform(array(named_struct("
+                f"'s', ({a[0]}), 'st', CAST(({a[2]}) AS INT))), _rs -> "
+                f"CASE WHEN _rs.st < 1 THEN "
+                f"CAST(raise_error({err}) AS INT) "
+                f"ELSE element_at(transform(array(regexp_instr("
+                f"substring(_rs.s, _rs.st), {a[1]})), _rp -> "
+                f"CASE WHEN _rp = 0 THEN -1 "
+                f"ELSE CAST(_rp AS INT) + _rs.st - 1 END), 1) END), 1)")
+        step = (
+            f"element_at(transform(array(CAST(regexp_instr("
+            f"substring(_rs.s, _ra.pos), {a[1]}) AS INT)), _rm -> "
+            "IF(_rm = 0, named_struct('pos', _ra.pos, "
+            "'res', CAST(-1 AS INT), 'dead', true), "
+            "named_struct('pos', CAST(_rm + _ra.pos - 1 + "
+            "greatest(length(regexp_extract(substring(_rs.s, "
+            f"CAST(_rm + _ra.pos - 1 AS INT)), {a[1]}, 0)), 1) AS INT), "
+            "'res', CAST(_rm + _ra.pos - 1 AS INT), 'dead', false))"
+            "), 1)")
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'s', ({a[0]}), 'st', CAST(({a[2]}) AS INT), "
+            f"'oc', CAST(({a[3]}) AS INT))), _rs -> "
+            f"CASE WHEN _rs.st < 1 OR _rs.oc < 1 THEN "
+            f"CAST(raise_error({err}) AS INT) "
+            f"ELSE aggregate(sequence(1, _rs.oc), "
+            f"named_struct('pos', _rs.st, 'res', CAST(-1 AS INT), "
+            f"'dead', false), "
+            f"(_ra, _ri) -> IF(_ra.dead, _ra, {step}), "
+            f"_ra -> _ra.res) END), 1)")
+
+    code = _rewrite_calls(code, "regexp_position", _regexp_position_fn)
 
     def _parse_duration_fn(a):
         if len(a) != 1:
@@ -2279,13 +2559,56 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         code, "spooky_hash_v2_32",
         _named_unsupported("spooky_hash_v2_32",
                              "no SpookyHash builtin in Spark"))
-    code = _rewrite_calls(
-        code, "format_number",
-        lambda a: _raise(TrinoSqlUnsupported(
-            "format_number(x): Trino's unit-suffix formatting (123K) "
-            "has no Spark twin — Spark's 2-arg format_number is "
-            "thousands separators, a different function"))
-        if len(a) == 1 else None)
+    # format_number(x) (r9, formerly refused): Trino's unit-suffix
+    # rendering — divide by 1000 into K/M/B/T/Q while ≥1000, then
+    # DecimalFormat precision by magnitude of the SCALED value
+    # (#.## under 10, #.# under 100, # otherwise): HALF_EVEN rounding
+    # (Spark bround / DecimalFormat default), trailing zeros and a
+    # bare decimal point stripped. 123456 → '123K', 1000000 → '1M'
+    # (the documented Trino vectors). Rendering goes through
+    # DECIMAL(38,6) so large scaled values never hit double
+    # scientific notation. Best-effort edges, documented: non-finite
+    # doubles render as Spark's NaN/Infinity text; sub-1 doubles keep
+    # the leading zero. Spark's own 2-arg format_number (thousands
+    # separators) is a different function and passes through.
+    def _format_number_fn(a):
+        if len(a) != 1:
+            return None
+        scaled = (
+            "CASE WHEN abs(_fv) >= 1e15 THEN "
+            "named_struct('v', _fv / 1e15, 'u', 'Q') "
+            "WHEN abs(_fv) >= 1e12 THEN "
+            "named_struct('v', _fv / 1e12, 'u', 'T') "
+            "WHEN abs(_fv) >= 1e9 THEN "
+            "named_struct('v', _fv / 1e9, 'u', 'B') "
+            "WHEN abs(_fv) >= 1e6 THEN "
+            "named_struct('v', _fv / 1e6, 'u', 'M') "
+            "WHEN abs(_fv) >= 1e3 THEN "
+            "named_struct('v', _fv / 1e3, 'u', 'K') "
+            "ELSE named_struct('v', _fv, 'u', '') END")
+        strip1 = requote(r"(\.\d*[1-9])0+$")
+        strip2 = requote(r"\.0*$")
+        dollar1 = requote("$1")
+        empty = requote("")
+
+        def render(d: int) -> str:
+            # bround's scale must be foldable — one branch per scale
+            return (f"regexp_replace(regexp_replace(CAST(try_cast("
+                    f"bround(_fs.v, {d}) AS DECIMAL(38, 6)) AS STRING), "
+                    f"{strip1}, {dollar1}), {strip2}, {empty})")
+
+        num = (f"CASE WHEN abs(_fs.v) < 10 THEN {render(2)} "
+               f"WHEN abs(_fs.v) < 100 THEN {render(1)} "
+               f"ELSE {render(0)} END")
+        inf = requote("Infinity")
+        body = (f"CASE WHEN isnan(_fv) OR abs(_fv) = double({inf}) "
+                "THEN CAST(_fv AS STRING) "
+                f"ELSE element_at(transform(array({scaled}), "
+                f"_fs -> concat({num}, _fs.u)), 1) END")
+        return (f"element_at(transform(array(CAST(({a[0]}) AS DOUBLE)), "
+                f"_fv -> {body}), 1)")
+
+    code = _rewrite_calls(code, "format_number", _format_number_fn)
     return code
 
 
@@ -2669,10 +2992,7 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
             re.sub(r"\s*\(.*\)", "", re.sub(r"\s+", " ", m.group(1).upper()))],
         code)
     code = _rewrite_fetch_ties(code)
-    if re.search(r"\bBETWEEN\s+SYMMETRIC\b", code, re.IGNORECASE):
-        raise TrinoSqlUnsupported(
-            "BETWEEN SYMMETRIC is not supported — write BETWEEN "
-            "least(a, b) AND greatest(a, b)")
+    code = _rewrite_between_symmetric(code)
     # Count-less FETCH FIRST ROW ONLY defaults to 1 (Trino grammar).
     code = _FETCH_RE.sub(
         lambda m: f"LIMIT {(m.group(1) or '1').strip()}", code)
@@ -4220,7 +4540,9 @@ SELECT o_orderkey,
        json_query(j, 'lax $.k[0]' WITH CONDITIONAL ARRAY WRAPPER)
            AS first_obj,
        json_query(j, 'lax $.k[1].v') AS second_v,
-       json_query(j, 'lax $.missing' WITH ARRAY WRAPPER) AS none_v
+       json_query(j, 'lax $.missing' WITH ARRAY WRAPPER) AS none_v,
+       json_query(j, 'lax $.k[*] ? (@.v >= 1000).v' WITH ARRAY WRAPPER)
+           AS vs_big
 FROM (
     SELECT o_orderkey,
            '{"k":[{"v":' || CAST(o_orderkey AS VARCHAR) || '},{"v":' ||
@@ -4242,7 +4564,12 @@ ORDER BY o_orderkey
            '"' || o_orderstatus || '"' AS s_quoted,
            '{"v":' || o_orderkey || '}' AS first_obj,
            CAST(o_custkey AS VARCHAR) AS second_v,
-           CAST(NULL AS VARCHAR) AS none_v
+           CAST(NULL AS VARCHAR) AS none_v,
+           CASE WHEN o_orderkey >= 1000 AND o_custkey >= 1000
+                THEN '[' || o_orderkey || ',' || o_custkey || ']'
+                WHEN o_orderkey >= 1000 THEN '[' || o_orderkey || ']'
+                WHEN o_custkey >= 1000 THEN '[' || o_custkey || ']'
+                ELSE NULL END AS vs_big
     FROM orders
     WHERE o_orderkey < 2000
     ORDER BY o_orderkey
@@ -4255,10 +4582,16 @@ def q_trino_sql_jsonpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact JSON item text (KEEP QUOTES default, which get_json_object's
     scalar unquoting cannot), and a single-``[*]`` wildcard casts the
     chain head to ARRAY<VARIANT> and extracts the tail per element
-    (lax skips non-matching elements). WITHOUT / WITH [UNCONDITIONAL]
-    / WITH CONDITIONAL ARRAY WRAPPER all lower exactly; the DuckDB
-    oracle replays each value by string algebra on the source columns.
-    All JVM codegen — no Python, no shuffle beyond the scan."""
+    (lax skips non-matching elements). ``?(@.chain <op> literal)``
+    FILTER steps (r9b) lower to a typed try_variant_get predicate
+    inside the same HOF chain — NULL-valued predicates drop the
+    element, which is lax semantics exactly. WITHOUT / WITH
+    [UNCONDITIONAL] / WITH CONDITIONAL ARRAY WRAPPER all lower
+    exactly; the DuckDB oracle replays each value by string algebra
+    on the source columns. All JVM codegen — no Python, no shuffle
+    beyond the scan. One documented divergence: VARIANT canonicalizes
+    OBJECT MEMBER ORDER (alphabetical) where Trino preserves input
+    order — JSON-equal, text-different for multi-member objects."""
     return execute_trino(spark, TRINO_SQL_JSONPATH, sf_dir)
 
 
@@ -4335,6 +4668,198 @@ def q_trino_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey on BOTH sides — dates repeat, and an unpinned tie would
     flap the cross-engine hash."""
     return execute_trino(spark, TRINO_SQL_LISTAGG, sf_dir)
+
+
+TRINO_SQL_LISTAGG_TRUNC = """
+SELECT o_orderpriority,
+       md5(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
+                   ON OVERFLOW TRUNCATE)
+           WITHIN GROUP (ORDER BY o_orderkey)) AS big_h,
+       length(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
+                      ON OVERFLOW TRUNCATE)
+              WITHIN GROUP (ORDER BY o_orderkey)) AS big_len,
+       md5(listagg(o_orderstatus, '|' ON OVERFLOW TRUNCATE '#'
+                   WITHOUT COUNT)
+           WITHIN GROUP (ORDER BY o_orderkey)) AS small_h,
+       count(*) AS n
+FROM orders
+WHERE o_orderkey < 8000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# DuckDB replay of the byte-budget prefix: the running output length
+# after admitting entry i is sum(len + sep)[1..i] - sep (no separator
+# before the first entry) — monotone, so "cum <= cap" IS the greedy
+# prefix the fold computes, and string_agg ... FILTER rebuilds exactly
+# the kept entries in order.
+_LISTAGG_TRUNC_ORACLE = """
+WITH v AS (
+    SELECT o_orderpriority AS g, o_orderkey AS k, o_orderstatus AS st,
+           rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority) AS val
+    FROM orders WHERE o_orderkey < 8000
+), c AS (
+    SELECT g, k, st, val,
+           sum(length(val) + 1) OVER (
+               PARTITION BY g ORDER BY k) - 1 AS cum
+    FROM v
+), a AS (
+    SELECT g,
+           string_agg(val, ',' ORDER BY k) AS full_s,
+           string_agg(val, ',' ORDER BY k)
+               FILTER (WHERE cum <= 1048576) AS kept_s,
+           count(*) FILTER (WHERE cum <= 1048576) AS kcnt,
+           sum(length(val)) + count(*) - 1 AS total_len,
+           string_agg(st, '|' ORDER BY k) AS small_s,
+           count(*) AS n
+    FROM c GROUP BY g
+)
+SELECT g AS o_orderpriority,
+       md5(CASE WHEN total_len <= 1048576 THEN full_s
+                ELSE kept_s || ',' || '...(' ||
+                     CAST(n - kcnt AS VARCHAR) || ')' END) AS big_h,
+       length(CASE WHEN total_len <= 1048576 THEN full_s
+                   ELSE kept_s || ',' || '...(' ||
+                        CAST(n - kcnt AS VARCHAR) || ')' END) AS big_len,
+       md5(small_s) AS small_h,
+       n
+FROM a
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "q_trino_sql_listagg_trunc",
+    oracle=_LISTAGG_TRUNC_ORACLE,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_listagg_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ``ON OVERFLOW TRUNCATE`` (r9, formerly a named error):
+    Trino caps listagg output at its 1 MiB page size and TRUNCATE
+    keeps the greedy byte-budget prefix of entries, then appends the
+    separator, the filler ('...' default) and WITH COUNT's omitted
+    count. The 4000-byte rpad values make each ~400-order priority
+    group ≈1.6 MiB at sf0.01, so the cap genuinely fires and the
+    result hash proves the fold (not just the grammar); the 1-byte
+    status column exercises the under-budget branch and WITHOUT
+    COUNT + custom filler. Oracle: DuckDB rebuilds the prefix with a
+    cumulative-length window + FILTERed string_agg — an independent
+    formulation of the same spec (reference surface:
+    /root/reference/README.md:74-90 Trino-400 SQL passthrough).
+    Output is md5+length, so the driver never hashes megabyte cells.
+    Scale: per-group O(n) HOF fold after the same groupBy shuffle
+    plain listagg needs — no extra shuffle, no Python."""
+    return execute_trino(spark, TRINO_SQL_LISTAGG_TRUNC, sf_dir)
+
+
+TRINO_SQL_BREADTH4 = """
+SELECT o_orderkey,
+       format_number(o_totalprice) AS fn,
+       format_number(o_orderkey * 1000000) AS fnm,
+       CASE WHEN o_totalprice BETWEEN SYMMETRIC 200000 AND 100000
+            THEN 'mid' ELSE 'out' END AS sym,
+       split_part(o_orderpriority, substring('-x', 1, 1), 2) AS pword,
+       split_part(o_orderpriority, substring('-x', 1, 1), 9) AS ppast,
+       split(o_orderpriority, substring('-x', 1, 1))[1] AS pnum,
+       cardinality(split(o_orderpriority, substring('-x', 1, 1)))
+           AS nparts
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+# DuckDB replay: the same unit-suffix algebra, derived independently.
+# Rounding subtlety the replay must honor: Spark's bround (and Java's
+# DecimalFormat, i.e. Trino) round the double's SHORTEST DECIMAL
+# STRING half-even (BigDecimal.valueOf), not its binary value — so
+# 1.015 (binary ≈1.014999…) rounds UP to 1.02 where DuckDB's
+# roundbankers says 1.01. The replay therefore goes CAST(v AS
+# VARCHAR) → exact DECIMAL → manual half-even at the magnitude
+# precision (frac vs 0.5 on the exact decimal, ties to the even
+# floor).
+_BREADTH4_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS tp,
+           CAST(o_orderkey AS DOUBLE) * 1000000 AS km
+    FROM orders WHERE o_orderkey < 2000
+), s AS (
+    SELECT *,
+           CASE WHEN abs(tp) >= 1e3 THEN tp / 1e3 ELSE tp END AS tpv,
+           CASE WHEN abs(tp) >= 1e3 THEN 'K' ELSE '' END AS tpu,
+           CASE WHEN abs(km) >= 1e9 THEN km / 1e9
+                WHEN abs(km) >= 1e6 THEN km / 1e6
+                ELSE km END AS kmv,
+           CASE WHEN abs(km) >= 1e9 THEN 'B'
+                WHEN abs(km) >= 1e6 THEN 'M'
+                ELSE '' END AS kmu
+    FROM base
+), d AS (
+    SELECT *,
+           CAST(CAST(tpv AS VARCHAR) AS DECIMAL(38, 18)) AS tpd,
+           CASE WHEN abs(tpv) < 10 THEN 100
+                WHEN abs(tpv) < 100 THEN 10 ELSE 1 END AS tpm,
+           CAST(CAST(kmv AS VARCHAR) AS DECIMAL(38, 18)) AS kmd,
+           CASE WHEN abs(kmv) < 10 THEN 100
+                WHEN abs(kmv) < 100 THEN 10 ELSE 1 END AS kmm
+    FROM s
+), r AS (
+    SELECT *,
+           floor(tpd * tpm) AS tpf, tpd * tpm - floor(tpd * tpm)
+               AS tpfr,
+           floor(kmd * kmm) AS kmf, kmd * kmm - floor(kmd * kmm)
+               AS kmfr
+    FROM d
+), v AS (
+    SELECT *,
+           (CASE WHEN tpfr > 0.5 THEN tpf + 1
+                 WHEN tpfr < 0.5 THEN tpf
+                 WHEN CAST(tpf AS BIGINT) % 2 = 0 THEN tpf
+                 ELSE tpf + 1 END) / tpm AS tpr,
+           (CASE WHEN kmfr > 0.5 THEN kmf + 1
+                 WHEN kmfr < 0.5 THEN kmf
+                 WHEN CAST(kmf AS BIGINT) % 2 = 0 THEN kmf
+                 ELSE kmf + 1 END) / kmm AS kmr
+    FROM r
+)
+SELECT o_orderkey,
+       regexp_replace(regexp_replace(CAST(CAST(tpr AS DECIMAL(38, 6))
+           AS VARCHAR),
+           '(\\.\\d*[1-9])0+$', '\\1'), '\\.0*$', '') || tpu AS fn,
+       regexp_replace(regexp_replace(CAST(CAST(kmr AS DECIMAL(38, 6))
+           AS VARCHAR),
+           '(\\.\\d*[1-9])0+$', '\\1'), '\\.0*$', '') || kmu AS fnm,
+       CASE WHEN o_totalprice BETWEEN 100000 AND 200000
+            THEN 'mid' ELSE 'out' END AS sym,
+       string_split(o_orderpriority, '-')[2] AS pword,
+       CAST(NULL AS VARCHAR) AS ppast,
+       string_split(o_orderpriority, '-')[1] AS pnum,
+       CAST(len(string_split(o_orderpriority, '-')) AS INTEGER)
+           AS nparts
+FROM v
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_trino_sql_breadth4",
+    oracle=_BREADTH4_ORACLE,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_breadth4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect breadth wave 4 (r9) — the formerly-refused surfaces
+    landed this round, one column each: format_number unit-suffix
+    rendering over a DOUBLE column (K band + sub-1000) and a BIGINT
+    expression spanning the M/B bands; BETWEEN SYMMETRIC with
+    reversed bounds (null-guarded least/greatest lowering); computed
+    (non-literal) delimiters through split_part (native literal
+    split_part + parts-count guard for Trino's NULL-past-end — ppast
+    proves the NULL), split with runtime \\Q…\\E Pattern.quote, and
+    1-based subscripting on its result. Oracle: DuckDB replays the
+    DecimalFormat algebra (roundbankers = HALF_EVEN) and splits with
+    its own literal string_split — independent formulations. All JVM
+    codegen, filter pushed to the scan, no shuffle beyond the sort."""
+    return execute_trino(spark, TRINO_SQL_BREADTH4, sf_dir)
 
 
 TRINO_SQL_UNICODE = """

@@ -114,7 +114,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_breadth2", "q_trino_sql_breadth3",
     # 2) new in r9
     "q_trino_sql_ties", "q_trino_sql_jsonpath", "q_trino_sql_mr_excl",
-    "q_trino_sql_xxhash64",
+    "q_trino_sql_xxhash64", "q_trino_sql_listagg_trunc",
+    "q_trino_sql_breadth4",
     # 3) changed in r9
     "q_trino_sql_listagg", "q_trino_sql_mr_running",
     # 4a) r2-stale cohort (16)
@@ -130,7 +131,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q14",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
     "q_profile_orders", "q_fn_bitwise", "q_agg_minmax_by",
-    "q_agg_bool", "q_agg_listagg",
 )
 
 

@@ -193,9 +193,26 @@ def test_unknown_date_token_raises():
         rewrite_trino_sql("SELECT date_format(ts, '%x') FROM events")
 
 
-def test_split_nonliteral_delimiter_raises():
-    with pytest.raises(TrinoSqlUnsupported, match="non-literal"):
-        rewrite_trino_sql("SELECT split(text, other_col) FROM documents")
+def test_split_computed_delimiter(spark, sf_dir, oracle):
+    """split() with a COMPUTED delimiter (r9, formerly refused):
+    runtime Pattern.quote via \\Q…\\E so regex metachars in the
+    delimiter VALUE stay literal; embedded \\E sequences are broken
+    out exactly like java.util.regex.Pattern.quote; the empty
+    delimiter raises like Trino."""
+    df = execute_trino(
+        spark,
+        "SELECT cardinality(split(s, d)) AS n, split(s, d)[2] AS p2, "
+        "cardinality(split('x\\Eb.c', substring('a\\E', 2))) AS qe "
+        "FROM (VALUES ('a.b.c', '.'), ('a||b', '||')) AS t(s, d) "
+        "ORDER BY n", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT * FROM (VALUES (2, 'b', 2), (3, 'b', 2)) "
+        "AS t(n, p2, qe) ORDER BY n", name="split_computed")
+    with pytest.raises(Exception, match="delimiter must not be empty"):
+        execute_trino(
+            spark, "SELECT split('abc', substring('x', 2)) AS x",
+            sf_dir).collect()
 
 
 def test_trino_q1_plan_pushdown(spark, sf_dir):
@@ -1224,9 +1241,15 @@ def test_trino_statement_matches_oracle_wave13(name, trino, duck, spark, sf_dir,
     check_query(df, oracle, duck or trino, name=f"trino13:{name}")
 
 
-def test_split_to_map_computed_delim_refused():
-    with pytest.raises(TrinoSqlUnsupported, match="split_to_map"):
-        rewrite_trino_sql("SELECT split_to_map(s, d, '=') FROM t")
+def test_split_to_map_computed_delims(spark, sf_dir, oracle):
+    """split_to_map with COMPUTED delimiters (r9, formerly refused):
+    both delimiters runtime-quoted via \\Q…\\E, so metachar VALUES
+    ('|', '.') split literally."""
+    df = execute_trino(
+        spark,
+        "SELECT element_at(split_to_map(s, ed, kd), 'y') AS y "
+        "FROM (VALUES ('x.1|y.2', '|', '.')) AS t(s, ed, kd)", sf_dir)
+    check_query(df, oracle, "SELECT '2' AS y", name="stm_computed")
 
 
 def test_parse_datetime_computed_pattern_refused():
@@ -1344,7 +1367,9 @@ def test_limit_all_is_no_limit(spark, sf_dir, oracle):
     check_query(df, oracle, duck, name="limit_all")
 
 
-JSON_QUERY_DOC = '{"a":[{"b":1},{"b":"x"}],"c":"s","d":[{"b":[1,2]}]}'
+JSON_QUERY_DOC = ('{"a":[{"b":1},{"b":"x"}],"c":"s","d":[{"b":[1,2]}],'
+                  '"e":[{"b":"1"},{"b":1},{"c":7},{"d":[0,9],"b":1},'
+                  '{"d":[0],"b":2}]}')
 
 JSON_QUERY_CASES = [
     ("wc_wrap", "json_query(j, 'lax $.a[*].b' WITH ARRAY WRAPPER)",
@@ -1367,6 +1392,43 @@ JSON_QUERY_CASES = [
      "json_query(j, 'lax $.c' WITH CONDITIONAL ARRAY WRAPPER)",
      "'[\"s\"]'"),
     ("missing_wrap", "json_query(j, 'lax $.zzz' WITH ARRAY WRAPPER)",
+     "CAST(NULL AS VARCHAR)"),
+    # r9b: ?(@.chain <op> literal) filter steps. Type-mismatched
+    # comparisons (@.b != 1 against b = "x") are UNKNOWN in SQL/JSON
+    # path semantics — the item drops in lax mode on both engines, so
+    # only the numeric b=1 participates and != 1 excludes it → NULL.
+    ("filter_num",
+     "json_query(j, 'lax $.a[*] ? (@.b != 1).b' WITH ARRAY WRAPPER)",
+     "CAST(NULL AS VARCHAR)"),
+    ("filter_num_eq",
+     "json_query(j, 'lax $.a[*] ? (@.b == 1).b' WITH ARRAY WRAPPER)",
+     "'[1]'"),
+    ("filter_str",
+     "json_query(j, 'lax $.a[*] ? (@.b == \"x\")' WITH ARRAY WRAPPER)",
+     "'[{\"b\":\"x\"}]'"),
+    ("filter_none",
+     "json_query(j, 'lax $.a[*] ? (@.b > 99).b' WITH ARRAY WRAPPER)",
+     "CAST(NULL AS VARCHAR)"),
+    # r9c: SQL/JSON comparisons are TYPED — the JSON string "1" must
+    # NOT match the number 1 (a bare variant cast would coerce it),
+    # and a string filter must skip a numeric member; number filters
+    # must skip string members symmetrically.
+    ("filter_no_coerce_str",
+     "json_query(j, 'lax $.e[*] ? (@.b == \"1\")' WITH ARRAY WRAPPER)",
+     "'[{\"b\":\"1\"}]'"),
+    ("filter_no_coerce_num",
+     "json_query(j, 'lax $.e[*] ? (@.b == 1).b' WITH ARRAY WRAPPER)",
+     "'[1,1]'"),
+    ("filter_str_skips_num",
+     "json_query(j, 'lax $.e[*] ? (@.c == \"7\")' WITH ARRAY WRAPPER)",
+     "CAST(NULL AS VARCHAR)"),
+    # r9c: lax array auto-unwrap — an array-valued member matches
+    # when ANY element satisfies the comparison.
+    ("filter_unwrap",
+     "json_query(j, 'lax $.e[*] ? (@.d > 8).b' WITH ARRAY WRAPPER)",
+     "'[1]'"),
+    ("filter_unwrap_miss",
+     "json_query(j, 'lax $.e[*] ? (@.d > 99).b' WITH ARRAY WRAPPER)",
      "CAST(NULL AS VARCHAR)"),
 ]
 
@@ -1435,6 +1497,8 @@ def test_json_value_handler_clauses_refuse_by_name():
 def test_json_query_refusals():
     for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
                 "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
+                "SELECT json_query(p, 'lax $.a[*]?(@.b > 1 && @.c < 2)')"
+                " FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
         with pytest.raises(TrinoSqlUnsupported, match="json_query"):
             rewrite_trino_sql(bad)
@@ -1708,12 +1772,82 @@ def test_trino_wave16_named_errors(spark, sf_dir):
         ("SELECT murmur3(to_utf8('a')) AS x", "murmur3"),
         ("SELECT word_stem('running') AS x", "word_stem"),
         ("SELECT spooky_hash_v2_64(to_utf8('a')) AS x", "spooky"),
-        ("SELECT format_number(123456) AS x", "format_number"),
         ("SELECT parse_duration(text) AS x FROM documents", "parse_duration"),
-        ("SELECT regexp_position('a1', '1', 1) AS x", "regexp_position"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
+
+
+def test_regexp_position_start_occurrence(spark, sf_dir, oracle):
+    """regexp_position start/occurrence forms (r9, formerly refused):
+    the 3-arg form re-offsets a suffix search; the 4-arg form replays
+    matcher.find() — non-overlapping advance past each match (so
+    'aa' in 'aaa' has no 2nd occurrence), empty matches advance by 1,
+    exhaustion → -1, non-positive arguments raise like Trino."""
+    df = execute_trino(
+        spark,
+        r"SELECT regexp_position('a1b2c3', '\d', 3) AS s3, "
+        r"regexp_position('a1b2c3', '\d', 1, 3) AS o3, "
+        r"regexp_position('a1b2c3', '\d', 5, 2) AS gone, "
+        r"regexp_position('a1b2c3', '\d', 99) AS past, "
+        r"regexp_position('aaa', 'aa', 1, 2) AS overlap, "
+        r"regexp_position('ab', 'x*', 1, 2) AS empty2", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT 4 AS s3, 6 AS o3, -1 AS gone, -1 AS past, "
+        "-1 AS overlap, 2 AS empty2",
+        name="regexp_position_forms")
+    with pytest.raises(Exception, match="must be positive"):
+        execute_trino(spark, r"SELECT regexp_position('a', 'a', 0) "
+                      "AS x", sf_dir).collect()
+
+
+def test_format_number(spark, sf_dir, oracle):
+    """format_number (r9, formerly refused): unit-suffix rendering.
+    The two documented Trino vectors (123456 → '123K', 1000000 →
+    '1M') plus magnitude-dependent precision (#.## under 10, #.#
+    under 100, # otherwise on the scaled value), sign, zero, the
+    no-suffix band, and a column case. bround = HALF_EVEN, the
+    DecimalFormat default."""
+    df = execute_trino(
+        spark,
+        "SELECT format_number(123456) AS a, format_number(1000000) AS b,"
+        " format_number(1234) AS c, format_number(12300) AS d,"
+        " format_number(999) AS e, format_number(5) AS f,"
+        " format_number(-123456) AS g, format_number(0) AS h,"
+        " format_number(1500000000) AS i, format_number(2.5E12) AS j,"
+        " format_number(999999) AS k, format_number(12.5) AS l",
+        sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '123K' AS a, '1M' AS b, '1.23K' AS c, '12.3K' AS d,"
+        " '999' AS e, '5' AS f, '-123K' AS g, '0' AS h, '1.5B' AS i,"
+        " '2.5T' AS j, '1000K' AS k, '12.5' AS l",
+        name="format_number_vectors")
+    df = execute_trino(
+        spark, "SELECT o_orderkey, format_number(o_totalprice) AS t "
+        "FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey",
+        sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT o_orderkey, CASE"
+        " WHEN abs(o_totalprice) >= 1000 THEN"
+        "  regexp_replace(regexp_replace(CAST(CAST(roundbankers("
+        "    o_totalprice / 1000,"
+        "    CASE WHEN abs(o_totalprice / 1000) < 10 THEN 2"
+        "         WHEN abs(o_totalprice / 1000) < 100 THEN 1"
+        "         ELSE 0 END) AS DECIMAL(38, 6)) AS VARCHAR),"
+        "    '(\\.\\d*[1-9])0+$', '\\1'), '\\.0*$', '') || 'K'"
+        " ELSE"
+        "  regexp_replace(regexp_replace(CAST(CAST(roundbankers("
+        "    o_totalprice,"
+        "    CASE WHEN abs(o_totalprice) < 10 THEN 2"
+        "         WHEN abs(o_totalprice) < 100 THEN 1"
+        "         ELSE 0 END) AS DECIMAL(38, 6)) AS VARCHAR),"
+        "    '(\\.\\d*[1-9])0+$', '\\1'), '\\.0*$', '')"
+        " END AS t "
+        "FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey",
+        name="format_number_column")
 
 
 # -------------------------------------------- wave 17: Unicode chr +
@@ -1870,8 +2004,8 @@ def test_trino_wave18_named_errors(spark, sf_dir, oracle):
         ("SELECT listagg(o_orderpriority) WITHIN GROUP (GROUP BY 1) "
          "FROM orders", "ORDER BY"),
         ("SELECT listagg(o_orderpriority, ',' ON OVERFLOW TRUNCATE "
-         "'...') WITHIN GROUP (ORDER BY o_orderkey) FROM orders",
-         "TRUNCATE"),
+         "o_comment) WITHIN GROUP (ORDER BY o_orderkey) FROM orders",
+         "filler must be a string literal"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
@@ -1890,6 +2024,43 @@ def test_trino_wave18_named_errors(spark, sf_dir, oracle):
     with pytest.raises(Exception, match="luhn_check"):
         execute_trino(spark, "SELECT luhn_check('12a4') AS x",
                       sf_dir).collect()
+
+
+def test_listagg_overflow_truncate(spark, sf_dir, oracle, monkeypatch):
+    """ON OVERFLOW TRUNCATE (r9): the byte-budget fold, exercised by
+    shrinking the module cap. Values sorted ASC are aa,bbb,c; budget 6
+    admits 'aa' (2) and ',bbb' (+4 = 6) but not ',c' → 2 entries kept,
+    1 omitted. Greedy-prefix semantics: the shorter 'c' cannot bypass
+    the stop latch. Default filler '...', default WITH COUNT."""
+    import okera_trino_spark.functions.trino_sql as mod
+    src = ("FROM (VALUES ('bbb'), ('aa'), ('c'), "
+           "(CAST(NULL AS VARCHAR))) AS t(v)")
+    monkeypatch.setattr(mod, "_LISTAGG_MAX_BYTES", 6)
+    cases = [
+        ("listagg(v, ',' ON OVERFLOW TRUNCATE)", "'aa,bbb,...(1)'"),
+        ("listagg(v, ',' ON OVERFLOW TRUNCATE WITHOUT COUNT)",
+         "'aa,bbb,...'"),
+        ("listagg(v, ',' ON OVERFLOW TRUNCATE '#' WITH COUNT)",
+         "'aa,bbb,#(1)'"),
+    ]
+    for agg, want in cases:
+        df = execute_trino(
+            spark, f"SELECT {agg} WITHIN GROUP (ORDER BY v) AS s {src}",
+            sf_dir)
+        check_query(df, oracle, f"SELECT {want} AS s", name="la_trunc")
+    # under-budget → the full join, the clause is a no-op
+    monkeypatch.setattr(mod, "_LISTAGG_MAX_BYTES", 1000)
+    df = execute_trino(
+        spark, "SELECT listagg(v, ',' ON OVERFLOW TRUNCATE) "
+        f"WITHIN GROUP (ORDER BY v) AS s {src}", sf_dir)
+    check_query(df, oracle, "SELECT 'aa,bbb,c' AS s", name="la_notrunc")
+    # first entry alone over budget → k = 0: no leading separator,
+    # every non-null value counts as omitted
+    monkeypatch.setattr(mod, "_LISTAGG_MAX_BYTES", 1)
+    df = execute_trino(
+        spark, "SELECT listagg(v, ',' ON OVERFLOW TRUNCATE) "
+        f"WITHIN GROUP (ORDER BY v) AS s {src}", sf_dir)
+    check_query(df, oracle, "SELECT '...(3)' AS s", name="la_trunc0")
 
 
 # -------------------------------------------- wave 19: sample-moment
@@ -2051,6 +2222,23 @@ def test_rewrite_contract_never_crashes_property():
             f"log({inner}, {inner})",
             f"entropy({inner})",
             f"min_by({inner}, {inner}, 2)",
+            # r9 surfaces: format_number, SYMMETRIC, computed split
+            # delimiters, regexp_position forms, TRUNCATE listagg,
+            # jsonpath filters
+            f"format_number({inner})",
+            f"format_number({inner}, {n % 3})",
+            f"(CASE WHEN {inner} BETWEEN SYMMETRIC {inner} AND "
+            f"{n % 9} THEN 1 ELSE 0 END)",
+            f"split({inner}, {inner})[1]",
+            f"split_to_map({inner}, {inner}, '{esc or '='}')['k']",
+            f"regexp_position({inner}, '{esc or 'x'}', {n % 5 - 1})",
+            f"regexp_position({inner}, 'a', {n % 3 + 1}, {n % 4})",
+            f"listagg({inner}, ',' ON OVERFLOW TRUNCATE "
+            f"'{esc}' WITHOUT COUNT) WITHIN GROUP (ORDER BY {inner})",
+            f"listagg({inner}, ',' ON OVERFLOW TRUNCATE {inner}) "
+            f"WITHIN GROUP (ORDER BY {inner})",
+            f"json_query({inner}, 'lax $.a[*] ? (@.b >= {n % 50})')",
+            f"json_query({inner}, 'lax $.a[*] ? (@.b == \"{esc}\")')",
         ]
         return forms[pick % len(forms)]
 
@@ -2169,10 +2357,35 @@ def test_fetch_first_row_only_and_with_ties(spark, sf_dir, oracle):
         name="fetch_ties_hidden_key")
 
 
-def test_between_symmetric_named_error(spark, sf_dir):
-    with pytest.raises(TrinoSqlUnsupported, match="SYMMETRIC"):
-        execute_trino(spark, "SELECT o_orderkey FROM orders WHERE "
-                      "o_orderkey BETWEEN SYMMETRIC 10 AND 5", sf_dir)
+def test_between_symmetric(spark, sf_dir, oracle):
+    """BETWEEN SYMMETRIC (r9, formerly refused): bounds swap when
+    reversed, NULL bounds stay UNKNOWN (Spark least/greatest skip
+    nulls — the rewrite must null-guard), NOT distributes, CASE…END
+    and trailing AND don't derail the bound scanner."""
+    df = execute_trino(
+        spark, "SELECT o_orderkey FROM orders WHERE "
+        "o_orderkey BETWEEN SYMMETRIC 10 AND 5 ORDER BY o_orderkey",
+        sf_dir)
+    check_query(df, oracle,
+                "SELECT o_orderkey FROM orders WHERE o_orderkey "
+                "BETWEEN 5 AND 10 ORDER BY o_orderkey",
+                name="sym_basic")
+    df = execute_trino(
+        spark, "SELECT x, CAST(x BETWEEN SYMMETRIC CAST(NULL AS "
+        "INTEGER) AND 5 AS VARCHAR) AS b, "
+        "x NOT BETWEEN SYMMETRIC 9 AND 3 AND x <> 1 AS nb, "
+        "x BETWEEN SYMMETRIC CASE WHEN x > 2 AND x < 100 THEN 8 "
+        "ELSE 2 END AND 4 AS cb "
+        "FROM (VALUES 1, 4, 7) AS t(x) ORDER BY x", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT x, CAST(NULL AS VARCHAR) AS b, "
+        "(x NOT BETWEEN 3 AND 9) AND x <> 1 AS nb, "
+        "x BETWEEN least(CASE WHEN x > 2 AND x < 100 THEN 8 ELSE 2 "
+        "END, 4) AND greatest(CASE WHEN x > 2 AND x < 100 THEN 8 "
+        "ELSE 2 END, 4) AS cb "
+        "FROM (VALUES (1), (4), (7)) AS t(x) ORDER BY x",
+        name="sym_edges")
 
 
 def test_unicode_string_literals(spark, sf_dir, oracle):
@@ -2233,9 +2446,23 @@ def test_split_part_and_element_at_edges(spark, sf_dir, oracle):
         "CAST(NULL AS BIGINT) AS oob "
         "FROM documents ORDER BY doc_id LIMIT 200",
         name="split_part_edges")
-    with pytest.raises(TrinoSqlUnsupported, match="delimiter"):
-        execute_trino(spark, "SELECT split_part(text, lang, 1) AS x "
-                      "FROM documents", sf_dir)
+    # computed delimiter (r9, formerly refused): native literal
+    # split_part with a parts-count guard for Trino's NULL-past-end
+    df = execute_trino(
+        spark,
+        "SELECT s, split_part(s, d, 2) AS p2, split_part(s, d, 9) AS "
+        "past, split_part('a,,b', substring(',x', 1, 1), 2) AS mid "
+        "FROM (VALUES ('a.b.c', '.'), ('x||y||', '||')) AS t(s, d) "
+        "ORDER BY s", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT * FROM (VALUES ('a.b.c', 'b', CAST(NULL AS VARCHAR), "
+        "''), ('x||y||', 'y', CAST(NULL AS VARCHAR), '')) "
+        "AS t(s, p2, past, mid) ORDER BY s",
+        name="split_part_computed")
+    with pytest.raises(Exception, match="delimiter must not be empty"):
+        execute_trino(spark, "SELECT split_part('abc', "
+                      "substring('x', 2), 1) AS x", sf_dir).collect()
 
 
 def test_log_family_ieee_edges(spark, sf_dir, oracle):
