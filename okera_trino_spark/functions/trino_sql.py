@@ -112,7 +112,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     UDF (r9 — seed-0 XXH64 as little-endian VARBINARY, bit-verified
     against Spark's seed-42 builtin); format_number → unit-suffix
     K/M/B/T/Q rendering with DecimalFormat precision-by-magnitude
-    (r9); named errors for murmur3, word_stem, spooky_hash_v2_*
+    (r9); word_stem → the session-registered trino_word_stem pandas
+    UDF (r10 — Porter2/Snowball english from the public spec;
+    non-english language codes stay named errors); named errors for
+    murmur3, spooky_hash_v2_*
   - wave 17 (r8): chr → the Unicode CODEPOINT character (Spark's char
     wraps at 256 — a silent mistranslation until now): literal
     codepoints embed the exact character via the stash, column-driven
@@ -204,13 +207,18 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     text, KEEP QUOTES); single-[*] wildcard chains via
     ARRAY<VARIANT>; WITHOUT / WITH [UNCONDITIONAL] / WITH CONDITIONAL
     ARRAY WRAPPER all exact; FETCH FIRST n ROWS WITH TIES → rank()
+  - wave 22 (r10): compound ?(...) filter predicates (&&/|| of typed
+    comparisons under K3 logic); listagg(DISTINCT …) via
+    array_distinct before the sorted fold; word_stem → Porter2 UDF;
+    mixed literal-prefix division chains fold ((7 div 2)/x)
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
-    zones, JSON paths with filters/methods/multiple wildcards
+    zones, JSON paths with methods/multiple wildcards/parenthesized
+    filter sub-predicates
     (json_value plain member chains lower to get_json_object, r7;
-    json_query chains + one [*] lower via VARIANT, r9; CAST(.. AS
-    JSON) serializes via to_json, r7), ROW(..) types with unnamed
-    fields,
+    json_query chains + one [*] + comparison filters lower via
+    VARIANT, r9-r10; CAST(.. AS JSON) serializes via to_json, r7),
+    ROW(..) types with unnamed fields,
     array_agg(DISTINCT x ORDER BY y) with y != x,
     MATCH_RECOGNIZE beyond the subset, and unnest arg/column-count
     mismatches raise TrinoSqlUnsupported naming the construct, never
@@ -523,6 +531,17 @@ def _rewrite_fetch_ties(code: str) -> str:
             "un-ordered form too)")
     ob = obs[-1]
     ord_keys = code[ob.end():m.start()].strip()
+    om = re.search(r"\bOFFSET\s+\d+(\s+ROWS?)?\s*$", ord_keys,
+                   re.IGNORECASE)
+    if om:
+        # Valid Trino (OFFSET before FETCH) but the span between ORDER
+        # BY and FETCH is the window's sort-key text — an OFFSET there
+        # would be injected into the window spec. rank() <= n + skip
+        # is NOT the semantics either (ties expand around the cutoff,
+        # not the offset), so refuse by name rather than mis-rank.
+        raise TrinoSqlUnsupported(
+            "OFFSET combined with FETCH … WITH TIES — apply the "
+            "offset in an outer query around the rank() <= n form")
     if any(re.fullmatch(r"\d+", k.strip())
            for k in _split_top_level(ord_keys)):
         raise TrinoSqlUnsupported(
@@ -539,14 +558,21 @@ def _rewrite_fetch_ties(code: str) -> str:
         if froms:
             sel_list = body[6:froms[0].start()].strip()
             amap = _select_alias_map(sel_list)
-            win_keys = re.sub(
-                r"\b\w+\b",
-                lambda t: f"({amap[t.group(0).lower()]})"
-                if t.group(0).lower() in amap
-                and not re.fullmatch(r"(?i)ASC|DESC|NULLS|FIRST|LAST",
-                                     t.group(0))
-                else t.group(0),
-                ord_keys)
+            def _sub_alias(t, _keys=ord_keys):
+                # qualified names never alias-substitute: in t.od the
+                # token od is a column of t (substituting would emit
+                # t.(expr)), and the qualifier t is not an output alias
+                w = t.group(0)
+                before = _keys[: t.start()].rstrip()
+                after = _keys[t.end():].lstrip()
+                if before.endswith(".") or after.startswith("."):
+                    return w
+                if (w.lower() in amap
+                        and not re.fullmatch(r"(?i)ASC|DESC|NULLS|FIRST|LAST",
+                                             w)):
+                    return f"({amap[w.lower()]})"
+                return w
+            win_keys = re.sub(r"\b\w+\b", _sub_alias, ord_keys)
             inner = (f"SELECT {sel_list}, rank() OVER (ORDER BY "
                      f"{win_keys}) AS __tie_rnk {body[froms[0].start():]}")
             return (f"SELECT * EXCEPT(__tie_rnk) FROM ({inner}) "
@@ -1070,10 +1096,24 @@ def _rewrite_listagg(code: str) -> str:
         if not 1 <= len(args) <= 2:
             raise TrinoSqlUnsupported(
                 "listagg takes (expression [, separator])")
-        if re.match(r"DISTINCT\b", args[0], re.IGNORECASE):
-            raise TrinoSqlUnsupported(
-                "listagg DISTINCT is not supported — deduplicate in a "
-                "subquery, then aggregate")
+        distinct = bool(re.match(r"DISTINCT\b", args[0], re.IGNORECASE))
+        if distinct:
+            # listagg(DISTINCT e …) (r10, formerly refused): dedupe the
+            # collected structs before the sorted fold. Trino restricts
+            # DISTINCT aggregations to ORDER BY expressions that appear
+            # in the arguments, so every sort key must be the value
+            # expression itself — under that rule (value, key) structs
+            # are duplicated exactly when values are, and array_distinct
+            # is the faithful dedup.
+            args[0] = args[0][len("DISTINCT"):].strip()
+            norm = re.sub(r"\s+", "", args[0]).lower()
+            bad = [k for k in cleaned
+                   if re.sub(r"\s+", "", k).lower() != norm]
+            if bad:
+                raise TrinoSqlUnsupported(
+                    "listagg DISTINCT: ORDER BY expressions must match "
+                    f"the aggregated expression (Trino's own rule) — "
+                    f"got {bad[0]!r}")
         sep = "''"
         truncate = False
         filler = "'...'"
@@ -1103,8 +1143,10 @@ def _rewrite_listagg(code: str) -> str:
         key_fields = ", ".join(f"({k}) AS _lo{i}"
                                for i, k in enumerate(cleaned))
         cmp = _listagg_cmp(len(cleaned), descs, nulls_first)
-        arr = ("transform(filter(array_sort(collect_list("
-               f"struct({key_fields}, ({args[0]}) AS _lv)), {cmp}), "
+        collected = f"collect_list(struct({key_fields}, ({args[0]}) AS _lv))"
+        if distinct:
+            collected = f"array_distinct({collected})"
+        arr = (f"transform(filter(array_sort({collected}, {cmp}), "
                f"_la -> _la._lv IS NOT NULL), _la -> _la._lv)")
         if truncate:
             new = _listagg_truncate(arr, sep, filler, with_count)
@@ -1206,6 +1248,63 @@ def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
     return (f"element_at(transform(array("
             f"try_variant_get(_jf, {fpath}, 'variant')), "
             f"_jv -> {body}), 1)")
+
+
+def _split_json_filter(body: str, sep: str) -> list[str]:
+    """Split a jsonpath filter body on a top-level ``&&``/``||``
+    connective, never inside a double-quoted JSON string literal."""
+    parts, cur, in_str, i = [], [], False, 0
+    while i < len(body):
+        c = body[i]
+        if c == '"':
+            in_str = not in_str
+        if not in_str and body.startswith(sep, i):
+            parts.append("".join(cur))
+            cur = []
+            i += len(sep)
+            continue
+        cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+_JSONPATH_FILTER_ATOM_RE = re.compile(
+    r"@(?P<chain>(?:\.\w+|\[\d+\])*)\s*"
+    r"(?P<op>==|!=|<>|<=|>=|<|>)\s*"
+    r"(?P<lit>-?\d+(?:\.\d+)?|\"[^\"]*\")")
+
+
+def _jsonpath_filter_body(body: str, requote) -> str | None:
+    """Compound ``?(...)`` filter (r10 — the single-comparison form
+    landed r9): a disjunction of conjunctions of
+    ``@.chain <op> literal`` comparisons. SQL/JSON path predicates are
+    Kleene three-valued — ``unknown && false = false``,
+    ``unknown || true = true`` — which is exactly Spark's NULL-aware
+    AND/OR, so the atoms (each NULL on missing member / type mismatch,
+    per _jsonpath_filter_pred) compose directly and ``filter()``'s
+    keep-only-TRUE implements the UNKNOWN-drop rule. Parenthesized
+    sub-predicates and methods return None → the caller's named error.
+    ``&&`` binds tighter than ``||`` (the SQL/JSON path grammar), which
+    the two-level split encodes."""
+    if "(" in re.sub(r'"[^"]*"', "", body):
+        return None
+    ors = []
+    for term in _split_json_filter(body, "||"):
+        ands = []
+        for atom in _split_json_filter(term, "&&"):
+            am = _JSONPATH_FILTER_ATOM_RE.fullmatch(atom.strip())
+            if am is None:
+                return None
+            op = {"==": "=", "!=": "<>"}.get(am.group("op"),
+                                             am.group("op"))
+            flit = am.group("lit")
+            is_str = flit.startswith('"')
+            lit_sql = requote(flit[1:-1]) if is_str else flit
+            ands.append(_jsonpath_filter_pred(
+                requote("$" + am.group("chain")), op, lit_sql, is_str))
+        ors.append("(" + " AND ".join(f"({p})" for p in ands) + ")")
+    return " OR ".join(ors)
 
 
 def _structural_rewrites(code: str, stash: list[str]) -> str:
@@ -2045,9 +2144,7 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                       flags=re.IGNORECASE)
         wc = re.fullmatch(
             r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*"
-            r"(?:\?\s*\(\s*@(?P<fchain>(?:\.\w+|\[\d+\])*)\s*"
-            r"(?P<fop>==|!=|<>|<=|>=|<|>)\s*"
-            r"(?P<flit>-?\d+(?:\.\d+)?|\"[^\"]*\")\s*\)\s*)?"
+            r"(?:\?\s*\(\s*(?P<fbody>(?:\"[^\"]*\"|[^()\"])*?)\s*\)\s*)?"
             r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
         if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
             item = (f"to_json(variant_get(try_parse_json({a[0]}), "
@@ -2067,27 +2164,23 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             src = (f"try_cast(variant_get(try_parse_json({a[0]}), "
                    f"{requote(wc.group('head'))}, 'variant') "
                    f"AS ARRAY<VARIANT>)")
-            if wc.group("fop"):
-                # ?(@.chain <op> literal) filter step (r9): the
-                # member is extracted as VARIANT and compared under
-                # SQL/JSON typing — schema_of_variant GATES the cast
-                # (a JSON string "5" must NOT compare equal to the
-                # number 5; try_variant_get alone would coerce it), a
-                # missing member / type mismatch / JSON null yields
-                # NULL and the NULL-valued predicate drops the
-                # element: the UNKNOWN-drop rule. An ARRAY-valued
-                # member auto-unwraps one level (lax mode): the item
-                # matches when ANY element satisfies the comparison.
-                op = {"==": "=", "!=": "<>"}.get(wc.group("fop"),
-                                                 wc.group("fop"))
-                flit = wc.group("flit")
-                fpath = requote("$" + wc.group("fchain"))
-                if flit.startswith('"'):
-                    lit_sql = requote(flit[1:-1])
-                else:
-                    lit_sql = flit
-                pred = _jsonpath_filter_pred(
-                    fpath, op, lit_sql, flit.startswith('"'))
+            if wc.group("fbody"):
+                # ?(...) filter step: single comparisons landed r9;
+                # &&/|| compounds (r10) compose the same typed
+                # VARIANT atoms (schema_of_variant-gated casts, NULL
+                # on missing member / type mismatch / JSON null)
+                # under Spark's three-valued AND/OR — see
+                # _jsonpath_filter_body for the K3 argument. An
+                # ARRAY-valued member auto-unwraps one level (lax):
+                # the item matches when ANY element satisfies the
+                # comparison.
+                pred = _jsonpath_filter_body(wc.group("fbody"), requote)
+                if pred is None:
+                    raise TrinoSqlUnsupported(
+                        "json_query filter: only [dis/con]junctions of "
+                        "'@.chain <op> literal' comparisons are "
+                        "supported — parenthesized sub-predicates and "
+                        "item methods keep a named error")
                 src = f"filter({src}, _jf -> {pred})"
             matches = (
                 f"filter(transform({src}, _je -> to_json("
@@ -2110,9 +2203,10 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                     f"_m -> {agg}), 1)")
         raise TrinoSqlUnsupported(
             "json_query path with methods, multiple wildcards, or a "
-            "filter beyond one '?(@.chain <op> literal)' comparison — "
-            "member/subscript chains with at most one [*] and one "
-            "comparison filter are the supported surface")
+            "filter beyond '?(@.chain <op> literal)' comparisons "
+            "joined with &&/|| — member/subscript chains with at most "
+            "one [*] and one (possibly compound) comparison filter "
+            "are the supported surface")
 
     code = _rewrite_calls(code, "json_query", _json_query_fn)
 
@@ -2548,9 +2642,23 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         _named_unsupported(
             "murmur3", "Spark's hash() is 32-bit murmur3 with a "
             "different seed — no 128-bit twin"))
-    code = _rewrite_calls(
-        code, "word_stem",
-        _named_unsupported("word_stem", "no stemmer builtin in Spark"))
+    # word_stem (r10, formerly refused): Trino stems with the Snowball
+    # english stemmer (Porter2); lowered to the session-registered
+    # trino_word_stem pandas UDF (functions/stemmer.py — implemented
+    # from the public snowballstem.org spec, verified against the
+    # spec's own example pairs). Only the english form is expressible;
+    # other language codes keep a named error.
+    def _word_stem(a):
+        if len(a) == 1:
+            return f"trino_word_stem({a[0]})"
+        lang = _lit(a[1].strip()) if len(a) == 2 else None
+        if lang is not None and lang.lower() in ("en", "english"):
+            return f"trino_word_stem({a[0]})"
+        raise TrinoSqlUnsupported(
+            "word_stem: only the english (Porter2) stemmer is "
+            f"implemented — language {lang!r} has no verified "
+            "in-container twin")
+    code = _rewrite_calls(code, "word_stem", _word_stem)
     code = _rewrite_calls(
         code, "spooky_hash_v2_64",
         _named_unsupported("spooky_hash_v2_64",
@@ -2897,17 +3005,22 @@ def _rewrite_ddl_head(code: str, stash: list[str]) -> str:
             + " " + code[rest_at:])
 
 
-#: Fully-literal integer-division chain: 7/2, 100/7/3, … (each operand
-#: a bare integer literal, no adjacent word/dot chars).
+#: Fully-literal integer-division chain prefix: 7/2, 100/7/3, … (each
+#: operand a bare integer literal, no adjacent word/dot chars). A
+#: trailing non-literal divisor (7/2/x) is allowed — the literal
+#: PREFIX is leftmost, so folding it alone is safe (r10, advice).
 _LIT_DIV_CHAIN_RE = re.compile(
-    r"(?<![\w.])\d+(?:\s*/\s*\d+)+(?![\w.])(?!\s*/)")
+    r"(?<![\w.])\d+(?:\s*/\s*\d+)+(?![\w.])")
 
 
 def _rewrite_literal_int_division(code: str) -> str:
     """Rewrite all-literal division chains to Trino's truncating
     semantics, folding left-associatively: ``7/2/2`` → ``((7 div 2)
-    div 2)``. VETO when the chain is preceded (ignoring whitespace) by
-    an equal-precedence operator ``*`` ``/`` ``%`` — Trino parses
+    div 2)``. A MIXED chain folds its leading literal prefix —
+    ``7/2/x`` → ``(7 div 2)/x`` (Trino computes (7/2)=3 first; the
+    trailing column division keeps the one documented column-operand
+    divergence). VETO when the chain is preceded (ignoring whitespace)
+    by an equal-precedence operator ``*`` ``/`` ``%`` — Trino parses
     ``x * 7/10`` as ``(x*7)/10``, so localizing the div would zero it —
     or when the leading literal is a scientific-exponent tail
     (``1e-5``: the ``5`` is a bare literal after the sign). Those forms
@@ -3953,6 +4066,9 @@ def ensure_dialect_udfs(spark: SparkSession, sql: str) -> None:
         from okera_trino_spark.functions.trino_compat import (
             register_xxhash64)
         register_xxhash64(spark)
+    if re.search(r"\b(trino_)?word_stem\s*\(", sql, re.IGNORECASE):
+        from okera_trino_spark.functions.stemmer import register_word_stem
+        register_word_stem(spark)
 
 
 def execute_trino(spark: SparkSession, sql: str,
@@ -4672,15 +4788,15 @@ def q_trino_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRINO_SQL_LISTAGG_TRUNC = """
 SELECT o_orderpriority,
-       md5(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
+       lower(to_hex(md5(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
                    ON OVERFLOW TRUNCATE)
-           WITHIN GROUP (ORDER BY o_orderkey)) AS big_h,
+           WITHIN GROUP (ORDER BY o_orderkey)))) AS big_h,
        length(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
                       ON OVERFLOW TRUNCATE)
               WITHIN GROUP (ORDER BY o_orderkey)) AS big_len,
-       md5(listagg(o_orderstatus, '|' ON OVERFLOW TRUNCATE '#'
+       lower(to_hex(md5(listagg(o_orderstatus, '|' ON OVERFLOW TRUNCATE '#'
                    WITHOUT COUNT)
-           WITHIN GROUP (ORDER BY o_orderkey)) AS small_h,
+           WITHIN GROUP (ORDER BY o_orderkey)))) AS small_h,
        count(*) AS n
 FROM orders
 WHERE o_orderkey < 8000
@@ -5506,3 +5622,171 @@ def q_trino_sql_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
         dialect="trino")
     return cat.execute("EXECUTE agg_q USING 'O', 50000.0", dialect="trino")
+
+
+def _word_stem_oracle() -> str:
+    """Oracle for q_trino_sql_word_stem: part's p_type vocabulary is
+    FIXED (6 leading words at every SF), so the expected Porter2 stems
+    are embedded as a literal CASE mapping. The literals are generated
+    by the same stemmer.porter2_stem — deliberately: this key proves
+    the SESSION PLUMBING (UDF registration, dialect lowering, grouped
+    distributed execution), while the ALGORITHM's proof is the
+    spec-vector test (tests/test_trino_sql.py::test_porter2_vector —
+    the snowballstem.org spec's own example pairs, exceptional forms
+    and per-step examples)."""
+    from okera_trino_spark.functions.stemmer import porter2_stem
+    words = ("economy", "large", "medium", "promo", "small", "standard")
+    case = " ".join(
+        f"WHEN '{w}' THEN '{porter2_stem(w)}'" for w in words)
+    return f"""
+    SELECT lower(split_part(p_type, ' ', 1)) AS w,
+           CASE lower(split_part(p_type, ' ', 1)) {case} END AS stem,
+           count(*) AS n
+    FROM part
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "q_trino_sql_word_stem",
+    oracle=_word_stem_oracle(),
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_word_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino ``word_stem(varchar[, 'en'])`` (r10, formerly a named
+    error): the Snowball *english* (Porter2) stemmer, implemented from
+    the public snowballstem.org spec as an Arrow-batched pandas UDF
+    (functions/stemmer.py) and lowered from both the 1-arg and
+    explicit-'en' forms. Stems the leading p_type word per part row —
+    the UDF runs distributed over the data, then the grouped counts
+    prove every row went through it. See _word_stem_oracle for the
+    plumbing/algorithm verification split. Scale: map-only Arrow
+    batches, no shuffle beyond the final groupBy."""
+    return execute_trino(
+        spark,
+        "SELECT lower(split_part(p_type, ' ', 1)) AS w, "
+        "word_stem(lower(split_part(p_type, ' ', 1)), 'en') AS stem, "
+        "count(*) AS n "
+        "FROM part GROUP BY 1, 2 ORDER BY 1", sf_dir)
+
+
+TRINO_SQL_LISTAGG_DISTINCT = """
+SELECT o_orderstatus,
+       listagg(DISTINCT o_orderpriority, ',')
+           WITHIN GROUP (ORDER BY o_orderpriority) AS pris,
+       listagg(DISTINCT substring(o_orderpriority, 1, 1), '|')
+           WITHIN GROUP (ORDER BY substring(o_orderpriority, 1, 1) DESC)
+           AS pri_codes,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "q_trino_sql_listagg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ','
+                      ORDER BY o_orderpriority) AS pris,
+           string_agg(DISTINCT substring(o_orderpriority, 1, 1), '|'
+                      ORDER BY substring(o_orderpriority, 1, 1) DESC)
+               AS pri_codes,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg(DISTINCT …)`` (r10, formerly a named error):
+    array_distinct over the collected (key, value) structs before the
+    proven sorted fold — Trino restricts DISTINCT aggregations to sort
+    keys matching the aggregated expression, so struct dedup IS value
+    dedup. Exercises ASC and DESC keys plus a computed expression.
+    Oracle: DuckDB ``string_agg(DISTINCT … ORDER BY …)``. Scale: same
+    single groupBy shuffle as plain listagg; the dedup is a per-group
+    array op after collect."""
+    return execute_trino(spark, TRINO_SQL_LISTAGG_DISTINCT, sf_dir)
+
+
+#: SQL/JSON wave 22 (r10): compound ?(...) filter predicates — && / ||
+#: of typed comparisons under K3 logic. The JSON document is built per
+#: row from orders columns; the third array element OMITS the "w"
+#: member so the UNKNOWN-drop rule is exercised against every
+#: connective shape (unknown && true, false || unknown …).
+TRINO_SQL_JSONPATH_BOOL = """
+SELECT o_orderkey,
+       json_query(j, 'lax $.k[*] ?(@.v >= 500 && @.w == "O") .v'
+                  WITH ARRAY WRAPPER) AS and_v,
+       json_query(j, 'lax $.k[*] ?(@.w == "1" || @.w == "F") .v'
+                  WITH ARRAY WRAPPER) AS or_v,
+       json_query(j, 'lax $.k[*] ?(@.v >= 500 && @.v < 3000 || @.w == "P") .v'
+                  WITH ARRAY WRAPPER) AS prec_v,
+       json_query(j, 'lax $.k[*] ?(@.w != "Z" && @.v >= 0) .v'
+                  WITH ARRAY WRAPPER) AS unk_v
+FROM (
+    SELECT o_orderkey,
+           '{"k":[{"v":' || CAST(o_orderkey AS VARCHAR) ||
+           ',"w":"' || o_orderstatus || '"},{"v":' ||
+           CAST(o_custkey AS VARCHAR) || ',"w":"' ||
+           substring(o_orderpriority, 1, 1) || '"},{"v":' ||
+           CAST(o_orderkey % 7 AS VARCHAR) || '}]}' AS j
+    FROM orders
+    WHERE o_orderkey < 2000
+) t
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_trino_sql_jsonpath_bool",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               o_orderkey AS v1, o_orderstatus AS w1,
+               o_custkey AS v2, substring(o_orderpriority, 1, 1) AS w2
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           CASE WHEN (v1 >= 500 AND w1 = 'O') OR (v2 >= 500 AND w2 = 'O')
+                THEN '[' || concat_ws(',',
+                     CASE WHEN v1 >= 500 AND w1 = 'O' THEN CAST(v1 AS VARCHAR) END,
+                     CASE WHEN v2 >= 500 AND w2 = 'O' THEN CAST(v2 AS VARCHAR) END) || ']'
+                END AS and_v,
+           CASE WHEN (w1 = '1' OR w1 = 'F') OR (w2 = '1' OR w2 = 'F')
+                THEN '[' || concat_ws(',',
+                     CASE WHEN w1 = '1' OR w1 = 'F' THEN CAST(v1 AS VARCHAR) END,
+                     CASE WHEN w2 = '1' OR w2 = 'F' THEN CAST(v2 AS VARCHAR) END) || ']'
+                END AS or_v,
+           CASE WHEN ((v1 >= 500 AND v1 < 3000) OR w1 = 'P')
+                  OR ((v2 >= 500 AND v2 < 3000) OR w2 = 'P')
+                THEN '[' || concat_ws(',',
+                     CASE WHEN (v1 >= 500 AND v1 < 3000) OR w1 = 'P'
+                          THEN CAST(v1 AS VARCHAR) END,
+                     CASE WHEN (v2 >= 500 AND v2 < 3000) OR w2 = 'P'
+                          THEN CAST(v2 AS VARCHAR) END) || ']'
+                END AS prec_v,
+           '[' || CAST(v1 AS VARCHAR) || ',' || CAST(v2 AS VARCHAR) || ']'
+               AS unk_v
+    FROM t
+    ORDER BY o_orderkey
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_jsonpath_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL/JSON compound filter predicates (r10 — the single-comparison
+    form landed r9): ``&&``/``||`` of ``@.chain <op> literal``
+    comparisons inside ``?(...)``, with && binding tighter than ||.
+    Each atom is the proven typed-VARIANT predicate (NULL on missing
+    member / type drift), composed under Spark's NULL-aware AND/OR —
+    which IS SQL/JSON's Kleene logic, so filter()'s keep-only-TRUE
+    implements UNKNOWN-drop for every connective shape: the third
+    array element omits "w", so ``unknown && true`` and
+    ``false || unknown`` both genuinely occur and must drop. Oracle:
+    DuckDB replays each element's membership by boolean algebra on the
+    source columns (e3 statically excluded — its predicates are all
+    UNKNOWN). Pure VARIANT HOF codegen, no Python, no shuffle."""
+    return execute_trino(spark, TRINO_SQL_JSONPATH_BOOL, sf_dir)

@@ -88,49 +88,48 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-9 ROTATION (data-driven: slots ranked by last-green round
-#: computed from CORRECTNESS_r01..r08). Slots, in order:
-#:   1) the two r8 driver-reds — breadth2 (oracle HUGEINT drift) and
-#:      breadth3 (nested-array canonicalizer crash) — both FIXED this
-#:      round and still without a green driver row;
-#:   2) the NEW r9 keys: q_trino_sql_ties (FETCH FIRST n ROWS WITH
-#:      TIES → rank), q_trino_sql_jsonpath (json_query VARIANT
-#:      lowering, wildcard + wrapper forms), q_trino_sql_mr_excl
-#:      (quantified {- -} exclusions), q_trino_sql_xxhash64 (seed-0
-#:      XXH64 varbinary via session UDF; q_fn_try yielded its slot) —
-#:      new keys must sit in-window to keep the test_entry.py
-#:      union-closure invariant green;
-#:   3) keys whose implementation CHANGED in r9: q_trino_sql_listagg
-#:      (struct sort → explicit comparator, DESC/NULLS keys),
-#:      q_trino_sql_mr_running (RUNNING sum stays NULL until a
-#:      non-null value accumulates — advice fix);
-#:   4) the stalest greens: the full r2 cohort (16 keys, last green
-#:      six rounds ago) and the 27 oldest r4 keys. The r8 window's 48
-#:      greens all rotate OUT (fresh evidence last round); the r4/r5
-#:      tail (q_scan_nested, q_fn_url, q_fn_decimal, streaming S1-S3,
-#:      q_udf_current_db …) re-enters next rotation.
+#: ROUND-10 ROTATION (data-driven: slots ranked by last-green round
+#: computed from CORRECTNESS_r01..r09). Slots, in order:
+#:   1) the r9 driver-red — q_trino_sql_listagg_trunc (md5 VARBINARY
+#:      vs the oracle's hex VARCHAR; FIXED this round: both digests
+#:      now render lower(to_hex(...))) — still without a green row;
+#:   2) the NEW r10 keys: q_trino_sql_word_stem (Porter2/Snowball
+#:      english pandas UDF), q_trino_sql_listagg_distinct
+#:      (array_distinct before the sorted fold),
+#:      q_trino_sql_jsonpath_bool (compound &&/|| filter predicates
+#:      under K3 logic) — new keys must sit in-window to keep the
+#:      test_entry.py union-closure invariant green;
+#:   3) the r4-stale cohort (16 keys, last green five rounds ago —
+#:      at the staleness bound this round);
+#:   4) 30 of the 38-key r5 cohort. The r9 window's 49 greens all
+#:      rotate OUT (fresh evidence last round); the 8 deferred r5
+#:      keys (the TPC-H q2/q9/q11/q12/q16/q20/q21 composites — their
+#:      constituent operators are all freshly green elsewhere — and
+#:      q_view_expand) must rotate in next round (r11) to stay
+#:      within the 5-round staleness bound.
 _PRIORITY: tuple[str, ...] = (
-    # 1) r8 driver-reds, fixed in r9, no green row yet
-    "q_trino_sql_breadth2", "q_trino_sql_breadth3",
-    # 2) new in r9
-    "q_trino_sql_ties", "q_trino_sql_jsonpath", "q_trino_sql_mr_excl",
-    "q_trino_sql_xxhash64", "q_trino_sql_listagg_trunc",
-    "q_trino_sql_breadth4",
-    # 3) changed in r9
-    "q_trino_sql_listagg", "q_trino_sql_mr_running",
-    # 4a) r2-stale cohort (16)
-    "q_project", "q_count_star", "q_agg_rollup", "q_agg_stats",
-    "q_win_frame_range", "q_union_all", "q_subquery_corr",
-    "q_case_expr", "q_fn_string", "q_fn_date", "q_fn_cast",
-    "q_fn_array", "q_unnest", "q_udf_custom", "q_udtf_split",
-    "q_stream_watermark",
-    # 4b) r4-stale cohort (27)
-    "q_join_right", "q_agg_pivot", "q_agg_unpivot",
-    "q_agg_grouping_id", "q_win_ntile", "q_fn_regex", "q_fn_math",
-    "q_fn_map", "q_fn_struct", "q_tpch_q5", "q_tpch_q10", "q_tpch_q4",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
-    "q_profile_orders", "q_fn_bitwise", "q_agg_minmax_by",
+    # 1) r9 driver-red, fixed in r10, no green row yet
+    "q_trino_sql_listagg_trunc",
+    # 2) new in r10
+    "q_trino_sql_word_stem", "q_trino_sql_listagg_distinct",
+    "q_trino_sql_jsonpath_bool",
+    # 3) r4-stale cohort (16)
+    "q_agg_bool", "q_agg_listagg", "q_fn_decimal", "q_fn_try",
+    "q_fn_url", "q_llm_dedup_simhash", "q_llm_dedup_simhash_pairs",
+    "q_llm_fingerprint", "q_llm_frame_sample", "q_llm_knn_join",
+    "q_llm_langid", "q_llm_tokens", "q_sort_nulls",
+    "q_udf_current_db", "q_unnest_ordinality", "q_win_dist",
+    # 4) r5-stale cohort (30 of 38)
+    "q_agg_histogram", "q_asof_join", "q_events_funnel",
+    "q_events_gapfill", "q_events_outliers", "q_events_retention",
+    "q_events_sessionize", "q_fn_interval", "q_fn_json",
+    "q_join_range_banded", "q_llm_dedup_apply", "q_llm_dedup_ngram",
+    "q_llm_dup_clusters", "q_llm_entropy", "q_llm_media_features",
+    "q_llm_mix", "q_llm_pack", "q_llm_pii_scrub", "q_llm_pipeline",
+    "q_llm_repetition", "q_llm_text_stats", "q_llm_vocab",
+    "q_recursive_cte", "q_scan_nested", "q_sort_multi",
+    "q_stream_dedup", "q_stream_session", "q_stream_slide",
+    "q_stream_stream_join", "q_stream_tumble",
 )
 
 

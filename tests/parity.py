@@ -53,6 +53,29 @@ def assert_driver_canonicalizable(pdf: pd.DataFrame, name: str = "",
                 )
 
 
+def assert_driver_comparable_schema(schema, name: str = "") -> None:
+    """Fail if a Spark schema contains output columns the driver cannot
+    compare against a DuckDB oracle: Array/Map/Struct crash the pandas
+    hash-sort (r8 breadth3 ERR) and Binary hashes bytes != the oracle's
+    hex-VARCHAR digest even when byte-identical (r9 listagg_trunc red).
+    Allowed output kinds: str, int, float, bool, date/timestamp."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    complex_cols = [f.name for f in schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    if complex_cols:
+        raise AssertionError(
+            f"{name}: driver-uncanonicalizable output columns {complex_cols} "
+            "(array/map/struct) — serialize to VARCHAR on both sides")
+    binary_cols = [f.name for f in schema.fields
+                   if isinstance(f.dataType, BinaryType)]
+    if binary_cols:
+        raise AssertionError(
+            f"{name}: BinaryType output columns {binary_cols} — the driver "
+            "hashes bytes != the oracle's hex VARCHAR (r9 listagg_trunc "
+            "red); render digests to hex strings, e.g. lower(to_hex(...))")
+
+
 def _kind_group(dtype) -> str:
     k = getattr(dtype, "kind", "O")
     if k in "iu":
@@ -102,7 +125,10 @@ def _canon_value(v):
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()
     if isinstance(v, bytes):
-        return v.hex()
+        # driver-strict: the driver hashes raw bytes objects, so bytes on
+        # one side never equal a hex str on the other (the r9
+        # q_trino_sql_listagg_trunc red) — the b: tag keeps them distinct
+        return f"b:{v.hex()}"
     return str(v)
 
 

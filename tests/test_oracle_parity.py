@@ -8,10 +8,8 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark.sql.types import ArrayType, MapType, StructType
-
 from okera_trino_spark.registry import load_all_queries
-from tests.parity import check_query
+from tests.parity import assert_driver_comparable_schema, check_query
 
 SPECS = load_all_queries()
 
@@ -24,12 +22,7 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle):
     # canonicalizer hash-sorts rows, so a top-level array/map/struct
     # column crashes it (r8 q_trino_sql_breadth3 ERR). Every key must
     # emit only scalar columns — serialize nested results to strings.
-    complex_cols = [f.name for f in df.schema.fields
-                    if isinstance(f.dataType, (ArrayType, MapType, StructType))]
-    assert not complex_cols, (
-        f"{name}: driver-uncanonicalizable output columns {complex_cols} "
-        "(array/map/struct) — serialize to VARCHAR on both sides"
-    )
+    assert_driver_comparable_schema(df.schema, name=name)
     if spec.oracle is None:
         n = df.count()
         assert n >= 0

@@ -1330,6 +1330,25 @@ def test_literal_integer_division_truncates(spark, sf_dir, oracle):
     assert "'1995/01/02'" in out and "(8 div 4)" in out
 
 
+def test_mixed_division_chain_folds_literal_prefix(spark, sf_dir, oracle):
+    """r10 advice fix: 7/2/x used to stay entirely unrewritten, so
+    Spark computed 3.5/x where Trino computes (7/2)=3 then 3/x. The
+    all-literal leading prefix now folds (it is leftmost, so folding
+    is safe); a column-led chain keeps the documented divergence."""
+    trino = ("SELECT 7/2/(o_orderkey + 1) AS m, "
+             "100/7/3/(o_orderkey + 1) AS m2, "
+             "CAST(7/2/2.5 AS DOUBLE) AS md "
+             "FROM orders ORDER BY o_orderkey LIMIT 50")
+    duck = ("SELECT CAST(3 AS DOUBLE)/(o_orderkey + 1) AS m, "
+            "CAST(4 AS DOUBLE)/(o_orderkey + 1) AS m2, "
+            "CAST(3/2.5 AS DOUBLE) AS md "
+            "FROM orders ORDER BY o_orderkey LIMIT 50")
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name="mixed_div_chain")
+    out = rewrite_trino_sql("SELECT o_orderkey/7/2 AS a FROM orders")
+    assert "div" not in out   # column-led chain: left-context veto holds
+
+
 # ------------------------------------------------- TPC-H via dialect (r8)
 def test_full_tpch_suite_runs_as_trino_text(spark, sf_dir, oracle):
     """The completeness statement for a migrating user: the ENTIRE
@@ -1495,9 +1514,13 @@ def test_json_value_handler_clauses_refuse_by_name():
 
 
 def test_json_query_refusals():
+    # the bare && compound GRADUATED in r10 — parenthesized
+    # sub-predicates and item methods stay refused
     for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
                 "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
-                "SELECT json_query(p, 'lax $.a[*]?(@.b > 1 && @.c < 2)')"
+                "SELECT json_query(p, 'lax $.a[*]?((@.b > 1) && @.c < 2)')"
+                " FROM t",
+                "SELECT json_query(p, 'lax $.a[*]?(@.b.size() > 1)')"
                 " FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
         with pytest.raises(TrinoSqlUnsupported, match="json_query"):
@@ -1517,6 +1540,30 @@ def test_fetch_with_ties(spark, sf_dir, oracle):
             "FROM orders WHERE o_orderkey < 4000) t WHERE r <= 10")
     df = execute_trino(spark, trino, sf_dir)
     check_query(df, oracle, duck, name="fetch_ties")
+
+
+def test_fetch_with_ties_qualified_key(spark, sf_dir, oracle):
+    """r10 advice fix: a QUALIFIED sort key (o.o_orderkey) whose bare
+    column name collides with a select-list entry must not
+    alias-substitute into o.(expr) — dotted tokens are left alone."""
+    trino = ("SELECT o.o_orderkey, CAST(o.o_orderdate AS VARCHAR) AS od "
+             "FROM orders o WHERE o.o_orderkey < 4000 "
+             "ORDER BY o.o_orderkey FETCH FIRST 10 ROWS WITH TIES")
+    duck = ("SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od "
+            "FROM orders WHERE o_orderkey < 4000 "
+            "ORDER BY o_orderkey LIMIT 10")
+    df = execute_trino(spark, trino, sf_dir)
+    check_query(df, oracle, duck, name="fetch_ties_qualified")
+
+
+def test_fetch_with_ties_offset_named_error(spark, sf_dir):
+    """r10 advice fix: OFFSET between ORDER BY and FETCH (valid Trino)
+    would be swallowed into the window sort keys — refuse by name."""
+    with pytest.raises(TrinoSqlUnsupported, match="OFFSET"):
+        execute_trino(
+            spark,
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+            "OFFSET 5 ROWS FETCH FIRST 10 ROWS WITH TIES", sf_dir)
 
 
 def test_fetch_with_ties_desc_multikey(spark, sf_dir, oracle):
@@ -1766,16 +1813,79 @@ def test_trino_wave16(spark, sf_dir, oracle, name, trino, duck):
 
 
 def test_trino_wave16_named_errors(spark, sf_dir):
-    # xxhash64 GRADUATED in r9 (trino_xxhash64 pandas UDF) — no longer
-    # in this refusal list.
+    # xxhash64 GRADUATED in r9, word_stem (english) in r10 — no longer
+    # in this refusal list; non-english word_stem stays refused.
     for sql, pat in [
         ("SELECT murmur3(to_utf8('a')) AS x", "murmur3"),
-        ("SELECT word_stem('running') AS x", "word_stem"),
+        ("SELECT word_stem('laufen', 'de') AS x", "word_stem"),
         ("SELECT spooky_hash_v2_64(to_utf8('a')) AS x", "spooky"),
         ("SELECT parse_duration(text) AS x FROM documents", "parse_duration"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
+
+
+# Porter2 verification vector: the snowballstem.org spec's own example
+# pairs — every exceptional form, the post-1a invariants, and the per-step
+# examples (1a ties/gaps, 1b hopping/hoped, 1c cry/by/say) — plus
+# full-pipeline derivations spot-checked by hand against the spec
+# (agreed→agre and luxuriated→luxuri run PAST the step-1b intermediates
+# the spec text quotes, through step-5 e-deletion / step-4 ate-removal).
+_PORTER2_VECTOR = {
+    # exceptional forms (spec table)
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl", "sky": "sky",
+    "news": "news", "howe": "howe", "atlas": "atlas", "cosmos": "cosmos",
+    "bias": "bias", "andes": "andes",
+    # post-step-1a invariants
+    "inning": "inning", "outing": "outing", "canning": "canning",
+    "herring": "herring", "earring": "earring", "proceed": "proceed",
+    "exceed": "exceed", "succeed": "succeed", "proceeds": "proceed",
+    "exceeding": "exceed",
+    # step 1a spec examples
+    "ties": "tie", "cries": "cri", "gas": "gas", "this": "this",
+    "gaps": "gap", "kiwis": "kiwi", "caresses": "caress",
+    # step 1b (+ downstream steps)
+    "agreed": "agre", "feed": "feed", "luxuriated": "luxuri",
+    "hopping": "hop", "hoped": "hope", "hoping": "hope",
+    "controlling": "control",
+    # step 1c spec examples
+    "cry": "cri", "by": "by", "say": "say",
+    # step 2-5 composites
+    "consistency": "consist", "generate": "generat",
+    "generates": "generat", "generating": "generat", "running": "run",
+    "flies": "fli", "organization": "organ", "national": "nation",
+    "rational": "ration", "conditional": "condit",
+    "relational": "relat", "happiness": "happi", "happily": "happili",
+    "abilities": "abil", "ability": "abil", "cats": "cat",
+    "knives": "knive", "alumnus": "alumnus",
+}
+
+
+def test_porter2_vector():
+    from okera_trino_spark.functions.stemmer import porter2_stem
+    bad = {w: (porter2_stem(w), want)
+           for w, want in _PORTER2_VECTOR.items()
+           if porter2_stem(w) != want}
+    assert not bad, f"porter2 mismatches (got, want): {bad}"
+
+
+def test_word_stem_dialect(spark, sf_dir, oracle):
+    """word_stem (r10, formerly a named error): english/default forms
+    lower to the trino_word_stem pandas UDF; verified against a DuckDB
+    literal replay of the Porter2 vector."""
+    words = sorted(_PORTER2_VECTOR)
+    vals = ", ".join(f"('{w}')" for w in words)
+    df = execute_trino(
+        spark,
+        f"SELECT w, word_stem(w) AS s, word_stem(w, 'en') AS s_en "
+        f"FROM (VALUES {vals}) AS t(w)", sf_dir)
+    lits = ", ".join(f"('{w}', '{_PORTER2_VECTOR[w]}')" for w in words)
+    check_query(
+        df, oracle,
+        f"SELECT w, s, s AS s_en FROM (VALUES {lits}) AS t(w, s)",
+        name="word_stem")
 
 
 def test_regexp_position_start_occurrence(spark, sf_dir, oracle):
@@ -2277,7 +2387,8 @@ def test_rewrite_fuzz_execution_leg(spark, sf_dir):
     from hypothesis import strategies as st
     from pyspark.errors import ParseException
 
-    from tests.parity import assert_driver_canonicalizable
+    from tests.parity import (assert_driver_canonicalizable,
+                              assert_driver_comparable_schema)
 
     frags = [
         "split_part(n_name, '){0}', 2)",
@@ -2324,17 +2435,45 @@ def test_rewrite_fuzz_execution_leg(spark, sf_dir):
                                                "StructType"))
                    for f in df.schema.fields):
             assert_driver_canonicalizable(pdf, name="fuzz-exec")
+            # r10: output-dtype contract — scalar frames must also be
+            # free of BinaryType (bytes hash != the oracle's hex VARCHAR;
+            # the r9 listagg_trunc red). Catches a new dialect surface
+            # reintroducing raw-digest outputs at fuzz time.
+            assert_driver_comparable_schema(df.schema, name="fuzz-exec")
 
     spark.sql(f"CREATE OR REPLACE TEMP VIEW nation AS "
               f"SELECT * FROM parquet.`{sf_dir}/nation.parquet`")
     check()
 
 
-def test_listagg_distinct_named_error(spark, sf_dir):
+def test_listagg_distinct(spark, sf_dir, oracle):
+    """listagg(DISTINCT …) (r10, formerly a named error): dedupe before
+    the sorted fold; DESC keys and custom separators compose."""
+    df = execute_trino(
+        spark,
+        "SELECT o_orderstatus, "
+        "listagg(DISTINCT o_orderpriority, ',') "
+        "WITHIN GROUP (ORDER BY o_orderpriority) AS ps, "
+        "listagg(DISTINCT o_orderpriority, '|') "
+        "WITHIN GROUP (ORDER BY o_orderpriority DESC) AS ps_desc "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT o_orderstatus, "
+        "string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS ps, "
+        "string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority DESC) AS ps_desc "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        name="listagg_distinct")
+
+
+def test_listagg_distinct_key_mismatch_named_error(spark, sf_dir):
+    """Trino's own rule: DISTINCT aggregations may only ORDER BY
+    expressions in the arguments — a different key stays a named error."""
     with pytest.raises(TrinoSqlUnsupported, match="DISTINCT"):
         execute_trino(
             spark, "SELECT listagg(DISTINCT o_orderpriority, ',') "
-            "WITHIN GROUP (ORDER BY o_orderpriority) FROM orders", sf_dir)
+            "WITHIN GROUP (ORDER BY o_orderkey) FROM orders", sf_dir)
 
 
 def test_fetch_first_row_only_and_with_ties(spark, sf_dir, oracle):
