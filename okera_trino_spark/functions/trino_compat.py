@@ -216,21 +216,118 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def xxh64_batch(datas: list, seed: int = 0):
+    """numpy-vectorized XXH64 (r10): the same algorithm as
+    :func:`xxh64`, computed lane-parallel across a whole Arrow batch —
+    uint64 arrays with C wraparound replace per-value Python bigint
+    loops (~batch-size speedup on the stripe phase). Structure: a
+    zero-padded (N × maxlen+8) byte matrix plus per-row offsets; every
+    phase computes for ALL rows and masks with ``np.where``, so reads
+    at dead offsets land in the zero padding and stay in bounds.
+    Verified by bit-equality against the pure-Python reference across
+    random inputs and every stripe/tail boundary
+    (tests/test_trino_sql.py::test_xxh64_batch_matches_reference).
+    Returns a uint64 ndarray aligned with ``datas``."""
+    import numpy as np  # noqa: PLC0415 — lazy, executor-side
+
+    p1, p2, p3, p4, p5 = (np.uint64(_XXP1), np.uint64(_XXP2),
+                          np.uint64(_XXP3), np.uint64(_XXP4),
+                          np.uint64(_XXP5))
+    n = len(datas)
+    lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    width = ((maxlen + 8 + 7) // 8) * 8   # 8-aligned rows for u64 views
+    mat = np.zeros((n, width), dtype=np.uint8)
+    for i, d in enumerate(datas):
+        if d:
+            mat[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+    # every multi-byte read in the algorithm is ALIGNED: stripe lanes
+    # sit at 32s+8j, the 8-byte tail starts at nstripes*32 and steps by
+    # 8, the 4-byte read follows at a multiple of 4 — so the byte
+    # matrix reinterprets as little-endian word matrices and all
+    # gathers become column picks (no per-byte assembly).
+    words8 = mat.view("<u8")
+    words4 = mat.view("<u4")
+
+    def u64_col(widx):
+        w = np.take_along_axis(words8, widx[:, None], axis=1)[:, 0]
+        return w.astype(np.uint64, copy=False)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    def rnd(acc, lane):
+        return rotl(acc + lane * p2, 31) * p1
+
+    big = lens >= 32
+    nstripes = np.where(big, lens // 32, 0)
+    # accumulator seeds via Python ints — numpy SCALAR ops warn on
+    # wraparound (array ops wrap silently, which the phases rely on)
+    v1 = np.full(n, (seed + _XXP1 + _XXP2) & _M64, dtype=np.uint64)
+    v2 = np.full(n, (seed + _XXP2) & _M64, dtype=np.uint64)
+    v3 = np.full(n, seed & _M64, dtype=np.uint64)
+    v4 = np.full(n, (seed - _XXP1) & _M64, dtype=np.uint64)
+    for s in range(int(nstripes.max()) if n else 0):
+        mask = nstripes > s
+        w = words8[:, 4 * s: 4 * s + 4].astype(np.uint64, copy=False)
+        v1 = np.where(mask, rnd(v1, w[:, 0]), v1)
+        v2 = np.where(mask, rnd(v2, w[:, 1]), v2)
+        v3 = np.where(mask, rnd(v3, w[:, 2]), v3)
+        v4 = np.where(mask, rnd(v4, w[:, 3]), v4)
+    h_big = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+    zero = np.zeros(n, dtype=np.uint64)
+    for v in (v1, v2, v3, v4):
+        h_big = (h_big ^ rnd(zero, v)) * p1 + p4
+    h = np.where(big, h_big, np.uint64((seed + _XXP5) & _M64))
+    h = h + lens.astype(np.uint64)
+
+    off = (nstripes * 32).astype(np.int64)
+    for _ in range(3):   # < 32 bytes remain → at most 3 8-byte words
+        mask = off + 8 <= lens
+        h = np.where(mask,
+                     rotl(h ^ rnd(zero, u64_col(off // 8)), 27) * p1 + p4,
+                     h)
+        off = np.where(mask, off + 8, off)
+    mask = off + 4 <= lens
+    w4 = np.take_along_axis(words4, (off // 4)[:, None],
+                            axis=1)[:, 0].astype(np.uint64)
+    h = np.where(mask, rotl(h ^ (w4 * p1), 23) * p2 + p3, h)
+    off = np.where(mask, off + 4, off)
+    for _ in range(3):   # < 4 bytes remain → at most 3 single bytes
+        mask = off < lens
+        b = np.take_along_axis(mat, off[:, None], axis=1)[:, 0]
+        b = b.astype(np.uint64)
+        h = np.where(mask, rotl(h ^ (b * p5), 11) * p1, h)
+        off = np.where(mask, off + 1, off)
+
+    h ^= h >> np.uint64(33)
+    h *= p2
+    h ^= h >> np.uint64(29)
+    h *= p3
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def register_xxhash64(spark: SparkSession) -> None:
     """Register ``trino_xxhash64(b)`` — Trino's ``xxhash64(varbinary)
     → varbinary`` (VarbinaryFunctions.java in trino-main): seed-0
     XXH64 of the raw bytes, the 64-bit result written as Slice bytes
     (little-endian — airlift Slice.setLong). Spark's builtin xxhash64
     can't express it: it seeds with 42 and returns BIGINT. Arrow-
-    batched pandas UDF — dialect-parity path, not a hot loop (use
-    Spark's native xxhash64 for internal fingerprints)."""
+    batched pandas UDF over the numpy-vectorized :func:`xxh64_batch`
+    (r10 — the r9 version computed a pure-Python bigint loop per
+    value; lane arithmetic over uint64 arrays makes the dialect
+    surface usable on real scans, while :func:`xxh64` stays as the
+    bit-verified test reference)."""
     import pandas as pd  # noqa: PLC0415 — lazy, session-scoped
 
     def _xxh(b):
+        vals = [bytes(v) if v is not None else None for v in b]
+        hashed = xxh64_batch([v if v is not None else b"" for v in vals])
+        blob = hashed.astype("<u8").tobytes()
         return pd.Series(
-            [None if v is None
-             else xxh64(bytes(v)).to_bytes(8, "little")
-             for v in b], dtype=object)
+            [None if v is None else blob[8 * i: 8 * i + 8]
+             for i, v in enumerate(vals)], dtype=object)
 
     _xxh.__annotations__ = {"b": pd.Series, "return": pd.Series}
     spark.udf.register("trino_xxhash64", F.pandas_udf(_xxh, "binary"))

@@ -208,9 +208,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     ARRAY<VARIANT>; WITHOUT / WITH [UNCONDITIONAL] / WITH CONDITIONAL
     ARRAY WRAPPER all exact; FETCH FIRST n ROWS WITH TIES → rank()
   - wave 22 (r10): compound ?(...) filter predicates (&&/|| of typed
-    comparisons under K3 logic); listagg(DISTINCT …) via
-    array_distinct before the sorted fold; word_stem → Porter2 UDF;
-    mixed literal-prefix division chains fold ((7 div 2)/x)
+    comparisons under K3 logic) + the filter .size() item method;
+    listagg(DISTINCT …) via array_distinct before the sorted fold;
+    word_stem → Porter2 UDF; non-literal parse_duration via codegen
+    regexp; mixed literal-prefix division chains fold ((7 div 2)/x)
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, JSON paths with methods/multiple wildcards/parenthesized
@@ -1270,9 +1271,28 @@ def _split_json_filter(body: str, sep: str) -> list[str]:
 
 
 _JSONPATH_FILTER_ATOM_RE = re.compile(
-    r"@(?P<chain>(?:\.\w+|\[\d+\])*)\s*"
+    r"@(?P<chain>(?:\.\w+|\[\d+\])*)(?P<size>\.size\(\))?\s*"
     r"(?P<op>==|!=|<>|<=|>=|<|>)\s*"
     r"(?P<lit>-?\d+(?:\.\d+)?|\"[^\"]*\")")
+
+
+def _jsonpath_size_pred(fpath: str, op: str, lit_sql: str,
+                        is_str: bool) -> str:
+    """Predicate body for a ``?(@.chain.size() <op> literal)`` atom
+    (r10): SQL/JSON ``size()`` is the element count of an array item
+    and 1 for any other item (lax). A string literal can never equal a
+    number under SQL/JSON typed comparison, so that form is statically
+    UNKNOWN; a missing member (or JSON null, same convention as the
+    comparison atoms) leaves NULL → the element drops."""
+    if is_str:
+        return "CAST(NULL AS BOOLEAN)"
+    body = ("CASE WHEN _jv IS NULL THEN NULL "
+            "WHEN schema_of_variant(_jv) LIKE 'ARRAY%' "
+            "THEN size(try_cast(_jv AS ARRAY<VARIANT>)) "
+            f"ELSE 1 END {op} {lit_sql}")
+    return (f"element_at(transform(array("
+            f"try_variant_get(_jf, {fpath}, 'variant')), "
+            f"_jv -> {body}), 1)")
 
 
 def _jsonpath_filter_body(body: str, requote) -> str | None:
@@ -1287,7 +1307,8 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
     sub-predicates and methods return None → the caller's named error.
     ``&&`` binds tighter than ``||`` (the SQL/JSON path grammar), which
     the two-level split encodes."""
-    if "(" in re.sub(r'"[^"]*"', "", body):
+    if "(" in re.sub(r"\.size\(\)", "",
+                     re.sub(r'"[^"]*"', "", body)):
         return None
     ors = []
     for term in _split_json_filter(body, "||"):
@@ -1301,7 +1322,9 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
             flit = am.group("lit")
             is_str = flit.startswith('"')
             lit_sql = requote(flit[1:-1]) if is_str else flit
-            ands.append(_jsonpath_filter_pred(
+            pred_fn = (_jsonpath_size_pred if am.group("size")
+                       else _jsonpath_filter_pred)
+            ands.append(pred_fn(
                 requote("$" + am.group("chain")), op, lit_sql, is_str))
         ors.append("(" + " AND ".join(f"({p})" for p in ands) + ")")
     return " OR ".join(ors)
@@ -2144,7 +2167,7 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                       flags=re.IGNORECASE)
         wc = re.fullmatch(
             r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*"
-            r"(?:\?\s*\(\s*(?P<fbody>(?:\"[^\"]*\"|[^()\"])*?)\s*\)\s*)?"
+            r"(?:\?\s*\(\s*(?P<fbody>(?:\"[^\"]*\"|\(\)|[^()\"])*?)\s*\)\s*)?"
             r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
         if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
             item = (f"to_json(variant_get(try_parse_json({a[0]}), "
@@ -2202,11 +2225,12 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             return (f"element_at(transform(array({matches}), "
                     f"_m -> {agg}), 1)")
         raise TrinoSqlUnsupported(
-            "json_query path with methods, multiple wildcards, or a "
-            "filter beyond '?(@.chain <op> literal)' comparisons "
-            "joined with &&/|| — member/subscript chains with at most "
-            "one [*] and one (possibly compound) comparison filter "
-            "are the supported surface")
+            "json_query path with terminal/item methods (other than "
+            "filter .size()), multiple wildcards, or a filter beyond "
+            "'?(@.chain[.size()] <op> literal)' comparisons joined "
+            "with &&/|| — member/subscript chains with at most one "
+            "[*] and one (possibly compound) comparison filter are "
+            "the supported surface")
 
     code = _rewrite_calls(code, "json_query", _json_query_fn)
 
@@ -2352,18 +2376,41 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         if len(a) != 1:
             return None
         lit = _lit(a[0])
-        if lit is None:
-            raise TrinoSqlUnsupported(
-                "parse_duration: non-literal duration string")
-        m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)\s*",
-                         lit)
-        if not m:
-            raise TrinoSqlUnsupported(
-                f"parse_duration: unparsable duration {lit!r}")
-        mult = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
-                "m": 60.0, "h": 3600.0, "d": 86400.0}[m.group(2)]
-        secs = round(float(m.group(1)) * mult, 6)
-        return f"make_dt_interval(0, 0, 0, CAST({secs} AS DECIMAL(18, 6)))"
+        if lit is not None:
+            m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)\s*",
+                             lit)
+            if not m:
+                raise TrinoSqlUnsupported(
+                    f"parse_duration: unparsable duration {lit!r}")
+            mult = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+                    "m": 60.0, "h": 3600.0, "d": 86400.0}[m.group(2)]
+            secs = round(float(m.group(1)) * mult, 6)
+            return (f"make_dt_interval(0, 0, 0, "
+                    f"CAST({secs} AS DECIMAL(18, 6)))")
+        # Column path (r10, formerly refused): the same airlift
+        # Duration grammar evaluated in codegen — regexp_extract the
+        # magnitude and unit, CASE the unit to its seconds factor
+        # (identical table to the literal fold above), NULL in → NULL
+        # out, a non-null non-conforming string errors like Trino.
+        pat = requote(r"^\s*(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)\s*$")
+        units = (("ns", "1.0e-9"), ("us", "1.0e-6"), ("ms", "1.0e-3"),
+                 ("s", "1.0"), ("m", "60.0"), ("h", "3600.0"),
+                 ("d", "86400.0"))
+        mult = ("CASE _pd.u " + " ".join(
+            f"WHEN {requote(u)} THEN {f}" for u, f in units) + " END")
+        err = requote("parse_duration: unparsable duration: ")
+        src = f"CAST(({a[0]}) AS STRING)"
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'d', {src}, "
+            f"'n', try_cast(regexp_extract({src}, {pat}, 1) AS DOUBLE), "
+            f"'u', regexp_extract({src}, {pat}, 2))), _pd -> "
+            f"CASE WHEN _pd.d IS NULL THEN NULL "
+            f"WHEN _pd.n IS NULL OR _pd.u = {requote('')} THEN "
+            f"make_dt_interval(0, 0, 0, CAST(raise_error(concat({err}, "
+            f"_pd.d)) AS DECIMAL(18, 6))) "
+            f"ELSE make_dt_interval(0, 0, 0, "
+            f"CAST(round(_pd.n * {mult}, 6) AS DECIMAL(18, 6))) END), 1)")
 
     code = _rewrite_calls(code, "parse_duration", _parse_duration_fn)
 

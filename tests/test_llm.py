@@ -172,6 +172,26 @@ def test_connected_components_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_iteration_cap_fails_loudly(spark):
+    """r10 (verdict): a pathological fixture (a long chain needs
+    diameter-many rounds) must raise at the max_iter cap instead of
+    silently reporting half-merged clusters."""
+    import pytest as _pytest
+
+    from okera_trino_spark.llm.clusters import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iter=2).collect()
+    # and with enough rounds the same chain converges to one component
+    got = {r.cluster_id
+           for r in connected_components(nodes, chain, max_iter=n).collect()}
+    assert got == {0}
+
+
 def test_dup_clusters_consistent_with_pair_graph(spark, sf_dir):
     """Every near-dup pair's endpoints must land in the same cluster,
     and every reported cluster must be > 1 doc (singletons filtered)."""

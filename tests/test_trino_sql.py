@@ -1487,6 +1487,31 @@ def test_xxh64_bit_exact_vs_spark_builtin(spark):
         assert mine == row.h, f"len={len(t)}"
 
 
+def test_xxh64_batch_matches_reference():
+    """The numpy-vectorized xxh64_batch (r10 — the UDF's execution
+    path) is bit-equal to the pure-Python reference across every
+    stripe/tail boundary length, random inputs, and both seeds; the
+    reference itself is proven against Spark's builtin above."""
+    import random
+
+    from okera_trino_spark.functions.trino_compat import (xxh64,
+                                                          xxh64_batch)
+
+    rng = random.Random(7)
+    cases = [b"", b"a", b"abc"]
+    cases += [bytes(rng.randrange(256) for _ in range(length))
+              for length in (3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33,
+                             39, 40, 63, 64, 65, 95, 96, 100, 127, 128,
+                             200, 1000)]
+    cases += [bytes(rng.randrange(256) for _ in range(rng.randrange(300)))
+              for _ in range(100)]
+    for seed in (0, 42):
+        got = xxh64_batch(cases, seed=seed)
+        for i, c in enumerate(cases):
+            assert int(got[i]) == xxh64(c, seed=seed), (
+                f"len={len(c)} seed={seed}")
+
+
 def test_xxhash64_dialect_varbinary(spark, sf_dir):
     """Trino xxhash64(varbinary) → varbinary: seed-0 hash written as
     little-endian Slice bytes (VarbinaryFunctions.java)."""
@@ -1513,15 +1538,40 @@ def test_json_value_handler_clauses_refuse_by_name():
             "SELECT json_value(p, 'lax $.k' DEFAULT 'x' ON EMPTY) FROM t")
 
 
+def test_json_query_filter_size_method(spark, sf_dir, oracle):
+    """?(@.chain.size() <op> n) (r10): SQL/JSON size() — array element
+    count, 1 for any other item (lax); missing member drops (UNKNOWN);
+    composes with comparison atoms under &&."""
+    doc = ('{"k":[{"t":[1,2,3],"v":1},{"t":[9],"v":2},'
+           '{"t":5,"v":3},{"v":4}]}')
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'lax $.k[*] ?(@.t.size() > 1) .v' "
+        "WITH ARRAY WRAPPER) AS big, "
+        f"json_query('{doc}', 'lax $.k[*] ?(@.t.size() == 1) .v' "
+        "WITH ARRAY WRAPPER) AS one, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(@.t.size() >= 1 && @.v < 3) .v' "
+        "WITH ARRAY WRAPPER) AS both_cl", sf_dir)
+    # element 1: t array size 3; element 2: size 1; element 3: scalar
+    # → size 1; element 4: missing t → UNKNOWN, drops everywhere
+    check_query(
+        df, oracle,
+        "SELECT '[1]' AS big, '[2,3]' AS one, '[1,2]' AS both_cl",
+        name="jsonpath_size")
+
+
 def test_json_query_refusals():
-    # the bare && compound GRADUATED in r10 — parenthesized
-    # sub-predicates and item methods stay refused
+    # bare && compounds and the filter .size() method GRADUATED in
+    # r10 — parenthesized sub-predicates, other methods, and terminal
+    # methods stay refused
     for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
                 "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?((@.b > 1) && @.c < 2)')"
                 " FROM t",
-                "SELECT json_query(p, 'lax $.a[*]?(@.b.size() > 1)')"
+                "SELECT json_query(p, 'lax $.a[*]?(@.b.type() == \"n\")')"
                 " FROM t",
+                "SELECT json_query(p, 'lax $.a.size()') FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
         with pytest.raises(TrinoSqlUnsupported, match="json_query"):
             rewrite_trino_sql(bad)
@@ -1819,10 +1869,30 @@ def test_trino_wave16_named_errors(spark, sf_dir):
         ("SELECT murmur3(to_utf8('a')) AS x", "murmur3"),
         ("SELECT word_stem('laufen', 'de') AS x", "word_stem"),
         ("SELECT spooky_hash_v2_64(to_utf8('a')) AS x", "spooky"),
-        ("SELECT parse_duration(text) AS x FROM documents", "parse_duration"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
+
+
+def test_parse_duration_column(spark, sf_dir, oracle):
+    """Non-literal parse_duration (r10, formerly refused): the airlift
+    Duration grammar replayed in codegen — magnitude * unit factor,
+    NULL in → NULL out, non-conforming → error like Trino."""
+    df = execute_trino(
+        spark,
+        "SELECT d, to_milliseconds(parse_duration(d)) AS ms "
+        "FROM (VALUES ('1234 ms'), ('5.5m'), ('1.5h'), ('2d'), "
+        "('42 s'), (NULL)) AS t(d)", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT d, ms FROM (VALUES ('1234 ms', 1234), ('5.5m', 330000), "
+        "('1.5h', 5400000), ('2d', 172800000), ('42 s', 42000), "
+        "(NULL, NULL)) AS t(d, ms)",
+        name="parse_duration_column")
+    with pytest.raises(Exception, match="unparsable duration"):
+        execute_trino(
+            spark, "SELECT parse_duration(d) AS x "
+            "FROM (VALUES ('bogus')) AS t(d)", sf_dir).collect()
 
 
 # Porter2 verification vector: the snowballstem.org spec's own example
@@ -2399,10 +2469,17 @@ def test_rewrite_fuzz_execution_leg(spark, sf_dir):
         "TRY(n_nationkey + 1e-{1})",
         "{1} / {2}",
         "n_nationkey * {1}/{2}",
+        "{1}/{2}/(n_nationkey + 1)",
         "entropy(-n_nationkey)",
         "chr(n_nationkey + 65)",
         "split(n_name, '{0}')",
         "concat(n_name, '{0}')",
+        "word_stem(lower(n_name))",
+        "to_milliseconds(parse_duration(CAST(n_nationkey AS VARCHAR) || 'ms'))",
+        "json_query('{{\"k\":[{{\"v\":{1}}}]}}', "
+        "'lax $.k[*] ?(@.v > {1} && @.v < {2} || @.v == 0) .v' "
+        "WITH ARRAY WRAPPER)",
+        "listagg(DISTINCT n_name, ',') WITHIN GROUP (ORDER BY n_name)",
     ]
 
     @settings(max_examples=40, deadline=None)
