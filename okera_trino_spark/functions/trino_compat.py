@@ -308,6 +308,45 @@ def xxh64_batch(datas: list, seed: int = 0):
     return h
 
 
+def register_base32(spark: SparkSession) -> None:
+    """Register ``trino_to_base32(varbinary) → varchar`` and
+    ``trino_from_base32(varchar) → varbinary`` — Trino's base32 pair
+    (VarbinaryFunctions.java wraps Guava ``BaseEncoding.base32()``:
+    RFC 4648 §6 uppercase alphabet WITH '=' padding). Python's
+    ``base64.b32encode/b32decode`` implement the identical RFC;
+    bit-verified against the RFC's own published test vectors in
+    tests/test_trino_sql.py::test_base32_rfc4648_vectors. Decode is
+    strict like Trino: lowercase or non-alphabet input raises."""
+    import base64    # noqa: PLC0415 — lazy, session-scoped
+    import binascii  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def _enc(b):
+        return pd.Series(
+            [None if v is None
+             else base64.b32encode(bytes(v)).decode("ascii")
+             for v in b], dtype=object)
+
+    def _dec(s):
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(base64.b32decode(str(v), casefold=False))
+            except (binascii.Error, ValueError) as ex:
+                raise ValueError(
+                    f"from_base32: invalid base32 input {v!r}") from ex
+        return pd.Series(out, dtype=object)
+
+    _enc.__annotations__ = {"b": pd.Series, "return": pd.Series}
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register("trino_to_base32", F.pandas_udf(_enc, "string"))
+    spark.udf.register("trino_from_base32", F.pandas_udf(_dec, "binary"))
+
+
 def register_xxhash64(spark: SparkSession) -> None:
     """Register ``trino_xxhash64(b)`` — Trino's ``xxhash64(varbinary)
     → varbinary`` (VarbinaryFunctions.java in trino-main): seed-0

@@ -208,10 +208,11 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     ARRAY<VARIANT>; WITHOUT / WITH [UNCONDITIONAL] / WITH CONDITIONAL
     ARRAY WRAPPER all exact; FETCH FIRST n ROWS WITH TIES → rank()
   - wave 22 (r10): compound ?(...) filter predicates (&&/|| of typed
-    comparisons under K3 logic) + the filter .size() item method;
-    listagg(DISTINCT …) via array_distinct before the sorted fold;
-    word_stem → Porter2 UDF; non-literal parse_duration via codegen
-    regexp; mixed literal-prefix division chains fold ((7 div 2)/x)
+    comparisons under K3 logic) + the .size() item method (filter and
+    terminal forms); listagg(DISTINCT …) via array_distinct before
+    the sorted fold; word_stem → Porter2 UDF; non-literal
+    parse_duration via codegen regexp; mixed literal-prefix division
+    chains fold ((7 div 2)/x)
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, JSON paths with methods/multiple wildcards/parenthesized
@@ -1630,6 +1631,46 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         return f"str_to_map({', '.join(outs)})"
 
     code = _rewrite_calls(code, "split_to_map", _split_to_map_fn)
+
+    # split_to_multimap(s, entryDelim, kvDelim) (r10, was a silent
+    # unresolved-routine): map<string, array<string>> — values keep
+    # entry order, keys first-appearance order; an entry without
+    # exactly one kvDelim errors like Trino. Pure HOF codegen: split
+    # to (k, v) structs (the same literal-delimiter escaping as
+    # split_to_map), then group by distinct keys with an ordered
+    # filter per key — O(keys × entries) per row, fine for the short
+    # header/qs strings the function exists for.
+    def _split_to_multimap_fn(a):
+        if len(a) != 3:
+            return None
+        outs = []
+        for arg in a[1:]:
+            lit = _lit(arg)
+            if lit is not None:
+                esc = _REGEX_META.sub(lambda m: "\\" + m.group(0), lit)
+                outs.append(requote(esc))
+            else:
+                outs.append(_regex_quote(f"({arg})"))
+        ed, kd = outs
+        err = requote("split_to_multimap: entry does not have exactly "
+                      "one key-value delimiter")
+        pairs = (
+            f"transform(split({a[0]}, {ed}), _me -> "
+            f"element_at(transform(array(split(_me, {kd})), _ps -> "
+            f"CASE WHEN size(_ps) = 2 THEN "
+            f"named_struct('k', element_at(_ps, 1), "
+            f"'v', element_at(_ps, 2)) "
+            f"ELSE named_struct('k', CAST(raise_error({err}) AS STRING), "
+            f"'v', '') END), 1))")
+        return (
+            f"element_at(transform(array({pairs}), _mp -> "
+            f"element_at(transform(array(array_distinct("
+            f"transform(_mp, _pe -> _pe.k))), _mk -> "
+            f"map_from_arrays(_mk, transform(_mk, _kk -> "
+            f"transform(filter(_mp, _pe -> _pe.k <=> _kk), "
+            f"_pe -> _pe.v)))), 1)), 1)")
+
+    code = _rewrite_calls(code, "split_to_multimap", _split_to_multimap_fn)
     # from_iso8601_timestamp/date: Spark's string→timestamp/date cast
     # accepts ISO-8601 ('T' separator, optional offset) and resolves
     # offsets to the session-zone instant — the same instant Trino
@@ -2165,13 +2206,30 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                    else "cond" if wm.group("cond") else "with")
         path = re.sub(r"^(?:lax|strict)\s+", "", lit.strip(),
                       flags=re.IGNORECASE)
+        # terminal .size() item method (r10): strip it and render the
+        # item as the SQL/JSON size — array element count, 1 for any
+        # other item (lax); missing member stays NULL (→ ON EMPTY).
+        sm = re.fullmatch(r"(?P<base>.*?)\s*\.size\(\)\s*", path,
+                          re.DOTALL)
+        size_of = None
+        if sm:
+            path = sm.group("base")
+
+            def size_of(vexpr):   # noqa: E731-like rebind — closure
+                return (f"element_at(transform(array({vexpr}), _jq -> "
+                        f"CASE WHEN _jq IS NULL THEN NULL "
+                        f"WHEN schema_of_variant(_jq) LIKE 'ARRAY%' "
+                        f"THEN CAST(size(try_cast(_jq AS ARRAY<VARIANT>))"
+                        f" AS STRING) "
+                        f"ELSE '1' END), 1)")
         wc = re.fullmatch(
             r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*"
             r"(?:\?\s*\(\s*(?P<fbody>(?:\"[^\"]*\"|\(\)|[^()\"])*?)\s*\)\s*)?"
             r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
         if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
-            item = (f"to_json(variant_get(try_parse_json({a[0]}), "
-                    f"{requote(path)}, 'variant'))")
+            vexpr = (f"variant_get(try_parse_json({a[0]}), "
+                     f"{requote(path)}, 'variant')")
+            item = size_of(vexpr) if size_of else f"to_json({vexpr})"
             if wrapper == "without":
                 return item
             tail_case = (
@@ -2205,10 +2263,11 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                         "supported — parenthesized sub-predicates and "
                         "item methods keep a named error")
                 src = f"filter({src}, _jf -> {pred})"
-            matches = (
-                f"filter(transform({src}, _je -> to_json("
-                f"variant_get(_je, {requote('$' + wc.group('tail'))}, "
-                f"'variant'))), _jm -> _jm IS NOT NULL)")
+            tail_v = (f"variant_get(_je, "
+                      f"{requote('$' + wc.group('tail'))}, 'variant')")
+            elem = size_of(tail_v) if size_of else f"to_json({tail_v})"
+            matches = (f"filter(transform({src}, _je -> {elem}), "
+                       f"_jm -> _jm IS NOT NULL)")
             if wrapper == "with":
                 agg = ("CASE WHEN _m IS NULL OR size(_m) = 0 THEN NULL "
                        "ELSE concat('[', array_join(_m, ','), ']') END")
@@ -2684,6 +2743,16 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(
         code, "xxhash64",
         lambda a: f"trino_xxhash64({a[0]})" if len(a) == 1 else None)
+    # to_base32 / from_base32 (r10, formerly a bare unresolved-routine
+    # failure): Spark has no base32 builtin (base64 only), so both
+    # lower to session pandas UDFs verified against RFC 4648's own
+    # test vectors (trino_compat.register_base32).
+    code = _rewrite_calls(
+        code, "to_base32",
+        lambda a: f"trino_to_base32({a[0]})" if len(a) == 1 else None)
+    code = _rewrite_calls(
+        code, "from_base32",
+        lambda a: f"trino_from_base32({a[0]})" if len(a) == 1 else None)
     code = _rewrite_calls(
         code, "murmur3",
         _named_unsupported(
@@ -4116,6 +4185,9 @@ def ensure_dialect_udfs(spark: SparkSession, sql: str) -> None:
     if re.search(r"\b(trino_)?word_stem\s*\(", sql, re.IGNORECASE):
         from okera_trino_spark.functions.stemmer import register_word_stem
         register_word_stem(spark)
+    if re.search(r"\b(trino_)?(to|from)_base32\s*\(", sql, re.IGNORECASE):
+        from okera_trino_spark.functions.trino_compat import register_base32
+        register_base32(spark)
 
 
 def execute_trino(spark: SparkSession, sql: str,
@@ -5837,3 +5909,60 @@ def q_trino_sql_jsonpath_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     source columns (e3 statically excluded — its predicates are all
     UNKNOWN). Pure VARIANT HOF codegen, no Python, no shuffle."""
     return execute_trino(spark, TRINO_SQL_JSONPATH_BOOL, sf_dir)
+
+
+def _breadth5_oracle() -> str:
+    """Oracle for q_trino_sql_breadth5: o_orderpriority is a FIXED
+    5-value vocabulary at every SF, so the base32 encodings are
+    embedded as a literal CASE. The literals are generated by the same
+    stdlib b32encode the UDF uses — deliberately: this key proves the
+    SESSION PLUMBING (UDF registration, VARBINARY round-trip, multimap
+    JSON shape), while the ALGORITHM's proof is the RFC 4648 published
+    test-vector test (tests/test_trino_sql.py::
+    test_base32_rfc4648_vectors)."""
+    import base64
+    pris = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    case = " ".join(
+        f"WHEN '{p}' THEN '{base64.b32encode(p.encode()).decode()}'"
+        for p in pris)
+    return f"""
+    SELECT o_orderkey,
+           CASE o_orderpriority {case} END AS pri_b32,
+           o_orderstatus AS st_rt,
+           '{{"k":["' || o_orderstatus || '","' || o_orderpriority ||
+           '"],"p":["' || CAST(o_orderkey % 5 AS VARCHAR) || '"]}}' AS mm
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """
+
+
+TRINO_SQL_BREADTH5 = """
+SELECT o_orderkey,
+       to_base32(to_utf8(o_orderpriority)) AS pri_b32,
+       CAST(from_base32(to_base32(to_utf8(o_orderstatus))) AS VARCHAR)
+           AS st_rt,
+       CAST(CAST(split_to_multimap(
+           'k=' || o_orderstatus || ',k=' || o_orderpriority ||
+           ',p=' || CAST(o_orderkey % 5 AS VARCHAR), ',', '=')
+           AS JSON) AS VARCHAR) AS mm
+FROM orders WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_trino_sql_breadth5",
+    oracle=_breadth5_oracle(),
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_breadth5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect wave 23 (r10) — formerly bare unresolved-routine
+    failures, one column each: ``to_base32``/``from_base32`` (RFC 4648
+    §6 with padding, session pandas UDFs bit-verified against the
+    RFC's own vectors; the VARBINARY round-trip proves decode) and
+    ``split_to_multimap`` (map<string, array<string>> — values in
+    entry order, keys first-appearance order, malformed entries error
+    like Trino; pure HOF codegen serialized through the proven
+    CAST(.. AS JSON) path so the driver sees scalar JSON text).
+    Scale: map-only row work, no shuffle beyond the ORDER BY."""
+    return execute_trino(spark, TRINO_SQL_BREADTH5, sf_dir)

@@ -1184,7 +1184,18 @@ def _apply_merge(seq: Column, left: str, right: str) -> Column:
     left-to-right fold ``bpe_learn`` re-tokenizes with: append each
     symbol, or fuse it into the previous one when (prev, x) equals the
     merge pair. Shared by learning and application so the two can never
-    diverge."""
+    diverge.
+
+    Negative result (measured r10, do not retry): guarding the fold
+    with a substring test (``word.contains(left+right)`` let-bound
+    through a singleton transform, passthrough otherwise) was ~1.4×
+    SLOWER end-to-end at the fixture's 10 merges — the early merges
+    are the corpus's TOP-frequency pairs, so the guard skipped little
+    while adding a word column through every round's projection and a
+    branch around the fold. A guard would only pay at production
+    merge-list lengths (30k+, where almost every merge is
+    vocabulary-rare) — if that path is ever needed, apply merges in
+    BATCHES with one combined contains() per batch instead."""
     joined = left + right
     return F.aggregate(
         seq, F.expr("CAST(array() AS array<string>)"),

@@ -1561,9 +1561,30 @@ def test_json_query_filter_size_method(spark, sf_dir, oracle):
         name="jsonpath_size")
 
 
+def test_json_query_terminal_size_method(spark, sf_dir, oracle):
+    """Terminal .size() (r10): array element count as a JSON number
+    item; 1 for scalars (lax); missing member → NULL ON EMPTY;
+    composes with [*] tails and ?(...) filters."""
+    doc = '{"k":[{"t":[1,2,3]},{"t":[9]},{"t":5},{}],"s":"ab"}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'lax $.k.size()') AS ksz, "
+        f"json_query('{doc}', 'lax $.s.size()') AS ssz, "
+        f"json_query('{doc}', 'lax $.missing.size()') AS msz, "
+        f"json_query('{doc}', 'lax $.k[*].t.size()' WITH ARRAY WRAPPER)"
+        " AS tsz, "
+        f"json_query('{doc}', 'lax $.k[*] ?(@.t.size() > 1) .t.size()' "
+        "WITH ARRAY WRAPPER) AS fsz", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '4' AS ksz, '1' AS ssz, CAST(NULL AS VARCHAR) AS msz, "
+        "'[3,1,1]' AS tsz, '[3]' AS fsz",
+        name="jsonpath_terminal_size")
+
+
 def test_json_query_refusals():
-    # bare && compounds and the filter .size() method GRADUATED in
-    # r10 — parenthesized sub-predicates, other methods, and terminal
+    # bare && compounds and the .size() method (filter + terminal)
+    # GRADUATED in r10 — parenthesized sub-predicates and other item
     # methods stay refused
     for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
                 "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
@@ -1571,7 +1592,7 @@ def test_json_query_refusals():
                 " FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?(@.b.type() == \"n\")')"
                 " FROM t",
-                "SELECT json_query(p, 'lax $.a.size()') FROM t",
+                "SELECT json_query(p, 'lax $.a.type()') FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
         with pytest.raises(TrinoSqlUnsupported, match="json_query"):
             rewrite_trino_sql(bad)
@@ -1939,6 +1960,66 @@ def test_porter2_vector():
            for w, want in _PORTER2_VECTOR.items()
            if porter2_stem(w) != want}
     assert not bad, f"porter2 mismatches (got, want): {bad}"
+
+
+def test_base32_rfc4648_vectors(spark, sf_dir, oracle):
+    """RFC 4648 §10's published base32 test vectors, both directions —
+    the ALGORITHM half of the to_base32/from_base32 proof (the driver
+    key proves plumbing with fixture data)."""
+    vectors = {"": "", "f": "MY======", "fo": "MZXQ====",
+               "foo": "MZXW6===", "foob": "MZXW6YQ=",
+               "fooba": "MZXW6YTB", "foobar": "MZXW6YTBOI======"}
+    cols = ", ".join(
+        f"to_base32(to_utf8('{raw}')) AS e{i}, "
+        f"CAST(from_base32('{enc}') AS VARCHAR) AS d{i}"
+        for i, (raw, enc) in enumerate(vectors.items()))
+    row = execute_trino(spark, f"SELECT {cols}", sf_dir).collect()[0]
+    for i, (raw, enc) in enumerate(vectors.items()):
+        assert row[f"e{i}"] == enc, f"encode {raw!r}"
+        assert row[f"d{i}"] == raw, f"decode {enc!r}"
+    with pytest.raises(Exception, match="base32"):
+        execute_trino(spark, "SELECT from_base32(s) AS x "
+                      "FROM (VALUES ('mzxq====')) AS t(s)",
+                      sf_dir).collect()
+
+
+def test_split_to_multimap(spark, sf_dir, oracle):
+    """split_to_multimap (r10): duplicate keys accumulate values in
+    entry order, keys keep first-appearance order; malformed entries
+    raise like Trino."""
+    df = execute_trino(
+        spark,
+        "SELECT CAST(CAST(split_to_multimap('a=1,b=2,a=3', ',', '=') "
+        "AS JSON) AS VARCHAR) AS mm", sf_dir)
+    assert df.collect()[0].mm == '{"a":["1","3"],"b":["2"]}'
+    with pytest.raises(Exception, match="split_to_multimap"):
+        execute_trino(
+            spark, "SELECT split_to_multimap('a=1,b', ',', '=') AS x",
+            sf_dir).collect()
+
+
+def test_porter2_total_function():
+    """porter2_stem is total: never crashes, never empties a word, and
+    never grows it by more than the one 'e' step 1b can append — over
+    lowercase alpha words, apostrophe forms, and arbitrary unicode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from okera_trino_spark.functions.stemmer import porter2_stem
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz'", max_size=30),
+        st.text(max_size=20)))
+    def check(word):
+        out = porter2_stem(word)
+        assert isinstance(out, str)
+        if len(word) > 2:
+            assert len(out) <= len(word) + 1
+            if word.isalpha():
+                assert out
+
+    check()
 
 
 def test_word_stem_dialect(spark, sf_dir, oracle):
