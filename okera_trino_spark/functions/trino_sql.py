@@ -213,6 +213,15 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     the sorted fold; word_stem → Porter2 UDF; non-literal
     parse_duration via codegen regexp; mixed literal-prefix division
     chains fold ((7 div 2)/x)
+  - waves 23-24 (r10, the unresolved-routine audit closeout):
+    to/from_base32 (RFC 4648 §6 UDFs, RFC-vector-verified),
+    split_to_multimap + multimap_from_entries (shared HOF grouping),
+    is_finite/is_infinite, year_of_week/yow, millisecond,
+    to/from_big_endian_32, to/from_base64url (alphabet translation),
+    hmac_md5/sha1/sha256/sha512 (RFC 2104 UDFs),
+    to/from_ieee754_64/32 (exact bit layout), normal_cdf/
+    inverse_normal_cdf/beta_cdf/inverse_beta_cdf (erfc / Lentz CF /
+    Acklam — independent-math oracles)
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, JSON paths with methods/multiple wildcards/parenthesized
@@ -1662,6 +1671,12 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             f"'v', element_at(_ps, 2)) "
             f"ELSE named_struct('k', CAST(raise_error({err}) AS STRING), "
             f"'v', '') END), 1))")
+        return _group_multimap(pairs)
+
+    def _group_multimap(pairs: str) -> str:
+        """array<struct<k, v>> → map<k, array<v>>: values in entry
+        order, keys first-appearance order (shared by
+        split_to_multimap and multimap_from_entries)."""
         return (
             f"element_at(transform(array({pairs}), _mp -> "
             f"element_at(transform(array(array_distinct("
@@ -1671,6 +1686,26 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             f"_pe -> _pe.v)))), 1)), 1)")
 
     code = _rewrite_calls(code, "split_to_multimap", _split_to_multimap_fn)
+
+    # multimap_from_entries(array<row(K, V)>) (r10): the entries'
+    # field NAMES are caller-defined, so each row is normalized to a
+    # (k, v) struct POSITIONALLY via a singleton map_from_entries
+    # (whose contract is field-order, not field-name), then grouped by
+    # the shared multimap codegen. A NULL entry errors like Trino.
+    def _multimap_from_entries_fn(a):
+        if len(a) != 1:
+            return None
+        err = requote("multimap_from_entries: null entry")
+        pairs = (
+            f"transform(({a[0]}), _mm0 -> "
+            f"element_at(transform(array(map_from_entries(array("
+            f"IF(_mm0 IS NULL, raise_error({err}), _mm0)))), _mm -> "
+            f"named_struct('k', element_at(map_keys(_mm), 1), "
+            f"'v', element_at(map_values(_mm), 1))), 1))")
+        return _group_multimap(pairs)
+
+    code = _rewrite_calls(code, "multimap_from_entries",
+                          _multimap_from_entries_fn)
     # from_iso8601_timestamp/date: Spark's string→timestamp/date cast
     # accepts ISO-8601 ('T' separator, optional offset) and resolves
     # offsets to the session-zone instant — the same instant Trino
@@ -2533,6 +2568,69 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         code, "to_big_endian_64",
         lambda a: f"unhex(lpad(hex(CAST({a[0]} AS BIGINT)), 16, '0'))"
         if len(a) == 1 else None)
+    # 32-bit variants (r10): hex() prints 64-bit two's complement, so
+    # the low 8 hex digits ARE the int32 big-endian bytes; decode
+    # re-signs the 32-bit value manually (conv's signed mode is
+    # 64-bit-wide, which would leave 0xFFFFFFFF positive) and guards
+    # the exact-4-byte input rule like Trino.
+    code = _rewrite_calls(
+        code, "to_big_endian_32",
+        lambda a: (f"unhex(right(lpad(hex(CAST({a[0]} AS BIGINT)), "
+                   f"16, '0'), 8))")
+        if len(a) == 1 else None)
+
+    def _from_be32(a):
+        if len(a) != 1:
+            return None
+        err = requote("from_big_endian_32: input must be exactly 4 bytes")
+        return (
+            f"CASE WHEN octet_length({a[0]}) <> 4 "
+            f"THEN CAST(raise_error({err}) AS INT) "
+            f"ELSE element_at(transform(array("
+            f"CAST(conv(hex({a[0]}), 16, 10) AS BIGINT)), _be -> "
+            f"CAST(IF(_be >= 2147483648, _be - 4294967296, _be) AS INT)"
+            f"), 1) END")
+
+    code = _rewrite_calls(code, "from_big_endian_32", _from_be32)
+    # is_finite / is_infinite (r10): NaN compares false against the
+    # infinities in BOTH directions under Spark's NaN ordering (NaN is
+    # the largest double: NaN < Inf is false, NaN > -Inf is true), so
+    # the two-sided range test is exactly Java's Double.isFinite.
+    code = _rewrite_calls(
+        code, "is_finite",
+        lambda a: (f"(CAST(({a[0]}) AS DOUBLE) > CAST('-Infinity' AS "
+                   f"DOUBLE) AND CAST(({a[0]}) AS DOUBLE) < "
+                   f"CAST('Infinity' AS DOUBLE))")
+        if len(a) == 1 else None)
+    code = _rewrite_calls(
+        code, "is_infinite",
+        lambda a: (f"(abs(CAST(({a[0]}) AS DOUBLE)) = "
+                   f"CAST('Infinity' AS DOUBLE))")
+        if len(a) == 1 else None)
+    # year_of_week / yow (r10): ISO week-numbering year — Spark's
+    # EXTRACT(YEAROFWEEK) is the identical ISO-8601 definition.
+    for _yow_name in ("year_of_week", "yow"):
+        code = _rewrite_calls(
+            code, _yow_name,
+            lambda a: f"extract(YEAROFWEEK FROM ({a[0]}))"
+            if len(a) == 1 else None)
+    # millisecond(ts) (r10): the 0-999 millis field.
+    code = _rewrite_calls(
+        code, "millisecond",
+        lambda a: f"CAST(date_format(({a[0]}), 'SSS') AS INT)"
+        if len(a) == 1 else None)
+    # to/from_base64url (r10): RFC 4648 §5 URL-safe alphabet — the
+    # standard encoding with +/ swapped for -_ (Java's
+    # Base64.getUrlEncoder, which Trino wraps, keeps '=' padding and
+    # its decoder accepts unpadded input — unbase64 does too).
+    code = _rewrite_calls(
+        code, "to_base64url",
+        lambda a: f"translate(base64({a[0]}), '+/', '-_')"
+        if len(a) == 1 else None)
+    code = _rewrite_calls(
+        code, "from_base64url",
+        lambda a: f"unbase64(translate({a[0]}, '-_', '+/'))"
+        if len(a) == 1 else None)
 
     def _wilson(sign):
         def fn(a):
@@ -2753,6 +2851,31 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(
         code, "from_base32",
         lambda a: f"trino_from_base32({a[0]})" if len(a) == 1 else None)
+    # hmac_* / ieee754 codecs (r10, formerly bare unresolved-routines):
+    # session pandas UDFs (trino_compat.register_binary_codecs) —
+    # HMAC proven against RFC 4231/2202 vectors, ieee754 is the exact
+    # Java doubleToLongBits/floatToIntBits big-endian layout.
+    for _alg in ("md5", "sha1", "sha256", "sha512"):
+        code = _rewrite_calls(
+            code, f"hmac_{_alg}",
+            (lambda alg: lambda a: (f"trino_hmac_{alg}({a[0]}, {a[1]})"
+                                    if len(a) == 2 else None))(_alg))
+    for _ieee in ("to_ieee754_64", "to_ieee754_32",
+                  "from_ieee754_64", "from_ieee754_32"):
+        code = _rewrite_calls(
+            code, _ieee,
+            (lambda nm: lambda a: (f"trino_{nm}({a[0]})"
+                                   if len(a) == 1 else None))(_ieee))
+    # statistical CDFs (r10): normal_cdf / inverse_normal_cdf /
+    # beta_cdf / inverse_beta_cdf → session pandas UDFs
+    # (trino_compat.register_stat_fns — erfc-exact normal, Lentz
+    # continued-fraction regularized beta, domain errors like Trino).
+    for _cdf in ("normal_cdf", "inverse_normal_cdf",
+                 "beta_cdf", "inverse_beta_cdf"):
+        code = _rewrite_calls(
+            code, _cdf,
+            (lambda nm: lambda a: (f"trino_{nm}({a[0]}, {a[1]}, {a[2]})"
+                                   if len(a) == 3 else None))(_cdf))
     code = _rewrite_calls(
         code, "murmur3",
         _named_unsupported(
@@ -4188,6 +4311,16 @@ def ensure_dialect_udfs(spark: SparkSession, sql: str) -> None:
     if re.search(r"\b(trino_)?(to|from)_base32\s*\(", sql, re.IGNORECASE):
         from okera_trino_spark.functions.trino_compat import register_base32
         register_base32(spark)
+    if re.search(r"\b(trino_)?(hmac_(md5|sha1|sha256|sha512)"
+                 r"|(to|from)_ieee754_(32|64))\s*\(", sql, re.IGNORECASE):
+        from okera_trino_spark.functions.trino_compat import (
+            register_binary_codecs)
+        register_binary_codecs(spark)
+    if re.search(r"\b(trino_)?(inverse_)?(normal|beta)_cdf\s*\(",
+                 sql, re.IGNORECASE):
+        from okera_trino_spark.functions.trino_compat import (
+            register_stat_fns)
+        register_stat_fns(spark)
 
 
 def execute_trino(spark: SparkSession, sql: str,
@@ -5966,3 +6099,129 @@ def q_trino_sql_breadth5(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAST(.. AS JSON) path so the driver sees scalar JSON text).
     Scale: map-only row work, no shuffle beyond the ORDER BY."""
     return execute_trino(spark, TRINO_SQL_BREADTH5, sf_dir)
+
+
+def _breadth6_oracle() -> str:
+    """Oracle for q_trino_sql_breadth6. Every column except the HMAC
+    is computed INDEPENDENTLY by DuckDB (isoyear, %08X printf,
+    alphabet-translated base64, arithmetic round-trips, JSON string
+    algebra); the HMAC of the fixed 5-value priority vocabulary is a
+    literal CASE generated by Python's RFC-2104 hmac — plumbing only,
+    the algorithm is proven against RFC 4231/2202's published vectors
+    (tests/test_trino_sql.py::test_hmac_rfc_vectors)."""
+    import hmac as _hmac
+    pris = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    case = " ".join(
+        f"WHEN '{p}' THEN "
+        f"'{_hmac.new(b'key', p.encode(), 'sha256').hexdigest()}'"
+        for p in pris)
+    return f"""
+    SELECT o_orderkey,
+           CAST(date_part('isoyear', o_orderdate) AS INT) AS yw,
+           CAST(o_orderkey % 1000 AS INT) AS ms,
+           printf('%08X', o_orderkey) AS be32,
+           -o_orderkey AS be32_rt,
+           replace(replace(to_base64(encode(o_orderpriority)),
+                   '+', '-'), '/', '_') AS b64u,
+           o_orderstatus AS b64_rt,
+           CASE o_orderpriority {case} END AS hm,
+           o_totalprice AS ie_rt,
+           '{{"s":["' || o_orderstatus || '","' || o_orderpriority ||
+           '"],"p":["' || o_orderpriority || '"]}}' AS mm
+    FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+    ORDER BY o_orderkey
+    """
+
+
+TRINO_SQL_BREADTH6 = """
+SELECT o_orderkey,
+       year_of_week(o_orderdate) AS yw,
+       millisecond(CAST(o_orderdate AS TIMESTAMP)
+                   + parse_duration(CAST(o_orderkey % 1000 AS VARCHAR)
+                                    || 'ms')) AS ms,
+       to_hex(to_big_endian_32(CAST(o_orderkey AS INTEGER))) AS be32,
+       from_big_endian_32(to_big_endian_32(
+           CAST(-o_orderkey AS INTEGER))) AS be32_rt,
+       to_base64url(to_utf8(o_orderpriority)) AS b64u,
+       CAST(from_base64url(to_base64url(to_utf8(o_orderstatus)))
+            AS VARCHAR) AS b64_rt,
+       lower(to_hex(hmac_sha256(to_utf8(o_orderpriority),
+                                to_utf8('key')))) AS hm,
+       from_ieee754_64(to_ieee754_64(o_totalprice)) AS ie_rt,
+       CAST(CAST(multimap_from_entries(
+           ARRAY[CAST(ROW('s', o_orderstatus)
+                      AS ROW(k VARCHAR, v VARCHAR)),
+                 CAST(ROW('p', o_orderpriority)
+                      AS ROW(k VARCHAR, v VARCHAR)),
+                 CAST(ROW('s', o_orderpriority)
+                      AS ROW(k VARCHAR, v VARCHAR))])
+           AS JSON) AS VARCHAR) AS mm
+FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_trino_sql_breadth6",
+    oracle=_breadth6_oracle(),
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_breadth6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect wave 24 (r10) — the systematic unresolved-routine audit
+    closeout, one column each: ``year_of_week`` (ISO, → EXTRACT
+    YEAROFWEEK), ``millisecond`` (composed over a column
+    ``parse_duration`` — two r10 graduations chained),
+    ``to/from_big_endian_32`` (hex-window codegen, signed re-window on
+    decode, 4-byte input rule), ``to/from_base64url`` (RFC 4648 §5 by
+    alphabet translation — DuckDB replays it independently, a genuine
+    differential), ``hmac_sha256`` (RFC 2104 pandas UDF; vectors prove
+    the algorithm, the fixed-priority CASE proves plumbing),
+    ``to/from_ieee754_64`` (exact bits round-trip), and
+    ``multimap_from_entries`` (positional struct normalization through
+    singleton map_from_entries + the shared multimap grouping, JSON
+    serialization). Scale: map-only row work, the UDF columns are
+    Arrow-batched, no shuffle beyond the ORDER BY."""
+    return execute_trino(spark, TRINO_SQL_BREADTH6, sf_dir)
+
+
+TRINO_SQL_STATFNS = """
+SELECT o_orderkey,
+       beta_cdf(2, 3, (o_orderkey % 100) / 100.0) AS bc,
+       normal_cdf(5, 2, inverse_normal_cdf(5, 2,
+           (o_orderkey % 99 + 1) / 100.0)) AS nrt,
+       inverse_beta_cdf(3, 2, beta_cdf(3, 2,
+           (o_orderkey % 100) / 100.0)) AS brt,
+       normal_cdf(0, 1, (o_orderkey % 80) / 10.0)
+           + normal_cdf(0, 1, -(o_orderkey % 80) / 10.0) AS sym
+FROM orders WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_trino_sql_statfns",
+    oracle="""
+    SELECT o_orderkey,
+           6 * pow((o_orderkey % 100) / 100.0, 2)
+             - 8 * pow((o_orderkey % 100) / 100.0, 3)
+             + 3 * pow((o_orderkey % 100) / 100.0, 4) AS bc,
+           (o_orderkey % 99 + 1) / 100.0 AS nrt,
+           (o_orderkey % 100) / 100.0 AS brt,
+           1.0 AS sym
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_statfns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical CDFs (r10, formerly bare unresolved-routines):
+    normal_cdf / inverse_normal_cdf / beta_cdf / inverse_beta_cdf via
+    session pandas UDFs (erfc-exact normal, Lentz continued-fraction
+    regularized beta, Acklam+Halley quantile — trino_compat.
+    register_stat_fns). The oracle is INDEPENDENT mathematics, not a
+    replay: I_x(2,3) has the closed form 6x²-8x³+3x⁴ (DuckDB computes
+    the polynomial), quantile/CDF round-trips must return their input
+    p, and the normal CDF must be symmetric to exactly 1 — plus
+    literature-value unit tests (test_stat_cdf_functions). Scale:
+    Arrow-batched map-only row work."""
+    return execute_trino(spark, TRINO_SQL_STATFNS, sf_dir)

@@ -1998,6 +1998,115 @@ def test_split_to_multimap(spark, sf_dir, oracle):
             sf_dir).collect()
 
 
+def test_hmac_rfc_vectors(spark, sf_dir):
+    """RFC 2202 (md5/sha1) and RFC 4231 (sha256/sha512) test case 2
+    (key 'Jefe') — the ALGORITHM half of the hmac_* proof."""
+    data, key = "what do ya want for nothing?", "Jefe"
+    want = {
+        "md5": "750c783e6ab0b503eaa86e310a5db738",
+        "sha1": "effcdf6ae5eb2fa2d27416d5f184df9c259a7c79",
+        "sha256": ("5bdcc146bf60754e6a042426089575c7"
+                   "5a003f089d2739839dec58b964ec3843"),
+        "sha512": ("164b7a7bfcf819e2e395fbe73b56e0a3"
+                   "87bd64222e831fd610270cd7ea250554"
+                   "9758bf75c05a994a6d034f65f8f0e6fd"
+                   "caeab1a34d4a6b4b636e070a38bce737"),
+    }
+    cols = ", ".join(
+        f"lower(to_hex(hmac_{alg}(to_utf8('{data}'), to_utf8('{key}'))))"
+        f" AS h_{alg}" for alg in want)
+    row = execute_trino(spark, f"SELECT {cols}", sf_dir).collect()[0]
+    for alg, digest in want.items():
+        assert row[f"h_{alg}"] == digest, alg
+
+
+def test_ieee754_and_big_endian_32(spark, sf_dir):
+    """IEEE 754 big-endian layout (Java doubleToLongBits /
+    floatToIntBits) and the 32-bit endian pair: known bit patterns +
+    exact round-trips + the 4-byte input rule."""
+    row = execute_trino(
+        spark,
+        "SELECT to_hex(to_ieee754_64(1.0)) AS d1, "
+        "to_hex(to_ieee754_32(CAST(0.5 AS REAL))) AS f1, "
+        "from_ieee754_64(to_ieee754_64(0.1)) AS rt64, "
+        "CAST(from_ieee754_32(to_ieee754_32(CAST(1.5 AS REAL))) "
+        "AS DOUBLE) AS rt32, "
+        "to_hex(to_big_endian_32(-1)) AS be_neg, "
+        "from_big_endian_32(to_big_endian_32(-123456)) AS be_rt "
+        , sf_dir).collect()[0]
+    assert row.d1 == "3FF0000000000000"
+    assert row.f1 == "3F000000"
+    assert row.rt64 == 0.1
+    assert row.rt32 == 1.5
+    assert row.be_neg == "FFFFFFFF"
+    assert row.be_rt == -123456
+    with pytest.raises(Exception, match="4 bytes"):
+        execute_trino(spark, "SELECT from_big_endian_32(b) AS x FROM "
+                      "(VALUES (to_utf8('abcde'))) AS t(b)",
+                      sf_dir).collect()
+
+
+def test_multimap_from_entries(spark, sf_dir):
+    df = execute_trino(
+        spark,
+        "SELECT CAST(CAST(multimap_from_entries("
+        "ARRAY[ROW('a', 1), ROW('b', 2), ROW('a', 3)]) AS JSON) "
+        "AS VARCHAR) AS mm", sf_dir)
+    assert df.collect()[0].mm == '{"a":[1,3],"b":[2]}'
+
+
+def test_wave24_scalar_predicates(spark, sf_dir, oracle):
+    """is_finite / is_infinite / year_of_week / millisecond /
+    to_base64url — DuckDB computes every one independently (base64url
+    by alphabet translation), so this is a genuine differential test."""
+    df = execute_trino(
+        spark,
+        "SELECT o_orderkey, "
+        "is_finite(o_totalprice) AS fin, "
+        "is_infinite(ln(o_totalprice - o_totalprice)) AS inf_ln, "
+        "year_of_week(o_orderdate) AS yw, "
+        "to_base64url(to_utf8(o_orderpriority)) AS b64u "
+        "FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
+        sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT o_orderkey, TRUE AS fin, TRUE AS inf_ln, "
+        "CAST(date_part('isoyear', o_orderdate) AS INT) AS yw, "
+        "replace(replace(to_base64(encode(o_orderpriority)), "
+        "'+', '-'), '/', '_') AS b64u "
+        "FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
+        name="wave24_preds")
+
+
+def test_stat_cdf_functions(spark, sf_dir):
+    """normal_cdf / inverse_normal_cdf / beta_cdf / inverse_beta_cdf
+    (r10): literature quantiles, the closed-form beta polynomial
+    (I_x(2,3) = 6x²-8x³+3x⁴), exact symmetry and round-trips, and
+    Trino's domain errors."""
+    row = execute_trino(
+        spark,
+        "SELECT normal_cdf(0, 1, 1.96) AS nc, "
+        "inverse_normal_cdf(0, 1, 0.975) AS inc, "
+        "beta_cdf(2, 3, 0.4) AS bc, "
+        "inverse_beta_cdf(2, 3, beta_cdf(2, 3, 0.4)) AS ibc, "
+        "normal_cdf(0, 1, 2.5) + normal_cdf(0, 1, -2.5) AS sym, "
+        "normal_cdf(10, 2, 10) AS mid, "
+        "beta_cdf(1, 4, 0.25) AS b14", sf_dir).collect()[0]
+    assert abs(row.nc - 0.9750021048517795) < 1e-12
+    assert abs(row.inc - 1.959963984540054) < 1e-9
+    assert abs(row.bc - 0.5248) < 1e-12          # 6x²-8x³+3x⁴ at 0.4
+    assert abs(row.ibc - 0.4) < 1e-12
+    assert abs(row.sym - 1.0) < 1e-14
+    assert row.mid == 0.5
+    assert abs(row.b14 - (1 - 0.75 ** 4)) < 1e-12   # I_x(1,b)=1-(1-x)^b
+    with pytest.raises(Exception, match="standardDeviation"):
+        execute_trino(spark, "SELECT normal_cdf(0, s, 1) AS x "
+                      "FROM (VALUES (0.0)) AS t(s)", sf_dir).collect()
+    with pytest.raises(Exception, match="0, 1"):
+        execute_trino(spark, "SELECT beta_cdf(2, 3, v) AS x "
+                      "FROM (VALUES (1.5)) AS t(v)", sf_dir).collect()
+
+
 def test_porter2_total_function():
     """porter2_stem is total: never crashes, never empties a word, and
     never grows it by more than the one 'e' step 1b can append — over
