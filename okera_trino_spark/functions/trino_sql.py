@@ -221,7 +221,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     hmac_md5/sha1/sha256/sha512 (RFC 2104 UDFs),
     to/from_ieee754_64/32 (exact bit layout), normal_cdf/
     inverse_normal_cdf/beta_cdf/inverse_beta_cdf (erfc / Lentz CF /
-    Acklam — independent-math oracles)
+    Acklam — independent-math oracles); map_union (deterministic
+    smallest-entry-per-key instantiation of Trino's arbitrary
+    winner), max(x, n)/min(x, n) top/bottom-n aggregates, index,
+    char2hexint (UTF-16BE hex)
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, JSON paths with methods/multiple wildcards/parenthesized
@@ -1706,6 +1709,42 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
 
     code = _rewrite_calls(code, "multimap_from_entries",
                           _multimap_from_entries_fn)
+
+    # map_union(m) (r10): aggregate union of maps. Trino documents an
+    # ARBITRARY winner for duplicate keys; a deterministic engine
+    # cannot be arbitrary, so this picks the SMALLEST (key, value)
+    # entry per key — a legal instantiation that is stable across
+    # partitionings and replays (AQE/speculation safe). Keys come out
+    # in ascending order (Trino's map order is unspecified).
+    def _map_union_fn(a):
+        if len(a) != 1:
+            return None
+        return (
+            f"element_at(transform(array(array_sort(flatten("
+            f"collect_list(map_entries(({a[0]})))))), _ue -> "
+            f"element_at(transform(array(array_distinct("
+            f"transform(_ue, _e -> _e.key))), _uk -> "
+            f"map_from_arrays(_uk, transform(_uk, _kk -> "
+            f"element_at(transform(filter(_ue, _e -> _e.key <=> _kk), "
+            f"_e -> _e.value), 1)))), 1)), 1)")
+
+    code = _rewrite_calls(code, "map_union", _map_union_fn)
+
+    # max(x, n) / min(x, n) (r10): Trino's top/bottom-n aggregate
+    # forms returning array<T> (the 1-arg forms pass through to
+    # Spark's own max/min). collect_list drops NULLs like Trino.
+    def _minmax_n(desc: bool):
+        order = "false" if desc else "true"
+
+        def fn(a):
+            if len(a) != 2:
+                return None
+            return (f"slice(sort_array(collect_list(({a[0]})), {order}), "
+                    f"1, ({a[1]}))")
+        return fn
+
+    code = _rewrite_calls(code, "max", _minmax_n(desc=True))
+    code = _rewrite_calls(code, "min", _minmax_n(desc=False))
     # from_iso8601_timestamp/date: Spark's string→timestamp/date cast
     # accepts ISO-8601 ('T' separator, optional offset) and resolves
     # offsets to the session-zone instant — the same instant Trino
@@ -2396,6 +2435,17 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             f"ELSE CAST(conv(_fb, {a[1]}, 10) AS BIGINT) END), 1)")
         if len(a) == 2 else None)
 
+    # index(s, sub) (r10): Trino's Teradata-compat alias of strpos.
+    code = _rewrite_calls(
+        code, "index",
+        lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2 else None)
+    # char2hexint(s) (r10): Teradata compat — the hex rendering of the
+    # string's UTF-16BE code units (Spark's hex() is uppercase like
+    # Trino's output).
+    code = _rewrite_calls(
+        code, "char2hexint",
+        lambda a: f"hex(encode(({a[0]}), 'UTF-16BE'))"
+        if len(a) == 1 else None)
     # strpos(s, sub, n): position of the n-th occurrence (occurrences
     # may overlap — Trino's walk restarts at match+1; negative n counts
     # from the end, 0 of either missing occurrence → 0). The candidate

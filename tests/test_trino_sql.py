@@ -2078,6 +2078,65 @@ def test_wave24_scalar_predicates(spark, sf_dir, oracle):
         name="wave24_preds")
 
 
+def test_index_and_char2hexint(spark, sf_dir):
+    """Teradata-compat aliases (r10): index = strpos; char2hexint =
+    UTF-16BE code-unit hex (uppercase like Trino)."""
+    row = execute_trino(
+        spark, "SELECT index('abcb', 'b') AS i1, index('abc', 'z') AS i0, "
+        "char2hexint('aB') AS hx", sf_dir).collect()[0]
+    assert (row.i1, row.i0, row.hx) == (2, 0, "00610042")
+
+
+def test_map_union_and_minmax_n(spark, sf_dir, oracle):
+    """map_union (deterministic smallest-entry-per-key instantiation of
+    Trino's documented-arbitrary winner) and the n-arg max/min
+    aggregates (top/bottom-n arrays, serialized for comparison)."""
+    df = execute_trino(
+        spark,
+        "SELECT o_orderstatus, "
+        "CAST(CAST(map_union(MAP(ARRAY[o_orderpriority], "
+        "ARRAY[o_orderkey])) AS JSON) AS VARCHAR) AS mu, "
+        "array_join(transform(max(o_orderkey, 3), "
+        "x -> CAST(x AS VARCHAR)), ',') AS top3, "
+        "array_join(transform(min(o_orderkey, 2), "
+        "x -> CAST(x AS VARCHAR)), ',') AS bot2 "
+        "FROM orders WHERE o_orderkey < 2000 "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus", sf_dir)
+    check_query(
+        df, oracle,
+        """
+        WITH mu AS (
+            SELECT o_orderstatus,
+                   '{' || string_agg('"' || o_orderpriority || '":'
+                          || mk, ',' ORDER BY o_orderpriority) || '}'
+                       AS mu
+            FROM (SELECT o_orderstatus, o_orderpriority,
+                         min(o_orderkey) AS mk
+                  FROM orders WHERE o_orderkey < 2000
+                  GROUP BY 1, 2) g
+            GROUP BY o_orderstatus
+        ), tops AS (
+            SELECT o_orderstatus,
+                   string_agg(k, ',' ORDER BY k DESC)
+                       FILTER (WHERE rd <= 3) AS top3,
+                   string_agg(k, ',' ORDER BY k)
+                       FILTER (WHERE ra <= 2) AS bot2
+            FROM (SELECT o_orderstatus,
+                         CAST(o_orderkey AS VARCHAR) AS k,
+                         row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_orderkey DESC) AS rd,
+                         row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_orderkey) AS ra
+                  FROM orders WHERE o_orderkey < 2000) r
+            GROUP BY o_orderstatus
+        )
+        SELECT mu.o_orderstatus, mu.mu, tops.top3, tops.bot2
+        FROM mu JOIN tops USING (o_orderstatus)
+        ORDER BY o_orderstatus
+        """,
+        name="map_union_minmax_n")
+
+
 def test_stat_cdf_functions(spark, sf_dir):
     """normal_cdf / inverse_normal_cdf / beta_cdf / inverse_beta_cdf
     (r10): literature quantiles, the closed-form beta polynomial
