@@ -224,7 +224,9 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     Acklam — independent-math oracles); map_union (deterministic
     smallest-entry-per-key instantiation of Trino's arbitrary
     winner), max(x, n)/min(x, n) top/bottom-n aggregates, index,
-    char2hexint (UTF-16BE hex)
+    char2hexint (UTF-16BE hex); approx_set/merge/cardinality → the
+    DataSketches HLL builtins (engine-specific sketch bytes —
+    approx_distinct-class divergence); qdigest/tdigest named errors
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, JSON paths with methods/multiple wildcards/parenthesized
@@ -1729,6 +1731,42 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             f"_e -> _e.value), 1)))), 1)), 1)")
 
     code = _rewrite_calls(code, "map_union", _map_union_fn)
+
+    # HyperLogLog surface (r10): Trino's approx_set/merge/cardinality
+    # triple maps onto Spark's Apache-DataSketches HLL builtins. The
+    # SKETCH BINARIES differ between engines (airlift HLL vs
+    # DataSketches) and so may the estimates — same approximate
+    # contract, engine-specific values (the approx_distinct
+    # precedent). cardinality(<sketch expr>) is detected structurally
+    # (Spark's own cardinality is array/map-typed); merge() can only
+    # ever see HLL here because qdigest_agg/tdigest_agg refuse at
+    # creation, so mapping it to hll_union_agg is type-sound.
+    def _cardinality_fn(a):
+        if len(a) != 1:
+            return None
+        inner = a[0].strip()
+        if re.match(r"(?i)(hll_sketch_agg|hll_union_agg)\s*\(", inner):
+            return f"hll_sketch_estimate({inner})"
+        return None   # array/map cardinality — Spark builtin
+
+    code = _rewrite_calls(
+        code, "approx_set",
+        lambda a: f"hll_sketch_agg({a[0]})" if len(a) == 1 else None)
+    code = _rewrite_calls(
+        code, "merge",
+        lambda a: f"hll_union_agg({a[0]})" if len(a) == 1 else None)
+    code = _rewrite_calls(code, "cardinality", _cardinality_fn)
+    def _qdigest_refusal(name):
+        def fn(a):
+            raise TrinoSqlUnsupported(
+                f"{name}() is not supported (no qdigest/tdigest twin "
+                "in Spark — use approx_percentile for quantile "
+                "estimation)")
+        return fn
+
+    for _qd in ("qdigest_agg", "tdigest_agg", "value_at_quantile",
+                "values_at_quantiles", "quantile_at_value"):
+        code = _rewrite_calls(code, _qd, _qdigest_refusal(_qd))
 
     # max(x, n) / min(x, n) (r10): Trino's top/bottom-n aggregate
     # forms returning array<T> (the 1-arg forms pass through to

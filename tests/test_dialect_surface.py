@@ -114,6 +114,8 @@ SURFACE = [
 ]
 
 AGGREGATES = [
+    "cardinality(approx_set(s))", "cardinality(merge(h))",
+    "value_at_quantile(qdigest_agg(d), 0.5)", "tdigest_agg(d)",
     "any_value(i)", "approx_distinct(s)", "approx_most_frequent(2, s, 3)",
     "approx_percentile(d, 0.5)", "arbitrary(i)", "array_agg(i)", "avg(d)",
     "bitwise_and_agg(i)", "bitwise_or_agg(i)", "bool_and(i > 0)",
@@ -140,11 +142,12 @@ WINDOWS = [
 _FIXTURE = (
     "(SELECT 1 AS i, 2.5 AS d, 'ab' AS s, DATE '2024-01-05' AS dt, "
     "TIMESTAMP '2024-01-05 01:02:03.456' AS ts, ARRAY[1, 2] AS ai, "
-    "ARRAY[1.0, 2.0] AS ad, MAP(ARRAY['k'], ARRAY[1]) AS m "
+    "ARRAY[1.0, 2.0] AS ad, MAP(ARRAY['k'], ARRAY[1]) AS m, "
+    "approx_set('x') AS h "
     "UNION ALL "
     "SELECT 2, 3.5, 'ba', DATE '2024-02-05', "
     "TIMESTAMP '2024-02-05 01:02:03.456', ARRAY[2, 3], "
-    "ARRAY[2.0, 3.0], MAP(ARRAY['k'], ARRAY[2])) probe_t")
+    "ARRAY[2.0, 3.0], MAP(ARRAY['k'], ARRAY[2]), approx_set('y')) probe_t")
 
 
 def _probe(spark, sf_dir, sql):

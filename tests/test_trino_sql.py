@@ -2078,6 +2078,25 @@ def test_wave24_scalar_predicates(spark, sf_dir, oracle):
         name="wave24_preds")
 
 
+def test_approx_set_merge_cardinality(spark, sf_dir, oracle):
+    """Trino's HLL triple (r10): approx_set → DataSketches
+    hll_sketch_agg, merge → hll_union_agg, cardinality(<sketch>) →
+    estimate. Sketch estimates are exact at these tiny cardinalities,
+    so exact COUNT(DISTINCT) is a sound oracle (engine-specific sketch
+    bytes are the documented approx_distinct-class divergence)."""
+    df = execute_trino(
+        spark,
+        "SELECT cardinality(merge(h)) AS total FROM ("
+        "SELECT o_orderstatus, approx_set(o_orderpriority) AS h "
+        "FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus) g",
+        sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS total "
+        "FROM orders WHERE o_orderkey < 2000",
+        name="hll_triple")
+
+
 def test_index_and_char2hexint(spark, sf_dir):
     """Teradata-compat aliases (r10): index = strpos; char2hexint =
     UTF-16BE code-unit hex (uppercase like Trino)."""
