@@ -2318,22 +2318,39 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                    else "cond" if wm.group("cond") else "with")
         path = re.sub(r"^(?:lax|strict)\s+", "", lit.strip(),
                       flags=re.IGNORECASE)
-        # terminal .size() item method (r10): strip it and render the
-        # item as the SQL/JSON size — array element count, 1 for any
-        # other item (lax); missing member stays NULL (→ ON EMPTY).
-        sm = re.fullmatch(r"(?P<base>.*?)\s*\.size\(\)\s*", path,
-                          re.DOTALL)
+        # terminal .size()/.type() item methods (r10): strip the
+        # method and render the item accordingly — size() is the array
+        # element count (1 for any other item, lax); type() is the
+        # SQL/JSON type word as a quoted JSON string (KEEP QUOTES —
+        # Spark's VOID variant for JSON null makes "null" faithful);
+        # a missing member stays NULL (→ ON EMPTY) for both.
+        sm = re.fullmatch(r"(?P<base>.*?)\s*\.(?P<meth>size|type)\(\)\s*",
+                          path, re.DOTALL)
         size_of = None
         if sm:
             path = sm.group("base")
-
-            def size_of(vexpr):   # noqa: E731-like rebind — closure
-                return (f"element_at(transform(array({vexpr}), _jq -> "
+            if sm.group("meth") == "size":
+                def size_of(vexpr):   # noqa: E731-like rebind — closure
+                    return (f"element_at(transform(array({vexpr}), _jq -> "
+                            f"CASE WHEN _jq IS NULL THEN NULL "
+                            f"WHEN schema_of_variant(_jq) LIKE 'ARRAY%' "
+                            f"THEN CAST(size(try_cast(_jq AS "
+                            f"ARRAY<VARIANT>)) AS STRING) "
+                            f"ELSE '1' END), 1)")
+            else:
+                def size_of(vexpr):
+                    return (
+                        f"element_at(transform(array({vexpr}), _jq -> "
+                        f"element_at(transform(array("
+                        f"schema_of_variant(_jq)), _jt -> "
                         f"CASE WHEN _jq IS NULL THEN NULL "
-                        f"WHEN schema_of_variant(_jq) LIKE 'ARRAY%' "
-                        f"THEN CAST(size(try_cast(_jq AS ARRAY<VARIANT>))"
-                        f" AS STRING) "
-                        f"ELSE '1' END), 1)")
+                        f"WHEN _jt = 'VOID' THEN '\"null\"' "
+                        f"WHEN _jt = 'STRING' THEN '\"string\"' "
+                        f"WHEN _jt = 'BOOLEAN' THEN '\"boolean\"' "
+                        f"WHEN _jt IN ({_VARIANT_NUM_TYPES}) "
+                        f"OR _jt LIKE 'DECIMAL%' THEN '\"number\"' "
+                        f"WHEN _jt LIKE 'ARRAY%' THEN '\"array\"' "
+                        f"ELSE '\"object\"' END), 1)), 1)")
         wc = re.fullmatch(
             r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*"
             r"(?:\?\s*\(\s*(?P<fbody>(?:\"[^\"]*\"|\(\)|[^()\"])*?)\s*\)\s*)?"

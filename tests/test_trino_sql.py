@@ -1582,17 +1582,42 @@ def test_json_query_terminal_size_method(spark, sf_dir, oracle):
         name="jsonpath_terminal_size")
 
 
+def test_json_query_terminal_type_method(spark, sf_dir, oracle):
+    """Terminal .type() (r10): the SQL/JSON type word as a quoted JSON
+    string (KEEP QUOTES); VOID variants make JSON null faithful;
+    missing member → NULL ON EMPTY."""
+    doc = '{"n":1.5,"s":"x","b":true,"a":[1],"o":{"x":1},"z":null}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'lax $.n.type()') AS tn, "
+        f"json_query('{doc}', 'lax $.s.type()') AS ts, "
+        f"json_query('{doc}', 'lax $.b.type()') AS tb, "
+        f"json_query('{doc}', 'lax $.a.type()') AS ta, "
+        f"json_query('{doc}', 'lax $.o.type()') AS t_o, "
+        f"json_query('{doc}', 'lax $.z.type()') AS tz, "
+        f"json_query('{doc}', 'lax $.missing.type()') AS tm, "
+        f"json_query('{doc}', 'lax $.a[*].type()' WITH ARRAY WRAPPER)"
+        " AS tarr", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '\"number\"' AS tn, '\"string\"' AS ts, "
+        "'\"boolean\"' AS tb, '\"array\"' AS ta, '\"object\"' AS t_o, "
+        "'\"null\"' AS tz, CAST(NULL AS VARCHAR) AS tm, "
+        "'[\"number\"]' AS tarr",
+        name="jsonpath_terminal_type")
+
+
 def test_json_query_refusals():
-    # bare && compounds and the .size() method (filter + terminal)
-    # GRADUATED in r10 — parenthesized sub-predicates and other item
-    # methods stay refused
+    # bare && compounds, .size() (filter + terminal) and terminal
+    # .type() GRADUATED in r10 — parenthesized sub-predicates, filter
+    # .type(), and the numeric item methods stay refused
     for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
                 "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?((@.b > 1) && @.c < 2)')"
                 " FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?(@.b.type() == \"n\")')"
                 " FROM t",
-                "SELECT json_query(p, 'lax $.a.type()') FROM t",
+                "SELECT json_query(p, 'lax $.a.double()') FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
         with pytest.raises(TrinoSqlUnsupported, match="json_query"):
             rewrite_trino_sql(bad)
