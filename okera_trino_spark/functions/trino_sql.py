@@ -3011,6 +3011,18 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         code, "spooky_hash_v2_32",
         _named_unsupported("spooky_hash_v2_32",
                              "no SpookyHash builtin in Spark"))
+    # Trino CLI color/bar rendering — terminal-escape helpers with no
+    # meaning outside the Trino CLI; refuse by name (r10).
+    for _color_fn in ("bar", "color", "render", "rgb"):
+        code = _rewrite_calls(
+            code, _color_fn,
+            _named_unsupported(_color_fn,
+                               "Trino-CLI terminal color helper"))
+    code = _rewrite_calls(
+        code, "json_array_get",
+        _named_unsupported(
+            "json_array_get", "deprecated in Trino itself (broken "
+            "semantics) — use json_extract(json, '$[i]')"))
     # format_number(x) (r9, formerly refused): Trino's unit-suffix
     # rendering — divide by 1000 into K/M/B/T/Q while ≥1000, then
     # DecimalFormat precision by magnitude of the SCALED value
@@ -3461,6 +3473,15 @@ def _rewrite_code(code: str, stash: list[str]) -> str:
     code = _rewrite_at_time_zone(code, stash)
     # bare localtimestamp niladic keyword → Spark needs the call form
     code = re.sub(r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()",
+                  code, flags=re.IGNORECASE)
+    # bare current_catalog / current_schema niladics (r10): Spark only
+    # has the call forms; localtime (TIME in the session zone) is
+    # Spark's current_time.
+    code = re.sub(r"\bcurrent_catalog\b(?!\s*\()", "current_catalog()",
+                  code, flags=re.IGNORECASE)
+    code = re.sub(r"\bcurrent_schema\b(?!\s*\()", "current_schema()",
+                  code, flags=re.IGNORECASE)
+    code = re.sub(r"\blocaltime\b(?!\s*\()(?!stamp)", "current_time",
                   code, flags=re.IGNORECASE)
     # CAST(x AS JSON) (r7): Trino's JSON type is a string here. The
     # cast SERIALIZES the operand to JSON text for every operand type

@@ -111,6 +111,9 @@ SURFACE = [
     "coalesce(NULL, i)", "greatest(i, 2)", "if(TRUE, 1, 2)", "least(i, 2)",
     "nullif(i, 1)", "try(ln(d))", "try_cast(s AS INTEGER)", "typeof(d)",
     "uuid()", "version()", "current_timezone()",
+    "current_catalog", "current_schema", "current_date", "localtime",
+    "localtimestamp", "current_user",
+    "bar(0.5, 10)", "color('red')", "json_array_get('[1]', 0)",
 ]
 
 AGGREGATES = [
