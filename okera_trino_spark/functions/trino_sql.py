@@ -1286,9 +1286,34 @@ def _split_json_filter(body: str, sep: str) -> list[str]:
 
 
 _JSONPATH_FILTER_ATOM_RE = re.compile(
-    r"@(?P<chain>(?:\.\w+|\[\d+\])*)(?P<size>\.size\(\))?\s*"
+    r"@(?P<chain>(?:\.\w+|\[\d+\])*)(?P<meth>\.(?:size|type)\(\))?\s*"
     r"(?P<op>==|!=|<>|<=|>=|<|>)\s*"
     r"(?P<lit>-?\d+(?:\.\d+)?|\"[^\"]*\")")
+
+
+def _jsonpath_type_pred(fpath: str, op: str, lit_sql: str,
+                        is_str: bool) -> str:
+    """Predicate body for a ``?(@.chain.type() <op> literal)`` atom
+    (r10): the SQL/JSON type word compared as a string. A numeric
+    literal can never equal a type word → statically UNKNOWN; a
+    missing member leaves NULL → the element drops. JSON null is a
+    VOID variant (non-NULL), so ``@.x.type() == "null"`` genuinely
+    matches null members."""
+    if not is_str:
+        return "CAST(NULL AS BOOLEAN)"
+    word = (
+        "element_at(transform(array(schema_of_variant(_jv)), _jt -> "
+        "CASE WHEN _jt = 'VOID' THEN 'null' "
+        "WHEN _jt = 'STRING' THEN 'string' "
+        "WHEN _jt = 'BOOLEAN' THEN 'boolean' "
+        f"WHEN _jt IN ({_VARIANT_NUM_TYPES}) "
+        "OR _jt LIKE 'DECIMAL%' THEN 'number' "
+        "WHEN _jt LIKE 'ARRAY%' THEN 'array' "
+        "ELSE 'object' END), 1)")
+    return (f"element_at(transform(array("
+            f"try_variant_get(_jf, {fpath}, 'variant')), "
+            f"_jv -> CASE WHEN _jv IS NULL THEN NULL "
+            f"ELSE {word} {op} {lit_sql} END), 1)")
 
 
 def _jsonpath_size_pred(fpath: str, op: str, lit_sql: str,
@@ -1322,7 +1347,7 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
     sub-predicates and methods return None → the caller's named error.
     ``&&`` binds tighter than ``||`` (the SQL/JSON path grammar), which
     the two-level split encodes."""
-    if "(" in re.sub(r"\.size\(\)", "",
+    if "(" in re.sub(r"\.(?:size|type)\(\)", "",
                      re.sub(r'"[^"]*"', "", body)):
         return None
     ors = []
@@ -1337,7 +1362,9 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
             flit = am.group("lit")
             is_str = flit.startswith('"')
             lit_sql = requote(flit[1:-1]) if is_str else flit
-            pred_fn = (_jsonpath_size_pred if am.group("size")
+            meth = am.group("meth") or ""
+            pred_fn = (_jsonpath_size_pred if meth.startswith(".size")
+                       else _jsonpath_type_pred if meth.startswith(".type")
                        else _jsonpath_filter_pred)
             ands.append(pred_fn(
                 requote("$" + am.group("chain")), op, lit_sql, is_str))

@@ -1582,6 +1582,29 @@ def test_json_query_terminal_size_method(spark, sf_dir, oracle):
         name="jsonpath_terminal_size")
 
 
+def test_json_query_filter_type_method(spark, sf_dir, oracle):
+    """?(@.chain.type() <op> "word") (r10): type-word comparison;
+    JSON null is a VOID variant so type()=="null" genuinely matches;
+    missing member drops (UNKNOWN); composes with .size() under &&."""
+    doc = '{"k":[{"v":1},{"v":"x"},{"v":null},{"v":[1,2]},{}]}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', "
+        "'lax $.k[*] ?(@.v.type() == \"number\") .v' WITH ARRAY WRAPPER)"
+        " AS num, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(@.v.type() == \"null\")' WITH ARRAY WRAPPER)"
+        " AS nl, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(@.v.type() != \"number\" && @.v.size() >= 1) .v' "
+        "WITH ARRAY WRAPPER) AS comp", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '[1]' AS num, '[{\"v\":null}]' AS nl, "
+        "'[\"x\",null,[1,2]]' AS comp",
+        name="jsonpath_filter_type")
+
+
 def test_json_query_terminal_type_method(spark, sf_dir, oracle):
     """Terminal .type() (r10): the SQL/JSON type word as a quoted JSON
     string (KEEP QUOTES); VOID variants make JSON null faithful;
@@ -1608,14 +1631,14 @@ def test_json_query_terminal_type_method(spark, sf_dir, oracle):
 
 
 def test_json_query_refusals():
-    # bare && compounds, .size() (filter + terminal) and terminal
-    # .type() GRADUATED in r10 — parenthesized sub-predicates, filter
-    # .type(), and the numeric item methods stay refused
+    # bare && compounds and the .size()/.type() methods (filter +
+    # terminal) GRADUATED in r10 — parenthesized sub-predicates and
+    # the numeric item methods stay refused
     for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
                 "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?((@.b > 1) && @.c < 2)')"
                 " FROM t",
-                "SELECT json_query(p, 'lax $.a[*]?(@.b.type() == \"n\")')"
+                "SELECT json_query(p, 'lax $.a[*]?(@.b.double() > 1)')"
                 " FROM t",
                 "SELECT json_query(p, 'lax $.a.double()') FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
