@@ -347,6 +347,71 @@ def register_base32(spark: SparkSession) -> None:
     spark.udf.register("trino_from_base32", F.pandas_udf(_dec, "binary"))
 
 
+def murmur3_x64_128(data: bytes, seed: int = 0) -> bytes:
+    """Pure-Python MurmurHash3 x64_128 (Appleby's public-domain spec —
+    the variant Trino's ``murmur3(varbinary)`` runs at seed 0 via
+    airlift Murmur3Hash128). Returns the 16-byte result as two
+    little-endian u64 halves (h1 then h2 — airlift Slice layout).
+    Verified by smhasher's published VERIFICATION procedure (hash keys
+    [0..i) at seed 256-i, then hash the concatenated digests at seed
+    0; the first 4 LE bytes must be 0x6384BA69) in
+    tests/test_trino_sql.py::test_murmur3_smhasher_verification."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    def fmix(k: int) -> int:
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & _M64
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & _M64
+        k ^= k >> 33
+        return k
+
+    h1 = h2 = seed & _M64
+    n = len(data)
+    for i in range(0, n - 15, 16):
+        k1 = int.from_bytes(data[i:i + 8], "little")
+        k2 = int.from_bytes(data[i + 8:i + 16], "little")
+        k1 = (rotl((k1 * c1) & _M64, 31) * c2) & _M64
+        h1 = ((rotl(h1 ^ k1, 27) + h2) * 5 + 0x52DCE729) & _M64
+        k2 = (rotl((k2 * c2) & _M64, 33) * c1) & _M64
+        h2 = ((rotl(h2 ^ k2, 31) + h1) * 5 + 0x38495AB5) & _M64
+    tail = data[(n // 16) * 16:]
+    k1 = int.from_bytes(tail[:8], "little")
+    k2 = int.from_bytes(tail[8:], "little")
+    if len(tail) > 8:
+        h2 ^= (rotl((k2 * c2) & _M64, 33) * c1) & _M64
+    if tail:
+        h1 ^= (rotl((k1 * c1) & _M64, 31) * c2) & _M64
+    h1 = (h1 ^ n) & _M64
+    h2 = (h2 ^ n) & _M64
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+
+
+def register_murmur3(spark: SparkSession) -> None:
+    """Register ``trino_murmur3(varbinary) → varbinary`` — Trino's
+    128-bit MurmurHash3 (x64_128, seed 0). Arrow-batched pandas UDF
+    over :func:`murmur3_x64_128` (dialect-parity path — use Spark's
+    native hash/xxhash64 for internal fingerprints)."""
+    import pandas as pd  # noqa: PLC0415 — lazy, session-scoped
+
+    def _mm3(b):
+        return pd.Series(
+            [None if v is None else murmur3_x64_128(bytes(v))
+             for v in b], dtype=object)
+
+    _mm3.__annotations__ = {"b": pd.Series, "return": pd.Series}
+    spark.udf.register("trino_murmur3", F.pandas_udf(_mm3, "binary"))
+
+
 def register_binary_codecs(spark: SparkSession) -> None:
     """Register the binary-codec UDF family (r10, formerly bare
     unresolved-routines):

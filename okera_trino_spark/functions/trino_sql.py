@@ -114,8 +114,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     K/M/B/T/Q rendering with DecimalFormat precision-by-magnitude
     (r9); word_stem → the session-registered trino_word_stem pandas
     UDF (r10 — Porter2/Snowball english from the public spec;
-    non-english language codes stay named errors); named errors for
-    murmur3, spooky_hash_v2_*
+    non-english language codes stay named errors); murmur3 → the
+    trino_murmur3 pandas UDF (r10 — x64_128 seed 0,
+    smhasher-verification bit-verified); named error for
+    spooky_hash_v2_*
   - wave 17 (r8): chr → the Unicode CODEPOINT character (Spark's char
     wraps at 256 — a silent mistranslation until now): literal
     codepoints embed the exact character via the stash, column-driven
@@ -3008,11 +3010,14 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             code, _cdf,
             (lambda nm: lambda a: (f"trino_{nm}({a[0]}, {a[1]}, {a[2]})"
                                    if len(a) == 3 else None))(_cdf))
+    # murmur3 (r10, formerly refused): Trino's 128-bit MurmurHash3
+    # (x64_128, seed 0) via the session-registered trino_murmur3
+    # pandas UDF — implemented from Appleby's public-domain spec and
+    # bit-verified by smhasher's published VERIFICATION value
+    # (trino_compat.murmur3_x64_128).
     code = _rewrite_calls(
         code, "murmur3",
-        _named_unsupported(
-            "murmur3", "Spark's hash() is 32-bit murmur3 with a "
-            "different seed — no 128-bit twin"))
+        lambda a: f"trino_murmur3({a[0]})" if len(a) == 1 else None)
     # word_stem (r10, formerly refused): Trino stems with the Snowball
     # english stemmer (Porter2); lowered to the session-registered
     # trino_word_stem pandas UDF (functions/stemmer.py — implemented
@@ -4474,6 +4479,10 @@ def ensure_dialect_udfs(spark: SparkSession, sql: str) -> None:
         from okera_trino_spark.functions.trino_compat import (
             register_stat_fns)
         register_stat_fns(spark)
+    if re.search(r"\b(trino_)?murmur3\s*\(", sql, re.IGNORECASE):
+        from okera_trino_spark.functions.trino_compat import (
+            register_murmur3)
+        register_murmur3(spark)
 
 
 def execute_trino(spark: SparkSession, sql: str,
@@ -6378,3 +6387,36 @@ def q_trino_sql_statfns(spark: SparkSession, sf_dir: str) -> DataFrame:
     literature-value unit tests (test_stat_cdf_functions). Scale:
     Arrow-batched map-only row work."""
     return execute_trino(spark, TRINO_SQL_STATFNS, sf_dir)
+
+
+def _murmur3_oracle() -> str:
+    """Oracle for q_trino_sql_murmur3: nation is FIXED (25 rows,
+    NATION_0..24, identical at every SF), so the expected 16-byte
+    digests are embedded as hex literals generated by the same
+    trino_compat.murmur3_x64_128 — deliberately: this key proves the
+    SESSION PLUMBING, while the ALGORITHM's proof is smhasher's
+    published verification value (test_murmur3_smhasher_verification
+    — the xxhash64 two-sided pattern)."""
+    from okera_trino_spark.functions.trino_compat import murmur3_x64_128
+    rows = ", ".join(
+        f"({i}, '{murmur3_x64_128(f'NATION_{i}'.encode()).hex()}')"
+        for i in range(25))
+    return (f"SELECT n_nationkey, hx FROM (VALUES {rows}) "
+            f"AS t(n_nationkey, hx) ORDER BY n_nationkey")
+
+
+@query(
+    "q_trino_sql_murmur3",
+    oracle=_murmur3_oracle(),
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino ``murmur3(varbinary) → varbinary`` (r10, formerly a named
+    error): 128-bit MurmurHash3 (x64_128, seed 0, h1||h2 little-endian
+    — airlift Murmur3Hash128), via the session-registered
+    Arrow-batched ``trino_murmur3`` pandas UDF. See _murmur3_oracle
+    for the plumbing/algorithm verification split."""
+    return execute_trino(
+        spark,
+        "SELECT n_nationkey, lower(to_hex(murmur3(to_utf8(n_name)))) AS hx "
+        "FROM nation ORDER BY n_nationkey", sf_dir)

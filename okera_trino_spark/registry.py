@@ -101,15 +101,16 @@ def query(name: str, oracle: str | None = None,
 #:      test_entry.py union-closure invariant green;
 #:   3) the r4-stale cohort (16 keys, last green five rounds ago —
 #:      at the staleness bound this round);
-#:   4) 27 of the 38-key r5 cohort. The r9 window's 49 greens all
-#:      rotate OUT (fresh evidence last round); the 11 deferred r5
+#:   4) 26 of the 38-key r5 cohort. The r9 window's 49 greens all
+#:      rotate OUT (fresh evidence last round); the 12 deferred r5
 #:      keys (the TPC-H q2/q9/q11/q12/q16/q20/q21 composites — their
 #:      constituent operators are all freshly green elsewhere —
 #:      q_view_expand, and q_llm_media_features / q_llm_entropy /
-#:      q_llm_pack, whose multimodal / text-analysis / chunking
-#:      families keep q_llm_frame_sample / q_llm_text_stats /
-#:      q_llm_mix in-window) MUST rotate in next round (r11) to stay
-#:      within the 5-round staleness bound.
+#:      q_llm_pack / q_llm_dedup_ngram, whose multimodal /
+#:      text-analysis / chunking / dedup families keep
+#:      q_llm_frame_sample / q_llm_text_stats / q_llm_mix /
+#:      q_llm_dedup_apply+simhash in-window) MUST rotate in next
+#:      round (r11) to stay within the 5-round staleness bound.
 _PRIORITY: tuple[str, ...] = (
     # 1) r9 driver-red, fixed in r10, no green row yet
     "q_trino_sql_listagg_trunc",
@@ -117,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_word_stem", "q_trino_sql_listagg_distinct",
     "q_trino_sql_jsonpath_bool", "q_trino_sql_breadth5",
     "q_trino_sql_breadth6", "q_trino_sql_statfns",
+    "q_trino_sql_murmur3",
     # 3) r4-stale cohort (16)
     "q_agg_bool", "q_agg_listagg", "q_fn_decimal", "q_fn_try",
     "q_fn_url", "q_llm_dedup_simhash", "q_llm_dedup_simhash_pairs",
@@ -127,7 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_histogram", "q_asof_join", "q_events_funnel",
     "q_events_gapfill", "q_events_outliers", "q_events_retention",
     "q_events_sessionize", "q_fn_interval", "q_fn_json",
-    "q_join_range_banded", "q_llm_dedup_apply", "q_llm_dedup_ngram",
+    "q_join_range_banded", "q_llm_dedup_apply",
     "q_llm_dup_clusters",
     "q_llm_mix", "q_llm_pii_scrub", "q_llm_pipeline",
     "q_llm_repetition", "q_llm_text_stats", "q_llm_vocab",

@@ -94,6 +94,7 @@ SURFACE = [
     "from_ieee754_64(to_ieee754_64(d))", "hmac_md5(to_utf8(s), to_utf8(s))",
     "hmac_sha1(to_utf8(s), to_utf8(s))", "hmac_sha256(to_utf8(s), to_utf8(s))",
     "hmac_sha512(to_utf8(s), to_utf8(s))", "md5(to_utf8(s))",
+    "murmur3(to_utf8(s))", "spooky_hash_v2_64(to_utf8(s))",
     "sha1(to_utf8(s))", "sha256(to_utf8(s))", "sha512(to_utf8(s))",
     "xxhash64(to_utf8(s))",
     # json

@@ -1934,13 +1934,30 @@ def test_trino_wave16(spark, sf_dir, oracle, name, trino, duck):
 def test_trino_wave16_named_errors(spark, sf_dir):
     # xxhash64 GRADUATED in r9, word_stem (english) in r10 — no longer
     # in this refusal list; non-english word_stem stays refused.
+    # murmur3 GRADUATED late in r10 (smhasher-verified x64_128 UDF)
     for sql, pat in [
-        ("SELECT murmur3(to_utf8('a')) AS x", "murmur3"),
         ("SELECT word_stem('laufen', 'de') AS x", "word_stem"),
         ("SELECT spooky_hash_v2_64(to_utf8('a')) AS x", "spooky"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
+
+
+def test_murmur3_smhasher_verification(spark, sf_dir):
+    """MurmurHash3 x64_128's published smhasher VERIFICATION value
+    (0x6384BA69): hash keys [0..i) at seed 256-i, hash the 4096-byte
+    concatenation at seed 0, take the first 4 LE bytes — the spec's
+    own whole-algorithm checksum (covers every tail length and the
+    block loop). Plus the dialect plumbing end-to-end."""
+    from okera_trino_spark.functions.trino_compat import murmur3_x64_128
+
+    buf = b"".join(murmur3_x64_128(bytes(range(i)), seed=256 - i)
+                   for i in range(256))
+    assert int.from_bytes(murmur3_x64_128(buf)[:4], "little") == 0x6384BA69
+    row = execute_trino(
+        spark, "SELECT lower(to_hex(murmur3(to_utf8('abc')))) AS h",
+        sf_dir).collect()[0]
+    assert row.h == murmur3_x64_128(b"abc").hex()
 
 
 def test_parse_duration_column(spark, sf_dir, oracle):
