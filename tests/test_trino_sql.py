@@ -2809,6 +2809,11 @@ def test_rewrite_fuzz_execution_leg(spark, sf_dir):
         "concat(n_name, '{0}')",
         "word_stem(lower(n_name))",
         "to_milliseconds(parse_duration(CAST(n_nationkey AS VARCHAR) || 'ms'))",
+        "lower(to_hex(murmur3(to_utf8(n_name))))",
+        "lower(to_hex(hmac_sha256(to_utf8(n_name), to_utf8('k'))))",
+        "CAST(from_base32(to_base32(to_utf8(n_name))) AS VARCHAR)",
+        "from_ieee754_64(to_ieee754_64(n_nationkey * 1.5))",
+        "cast(cast(split_to_multimap(n_name || '=1', ',', '=') AS JSON) AS VARCHAR)",
         "json_query('{{\"k\":[{{\"v\":{1}}}]}}', "
         "'lax $.k[*] ?(@.v > {1} && @.v < {2} || @.v == 0) .v' "
         "WITH ARRAY WRAPPER)",
