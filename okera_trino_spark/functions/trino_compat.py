@@ -237,6 +237,18 @@ def xxh64_batch(datas: list, seed: int = 0):
     lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n)
     maxlen = int(lens.max()) if n else 0
     width = ((maxlen + 8 + 7) // 8) * 8   # 8-aligned rows for u64 views
+    # The padded matrix is sized by the batch's LONGEST value — one
+    # megabyte outlier in a 10k-row Arrow batch would otherwise
+    # allocate rows × maxlen dense zeros (r10 review fix). Bound the
+    # matrix at ~64 MiB by recursing on row chunks: each chunk re-pads
+    # to ITS OWN maxlen, so short rows never pay for a distant
+    # outlier's width.
+    if n > 1 and n * width > (64 << 20):
+        step = max(1, (64 << 20) // width)
+        out = np.empty(n, dtype=np.uint64)
+        for i in range(0, n, step):
+            out[i:i + step] = xxh64_batch(datas[i:i + step], seed=seed)
+        return out
     mat = np.zeros((n, width), dtype=np.uint8)
     for i, d in enumerate(datas):
         if d:
@@ -564,7 +576,13 @@ def _inverse_normal_cdf01(p: float) -> float:
         x = -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
                * q + c[5])
               / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
-    # one Halley refinement against the exact erfc-based CDF
+    # one Halley refinement against the exact erfc-based CDF — skipped
+    # in the extreme tails where exp(x²/2) would overflow (subnormal
+    # p, |x| ≳ 37.6): Acklam's estimate alone is already ~1e-9 there
+    # (r10 review fix: inverse_normal_cdf(0, 1, 5e-324) raised
+    # OverflowError instead of returning the ~-38.5 quantile).
+    if x * x / 2 > 700:
+        return x
     e = 0.5 * math.erfc(-x / math.sqrt(2)) - p
     u = e * math.sqrt(2 * math.pi) * math.exp(x * x / 2)
     return x - u / (1 + x * u / 2)
@@ -584,9 +602,17 @@ def register_stat_fns(spark: SparkSession) -> None:
     import pandas as pd  # noqa: PLC0415
 
     def _rowwise(fn):
+        # Arrow delivers SQL NULL doubles as NaN (None checks are
+        # dead), and ArrowEvalPython computes the UDF for EVERY row
+        # even under a CASE guard — so NaN args must short-circuit to
+        # NaN here instead of tripping the domain checks (the SQL-side
+        # IS NULL CASE in the lowering then maps NULL rows' outputs
+        # back to NULL; genuine NaN inputs stay NaN, IEEE-style).
         def f(x1, x2, x3):
+            nan = float("nan")
             return pd.Series(
-                [None if (a is None or b is None or v is None)
+                [nan if (a is None or b is None or v is None
+                         or a != a or b != b or v != v)
                  else fn(float(a), float(b), float(v))
                  for a, b, v in zip(x1, x2, x3)], dtype="float64")
         f.__annotations__ = {"x1": pd.Series, "x2": pd.Series,

@@ -1293,6 +1293,24 @@ _JSONPATH_FILTER_ATOM_RE = re.compile(
     r"(?P<lit>-?\d+(?:\.\d+)?|\"[^\"]*\")")
 
 
+def _variant_type_word(vexpr: str, quoted: bool) -> str:
+    """schema_of_variant → the SQL/JSON type word for the item bound
+    to ``vexpr`` (number/string/boolean/array/object/null — Spark's
+    VOID variant is the JSON null item). One table for both the filter
+    predicate (bare word, string comparison) and the terminal method
+    (quoted — json_query KEEP QUOTES output)."""
+    q = '"' if quoted else ""
+    return (
+        f"element_at(transform(array(schema_of_variant({vexpr})), _jt -> "
+        f"CASE WHEN _jt = 'VOID' THEN '{q}null{q}' "
+        f"WHEN _jt = 'STRING' THEN '{q}string{q}' "
+        f"WHEN _jt = 'BOOLEAN' THEN '{q}boolean{q}' "
+        f"WHEN _jt IN ({_VARIANT_NUM_TYPES}) "
+        f"OR _jt LIKE 'DECIMAL%' THEN '{q}number{q}' "
+        f"WHEN _jt LIKE 'ARRAY%' THEN '{q}array{q}' "
+        f"ELSE '{q}object{q}' END), 1)")
+
+
 def _jsonpath_type_pred(fpath: str, op: str, lit_sql: str,
                         is_str: bool) -> str:
     """Predicate body for a ``?(@.chain.type() <op> literal)`` atom
@@ -1303,15 +1321,7 @@ def _jsonpath_type_pred(fpath: str, op: str, lit_sql: str,
     matches null members."""
     if not is_str:
         return "CAST(NULL AS BOOLEAN)"
-    word = (
-        "element_at(transform(array(schema_of_variant(_jv)), _jt -> "
-        "CASE WHEN _jt = 'VOID' THEN 'null' "
-        "WHEN _jt = 'STRING' THEN 'string' "
-        "WHEN _jt = 'BOOLEAN' THEN 'boolean' "
-        f"WHEN _jt IN ({_VARIANT_NUM_TYPES}) "
-        "OR _jt LIKE 'DECIMAL%' THEN 'number' "
-        "WHEN _jt LIKE 'ARRAY%' THEN 'array' "
-        "ELSE 'object' END), 1)")
+    word = _variant_type_word("_jv", quoted=False)
     return (f"element_at(transform(array("
             f"try_variant_get(_jf, {fpath}, 'variant')), "
             f"_jv -> CASE WHEN _jv IS NULL THEN NULL "
@@ -1322,10 +1332,12 @@ def _jsonpath_size_pred(fpath: str, op: str, lit_sql: str,
                         is_str: bool) -> str:
     """Predicate body for a ``?(@.chain.size() <op> literal)`` atom
     (r10): SQL/JSON ``size()`` is the element count of an array item
-    and 1 for any other item (lax). A string literal can never equal a
-    number under SQL/JSON typed comparison, so that form is statically
-    UNKNOWN; a missing member (or JSON null, same convention as the
-    comparison atoms) leaves NULL → the element drops."""
+    and 1 for ANY other item — including the JSON null item, which is
+    a non-NULL VOID variant here and correctly sizes to 1 (unlike the
+    comparison atoms, where a typed cast of null fails and drops the
+    element). A string literal can never equal a number under SQL/JSON
+    typed comparison, so that form is statically UNKNOWN; a MISSING
+    member leaves NULL → the element drops."""
     if is_str:
         return "CAST(NULL AS BOOLEAN)"
     body = ("CASE WHEN _jv IS NULL THEN NULL "
@@ -2368,18 +2380,11 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                             f"ELSE '1' END), 1)")
             else:
                 def size_of(vexpr):
+                    word = _variant_type_word("_jq", quoted=True)
                     return (
                         f"element_at(transform(array({vexpr}), _jq -> "
-                        f"element_at(transform(array("
-                        f"schema_of_variant(_jq)), _jt -> "
                         f"CASE WHEN _jq IS NULL THEN NULL "
-                        f"WHEN _jt = 'VOID' THEN '\"null\"' "
-                        f"WHEN _jt = 'STRING' THEN '\"string\"' "
-                        f"WHEN _jt = 'BOOLEAN' THEN '\"boolean\"' "
-                        f"WHEN _jt IN ({_VARIANT_NUM_TYPES}) "
-                        f"OR _jt LIKE 'DECIMAL%' THEN '\"number\"' "
-                        f"WHEN _jt LIKE 'ARRAY%' THEN '\"array\"' "
-                        f"ELSE '\"object\"' END), 1)), 1)")
+                        f"ELSE {word} END), 1)")
         wc = re.fullmatch(
             r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*"
             r"(?:\?\s*\(\s*(?P<fbody>(?:\"[^\"]*\"|\(\)|[^()\"])*?)\s*\)\s*)?"
@@ -2994,12 +2999,20 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             code, f"hmac_{_alg}",
             (lambda alg: lambda a: (f"trino_hmac_{alg}({a[0]}, {a[1]})"
                                     if len(a) == 2 else None))(_alg))
+    # Arrow converts SQL NULL doubles to NaN before the pandas UDF can
+    # see them, so NULL-in-NULL-out must be decided SQL-SIDE — the
+    # CASE guard keeps genuine NaN inputs flowing to the UDF (where
+    # IEEE semantics apply) while NULL never reaches it (r10 review
+    # fix: to_ieee754_64(NULL) returned the NaN bit pattern, and a
+    # NULL sd crashed the stat CDFs' domain checks).
     for _ieee in ("to_ieee754_64", "to_ieee754_32",
                   "from_ieee754_64", "from_ieee754_32"):
         code = _rewrite_calls(
             code, _ieee,
-            (lambda nm: lambda a: (f"trino_{nm}({a[0]})"
-                                   if len(a) == 1 else None))(_ieee))
+            (lambda nm: lambda a: (
+                f"CASE WHEN ({a[0]}) IS NULL THEN NULL "
+                f"ELSE trino_{nm}({a[0]}) END"
+                if len(a) == 1 else None))(_ieee))
     # statistical CDFs (r10): normal_cdf / inverse_normal_cdf /
     # beta_cdf / inverse_beta_cdf → session pandas UDFs
     # (trino_compat.register_stat_fns — erfc-exact normal, Lentz
@@ -3008,8 +3021,11 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                  "beta_cdf", "inverse_beta_cdf"):
         code = _rewrite_calls(
             code, _cdf,
-            (lambda nm: lambda a: (f"trino_{nm}({a[0]}, {a[1]}, {a[2]})"
-                                   if len(a) == 3 else None))(_cdf))
+            (lambda nm: lambda a: (
+                f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL "
+                f"OR ({a[2]}) IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"ELSE trino_{nm}({a[0]}, {a[1]}, {a[2]}) END"
+                if len(a) == 3 else None))(_cdf))
     # murmur3 (r10, formerly refused): Trino's 128-bit MurmurHash3
     # (x64_128, seed 0) via the session-registered trino_murmur3
     # pandas UDF — implemented from Appleby's public-domain spec and

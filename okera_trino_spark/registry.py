@@ -125,7 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_llm_fingerprint", "q_llm_frame_sample", "q_llm_knn_join",
     "q_llm_langid", "q_llm_tokens", "q_sort_nulls",
     "q_udf_current_db", "q_unnest_ordinality", "q_win_dist",
-    # 4) r5-stale cohort (30 of 38)
+    # 4) r5-stale cohort (26 of 38 — see the 12-key deferral note above)
     "q_agg_histogram", "q_asof_join", "q_events_funnel",
     "q_events_gapfill", "q_events_outliers", "q_events_retention",
     "q_events_sessionize", "q_fn_interval", "q_fn_json",

@@ -2250,6 +2250,45 @@ def test_stat_cdf_functions(spark, sf_dir):
                       "FROM (VALUES (1.5)) AS t(v)", sf_dir).collect()
 
 
+def test_udf_null_handling_review_fixes(spark, sf_dir):
+    """r10 review fixes: Arrow turns SQL NULL doubles into NaN before
+    a pandas UDF sees them, AND ArrowEvalPython computes UDFs for all
+    rows even under CASE — so (a) NULL args to the stat CDFs must
+    yield NULL without tripping domain errors, (b) to_ieee754_64(NULL)
+    must be NULL (it returned the NaN bit pattern), while genuine NaN
+    keeps its IEEE bits, (c) subnormal p must not overflow the
+    inverse-normal refinement."""
+    row = execute_trino(
+        spark,
+        "SELECT normal_cdf(0, sd, 1) AS nc, to_ieee754_64(sd) AS bits, "
+        "beta_cdf(2, 3, sd) AS bc "
+        "FROM (VALUES (CAST(NULL AS DOUBLE)), (1.0)) AS t(sd) "
+        "ORDER BY sd NULLS FIRST", sf_dir).collect()
+    assert row[0].nc is None and row[0].bits is None and row[0].bc is None
+    assert row[1].nc is not None and row[1].bits is not None
+    nan_bits = execute_trino(
+        spark, "SELECT to_hex(to_ieee754_64(nan())) AS h",
+        sf_dir).collect()[0].h
+    assert nan_bits == "7FF8000000000000"
+    sub = execute_trino(
+        spark, "SELECT inverse_normal_cdf(0, 1, 5e-324) AS q",
+        sf_dir).collect()[0].q
+    assert -40 < sub < -35
+
+
+def test_xxh64_batch_outlier_memory_cap():
+    """r10 review fix: a single large value in a batch must not
+    allocate rows x maxlen dense padding — chunks re-pad to their own
+    width and stay bit-exact."""
+    from okera_trino_spark.functions.trino_compat import (xxh64,
+                                                          xxh64_batch)
+
+    vals = [b"x" * 9] * 50000 + [b"y" * (1 << 20)]
+    got = xxh64_batch(vals)   # naive padding would be ~50 GiB
+    assert int(got[0]) == xxh64(vals[0])
+    assert int(got[-1]) == xxh64(vals[-1])
+
+
 def test_porter2_total_function():
     """porter2_stem is total: never crashes, never empties a word, and
     never grows it by more than the one 'e' step 1b can append — over
