@@ -229,10 +229,13 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     char2hexint (UTF-16BE hex); approx_set/merge/cardinality → the
     DataSketches HLL builtins (engine-specific sketch bytes —
     approx_distinct-class divergence); qdigest/tdigest named errors
+  - wave 25 (r10): full ?(...) predicate grammar — parenthesized
+    sub-predicates, !(...) negation, exists(@.chain) — via recursive
+    descent over the SQL/JSON predicate grammar (K3 = Spark NULL
+    logic for every connective)
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
-    zones, JSON paths with methods/multiple wildcards/parenthesized
-    filter sub-predicates
+    zones, JSON paths with numeric item methods/multiple wildcards
     (json_value plain member chains lower to get_json_object, r7;
     json_query chains + one [*] + comparison filters lower via
     VARIANT, r9-r10; CAST(.. AS JSON) serializes via to_json, r7),
@@ -1240,51 +1243,51 @@ _VARIANT_NUM_TYPES = ("'TINYINT', 'SMALLINT', 'INT', 'BIGINT', "
 def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
                           is_str: bool) -> str:
     """Predicate body for a ``?(@.chain <op> literal)`` jsonpath
-    filter over the bound array element ``_jf``. SQL/JSON comparisons
-    are TYPED: a JSON string never equals a JSON number, so the cast
-    is gated on ``schema_of_variant`` (``try_variant_get`` alone
-    coerces "5" → 5.0). Lax mode auto-unwraps a single array level:
-    an array-valued member matches when ANY element satisfies the
-    comparison (``exists``). Missing member, JSON null, or a
-    non-conforming type leaves the predicate NULL → the element drops
-    (UNKNOWN-drop)."""
+    filter over the bound array element ``_jf``, with the standard's
+    EXACT three-valued outcomes (r10 — negation-safe: a positive-only
+    filter can't tell FALSE from UNKNOWN because both drop, but
+    ``!(...)`` can, so each case must land on the right K3 value):
+
+      - missing member (lax) → empty sequence → comparison FALSE
+        (comparisons are existential: no pair, no error);
+      - JSON null item vs a literal → FALSE, and TRUE for ``<>``
+        (SQL/JSON null is an ordinary item equal only to itself —
+        NOT SQL NULL);
+      - present but type-mismatched items (string item vs number
+        literal …) → UNKNOWN (SQL NULL);
+      - matched types → the actual comparison.
+
+    SQL/JSON comparisons are TYPED, so the cast is gated on
+    ``schema_of_variant`` (``try_variant_get`` alone coerces "5" →
+    5.0). Lax mode auto-unwraps a single array level with existential
+    semantics: TRUE if any element matches, UNKNOWN if none match and
+    some mismatch type, else FALSE — exactly Spark's ``exists`` NULL
+    handling."""
+    null_cmp = "TRUE" if op == "<>" else "FALSE"
     if is_str:
-        def typed(x: str) -> str:
-            return (f"CASE WHEN schema_of_variant({x}) = 'STRING' "
-                    f"THEN try_cast({x} AS STRING) END")
+        def cmp(x: str) -> str:
+            return (f"CASE WHEN schema_of_variant({x}) = 'VOID' "
+                    f"THEN {null_cmp} "
+                    f"WHEN schema_of_variant({x}) = 'STRING' "
+                    f"THEN try_cast({x} AS STRING) {op} {lit_sql} "
+                    f"ELSE CAST(NULL AS BOOLEAN) END")
     else:
-        def typed(x: str) -> str:
-            return (f"CASE WHEN schema_of_variant({x}) IN "
+        def cmp(x: str) -> str:
+            return (f"CASE WHEN schema_of_variant({x}) = 'VOID' "
+                    f"THEN {null_cmp} "
+                    f"WHEN schema_of_variant({x}) IN "
                     f"({_VARIANT_NUM_TYPES}) OR schema_of_variant({x}) "
-                    f"LIKE 'DECIMAL%' THEN try_cast({x} AS DOUBLE) END")
-    scalar = f"{typed('_jv')} {op} {lit_sql}"
+                    f"LIKE 'DECIMAL%' "
+                    f"THEN try_cast({x} AS DOUBLE) {op} {lit_sql} "
+                    f"ELSE CAST(NULL AS BOOLEAN) END")
     unwrap = (f"exists(try_cast(_jv AS ARRAY<VARIANT>), "
-              f"_jw -> {typed('_jw')} {op} {lit_sql})")
-    body = ("CASE WHEN _jv IS NULL THEN NULL "
+              f"_jw -> {cmp('_jw')})")
+    body = ("CASE WHEN _jv IS NULL THEN FALSE "
             f"WHEN schema_of_variant(_jv) LIKE 'ARRAY%' THEN {unwrap} "
-            f"ELSE {scalar} END")
+            f"ELSE {cmp('_jv')} END")
     return (f"element_at(transform(array("
             f"try_variant_get(_jf, {fpath}, 'variant')), "
             f"_jv -> {body}), 1)")
-
-
-def _split_json_filter(body: str, sep: str) -> list[str]:
-    """Split a jsonpath filter body on a top-level ``&&``/``||``
-    connective, never inside a double-quoted JSON string literal."""
-    parts, cur, in_str, i = [], [], False, 0
-    while i < len(body):
-        c = body[i]
-        if c == '"':
-            in_str = not in_str
-        if not in_str and body.startswith(sep, i):
-            parts.append("".join(cur))
-            cur = []
-            i += len(sep)
-            continue
-        cur.append(c)
-        i += 1
-    parts.append("".join(cur))
-    return parts
 
 
 _JSONPATH_FILTER_ATOM_RE = re.compile(
@@ -1315,16 +1318,20 @@ def _jsonpath_type_pred(fpath: str, op: str, lit_sql: str,
                         is_str: bool) -> str:
     """Predicate body for a ``?(@.chain.type() <op> literal)`` atom
     (r10): the SQL/JSON type word compared as a string. A numeric
-    literal can never equal a type word → statically UNKNOWN; a
-    missing member leaves NULL → the element drops. JSON null is a
-    VOID variant (non-NULL), so ``@.x.type() == "null"`` genuinely
-    matches null members."""
+    literal can never equal a type word → UNKNOWN when the member is
+    present (type-mismatch rule); a MISSING member is the lax empty
+    sequence → FALSE (negation-safe, see _jsonpath_filter_pred). JSON
+    null is a VOID variant (non-NULL), so ``@.x.type() == "null"``
+    genuinely matches null members."""
     if not is_str:
-        return "CAST(NULL AS BOOLEAN)"
+        return (f"element_at(transform(array("
+                f"try_variant_get(_jf, {fpath}, 'variant')), "
+                f"_jv -> CASE WHEN _jv IS NULL THEN FALSE "
+                f"ELSE CAST(NULL AS BOOLEAN) END), 1)")
     word = _variant_type_word("_jv", quoted=False)
     return (f"element_at(transform(array("
             f"try_variant_get(_jf, {fpath}, 'variant')), "
-            f"_jv -> CASE WHEN _jv IS NULL THEN NULL "
+            f"_jv -> CASE WHEN _jv IS NULL THEN FALSE "
             f"ELSE {word} {op} {lit_sql} END), 1)")
 
 
@@ -1333,57 +1340,151 @@ def _jsonpath_size_pred(fpath: str, op: str, lit_sql: str,
     """Predicate body for a ``?(@.chain.size() <op> literal)`` atom
     (r10): SQL/JSON ``size()`` is the element count of an array item
     and 1 for ANY other item — including the JSON null item, which is
-    a non-NULL VOID variant here and correctly sizes to 1 (unlike the
-    comparison atoms, where a typed cast of null fails and drops the
-    element). A string literal can never equal a number under SQL/JSON
-    typed comparison, so that form is statically UNKNOWN; a MISSING
-    member leaves NULL → the element drops."""
+    a non-NULL VOID variant here and correctly sizes to 1. A string
+    literal can never equal a number under SQL/JSON typed comparison
+    → UNKNOWN when the member is present; a MISSING member is the lax
+    empty sequence → FALSE (negation-safe, see
+    _jsonpath_filter_pred)."""
     if is_str:
-        return "CAST(NULL AS BOOLEAN)"
-    body = ("CASE WHEN _jv IS NULL THEN NULL "
-            "WHEN schema_of_variant(_jv) LIKE 'ARRAY%' "
-            "THEN size(try_cast(_jv AS ARRAY<VARIANT>)) "
-            f"ELSE 1 END {op} {lit_sql}")
+        body = ("CASE WHEN _jv IS NULL THEN FALSE "
+                "ELSE CAST(NULL AS BOOLEAN) END")
+    else:
+        body = ("CASE WHEN _jv IS NULL THEN FALSE "
+                "ELSE (CASE WHEN schema_of_variant(_jv) LIKE 'ARRAY%' "
+                "THEN size(try_cast(_jv AS ARRAY<VARIANT>)) "
+                f"ELSE 1 END) {op} {lit_sql} END")
     return (f"element_at(transform(array("
             f"try_variant_get(_jf, {fpath}, 'variant')), "
             f"_jv -> {body}), 1)")
 
 
+class _JPFilterUnsupported(Exception):
+    """Internal: a ?(...) body outside the supported grammar — the
+    caller converts to None → the public named error."""
+
+
+_JSONPATH_EXISTS_RE = re.compile(
+    r"exists\s*\(\s*@(?P<chain>(?:\.\w+|\[\d+\])*)\s*\)")
+
+
+def _jsonpath_exists_pred(fpath: str) -> str:
+    """``exists(@.chain)`` path predicate (r10): lax SQL/JSON exists —
+    TRUE when the member resolves (INCLUDING to JSON null, which is a
+    non-NULL VOID variant here), FALSE when missing (lax empty
+    sequence → false, not unknown). Intermediate-step array
+    auto-unwrap is out of scope, same as the comparison atoms."""
+    return f"(try_variant_get(_jf, {fpath}, 'variant') IS NOT NULL)"
+
+
 def _jsonpath_filter_body(body: str, requote) -> str | None:
-    """Compound ``?(...)`` filter (r10 — the single-comparison form
-    landed r9): a disjunction of conjunctions of
-    ``@.chain <op> literal`` comparisons. SQL/JSON path predicates are
-    Kleene three-valued — ``unknown && false = false``,
-    ``unknown || true = true`` — which is exactly Spark's NULL-aware
-    AND/OR, so the atoms (each NULL on missing member / type mismatch,
-    per _jsonpath_filter_pred) compose directly and ``filter()``'s
-    keep-only-TRUE implements the UNKNOWN-drop rule. Parenthesized
-    sub-predicates and methods return None → the caller's named error.
-    ``&&`` binds tighter than ``||`` (the SQL/JSON path grammar), which
-    the two-level split encodes."""
-    if "(" in re.sub(r"\.(?:size|type)\(\)", "",
-                     re.sub(r'"[^"]*"', "", body)):
+    """``?(...)`` filter predicate (r9 single comparison; r10 &&/||,
+    parenthesized sub-predicates, ``!`` negation, ``exists()``).
+    Recursive descent over the SQL/JSON path predicate grammar:
+
+        or    := and ( '||' and )*
+        and   := unary ( '&&' unary )*
+        unary := '!' delimited | delimited | exists | atom
+        delimited := '(' or ')'        -- ! applies only here + exists
+        atom  := @.chain[.size()|.type()] <op> literal
+
+    SQL/JSON predicates are Kleene three-valued — ``unknown && false =
+    false``, ``unknown || true = true``, ``!unknown = unknown`` —
+    which is exactly Spark's NULL-aware AND/OR/NOT, so the atoms (each
+    NULL on missing member / type mismatch, per _jsonpath_filter_pred)
+    compose directly and ``filter()``'s keep-only-TRUE implements the
+    UNKNOWN-drop rule for every connective shape. ``&&`` binds tighter
+    than ``||`` (the SQL/JSON path grammar). Item methods other than
+    size/type return None → the caller's named error."""
+    pos, n = 0, len(body)
+
+    def ws():
+        nonlocal pos
+        while pos < n and body[pos].isspace():
+            pos += 1
+
+    def expect_close():
+        nonlocal pos
+        ws()
+        if pos >= n or body[pos] != ")":
+            raise _JPFilterUnsupported(body)
+        pos += 1
+
+    def parse_or():
+        parts = [parse_and()]
+        ws()
+        nonlocal pos
+        while body.startswith("||", pos):
+            pos += 2
+            parts.append(parse_and())
+            ws()
+        if len(parts) == 1:
+            return parts[0]
+        return " OR ".join(f"({p})" for p in parts)
+
+    def parse_and():
+        parts = [parse_unary()]
+        ws()
+        nonlocal pos
+        while body.startswith("&&", pos):
+            pos += 2
+            parts.append(parse_unary())
+            ws()
+        if len(parts) == 1:
+            return parts[0]
+        return " AND ".join(f"({p})" for p in parts)
+
+    def parse_unary():
+        nonlocal pos
+        ws()
+        if pos < n and body[pos] == "!":
+            # the grammar allows ! only on a DELIMITED predicate:
+            # !(...) or !exists(...); a bare !@.a == 1 is invalid
+            # in Trino too, so it falls to the named error.
+            pos += 1
+            ws()
+            if pos < n and body[pos] == "(":
+                pos += 1
+                inner = parse_or()
+                expect_close()
+                return f"(NOT ({inner}))"
+            em = _JSONPATH_EXISTS_RE.match(body, pos)
+            if em is None:
+                raise _JPFilterUnsupported(body)
+            pos = em.end()
+            return ("(NOT " + _jsonpath_exists_pred(
+                requote("$" + em.group("chain"))) + ")")
+        if pos < n and body[pos] == "(":
+            pos += 1
+            inner = parse_or()
+            expect_close()
+            return f"({inner})"
+        em = _JSONPATH_EXISTS_RE.match(body, pos)
+        if em is not None:
+            pos = em.end()
+            return _jsonpath_exists_pred(requote("$" + em.group("chain")))
+        am = _JSONPATH_FILTER_ATOM_RE.match(body, pos)
+        if am is None:
+            raise _JPFilterUnsupported(body)
+        pos = am.end()
+        op = {"==": "=", "!=": "<>"}.get(am.group("op"), am.group("op"))
+        flit = am.group("lit")
+        is_str = flit.startswith('"')
+        lit_sql = requote(flit[1:-1]) if is_str else flit
+        meth = am.group("meth") or ""
+        pred_fn = (_jsonpath_size_pred if meth.startswith(".size")
+                   else _jsonpath_type_pred if meth.startswith(".type")
+                   else _jsonpath_filter_pred)
+        return pred_fn(
+            requote("$" + am.group("chain")), op, lit_sql, is_str)
+
+    try:
+        out = parse_or()
+    except _JPFilterUnsupported:
         return None
-    ors = []
-    for term in _split_json_filter(body, "||"):
-        ands = []
-        for atom in _split_json_filter(term, "&&"):
-            am = _JSONPATH_FILTER_ATOM_RE.fullmatch(atom.strip())
-            if am is None:
-                return None
-            op = {"==": "=", "!=": "<>"}.get(am.group("op"),
-                                             am.group("op"))
-            flit = am.group("lit")
-            is_str = flit.startswith('"')
-            lit_sql = requote(flit[1:-1]) if is_str else flit
-            meth = am.group("meth") or ""
-            pred_fn = (_jsonpath_size_pred if meth.startswith(".size")
-                       else _jsonpath_type_pred if meth.startswith(".type")
-                       else _jsonpath_filter_pred)
-            ands.append(pred_fn(
-                requote("$" + am.group("chain")), op, lit_sql, is_str))
-        ors.append("(" + " AND ".join(f"({p})" for p in ands) + ")")
-    return " OR ".join(ors)
+    ws()
+    if pos != n:
+        return None
+    return out
 
 
 def _structural_rewrites(code: str, stash: list[str]) -> str:
@@ -2385,9 +2486,30 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                         f"element_at(transform(array({vexpr}), _jq -> "
                         f"CASE WHEN _jq IS NULL THEN NULL "
                         f"ELSE {word} END), 1)")
+        # extract a single ?(...) filter with a string-aware depth scan
+        # (r10: parenthesized sub-predicates nest parens, so a regex
+        # can't delimit the body); the body is replaced by a \x01
+        # marker so the structural regex below stays linear.
+        fbody = None
+        qm = re.search(r"\?\s*\(", path)
+        if qm is not None:
+            depth, i, in_str = 1, qm.end(), False
+            while i < len(path) and depth:
+                c = path[i]
+                if c == '"':
+                    in_str = not in_str
+                elif not in_str and c == "(":
+                    depth += 1
+                elif not in_str and c == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise TrinoSqlUnsupported(
+                    "json_query: unbalanced ?(...) filter in JSON path")
+            fbody = path[qm.end():i - 1].strip()
+            path = path[:qm.start()] + "\x01" + path[i:]
         wc = re.fullmatch(
-            r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*"
-            r"(?:\?\s*\(\s*(?P<fbody>(?:\"[^\"]*\"|\(\)|[^()\"])*?)\s*\)\s*)?"
+            r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*(?:\x01\s*)?"
             r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
         if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
             vexpr = (f"variant_get(try_parse_json({a[0]}), "
@@ -2408,23 +2530,25 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             src = (f"try_cast(variant_get(try_parse_json({a[0]}), "
                    f"{requote(wc.group('head'))}, 'variant') "
                    f"AS ARRAY<VARIANT>)")
-            if wc.group("fbody"):
+            if fbody is not None:
                 # ?(...) filter step: single comparisons landed r9;
-                # &&/|| compounds (r10) compose the same typed
-                # VARIANT atoms (schema_of_variant-gated casts, NULL
-                # on missing member / type mismatch / JSON null)
-                # under Spark's three-valued AND/OR — see
-                # _jsonpath_filter_body for the K3 argument. An
+                # &&/|| compounds, parenthesized sub-predicates,
+                # !(...) negation and exists(@.chain) (r10) compose
+                # the same typed VARIANT atoms (schema_of_variant-
+                # gated casts, NULL on missing member / type mismatch
+                # / JSON null) under Spark's three-valued AND/OR/NOT —
+                # see _jsonpath_filter_body for the K3 argument. An
                 # ARRAY-valued member auto-unwraps one level (lax):
                 # the item matches when ANY element satisfies the
                 # comparison.
-                pred = _jsonpath_filter_body(wc.group("fbody"), requote)
+                pred = _jsonpath_filter_body(fbody, requote)
                 if pred is None:
                     raise TrinoSqlUnsupported(
-                        "json_query filter: only [dis/con]junctions of "
-                        "'@.chain <op> literal' comparisons are "
-                        "supported — parenthesized sub-predicates and "
-                        "item methods keep a named error")
+                        "json_query filter: only &&/||/!-combinations "
+                        "(parens allowed) of '@.chain <op> literal' "
+                        "comparisons and exists(@.chain) are supported "
+                        "— item methods other than .size()/.type() "
+                        "keep a named error")
                 src = f"filter({src}, _jf -> {pred})"
             tail_v = (f"variant_get(_je, "
                       f"{requote('$' + wc.group('tail'))}, 'variant')")
@@ -2447,12 +2571,12 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             return (f"element_at(transform(array({matches}), "
                     f"_m -> {agg}), 1)")
         raise TrinoSqlUnsupported(
-            "json_query path with terminal/item methods (other than "
-            "filter .size()), multiple wildcards, or a filter beyond "
-            "'?(@.chain[.size()] <op> literal)' comparisons joined "
-            "with &&/|| — member/subscript chains with at most one "
-            "[*] and one (possibly compound) comparison filter are "
-            "the supported surface")
+            "json_query path with item methods other than "
+            ".size()/.type(), multiple wildcards, or a filter not "
+            "attached to the [*] step — member/subscript chains with "
+            "at most one [*] and one (possibly compound/parenthesized/"
+            "negated) comparison-or-exists filter are the supported "
+            "surface")
 
     code = _rewrite_calls(code, "json_query", _json_query_fn)
 
@@ -6156,7 +6280,13 @@ SELECT o_orderkey,
        json_query(j, 'lax $.k[*] ?(@.v >= 500 && @.v < 3000 || @.w == "P") .v'
                   WITH ARRAY WRAPPER) AS prec_v,
        json_query(j, 'lax $.k[*] ?(@.w != "Z" && @.v >= 0) .v'
-                  WITH ARRAY WRAPPER) AS unk_v
+                  WITH ARRAY WRAPPER) AS unk_v,
+       json_query(j, 'lax $.k[*] ?(!(@.w == "O")) .v'
+                  WITH ARRAY WRAPPER) AS not_v,
+       json_query(j, 'lax $.k[*] ?(!exists(@.w)) .v'
+                  WITH ARRAY WRAPPER) AS nex_v,
+       json_query(j, 'lax $.k[*] ?((@.w == "F" || @.w == "P") && !(@.v >= 1500)) .v'
+                  WITH ARRAY WRAPPER) AS grp_v
 FROM (
     SELECT o_orderkey,
            '{"k":[{"v":' || CAST(o_orderkey AS VARCHAR) ||
@@ -6200,25 +6330,36 @@ ORDER BY o_orderkey
                           THEN CAST(v2 AS VARCHAR) END) || ']'
                 END AS prec_v,
            '[' || CAST(v1 AS VARCHAR) || ',' || CAST(v2 AS VARCHAR) || ']'
-               AS unk_v
+               AS unk_v,
+           '[' || concat_ws(',',
+                CASE WHEN w1 <> 'O' THEN CAST(v1 AS VARCHAR) END,
+                CAST(v2 AS VARCHAR),
+                CAST(o_orderkey % 7 AS VARCHAR)) || ']' AS not_v,
+           '[' || CAST(o_orderkey % 7 AS VARCHAR) || ']' AS nex_v,
+           CASE WHEN w1 IN ('F', 'P') AND v1 < 1500
+                THEN '[' || CAST(v1 AS VARCHAR) || ']' END AS grp_v
     FROM t
     ORDER BY o_orderkey
     """,
     tags=("trino", "sql", "dialect"),
 )
 def q_trino_sql_jsonpath_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL/JSON compound filter predicates (r10 — the single-comparison
-    form landed r9): ``&&``/``||`` of ``@.chain <op> literal``
-    comparisons inside ``?(...)``, with && binding tighter than ||.
-    Each atom is the proven typed-VARIANT predicate (NULL on missing
-    member / type drift), composed under Spark's NULL-aware AND/OR —
-    which IS SQL/JSON's Kleene logic, so filter()'s keep-only-TRUE
-    implements UNKNOWN-drop for every connective shape: the third
-    array element omits "w", so ``unknown && true`` and
-    ``false || unknown`` both genuinely occur and must drop. Oracle:
-    DuckDB replays each element's membership by boolean algebra on the
-    source columns (e3 statically excluded — its predicates are all
-    UNKNOWN). Pure VARIANT HOF codegen, no Python, no shuffle."""
+    """SQL/JSON filter predicate grammar (r10; single comparisons r9):
+    ``&&``/``||`` of ``@.chain <op> literal`` comparisons inside
+    ``?(...)`` with && binding tighter (and_v/or_v/prec_v/unk_v), plus
+    the wave-25 full grammar — parenthesized sub-predicates, ``!(...)``
+    negation, ``exists(@.chain)`` (not_v/nex_v/grp_v). Each atom is
+    the typed-VARIANT predicate with the standard's exact K3 values —
+    missing member → FALSE (lax empty sequence), JSON null vs literal
+    → FALSE (``<>`` TRUE), type-mismatch → UNKNOWN — composed under
+    Spark's NULL-aware AND/OR/NOT, which IS SQL/JSON's Kleene logic,
+    so filter()'s keep-only-TRUE implements UNKNOWN-drop for every
+    connective shape. The third array element omits "w": positive
+    filters drop it (FALSE), while ``!(@.w == "O")`` and
+    ``!exists(@.w)`` genuinely KEEP it — the false-vs-unknown
+    distinction only negation can observe. Oracle: DuckDB replays each
+    element's membership by boolean algebra on the source columns.
+    Pure VARIANT HOF codegen, no Python, no shuffle."""
     return execute_trino(spark, TRINO_SQL_JSONPATH_BOOL, sf_dir)
 
 

@@ -1631,19 +1631,59 @@ def test_json_query_terminal_type_method(spark, sf_dir, oracle):
 
 
 def test_json_query_refusals():
-    # bare && compounds and the .size()/.type() methods (filter +
-    # terminal) GRADUATED in r10 — parenthesized sub-predicates and
-    # the numeric item methods stay refused
+    # && compounds, .size()/.type(), parenthesized sub-predicates,
+    # !(...) and exists() GRADUATED in r10 — numeric item methods,
+    # multi-[*], filters off the [*] step, bare !atom (invalid in
+    # Trino too), and unbalanced filters stay refused
     for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
                 "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
-                "SELECT json_query(p, 'lax $.a[*]?((@.b > 1) && @.c < 2)')"
-                " FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?(@.b.double() > 1)')"
                 " FROM t",
+                "SELECT json_query(p, 'lax $.a[*]?(!@.b == 1)') FROM t",
+                "SELECT json_query(p, 'lax $.a[*]?()') FROM t",
+                "SELECT json_query(p, 'lax $.a[*]?((@.b > 1)') FROM t",
                 "SELECT json_query(p, 'lax $.a.double()') FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
         with pytest.raises(TrinoSqlUnsupported, match="json_query"):
             rewrite_trino_sql(bad)
+
+
+def test_json_query_filter_parens_negation_exists(spark, sf_dir, oracle):
+    """Wave 25 (r10): the full ?(...) predicate grammar — parens, !,
+    exists — with the standard's exact K3 values, which only negation
+    can observe: missing member → FALSE (so !(...) KEEPS it), JSON
+    null vs literal → FALSE (<> → TRUE), type-mismatch → UNKNOWN
+    (drops even under !)."""
+    doc = ('{"k":[{"v":1,"w":"a"},{"v":2},{"v":3,"w":null},'
+           '{"v":4,"w":"b"},{"v":"s","w":5}]}')
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', "
+        "'lax $.k[*] ?(!(@.w == \"a\")) .v' WITH ARRAY WRAPPER) AS neg, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(@.w != \"a\") .v' WITH ARRAY WRAPPER) AS ne, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(exists(@.w)) .v' WITH ARRAY WRAPPER) AS ex, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(!exists(@.w)) .v' WITH ARRAY WRAPPER) AS nex, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?((@.v == 1 || @.v == 4) && @.w == \"b\") .v' "
+        "WITH ARRAY WRAPPER) AS grp, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(!(@.v == 1 || @.v == 3)) .v' WITH ARRAY WRAPPER)"
+        " AS dem, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(!(@.v.type() == \"number\")) .v' "
+        "WITH ARRAY WRAPPER) AS ntyp, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(!(@.w.size() == 1)) .v' WITH ARRAY WRAPPER)"
+        " AS nsz", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '[2,3,4]' AS neg, '[3,4]' AS ne, '[1,3,4,\"s\"]' AS ex, "
+        "'[2]' AS nex, '[4]' AS grp, '[2,4]' AS dem, '[\"s\"]' AS ntyp, "
+        "'[2]' AS nsz",
+        name="jsonpath_filter_full_grammar")
 
 
 def test_fetch_with_ties(spark, sf_dir, oracle):
