@@ -232,7 +232,12 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
   - wave 25 (r10): full ?(...) predicate grammar — parenthesized
     sub-predicates, !(...) negation, exists(@.chain) — via recursive
     descent over the SQL/JSON predicate grammar (K3 = Spark NULL
-    logic for every connective)
+    logic for every connective); json_value gains the VARIANT
+    scalar-ness guard (array/object items → NULL ON ERROR, fixing a
+    silent get_json_object text passthrough) and one-[*]+filter
+    chains (exactly-one-item rule); json_exists lands (plain and
+    wildcard/filter paths, FALSE ON ERROR default, JSON-null items
+    exist); lax [*] auto-wraps non-array heads in all three
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, JSON paths with numeric item methods/multiple wildcards
@@ -1487,6 +1492,73 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
     return out
 
 
+def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
+                               fname: str) -> str | None:
+    """Lower a ``head[*] ?(filter)? tail`` JSON path over the document
+    expression ``x_sql`` to an ``ARRAY<VARIANT>`` of matched items
+    (shared by json_query/json_value/json_exists, r10). Returns None
+    when the path is not of that shape (callers handle plain chains
+    and the named error); raises for an unbalanced or unsupported
+    filter. Semantics:
+
+      - lax ``[*]`` AUTO-WRAPS a non-array head into a singleton
+        sequence (SQL/JSON lax accessor rule — previously a silent
+        NULL for scalar heads); a missing head stays NULL → callers'
+        ON EMPTY handling;
+      - the optional ``?(...)`` filter keeps elements whose predicate
+        is TRUE (_jsonpath_filter_body — exact K3 values);
+      - the tail is extracted per element; elements where it is
+        MISSING drop (lax), while a JSON null tail item survives as a
+        VOID variant. The result array never contains SQL NULLs.
+
+    The ?(...) body is extracted with a string-aware depth scan —
+    parenthesized sub-predicates nest parens beyond what a regex can
+    delimit."""
+    fbody = None
+    qm = re.search(r"\?\s*\(", path)
+    if qm is not None:
+        depth, i, in_str = 1, qm.end(), False
+        while i < len(path) and depth:
+            c = path[i]
+            if c == '"':
+                in_str = not in_str
+            elif not in_str and c == "(":
+                depth += 1
+            elif not in_str and c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise TrinoSqlUnsupported(
+                f"{fname}: unbalanced ?(...) filter in JSON path")
+        fbody = path[qm.end():i - 1].strip()
+        path = path[:qm.start()] + "\x01" + path[i:]
+    wc = re.fullmatch(
+        r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*(?:\x01\s*)?"
+        r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
+    if wc is None:
+        return None
+    head_v = (f"variant_get(try_parse_json({x_sql}), "
+              f"{requote(wc.group('head'))}, 'variant')")
+    src = (f"element_at(transform(array({head_v}), _jh -> "
+           f"CASE WHEN _jh IS NULL THEN NULL "
+           f"WHEN schema_of_variant(_jh) LIKE 'ARRAY%' "
+           f"THEN try_cast(_jh AS ARRAY<VARIANT>) "
+           f"ELSE array(_jh) END), 1)")
+    if fbody is not None:
+        pred = _jsonpath_filter_body(fbody, requote)
+        if pred is None:
+            raise TrinoSqlUnsupported(
+                f"{fname} filter: only &&/||/!-combinations (parens "
+                "allowed) of '@.chain <op> literal' comparisons and "
+                "exists(@.chain) are supported — item methods other "
+                "than .size()/.type() keep a named error")
+        src = f"filter({src}, _jf -> {pred})"
+    tail_v = (f"variant_get(_je, "
+              f"{requote('$' + wc.group('tail'))}, 'variant')")
+    return (f"filter(transform({src}, _je -> {tail_v}), "
+            f"_jm -> _jm IS NOT NULL)")
+
+
 def _structural_rewrites(code: str, stash: list[str]) -> str:
     """Call-shape rewrites that need argument access (masked text)."""
 
@@ -2387,11 +2459,34 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
 
     code = _rewrite_calls(code, "array_agg", _array_agg_fn)
 
-    # SQL/JSON path functions with a LITERAL path: strip the Trino
-    # lax/strict mode prefix and delegate to get_json_object (lax
-    # semantics: missing path → NULL — Spark's behavior). A non-literal
-    # or strict-mode path raises: strict mode ERRORS on structural
-    # mismatch, which get_json_object cannot reproduce.
+    # SQL/JSON json_value with a LITERAL path. Plain member/subscript
+    # chains delegate to get_json_object for the scalar TEXT (exact
+    # source slices — no number re-canonicalization), gated by a
+    # VARIANT scalar-ness check: Trino's json_value ERRORS on an
+    # array/object item, which the default NULL ON ERROR turns into
+    # NULL, while get_json_object would return the item's JSON text
+    # (r10 fix of a silent divergence). Chains with one [*] and an
+    # optional ?(...) filter lower through _jsonpath_wildcard_matches:
+    # exactly one matched item → its scalar value (strings unquoted,
+    # numbers/booleans in to_json canonical text), zero → NULL ON
+    # EMPTY, several or a non-scalar item → error → NULL ON ERROR.
+    # A non-literal path or an explicit handler clause raises.
+    def _json_value_scalar(vexpr: str, text: str | None = None) -> str:
+        """Render the VARIANT item ``vexpr`` the way json_value does:
+        NULL for SQL NULL / JSON null / array / object; the exact
+        ``text`` (when given — the get_json_object slice) or the
+        to_json canonical text otherwise, unquoted for strings."""
+        out = text if text is not None else (
+            "CASE WHEN schema_of_variant(_mv) = 'STRING' "
+            "THEN try_cast(_mv AS STRING) ELSE to_json(_mv) END")
+        return (f"element_at(transform(array({vexpr}), _mv -> "
+                f"CASE WHEN _mv IS NULL THEN NULL "
+                f"WHEN schema_of_variant(_mv) = 'VOID' THEN NULL "
+                f"WHEN schema_of_variant(_mv) LIKE 'ARRAY%' "
+                f"OR schema_of_variant(_mv) LIKE 'OBJECT%' "
+                f"OR schema_of_variant(_mv) LIKE 'STRUCT%' THEN NULL "
+                f"ELSE {out} END), 1)")
+
     def _json_path_fn(a):
         if len(a) != 2:
             return None
@@ -2429,10 +2524,69 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                     "strict-mode JSON path with wildcards/filters has no "
                     "get_json_object equivalent — use lax mode")
             path = body
-        path = re.sub(r"^lax\s+", "", path, flags=re.IGNORECASE)
-        return f"get_json_object({a[0]}, {requote(path)})"
+        path = re.sub(r"^lax\s+", "", path, flags=re.IGNORECASE).strip()
+        if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
+            head = (f"variant_get(try_parse_json({a[0]}), "
+                    f"{requote(path)}, 'variant')")
+            return _json_value_scalar(
+                head, text=f"get_json_object({a[0]}, {requote(path)})")
+        matches = _jsonpath_wildcard_matches(a[0], path, requote,
+                                             "json_value")
+        if matches is None:
+            raise TrinoSqlUnsupported(
+                "json_value path with item methods, multiple "
+                "wildcards, or a filter not attached to the [*] step "
+                "— plain member/subscript chains or chains with one "
+                "[*] and one (possibly compound/parenthesized/negated)"
+                " comparison-or-exists filter are the supported "
+                "surface")
+        one = (f"element_at(transform(array({matches}), _ms -> "
+               f"CASE WHEN _ms IS NULL OR size(_ms) <> 1 THEN NULL "
+               f"ELSE element_at(_ms, 1) END), 1)")
+        return _json_value_scalar(one)
 
     code = _rewrite_calls(code, "json_value", _json_path_fn)
+
+    # json_exists (r10): TRUE iff the path selects at least one item.
+    # A JSON null item EXISTS (VOID variant, non-NULL); a missing
+    # member is the lax empty sequence → FALSE; malformed JSON input
+    # is an input-conversion error → FALSE (the default FALSE ON
+    # ERROR); a NULL document propagates NULL. Strict mode agrees
+    # under the default handler: a strict structural error → FALSE ON
+    # ERROR, same observable as the lax empty sequence.
+    def _json_exists_fn(a):
+        if len(a) != 2:
+            return None
+        lit = _lit(a[1])
+        if lit is None:
+            cm = re.search(r"\b(?:TRUE|FALSE|UNKNOWN|ERROR)\s+ON\s+"
+                           r"ERROR\b|\bPASSING\b", a[1], re.IGNORECASE)
+            if cm:
+                raise TrinoSqlUnsupported(
+                    f"json_exists with an explicit {cm.group(0).upper()}"
+                    " clause — only the default (FALSE ON ERROR) "
+                    "lowers faithfully")
+            raise TrinoSqlUnsupported(
+                "json_exists needs a literal JSON path")
+        path = re.sub(r"^(?:lax|strict)\s+", "", lit.strip(),
+                      flags=re.IGNORECASE).strip()
+        if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
+            found = (f"variant_get(try_parse_json({a[0]}), "
+                     f"{requote(path)}, 'variant') IS NOT NULL")
+        else:
+            matches = _jsonpath_wildcard_matches(a[0], path, requote,
+                                                 "json_exists")
+            if matches is None:
+                raise TrinoSqlUnsupported(
+                    "json_exists path with item methods or multiple "
+                    "wildcards — plain chains or chains with one [*] "
+                    "and one filter are the supported surface")
+            found = (f"element_at(transform(array({matches}), _ms -> "
+                     f"coalesce(size(_ms), 0) > 0), 1)")
+        return (f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
+                f"ELSE {found} END)")
+
+    code = _rewrite_calls(code, "json_exists", _json_exists_fn)
 
     # json_query (r9): returns JSON TEXT (KEEP QUOTES default — string
     # items stay quoted, so get_json_object's scalar unquoting is NOT
@@ -2486,31 +2640,6 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                         f"element_at(transform(array({vexpr}), _jq -> "
                         f"CASE WHEN _jq IS NULL THEN NULL "
                         f"ELSE {word} END), 1)")
-        # extract a single ?(...) filter with a string-aware depth scan
-        # (r10: parenthesized sub-predicates nest parens, so a regex
-        # can't delimit the body); the body is replaced by a \x01
-        # marker so the structural regex below stays linear.
-        fbody = None
-        qm = re.search(r"\?\s*\(", path)
-        if qm is not None:
-            depth, i, in_str = 1, qm.end(), False
-            while i < len(path) and depth:
-                c = path[i]
-                if c == '"':
-                    in_str = not in_str
-                elif not in_str and c == "(":
-                    depth += 1
-                elif not in_str and c == ")":
-                    depth -= 1
-                i += 1
-            if depth:
-                raise TrinoSqlUnsupported(
-                    "json_query: unbalanced ?(...) filter in JSON path")
-            fbody = path[qm.end():i - 1].strip()
-            path = path[:qm.start()] + "\x01" + path[i:]
-        wc = re.fullmatch(
-            r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*(?:\x01\s*)?"
-            r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
         if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
             vexpr = (f"variant_get(try_parse_json({a[0]}), "
                      f"{requote(path)}, 'variant')")
@@ -2526,35 +2655,15 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                 "ELSE concat('[', _ji, ']') END")
             return (f"element_at(transform(array({item}), "
                     f"_ji -> {tail_case}), 1)")
-        if wc:
-            src = (f"try_cast(variant_get(try_parse_json({a[0]}), "
-                   f"{requote(wc.group('head'))}, 'variant') "
-                   f"AS ARRAY<VARIANT>)")
-            if fbody is not None:
-                # ?(...) filter step: single comparisons landed r9;
-                # &&/|| compounds, parenthesized sub-predicates,
-                # !(...) negation and exists(@.chain) (r10) compose
-                # the same typed VARIANT atoms (schema_of_variant-
-                # gated casts, NULL on missing member / type mismatch
-                # / JSON null) under Spark's three-valued AND/OR/NOT —
-                # see _jsonpath_filter_body for the K3 argument. An
-                # ARRAY-valued member auto-unwraps one level (lax):
-                # the item matches when ANY element satisfies the
-                # comparison.
-                pred = _jsonpath_filter_body(fbody, requote)
-                if pred is None:
-                    raise TrinoSqlUnsupported(
-                        "json_query filter: only &&/||/!-combinations "
-                        "(parens allowed) of '@.chain <op> literal' "
-                        "comparisons and exists(@.chain) are supported "
-                        "— item methods other than .size()/.type() "
-                        "keep a named error")
-                src = f"filter({src}, _jf -> {pred})"
-            tail_v = (f"variant_get(_je, "
-                      f"{requote('$' + wc.group('tail'))}, 'variant')")
-            elem = size_of(tail_v) if size_of else f"to_json({tail_v})"
-            matches = (f"filter(transform({src}, _je -> {elem}), "
-                       f"_jm -> _jm IS NOT NULL)")
+        matches_v = _jsonpath_wildcard_matches(a[0], path, requote,
+                                               "json_query")
+        if matches_v is not None:
+            # head[*] ?(filter)? tail via the shared VARIANT pipeline
+            # (lax auto-wrap, exact-K3 filter, per-element tail); the
+            # matched items render to JSON text (or the .size()/.type()
+            # method word) before the wrapper aggregation.
+            elem = size_of("_je") if size_of else "to_json(_je)"
+            matches = f"transform({matches_v}, _je -> {elem})"
             if wrapper == "with":
                 agg = ("CASE WHEN _m IS NULL OR size(_m) = 0 THEN NULL "
                        "ELSE concat('[', array_join(_m, ','), ']') END")
@@ -6286,7 +6395,11 @@ SELECT o_orderkey,
        json_query(j, 'lax $.k[*] ?(!exists(@.w)) .v'
                   WITH ARRAY WRAPPER) AS nex_v,
        json_query(j, 'lax $.k[*] ?((@.w == "F" || @.w == "P") && !(@.v >= 1500)) .v'
-                  WITH ARRAY WRAPPER) AS grp_v
+                  WITH ARRAY WRAPPER) AS grp_v,
+       json_value(j, 'lax $.k[*] ?(@.w == "F") .v') AS jv_f,
+       json_value(j, 'lax $.k[2].v') AS jv_n,
+       json_value(j, 'lax $.k[0]') AS jv_obj,
+       json_exists(j, 'lax $.k[*] ?(@.v >= 1000 && @.w == "O")') AS je_f
 FROM (
     SELECT o_orderkey,
            '{"k":[{"v":' || CAST(o_orderkey AS VARCHAR) ||
@@ -6337,7 +6450,12 @@ ORDER BY o_orderkey
                 CAST(o_orderkey % 7 AS VARCHAR)) || ']' AS not_v,
            '[' || CAST(o_orderkey % 7 AS VARCHAR) || ']' AS nex_v,
            CASE WHEN w1 IN ('F', 'P') AND v1 < 1500
-                THEN '[' || CAST(v1 AS VARCHAR) || ']' END AS grp_v
+                THEN '[' || CAST(v1 AS VARCHAR) || ']' END AS grp_v,
+           CASE WHEN w1 = 'F' THEN CAST(v1 AS VARCHAR) END AS jv_f,
+           CAST(o_orderkey % 7 AS VARCHAR) AS jv_n,
+           CAST(NULL AS VARCHAR) AS jv_obj,
+           ((v1 >= 1000 AND w1 = 'O') OR (v2 >= 1000 AND w2 = 'O'))
+               AS je_f
     FROM t
     ORDER BY o_orderkey
     """,
@@ -6348,7 +6466,9 @@ def q_trino_sql_jsonpath_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``&&``/``||`` of ``@.chain <op> literal`` comparisons inside
     ``?(...)`` with && binding tighter (and_v/or_v/prec_v/unk_v), plus
     the wave-25 full grammar — parenthesized sub-predicates, ``!(...)``
-    negation, ``exists(@.chain)`` (not_v/nex_v/grp_v). Each atom is
+    negation, ``exists(@.chain)`` (not_v/nex_v/grp_v), json_value's
+    exactly-one-item + scalar-ness rules (jv_f/jv_n/jv_obj) and
+    json_exists (je_f). Each atom is
     the typed-VARIANT predicate with the standard's exact K3 values —
     missing member → FALSE (lax empty sequence), JSON null vs literal
     → FALSE (``<>`` TRUE), type-mismatch → UNKNOWN — composed under

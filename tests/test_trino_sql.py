@@ -1686,6 +1686,93 @@ def test_json_query_filter_parens_negation_exists(spark, sf_dir, oracle):
         name="jsonpath_filter_full_grammar")
 
 
+def test_json_value_scalar_guard(spark, sf_dir, oracle):
+    """r10: Trino json_value ERRORS on an array/object item (default
+    NULL ON ERROR → NULL); the old get_json_object lowering returned
+    their JSON text — a silent divergence, now gated by a VARIANT
+    scalar-ness check. Scalars keep get_json_object's text; a JSON
+    null item is SQL NULL."""
+    doc = '{"o":{"x":1},"a":[1,2],"s":"txt","n":2.5,"b":true,"z":null}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_value('{doc}', 'lax $.s') AS s, "
+        f"json_value('{doc}', 'lax $.n') AS n, "
+        f"json_value('{doc}', 'lax $.b') AS b, "
+        f"json_value('{doc}', 'lax $.z') AS z, "
+        f"json_value('{doc}', 'lax $.o') AS o, "
+        f"json_value('{doc}', 'lax $.a') AS arr, "
+        f"json_value('{doc}', 'strict $.o') AS so", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT 'txt' AS s, '2.5' AS n, 'true' AS b, "
+        "CAST(NULL AS VARCHAR) AS z, CAST(NULL AS VARCHAR) AS o, "
+        "CAST(NULL AS VARCHAR) AS arr, CAST(NULL AS VARCHAR) AS so",
+        name="json_value_scalar_guard")
+
+
+def test_json_value_wildcard_filter(spark, sf_dir, oracle):
+    """r10: json_value over one-[*] chains with filters — exactly one
+    matched item returns its scalar (strings unquoted), zero → NULL ON
+    EMPTY, several or a non-scalar item → error → NULL ON ERROR; lax
+    [*] auto-wraps a scalar head."""
+    doc = ('{"k":[{"v":1,"w":"a"},{"v":2},{"v":3,"w":"b"}],"kk":5,'
+           '"ws":["x"]}')
+    df = execute_trino(
+        spark,
+        f"SELECT json_value('{doc}', 'lax $.k[*] ?(@.w == \"b\") .v')"
+        " AS one, "
+        f"json_value('{doc}', 'lax $.k[*] ?(@.v >= 2) .v') AS multi, "
+        f"json_value('{doc}', 'lax $.k[*] ?(@.w == \"zz\") .v') AS zero, "
+        f"json_value('{doc}', 'lax $.k[*] ?(@.w == \"b\")') AS obj, "
+        f"json_value('{doc}', 'lax $.kk[*]') AS wrap, "
+        f"json_value('{doc}', 'lax $.ws[*]') AS uq", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '3' AS one, CAST(NULL AS VARCHAR) AS multi, "
+        "CAST(NULL AS VARCHAR) AS zero, CAST(NULL AS VARCHAR) AS obj, "
+        "'5' AS wrap, 'x' AS uq",
+        name="json_value_wildcard_filter")
+
+
+def test_json_exists(spark, sf_dir, oracle):
+    """r10: json_exists — TRUE iff the path selects ≥1 item. A JSON
+    null item EXISTS; a missing member is FALSE (lax empty sequence);
+    malformed JSON → FALSE (default FALSE ON ERROR); NULL input
+    propagates NULL."""
+    doc = '{"k":[{"v":1},{"v":2,"w":"b"}],"z":null,"kk":5}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_exists('{doc}', 'lax $.z') AS z, "
+        f"json_exists('{doc}', 'lax $.missing') AS m, "
+        f"json_exists('{doc}', 'lax $.k[*] ?(@.v >= 2 && @.w == \"b\")')"
+        " AS f1, "
+        f"json_exists('{doc}', 'lax $.k[*] ?(@.v > 99)') AS f0, "
+        f"json_exists('{doc}', 'lax $.missing[*]') AS mw, "
+        f"json_exists('{doc}', 'lax $.kk[*]') AS wrap, "
+        "json_exists('not json', 'lax $.a') AS bad, "
+        # all-NULL BOOLEAN columns canonicalize differently between
+        # pandas NaN (DuckDB) and None (Spark) — render as VARCHAR
+        "CAST(json_exists(CAST(NULL AS VARCHAR), 'lax $.a') AS VARCHAR)"
+        " AS nul", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT TRUE AS z, FALSE AS m, TRUE AS f1, FALSE AS f0, "
+        "FALSE AS mw, TRUE AS wrap, FALSE AS bad, "
+        "CAST(NULL AS VARCHAR) AS nul",
+        name="json_exists")
+
+
+def test_json_value_exists_refusals():
+    for bad in ["SELECT json_value(p, 'lax $.a.size()') FROM t",
+                "SELECT json_value(p, 'lax $.a[*].b[*]') FROM t",
+                "SELECT json_exists(p, 'lax $.a.type()') FROM t",
+                "SELECT json_exists(p, 'lax $.a' TRUE ON ERROR) FROM t",
+                "SELECT json_exists(p, concat('$', x)) FROM t"]:
+        with pytest.raises(TrinoSqlUnsupported,
+                           match="json_value|json_exists"):
+            rewrite_trino_sql(bad)
+
+
 def test_fetch_with_ties(spark, sf_dir, oracle):
     """WITH TIES keeps every row tying the cutoff sort key (rank()
     lowering, r9); result is strictly larger than n when the n-th key
