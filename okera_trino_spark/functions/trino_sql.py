@@ -1494,22 +1494,26 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
 
 def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
                                fname: str) -> str | None:
-    """Lower a ``head[*] ?(filter)? tail`` JSON path over the document
-    expression ``x_sql`` to an ``ARRAY<VARIANT>`` of matched items
-    (shared by json_query/json_value/json_exists, r10). Returns None
-    when the path is not of that shape (callers handle plain chains
-    and the named error); raises for an unbalanced or unsupported
-    filter. Semantics:
+    """Lower a ``head ([*] ?(filter)? chain)+`` JSON path over the
+    document expression ``x_sql`` to an ``ARRAY<VARIANT>`` of matched
+    items (shared by json_query/json_value/json_exists; single-[*]
+    r10, multi-[*] later in r10). Returns None when the path is not
+    of that shape (callers handle plain chains and the named error);
+    raises for an unbalanced or unsupported filter. Semantics, per
+    ``[*]`` step, in lax mode:
 
-      - lax ``[*]`` AUTO-WRAPS a non-array head into a singleton
+      - AUTO-WRAP: a non-array item is treated as a singleton
         sequence (SQL/JSON lax accessor rule — previously a silent
-        NULL for scalar heads); a missing head stays NULL → callers'
-        ON EMPTY handling;
-      - the optional ``?(...)`` filter keeps elements whose predicate
-        is TRUE (_jsonpath_filter_body — exact K3 values);
-      - the tail is extracted per element; elements where it is
-        MISSING drop (lax), while a JSON null tail item survives as a
-        VOID variant. The result array never contains SQL NULLs.
+        NULL for scalar heads); arrays unwrap and the per-step
+        results CONCATENATE in document order (``flatten``);
+      - the optional ``?(...)`` filter (at most one, attached to any
+        single ``[*]`` step) keeps elements whose predicate is TRUE
+        (_jsonpath_filter_body — exact K3 values);
+      - the step's member/subscript chain is extracted per element;
+        elements where it is MISSING drop (lax), while a JSON null
+        item survives as a VOID variant. The result array never
+        contains SQL NULLs; a missing head yields NULL → callers'
+        ON EMPTY handling.
 
     The ?(...) body is extracted with a string-aware depth scan —
     parenthesized sub-predicates nest parens beyond what a regex can
@@ -1532,31 +1536,39 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
                 f"{fname}: unbalanced ?(...) filter in JSON path")
         fbody = path[qm.end():i - 1].strip()
         path = path[:qm.start()] + "\x01" + path[i:]
-    wc = re.fullmatch(
-        r"(?P<head>\$(?:\.\w+|\[\d+\])*)\[\*\]\s*(?:\x01\s*)?"
-        r"(?P<tail>(?:\.\w+|\[\d+\])*)", path)
-    if wc is None:
+    # string literals live in the extracted filter body, so the
+    # remaining path can be whitespace-normalized for one regex
+    path = re.sub(r"\s+", "", path)
+    m = re.fullmatch(
+        r"(?P<head>\$(?:\.\w+|\[\d+\])*)"
+        r"(?P<rest>(?:\[\*\]\x01?(?:\.\w+|\[\d+\])*)+)", path)
+    if m is None:
         return None
     head_v = (f"variant_get(try_parse_json({x_sql}), "
-              f"{requote(wc.group('head'))}, 'variant')")
-    src = (f"element_at(transform(array({head_v}), _jh -> "
-           f"CASE WHEN _jh IS NULL THEN NULL "
-           f"WHEN schema_of_variant(_jh) LIKE 'ARRAY%' "
-           f"THEN try_cast(_jh AS ARRAY<VARIANT>) "
-           f"ELSE array(_jh) END), 1)")
-    if fbody is not None:
-        pred = _jsonpath_filter_body(fbody, requote)
-        if pred is None:
-            raise TrinoSqlUnsupported(
-                f"{fname} filter: only &&/||/!-combinations (parens "
-                "allowed) of '@.chain <op> literal' comparisons and "
-                "exists(@.chain) are supported — item methods other "
-                "than .size()/.type() keep a named error")
-        src = f"filter({src}, _jf -> {pred})"
-    tail_v = (f"variant_get(_je, "
-              f"{requote('$' + wc.group('tail'))}, 'variant')")
-    return (f"filter(transform({src}, _je -> {tail_v}), "
-            f"_jm -> _jm IS NOT NULL)")
+              f"{requote(m.group('head'))}, 'variant')")
+    cur = f"filter(array({head_v}), _jm0 -> _jm0 IS NOT NULL)"
+    steps = re.findall(r"\[\*\](\x01?)((?:\.\w+|\[\d+\])*)",
+                       m.group("rest"))
+    for i, (has_filter, seg) in enumerate(steps, 1):
+        cur = (f"flatten(transform({cur}, _ju{i} -> "
+               f"CASE WHEN schema_of_variant(_ju{i}) LIKE 'ARRAY%' "
+               f"THEN try_cast(_ju{i} AS ARRAY<VARIANT>) "
+               f"ELSE array(_ju{i}) END))")
+        if has_filter:
+            pred = _jsonpath_filter_body(fbody, requote)
+            if pred is None:
+                raise TrinoSqlUnsupported(
+                    f"{fname} filter: only &&/||/!-combinations "
+                    "(parens allowed) of '@.chain <op> literal' "
+                    "comparisons and exists(@.chain) are supported — "
+                    "item methods other than .size()/.type() keep a "
+                    "named error")
+            cur = f"filter({cur}, _jf -> {pred})"
+        if seg:
+            cur = (f"filter(transform({cur}, _je{i} -> "
+                   f"variant_get(_je{i}, {requote('$' + seg)}, "
+                   f"'variant')), _jm{i} -> _jm{i} IS NOT NULL)")
+    return cur
 
 
 def _structural_rewrites(code: str, stash: list[str]) -> str:
@@ -2534,11 +2546,11 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                                              "json_value")
         if matches is None:
             raise TrinoSqlUnsupported(
-                "json_value path with item methods, multiple "
-                "wildcards, or a filter not attached to the [*] step "
-                "— plain member/subscript chains or chains with one "
-                "[*] and one (possibly compound/parenthesized/negated)"
-                " comparison-or-exists filter are the supported "
+                "json_value path with item methods, several filters, "
+                "or a filter not attached to a [*] step — plain "
+                "member/subscript chains or [*] chains with at most "
+                "one (possibly compound/parenthesized/negated) "
+                "comparison-or-exists filter are the supported "
                 "surface")
         one = (f"element_at(transform(array({matches}), _ms -> "
                f"CASE WHEN _ms IS NULL OR size(_ms) <> 1 THEN NULL "
@@ -2578,9 +2590,10 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                                                  "json_exists")
             if matches is None:
                 raise TrinoSqlUnsupported(
-                    "json_exists path with item methods or multiple "
-                    "wildcards — plain chains or chains with one [*] "
-                    "and one filter are the supported surface")
+                    "json_exists path with item methods, several "
+                    "filters, or a filter not attached to a [*] step "
+                    "— plain chains or [*] chains with at most one "
+                    "filter are the supported surface")
             found = (f"element_at(transform(array({matches}), _ms -> "
                      f"coalesce(size(_ms), 0) > 0), 1)")
         return (f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
@@ -2681,11 +2694,11 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                     f"_m -> {agg}), 1)")
         raise TrinoSqlUnsupported(
             "json_query path with item methods other than "
-            ".size()/.type(), multiple wildcards, or a filter not "
-            "attached to the [*] step — member/subscript chains with "
-            "at most one [*] and one (possibly compound/parenthesized/"
-            "negated) comparison-or-exists filter are the supported "
-            "surface")
+            ".size()/.type(), several filters, or a filter not "
+            "attached to a [*] step — member/subscript chains with "
+            "any number of [*] steps and at most one (possibly "
+            "compound/parenthesized/negated) comparison-or-exists "
+            "filter are the supported surface")
 
     code = _rewrite_calls(code, "json_query", _json_query_fn)
 
@@ -6399,7 +6412,8 @@ SELECT o_orderkey,
        json_value(j, 'lax $.k[*] ?(@.w == "F") .v') AS jv_f,
        json_value(j, 'lax $.k[2].v') AS jv_n,
        json_value(j, 'lax $.k[0]') AS jv_obj,
-       json_exists(j, 'lax $.k[*] ?(@.v >= 1000 && @.w == "O")') AS je_f
+       json_exists(j, 'lax $.k[*] ?(@.v >= 1000 && @.w == "O")') AS je_f,
+       json_query(j, 'lax $.k[*].v[*]' WITH ARRAY WRAPPER) AS mw_v
 FROM (
     SELECT o_orderkey,
            '{"k":[{"v":' || CAST(o_orderkey AS VARCHAR) ||
@@ -6455,7 +6469,9 @@ ORDER BY o_orderkey
            CAST(o_orderkey % 7 AS VARCHAR) AS jv_n,
            CAST(NULL AS VARCHAR) AS jv_obj,
            ((v1 >= 1000 AND w1 = 'O') OR (v2 >= 1000 AND w2 = 'O'))
-               AS je_f
+               AS je_f,
+           '[' || CAST(v1 AS VARCHAR) || ',' || CAST(v2 AS VARCHAR) ||
+           ',' || CAST(o_orderkey % 7 AS VARCHAR) || ']' AS mw_v
     FROM t
     ORDER BY o_orderkey
     """,

@@ -1632,20 +1632,51 @@ def test_json_query_terminal_type_method(spark, sf_dir, oracle):
 
 def test_json_query_refusals():
     # && compounds, .size()/.type(), parenthesized sub-predicates,
-    # !(...) and exists() GRADUATED in r10 — numeric item methods,
-    # multi-[*], filters off the [*] step, bare !atom (invalid in
-    # Trino too), and unbalanced filters stay refused
-    for bad in ["SELECT json_query(p, 'lax $.a[*].b[*]') FROM t",
-                "SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
+    # !(...), exists() and multi-[*] GRADUATED in r10 — numeric item
+    # methods, filters off the [*] step, several filters, bare !atom
+    # (invalid in Trino too), and unbalanced filters stay refused
+    for bad in ["SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?(@.b.double() > 1)')"
                 " FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?(!@.b == 1)') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?()') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?((@.b > 1)') FROM t",
+                "SELECT json_query(p, "
+                "'lax $.a[*]?(@.b > 1).c[*]?(@.d > 2)') FROM t",
                 "SELECT json_query(p, 'lax $.a.double()') FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
         with pytest.raises(TrinoSqlUnsupported, match="json_query"):
             rewrite_trino_sql(bad)
+
+
+def test_json_query_multi_wildcard(spark, sf_dir, oracle):
+    """Multi-[*] chains (r10): per-step lax unwrap with auto-wrap of
+    non-array items and document-order concatenation; one ?(...)
+    filter may attach to any single step; the .type() terminal method
+    and bare-@ comparisons compose."""
+    doc = ('{"a":[{"b":[1,2],"c":1},{"b":3},{"c":2},{"b":[],"c":1}],'
+           '"m":[[1,2],[3]],"s":5}')
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'lax $.a[*].b[*]' "
+        "WITH ARRAY WRAPPER) AS ab, "
+        f"json_query('{doc}', 'lax $.m[*][*]' WITH ARRAY WRAPPER) AS mm, "
+        f"json_query('{doc}', 'lax $.a[*] ?(@.c == 1) .b[*]' "
+        "WITH ARRAY WRAPPER) AS fb, "
+        f"json_query('{doc}', 'lax $.a[*].b[*] ?(@ == 2)' "
+        "WITH ARRAY WRAPPER) AS bare, "
+        f"json_query('{doc}', 'lax $.s[*][*]' WITH ARRAY WRAPPER) AS ww, "
+        f"json_query('{doc}', 'lax $.a[*].b[*].type()' "
+        "WITH ARRAY WRAPPER) AS ty, "
+        f"json_value('{doc}', 'lax $.m[*][*] ?(@ >= 3)') AS jv, "
+        f"json_exists('{doc}', 'lax $.a[*].zz[*]') AS je", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '[1,2,3]' AS ab, '[1,2,3]' AS mm, '[1,2]' AS fb, "
+        "'[2]' AS bare, '[5]' AS ww, "
+        "'[\"number\",\"number\",\"number\"]' AS ty, "
+        "'3' AS jv, FALSE AS je",
+        name="jsonpath_multi_wildcard")
 
 
 def test_json_query_filter_parens_negation_exists(spark, sf_dir, oracle):
@@ -1764,7 +1795,7 @@ def test_json_exists(spark, sf_dir, oracle):
 
 def test_json_value_exists_refusals():
     for bad in ["SELECT json_value(p, 'lax $.a.size()') FROM t",
-                "SELECT json_value(p, 'lax $.a[*].b[*]') FROM t",
+                "SELECT json_value(p, 'lax $.a?(@.b > 1)[*]') FROM t",
                 "SELECT json_exists(p, 'lax $.a.type()') FROM t",
                 "SELECT json_exists(p, 'lax $.a' TRUE ON ERROR) FROM t",
                 "SELECT json_exists(p, concat('$', x)) FROM t"]:
@@ -2918,6 +2949,15 @@ def test_rewrite_contract_never_crashes_property():
             f"WITHIN GROUP (ORDER BY {inner})",
             f"json_query({inner}, 'lax $.a[*] ? (@.b >= {n % 50})')",
             f"json_query({inner}, 'lax $.a[*] ? (@.b == \"{esc}\")')",
+            # r10 wave-25 surfaces: parens/negation/exists filters,
+            # multi-[*], json_value/json_exists
+            f"json_query({inner}, 'lax $.a[*] ?((@.b > {n % 9} || "
+            f"@.c == \"{esc}\") && !(@.d != 1))')",
+            f"json_value({inner}, 'lax $.a[*] ?(@ == {n % 5}) .b')",
+            f"json_value({inner}, 'lax $.a[*]?(!exists(@.b))')",
+            f"json_exists({inner}, 'lax $.a[*].b[*]')",
+            f"json_exists({inner}, 'lax $.a' {esc or 'TRUE'} ON ERROR)",
+            f"json_exists({inner}, {inner})",
         ]
         return forms[pick % len(forms)]
 
@@ -2984,6 +3024,14 @@ def test_rewrite_fuzz_execution_leg(spark, sf_dir):
         "'lax $.k[*] ?(@.v > {1} && @.v < {2} || @.v == 0) .v' "
         "WITH ARRAY WRAPPER)",
         "listagg(DISTINCT n_name, ',') WITHIN GROUP (ORDER BY n_name)",
+        "json_value('{{\"k\":[{{\"v\":{1}}},{{\"v\":{2}}}]}}', "
+        "'lax $.k[*] ?(@.v >= {2}) .v')",
+        "json_exists('{{\"k\":[[{1}],[{2}]]}}', "
+        "'lax $.k[*][*] ?(@ == {1})')",
+        "json_query('{{\"m\":[[{1}],[{2},3]]}}', "
+        "'lax $.m[*][*].type()' WITH ARRAY WRAPPER)",
+        "json_value(n_name, "
+        "'lax $.a[*] ?(!exists(@.b) || @.c == \"{0}\") .d')",
     ]
 
     @settings(max_examples=40, deadline=None)
