@@ -237,7 +237,10 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     silent get_json_object text passthrough) and one-[*]+filter
     chains (exactly-one-item rule); json_exists lands (plain and
     wildcard/filter paths, FALSE ON ERROR default, JSON-null items
-    exist); lax [*] auto-wraps non-array heads in all three
+    exist); lax [*] auto-wraps non-array heads in all three;
+    multi-[*] chains flatten per-step in document order; the
+    .double() item method (filter + json_query terminal — conversion
+    errors null the whole result, unlike structural misses)
   - unsupported-with-clear-error: TRY(expr) beyond the forms above,
     non-literal split()/date-format patterns, non-literal AT TIME ZONE
     zones, JSON paths with numeric item methods/multiple wildcards
@@ -1296,9 +1299,55 @@ def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
 
 
 _JSONPATH_FILTER_ATOM_RE = re.compile(
-    r"@(?P<chain>(?:\.\w+|\[\d+\])*)(?P<meth>\.(?:size|type)\(\))?\s*"
+    r"@(?P<chain>(?:\.\w+|\[\d+\])*)"
+    r"(?P<meth>\.(?:size|type|double)\(\))?\s*"
     r"(?P<op>==|!=|<>|<=|>=|<|>)\s*"
     r"(?P<lit>-?\d+(?:\.\d+)?|\"[^\"]*\")")
+
+
+def _jsonpath_double_render(vexpr: str) -> str:
+    """Render the VARIANT item ``vexpr`` through the SQL/JSON
+    ``.double()`` item method (r10): a number item or a numeric STRING
+    item becomes the double's canonical text (Java Double.toString on
+    both engines — '3.0', '1.5', '1.0E20'); any other item (boolean,
+    JSON null, array, object, non-numeric string) is a conversion
+    error → NULL, which callers turn into the ON ERROR default."""
+    return (f"element_at(transform(array({vexpr}), _jq -> "
+            f"CASE WHEN _jq IS NULL THEN NULL "
+            f"WHEN schema_of_variant(_jq) = 'STRING' "
+            f"THEN CAST(try_cast(try_cast(_jq AS STRING) AS DOUBLE) "
+            f"AS STRING) "
+            f"WHEN schema_of_variant(_jq) IN ({_VARIANT_NUM_TYPES}) "
+            f"OR schema_of_variant(_jq) LIKE 'DECIMAL%' "
+            f"THEN CAST(try_cast(_jq AS DOUBLE) AS STRING) "
+            f"ELSE NULL END), 1)")
+
+
+def _jsonpath_double_pred(fpath: str, op: str, lit_sql: str,
+                          is_str: bool) -> str:
+    """Predicate body for a ``?(@.chain.double() <op> literal)`` atom
+    (r10): ``.double()`` converts a number item or a numeric STRING
+    item to double; any other item — or an unparseable string — is a
+    conversion error → UNKNOWN (these are NOT structural errors, so
+    lax does not suppress them). A string literal RHS can never equal
+    a number → UNKNOWN when the member is present; a MISSING member is
+    the lax empty sequence → FALSE (negation-safe)."""
+    if is_str:
+        body = ("CASE WHEN _jv IS NULL THEN FALSE "
+                "ELSE CAST(NULL AS BOOLEAN) END")
+    else:
+        body = (
+            "CASE WHEN _jv IS NULL THEN FALSE "
+            "WHEN schema_of_variant(_jv) = 'STRING' "
+            f"THEN try_cast(try_cast(_jv AS STRING) AS DOUBLE) "
+            f"{op} {lit_sql} "
+            f"WHEN schema_of_variant(_jv) IN ({_VARIANT_NUM_TYPES}) "
+            "OR schema_of_variant(_jv) LIKE 'DECIMAL%' "
+            f"THEN try_cast(_jv AS DOUBLE) {op} {lit_sql} "
+            "ELSE CAST(NULL AS BOOLEAN) END")
+    return (f"element_at(transform(array("
+            f"try_variant_get(_jf, {fpath}, 'variant')), "
+            f"_jv -> {body}), 1)")
 
 
 def _variant_type_word(vexpr: str, quoted: bool) -> str:
@@ -1478,6 +1527,7 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
         meth = am.group("meth") or ""
         pred_fn = (_jsonpath_size_pred if meth.startswith(".size")
                    else _jsonpath_type_pred if meth.startswith(".type")
+                   else _jsonpath_double_pred if meth.startswith(".double")
                    else _jsonpath_filter_pred)
         return pred_fn(
             requote("$" + am.group("chain")), op, lit_sql, is_str)
@@ -2633,12 +2683,22 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         # SQL/JSON type word as a quoted JSON string (KEEP QUOTES —
         # Spark's VOID variant for JSON null makes "null" faithful);
         # a missing member stays NULL (→ ON EMPTY) for both.
-        sm = re.fullmatch(r"(?P<base>.*?)\s*\.(?P<meth>size|type)\(\)\s*",
-                          path, re.DOTALL)
+        sm = re.fullmatch(
+            r"(?P<base>.*?)\s*\.(?P<meth>size|type|double)\(\)\s*",
+            path, re.DOTALL)
         size_of = None
+        meth = sm.group("meth") if sm else None
         if sm:
             path = sm.group("base")
-            if sm.group("meth") == "size":
+            if meth == "double":
+                # .double() (r10): number/numeric-string items render
+                # as the double's canonical text; any other item is a
+                # CONVERSION error (not structural — lax does not
+                # suppress it), so the renderer yields NULL and the
+                # wildcard aggregation below nulls the WHOLE result
+                # (ON ERROR default) instead of skipping the item.
+                size_of = _jsonpath_double_render
+            elif meth == "size":
                 def size_of(vexpr):   # noqa: E731-like rebind — closure
                     return (f"element_at(transform(array({vexpr}), _jq -> "
                             f"CASE WHEN _jq IS NULL THEN NULL "
@@ -2677,6 +2737,11 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             # method word) before the wrapper aggregation.
             elem = size_of("_je") if size_of else "to_json(_je)"
             matches = f"transform({matches_v}, _je -> {elem})"
+            if meth == "double":
+                # any NULL render = a conversion error → NULL result
+                matches = (f"element_at(transform(array({matches}), "
+                           f"_md -> CASE WHEN exists(_md, _x -> "
+                           f"_x IS NULL) THEN NULL ELSE _md END), 1)")
             if wrapper == "with":
                 agg = ("CASE WHEN _m IS NULL OR size(_m) = 0 THEN NULL "
                        "ELSE concat('[', array_join(_m, ','), ']') END")

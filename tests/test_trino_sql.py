@@ -1631,22 +1631,54 @@ def test_json_query_terminal_type_method(spark, sf_dir, oracle):
 
 
 def test_json_query_refusals():
-    # && compounds, .size()/.type(), parenthesized sub-predicates,
-    # !(...), exists() and multi-[*] GRADUATED in r10 — numeric item
-    # methods, filters off the [*] step, several filters, bare !atom
-    # (invalid in Trino too), and unbalanced filters stay refused
+    # && compounds, .size()/.type()/.double(), parenthesized
+    # sub-predicates, !(...), exists() and multi-[*] GRADUATED in r10
+    # — other numeric item methods (.ceiling()/.floor()/.abs()/
+    # .keyvalue()), filters off the [*] step, several filters, bare
+    # !atom (invalid in Trino too), and unbalanced filters stay refused
     for bad in ["SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
-                "SELECT json_query(p, 'lax $.a[*]?(@.b.double() > 1)')"
+                "SELECT json_query(p, 'lax $.a[*]?(@.b.ceiling() > 1)')"
                 " FROM t",
+                "SELECT json_query(p, 'lax $.a.keyvalue()') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?(!@.b == 1)') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?()') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?((@.b > 1)') FROM t",
                 "SELECT json_query(p, "
                 "'lax $.a[*]?(@.b > 1).c[*]?(@.d > 2)') FROM t",
-                "SELECT json_query(p, 'lax $.a.double()') FROM t",
                 "SELECT json_query(p, 'lax $.a' OMIT QUOTES) FROM t"]:
         with pytest.raises(TrinoSqlUnsupported, match="json_query"):
             rewrite_trino_sql(bad)
+
+
+def test_json_query_double_method(spark, sf_dir, oracle):
+    """.double() item method (r10): number and numeric-string items
+    render as the double's canonical text (Java Double.toString on
+    both engines); any other item is a CONVERSION error — lax does
+    not suppress it, so in a wildcard chain it nulls the WHOLE result
+    (ON ERROR default), unlike structural misses which just drop. In
+    a filter, the error is UNKNOWN → that element drops."""
+    doc = ('{"n":3,"d":1.5,"s":"42","bad":"x","z":null,'
+           '"a":[1,"2.5"],"m":[1,true]}')
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'lax $.n.double()') AS n, "
+        f"json_query('{doc}', 'lax $.d.double()') AS d, "
+        f"json_query('{doc}', 'lax $.s.double()') AS s, "
+        f"json_query('{doc}', 'lax $.bad.double()') AS bad, "
+        f"json_query('{doc}', 'lax $.z.double()') AS z, "
+        f"json_query('{doc}', 'lax $.a[*].double()' WITH ARRAY WRAPPER)"
+        " AS arr, "
+        f"json_query('{doc}', 'lax $.m[*].double()' WITH ARRAY WRAPPER)"
+        " AS err, "
+        f"json_query('{doc}', 'lax $.a[*] ?(@.double() >= 2) .double()'"
+        " WITH ARRAY WRAPPER) AS fd", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '3.0' AS n, '1.5' AS d, '42.0' AS s, "
+        "CAST(NULL AS VARCHAR) AS bad, CAST(NULL AS VARCHAR) AS z, "
+        "'[1.0,2.5]' AS arr, CAST(NULL AS VARCHAR) AS err, "
+        "'[2.5]' AS fd",
+        name="jsonpath_double_method")
 
 
 def test_json_query_multi_wildcard(spark, sf_dir, oracle):
