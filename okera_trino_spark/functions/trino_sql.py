@@ -1331,20 +1331,29 @@ def _jsonpath_double_pred(fpath: str, op: str, lit_sql: str,
     conversion error → UNKNOWN (these are NOT structural errors, so
     lax does not suppress them). A string literal RHS can never equal
     a number → UNKNOWN when the member is present; a MISSING member is
-    the lax empty sequence → FALSE (negation-safe)."""
+    the lax empty sequence → FALSE (negation-safe). An array-valued
+    member lax-unwraps ONE level before the method applies (the
+    SQL/JSON method-application rule), existentially like the plain
+    comparison atoms."""
     if is_str:
         body = ("CASE WHEN _jv IS NULL THEN FALSE "
                 "ELSE CAST(NULL AS BOOLEAN) END")
     else:
+        def cmp(x: str) -> str:
+            return (
+                f"CASE WHEN schema_of_variant({x}) = 'STRING' "
+                f"THEN try_cast(try_cast({x} AS STRING) AS DOUBLE) "
+                f"{op} {lit_sql} "
+                f"WHEN schema_of_variant({x}) IN ({_VARIANT_NUM_TYPES}) "
+                f"OR schema_of_variant({x}) LIKE 'DECIMAL%' "
+                f"THEN try_cast({x} AS DOUBLE) {op} {lit_sql} "
+                f"ELSE CAST(NULL AS BOOLEAN) END")
         body = (
             "CASE WHEN _jv IS NULL THEN FALSE "
-            "WHEN schema_of_variant(_jv) = 'STRING' "
-            f"THEN try_cast(try_cast(_jv AS STRING) AS DOUBLE) "
-            f"{op} {lit_sql} "
-            f"WHEN schema_of_variant(_jv) IN ({_VARIANT_NUM_TYPES}) "
-            "OR schema_of_variant(_jv) LIKE 'DECIMAL%' "
-            f"THEN try_cast(_jv AS DOUBLE) {op} {lit_sql} "
-            "ELSE CAST(NULL AS BOOLEAN) END")
+            "WHEN schema_of_variant(_jv) LIKE 'ARRAY%' THEN "
+            f"exists(try_cast(_jv AS ARRAY<VARIANT>), "
+            f"_jx -> {cmp('_jx')}) "
+            f"ELSE {cmp('_jv')} END")
     return (f"element_at(transform(array("
             f"try_variant_get(_jf, {fpath}, 'variant')), "
             f"_jv -> {body}), 1)")
@@ -1439,7 +1448,7 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
         and   := unary ( '&&' unary )*
         unary := '!' delimited | delimited | exists | atom
         delimited := '(' or ')'        -- ! applies only here + exists
-        atom  := @.chain[.size()|.type()] <op> literal
+        atom  := @.chain[.size()|.type()|.double()] <op> literal
 
     SQL/JSON predicates are Kleene three-valued — ``unknown && false =
     false``, ``unknown || true = true``, ``!unknown = unknown`` —
@@ -1542,28 +1551,53 @@ def _jsonpath_filter_body(body: str, requote) -> str | None:
     return out
 
 
+def _jsonpath_unwrap(cur: str, var: str, strict: bool = False) -> str:
+    """One SQL/JSON array-unwrap level over the ``ARRAY<VARIANT>``
+    expression ``cur``: arrays unwrap and concatenate in document
+    order; in LAX mode a non-array item auto-wraps into a singleton
+    sequence, while in STRICT mode it is a structural ERROR — encoded
+    as a NULL inner array, which ``flatten`` propagates to a NULL
+    result → the callers' ON ERROR default (NULL / FALSE)."""
+    other = "NULL" if strict else f"array({var})"
+    return (f"flatten(transform({cur}, {var} -> "
+            f"CASE WHEN schema_of_variant({var}) LIKE 'ARRAY%' "
+            f"THEN try_cast({var} AS ARRAY<VARIANT>) "
+            f"ELSE {other} END))")
+
+
 def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
-                               fname: str) -> str | None:
+                               fname: str,
+                               strict: bool = False) -> str | None:
     """Lower a ``head ([*] ?(filter)? chain)+`` JSON path over the
     document expression ``x_sql`` to an ``ARRAY<VARIANT>`` of matched
     items (shared by json_query/json_value/json_exists; single-[*]
     r10, multi-[*] later in r10). Returns None when the path is not
     of that shape (callers handle plain chains and the named error);
     raises for an unbalanced or unsupported filter. Semantics, per
-    ``[*]`` step, in lax mode:
+    ``[*]`` step:
 
-      - AUTO-WRAP: a non-array item is treated as a singleton
-        sequence (SQL/JSON lax accessor rule — previously a silent
-        NULL for scalar heads); arrays unwrap and the per-step
-        results CONCATENATE in document order (``flatten``);
+      - lax AUTO-WRAPS a non-array item into a singleton sequence
+        (SQL/JSON lax accessor rule — previously a silent NULL for
+        scalar heads); STRICT mode instead makes ``[*]`` over a
+        non-array a structural error → NULL matches → the callers'
+        ON ERROR default (NULL / FALSE), never an auto-wrapped value;
       - the optional ``?(...)`` filter (at most one, attached to any
         single ``[*]`` step) keeps elements whose predicate is TRUE
-        (_jsonpath_filter_body — exact K3 values);
-      - the step's member/subscript chain is extracted per element;
-        elements where it is MISSING drop (lax), while a JSON null
-        item survives as a VOID variant. The result array never
-        contains SQL NULLs; a missing head yields NULL → callers'
-        ON EMPTY handling.
+        (_jsonpath_filter_body — exact K3 values, LAX rules: a
+        missing member is FALSE); strict filters containing ``!`` or
+        ``exists`` refuse by name — strict turns a missing member
+        into UNKNOWN, which only those connectives can observe, so
+        the lax lowering would silently diverge; positive strict
+        filters agree on the observable (both drop);
+      - each MEMBER access in the step's chain first lax-unwraps one
+        array level (the SQL/JSON lax member-access rule — an
+        array-of-objects element contributes every object's member);
+        elements where the member is MISSING drop (lax), while a
+        JSON null item survives as a VOID variant. SUBSCRIPT accesses
+        do not auto-wrap (documented scope cut, as are mid-chain
+        unwraps inside ?(...) atom chains and strict mid-chain
+        errors — the r7 conforming-data precedent). The result array
+        never contains SQL NULLs.
 
     The ?(...) body is extracted with a string-aware depth scan —
     parenthesized sub-predicates nest parens beyond what a regex can
@@ -1594,30 +1628,37 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
         r"(?P<rest>(?:\[\*\]\x01?(?:\.\w+|\[\d+\])*)+)", path)
     if m is None:
         return None
+    if strict and fbody is not None and re.search(
+            r"!|\bexists\b", fbody):
+        raise TrinoSqlUnsupported(
+            f"{fname}: a strict-mode filter with !/exists — strict "
+            "turns a missing member into UNKNOWN where lax yields "
+            "FALSE, a difference only negation/exists can observe; "
+            "use lax mode")
     head_v = (f"variant_get(try_parse_json({x_sql}), "
               f"{requote(m.group('head'))}, 'variant')")
     cur = f"filter(array({head_v}), _jm0 -> _jm0 IS NOT NULL)"
     steps = re.findall(r"\[\*\](\x01?)((?:\.\w+|\[\d+\])*)",
                        m.group("rest"))
     for i, (has_filter, seg) in enumerate(steps, 1):
-        cur = (f"flatten(transform({cur}, _ju{i} -> "
-               f"CASE WHEN schema_of_variant(_ju{i}) LIKE 'ARRAY%' "
-               f"THEN try_cast(_ju{i} AS ARRAY<VARIANT>) "
-               f"ELSE array(_ju{i}) END))")
+        cur = _jsonpath_unwrap(cur, f"_ju{i}", strict=strict)
         if has_filter:
             pred = _jsonpath_filter_body(fbody, requote)
             if pred is None:
                 raise TrinoSqlUnsupported(
                     f"{fname} filter: only &&/||/!-combinations "
-                    "(parens allowed) of '@.chain <op> literal' "
-                    "comparisons and exists(@.chain) are supported — "
-                    "item methods other than .size()/.type() keep a "
-                    "named error")
+                    "(parens allowed) of "
+                    "'@.chain[.size()|.type()|.double()] <op> literal'"
+                    " comparisons and exists(@.chain) are supported — "
+                    "other item methods keep a named error")
             cur = f"filter({cur}, _jf -> {pred})"
-        if seg:
-            cur = (f"filter(transform({cur}, _je{i} -> "
-                   f"variant_get(_je{i}, {requote('$' + seg)}, "
-                   f"'variant')), _jm{i} -> _jm{i} IS NOT NULL)")
+        for j, acc in enumerate(re.findall(r"\.\w+|\[\d+\]", seg), 1):
+            if acc.startswith(".") and not strict:
+                cur = _jsonpath_unwrap(cur, f"_jw{i}_{j}")
+            cur = (f"filter(transform({cur}, _je{i}_{j} -> "
+                   f"variant_get(_je{i}_{j}, {requote('$' + acc)}, "
+                   f"'variant')), _jm{i}_{j} -> "
+                   f"_jm{i}_{j} IS NOT NULL)")
     return cur
 
 
@@ -2613,9 +2654,12 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     # A JSON null item EXISTS (VOID variant, non-NULL); a missing
     # member is the lax empty sequence → FALSE; malformed JSON input
     # is an input-conversion error → FALSE (the default FALSE ON
-    # ERROR); a NULL document propagates NULL. Strict mode agrees
-    # under the default handler: a strict structural error → FALSE ON
-    # ERROR, same observable as the lax empty sequence.
+    # ERROR); a NULL document propagates NULL. Strict mode: [*] over
+    # a non-array is a structural ERROR → FALSE ON ERROR (the helper's
+    # strict flag — NOT lax auto-wrap, which would return TRUE);
+    # strict missing members agree under the default handler (error →
+    # FALSE, same observable as the lax empty sequence) except under
+    # !/exists, which the helper refuses by name in strict mode.
     def _json_exists_fn(a):
         if len(a) != 2:
             return None
@@ -2630,6 +2674,7 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                     "lowers faithfully")
             raise TrinoSqlUnsupported(
                 "json_exists needs a literal JSON path")
+        strict = bool(re.match(r"strict\b", lit.strip(), re.IGNORECASE))
         path = re.sub(r"^(?:lax|strict)\s+", "", lit.strip(),
                       flags=re.IGNORECASE).strip()
         if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
@@ -2637,7 +2682,8 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                      f"{requote(path)}, 'variant') IS NOT NULL")
         else:
             matches = _jsonpath_wildcard_matches(a[0], path, requote,
-                                                 "json_exists")
+                                                 "json_exists",
+                                                 strict=strict)
             if matches is None:
                 raise TrinoSqlUnsupported(
                     "json_exists path with item methods, several "
@@ -2675,6 +2721,7 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                 "ON ERROR clauses beyond the defaults are unsupported)")
         wrapper = ("without" if not wm.group("wrap")
                    else "cond" if wm.group("cond") else "with")
+        strict = bool(re.match(r"strict\b", lit.strip(), re.IGNORECASE))
         path = re.sub(r"^(?:lax|strict)\s+", "", lit.strip(),
                       flags=re.IGNORECASE)
         # terminal .size()/.type() item methods (r10): strip the
@@ -2713,7 +2760,8 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                         f"element_at(transform(array({vexpr}), _jq -> "
                         f"CASE WHEN _jq IS NULL THEN NULL "
                         f"ELSE {word} END), 1)")
-        if re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path):
+        plain = re.fullmatch(r"\$(?:\.\w+|\[\d+\])*", path)
+        if plain and meth != "double":
             vexpr = (f"variant_get(try_parse_json({a[0]}), "
                      f"{requote(path)}, 'variant')")
             item = size_of(vexpr) if size_of else f"to_json({vexpr})"
@@ -2728,20 +2776,36 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                 "ELSE concat('[', _ji, ']') END")
             return (f"element_at(transform(array({item}), "
                     f"_ji -> {tail_case}), 1)")
-        matches_v = _jsonpath_wildcard_matches(a[0], path, requote,
-                                               "json_query")
+        if plain:
+            # plain chain + .double(): route through the sequence
+            # machinery — lax method application unwraps an array item
+            # one level, so the method may yield SEVERAL items and the
+            # wrapper rules must see all of them.
+            vexpr = (f"variant_get(try_parse_json({a[0]}), "
+                     f"{requote(path)}, 'variant')")
+            matches_v = f"filter(array({vexpr}), _jm0 -> _jm0 IS NOT NULL)"
+        else:
+            matches_v = _jsonpath_wildcard_matches(
+                a[0], path, requote, "json_query", strict=strict)
         if matches_v is not None:
             # head[*] ?(filter)? tail via the shared VARIANT pipeline
             # (lax auto-wrap, exact-K3 filter, per-element tail); the
-            # matched items render to JSON text (or the .size()/.type()
-            # method word) before the wrapper aggregation.
+            # matched items render to JSON text (or the .size()/
+            # .type()/.double() method result) before the wrapper
+            # aggregation.
+            if meth == "double" and not strict:
+                # SQL/JSON lax METHOD APPLICATION unwraps arrays one
+                # level before the method; strict applies the method
+                # to the item directly (array → conversion error).
+                matches_v = _jsonpath_unwrap(matches_v, "_jd")
             elem = size_of("_je") if size_of else "to_json(_je)"
             matches = f"transform({matches_v}, _je -> {elem})"
             if meth == "double":
                 # any NULL render = a conversion error → NULL result
                 matches = (f"element_at(transform(array({matches}), "
-                           f"_md -> CASE WHEN exists(_md, _x -> "
-                           f"_x IS NULL) THEN NULL ELSE _md END), 1)")
+                           f"_md -> CASE WHEN _md IS NULL "
+                           f"OR exists(_md, _x -> _x IS NULL) "
+                           f"THEN NULL ELSE _md END), 1)")
             if wrapper == "with":
                 agg = ("CASE WHEN _m IS NULL OR size(_m) = 0 THEN NULL "
                        "ELSE concat('[', array_join(_m, ','), ']') END")
@@ -2759,9 +2823,9 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
                     f"_m -> {agg}), 1)")
         raise TrinoSqlUnsupported(
             "json_query path with item methods other than "
-            ".size()/.type(), several filters, or a filter not "
-            "attached to a [*] step — member/subscript chains with "
-            "any number of [*] steps and at most one (possibly "
+            ".size()/.type()/.double(), several filters, or a filter "
+            "not attached to a [*] step — member/subscript chains "
+            "with any number of [*] steps and at most one (possibly "
             "compound/parenthesized/negated) comparison-or-exists "
             "filter are the supported surface")
 

@@ -1749,6 +1749,62 @@ def test_json_query_filter_parens_negation_exists(spark, sf_dir, oracle):
         name="jsonpath_filter_full_grammar")
 
 
+def test_jsonpath_strict_wildcard_no_autowrap(spark, sf_dir, oracle):
+    """r10 review fix: strict ``[*]`` over a non-array is a structural
+    ERROR → the ON ERROR default (NULL / FALSE), never a lax
+    auto-wrapped value; strict over a real array still unwraps.
+    Strict filters with !/exists refuse by name (strict turns missing
+    members into UNKNOWN, observable only under negation)."""
+    df = execute_trino(
+        spark,
+        "SELECT json_exists('{\"kk\":5}', 'strict $.kk[*]') AS e_sc, "
+        "json_exists('{\"kk\":[5]}', 'strict $.kk[*]') AS e_arr, "
+        "json_exists('{\"kk\":5}', 'lax $.kk[*]') AS e_lax, "
+        "json_query('{\"kk\":5}', 'strict $.kk[*]' WITH ARRAY WRAPPER)"
+        " AS q_sc, "
+        "json_query('{\"kk\":[5]}', 'strict $.kk[*]' WITH ARRAY WRAPPER)"
+        " AS q_arr", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT FALSE AS e_sc, TRUE AS e_arr, TRUE AS e_lax, "
+        "CAST(NULL AS VARCHAR) AS q_sc, '[5]' AS q_arr",
+        name="jsonpath_strict_no_autowrap")
+    for bad in ["SELECT json_exists(p, 'strict $.a[*] ?(!(@.b == 1))')"
+                " FROM t",
+                "SELECT json_query(p, 'strict $.a[*] ?(!exists(@.b))')"
+                " FROM t"]:
+        with pytest.raises(TrinoSqlUnsupported, match="strict"):
+            rewrite_trino_sql(bad)
+
+
+def test_jsonpath_lax_member_unwrap(spark, sf_dir, oracle):
+    """r10 review fix: lax MEMBER access after [*] unwraps an array
+    element one level first (an array-of-objects element contributes
+    every object's member), and lax METHOD APPLICATION (.double())
+    unwraps an array item before converting — one failing element is
+    a conversion error that nulls the whole result."""
+    df = execute_trino(
+        spark,
+        "SELECT json_query('{\"a\":[[{\"b\":1},{\"b\":2}],{\"b\":3}]}', "
+        "'lax $.a[*].b' WITH ARRAY WRAPPER) AS mu, "
+        "json_query('{\"a\":[[1,2],3]}', 'lax $.a[*].double()' "
+        "WITH ARRAY WRAPPER) AS du, "
+        "json_query('{\"a\":[[1,\"x\"],3]}', 'lax $.a[*].double()' "
+        "WITH ARRAY WRAPPER) AS derr, "
+        "json_query('{\"bad\":[1,2]}', 'lax $.bad.double()' "
+        "WITH ARRAY WRAPPER) AS pu, "
+        "json_query('{\"bad\":[1,2]}', 'lax $.bad.double()') AS pm, "
+        "json_query('{\"k\":[{\"a\":[1,5]},{\"a\":2}]}', "
+        "'lax $.k[*] ?(@.a.double() > 4)' WITH ARRAY WRAPPER) AS fu",
+        sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '[1,2,3]' AS mu, '[1.0,2.0,3.0]' AS du, "
+        "CAST(NULL AS VARCHAR) AS derr, '[1.0,2.0]' AS pu, "
+        "CAST(NULL AS VARCHAR) AS pm, '[{\"a\":[1,5]}]' AS fu",
+        name="jsonpath_lax_member_unwrap")
+
+
 def test_json_value_scalar_guard(spark, sf_dir, oracle):
     """r10: Trino json_value ERRORS on an array/object item (default
     NULL ON ERROR → NULL); the old get_json_object lowering returned
