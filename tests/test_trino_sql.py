@@ -3120,6 +3120,10 @@ def test_rewrite_fuzz_execution_leg(spark, sf_dir):
         "'lax $.m[*][*].type()' WITH ARRAY WRAPPER)",
         "json_value(n_name, "
         "'lax $.a[*] ?(!exists(@.b) || @.c == \"{0}\") .d')",
+        "json_query('{{\"k\":{1}}}', 'strict $.k[*]' WITH ARRAY WRAPPER)",
+        "json_exists('{{\"k\":[{1}]}}', 'strict $.k[*] ?(@ == {1})')",
+        "json_query('{{\"k\":[[{1}],{2}]}}', 'lax $.k[*].double()' "
+        "WITH ARRAY WRAPPER)",
     ]
 
     @settings(max_examples=40, deadline=None)
