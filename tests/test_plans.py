@@ -220,6 +220,22 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
     assert not offenders, f"row-Python UDF in plans: {offenders}"
 
 
+def test_jsonpath_key_is_map_only(spark, sf_dir):
+    """q_trino_sql_jsonpath_bool's docstring claims pure VARIANT HOF
+    codegen with no shuffle beyond the ORDER BY — with 13 deep-HOF
+    columns, assert the plan stays map-only: the only Exchange is the
+    final sort's range partitioning (no aggregation/join shuffles),
+    and no Python appears (the global BatchEvalPython test covers the
+    row-UDF case; this also excludes ArrowEvalPython)."""
+    plan = plan_string(SPECS["q_trino_sql_jsonpath_bool"].fn(spark, sf_dir),
+                       "formatted")
+    import re as _re
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+    assert len(exchanges) <= 1, exchanges
+    assert "EvalPython" not in plan, plan
+
+
 def test_ngram_pairs_materialize_shingle_index_once(spark, sf_dir):
     """The ngram pair join's three consumers (counts + both self-join
     sides) must read the CHECKPOINTED shingle index, not re-scan
