@@ -2697,19 +2697,20 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
 
     code = _rewrite_calls(code, "json_exists", _json_exists_fn)
 
-    # json_query (r9): returns JSON TEXT (KEEP QUOTES default — string
-    # items stay quoted, so get_json_object's scalar unquoting is NOT
-    # faithful here). Lowered through Spark's VARIANT type:
-    # to_json(variant_get(parse_json(x), path)) reproduces exact JSON
-    # item text. Single-[*] wildcard chains cast the head to
-    # ARRAY<VARIANT> and extract the tail per element — lax skips
-    # non-matching elements (filter), strict agrees on conforming data
-    # (the r7 member-chain precedent). All three wrapper forms:
+    # json_query (r9, extended r10): returns JSON TEXT (KEEP QUOTES
+    # default — string items stay quoted, so get_json_object's scalar
+    # unquoting is NOT faithful here). Lowered through Spark's VARIANT
+    # type: to_json(variant_get(parse_json(x), path)) reproduces exact
+    # JSON item text. [*] chains (any number of steps) go through
+    # _jsonpath_wildcard_matches (lax auto-wrap + member unwrap,
+    # strict error semantics, full ?(...) predicate grammar); the
+    # .size()/.type()/.double() terminal methods render the items.
+    # All three wrapper forms:
     #   WITHOUT (default): one item → its text; empty/multi → NULL
     #     (NULL ON EMPTY / NULL ON ERROR defaults);
     #   WITH [UNCONDITIONAL]: always '[items…]', empty → NULL;
     #   WITH CONDITIONAL: single array/object item bare, else wrapped.
-    # Filters/methods/multiple wildcards keep the named error.
+    # Other item methods and non-default clauses keep the named error.
     def _json_query_fn(a):
         if len(a) != 2:
             return None
