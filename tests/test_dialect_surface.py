@@ -103,6 +103,14 @@ SURFACE = [
     "json_format(json_parse('{\"a\":1}'))", "json_parse('{\"a\":1}')",
     "json_size('{\"a\":1}', '$')", "json_query('{\"a\":1}', 'lax $.a')",
     "json_value('{\"a\":1}', 'lax $.a')",
+    "json_exists('{\"a\":1}', 'lax $.a')",
+    # r10 SQL/JSON grammar surfaces
+    "json_query('{\"a\":[1]}', 'lax $.a[*] ?((@ > 0 || @ == 0) && "
+    "!(@ < 0))' WITH ARRAY WRAPPER)",
+    "json_query('{\"a\":[[1],[2]]}', 'lax $.a[*][*].double()' "
+    "WITH ARRAY WRAPPER)",
+    "json_value('{\"a\":[{\"b\":1}]}', 'lax $.a[*] ?(exists(@.b)) .b')",
+    "json_exists('{\"a\":[1]}', 'strict $.a[*]')",
     # url
     "url_decode(url_encode(s))", "url_extract_fragment('http://x.com/#f')",
     "url_extract_host('http://x.com/')", "url_extract_parameter('http://x.com/?q=1', 'q')",
