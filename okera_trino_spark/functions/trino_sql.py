@@ -1568,12 +1568,16 @@ def _jsonpath_unwrap(cur: str, var: str, strict: bool = False) -> str:
 def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
                                fname: str,
                                strict: bool = False) -> str | None:
-    """Lower a ``head ([*] ?(filter)? chain)+`` JSON path over the
-    document expression ``x_sql`` to an ``ARRAY<VARIANT>`` of matched
-    items (shared by json_query/json_value/json_exists; single-[*]
-    r10, multi-[*] later in r10). Returns None when the path is not
-    of that shape (callers handle plain chains and the named error);
-    raises for an unbalanced or unsupported filter. Semantics, per
+    """Lower a ``head ([*]|[last] ?(filter)? chain)+`` JSON path over
+    the document expression ``x_sql`` to an ``ARRAY<VARIANT>`` of
+    matched items (shared by json_query/json_value/json_exists;
+    single-[*] r10, multi-[*] and [last] later in r10). Returns None
+    when the path is not of that shape (callers handle plain chains
+    and the named error); raises for an unbalanced or unsupported
+    filter. ``[last]`` (lax only — strict refuses by name) selects an
+    array item's final element, auto-wrapping non-arrays and dropping
+    the suppressed out-of-bounds error on empty arrays; ``[n to m]``
+    ranges and subscript lists keep the named error. Semantics, per
     ``[*]`` step:
 
       - lax AUTO-WRAPS a non-array item into a singleton sequence
@@ -1625,7 +1629,7 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
     path = re.sub(r"\s+", "", path)
     m = re.fullmatch(
         r"(?P<head>\$(?:\.\w+|\[\d+\])*)"
-        r"(?P<rest>(?:\[\*\]\x01?(?:\.\w+|\[\d+\])*)+)", path)
+        r"(?P<rest>(?:\[(?:\*|last)\]\x01?(?:\.\w+|\[\d+\])*)+)", path)
     if m is None:
         return None
     if strict and fbody is not None and re.search(
@@ -1635,13 +1639,30 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
             "turns a missing member into UNKNOWN where lax yields "
             "FALSE, a difference only negation/exists can observe; "
             "use lax mode")
+    if strict and "[last]" in path:
+        raise TrinoSqlUnsupported(
+            f"{fname}: a strict-mode [last] subscript — strict turns "
+            "a non-array item into a whole-result error where the "
+            "lowering would drop one element; use lax mode")
     head_v = (f"variant_get(try_parse_json({x_sql}), "
               f"{requote(m.group('head'))}, 'variant')")
     cur = f"filter(array({head_v}), _jm0 -> _jm0 IS NOT NULL)"
-    steps = re.findall(r"\[\*\](\x01?)((?:\.\w+|\[\d+\])*)",
+    steps = re.findall(r"\[(\*|last)\](\x01?)((?:\.\w+|\[\d+\])*)",
                        m.group("rest"))
-    for i, (has_filter, seg) in enumerate(steps, 1):
-        cur = _jsonpath_unwrap(cur, f"_ju{i}", strict=strict)
+    for i, (kind, has_filter, seg) in enumerate(steps, 1):
+        if kind == "last":
+            # lax [last]: the final element of an array item; a
+            # non-array item auto-wraps into a singleton, so [last]
+            # is the item itself; an empty array is the suppressed
+            # out-of-bounds error → the element drops
+            # (try_element_at → NULL).
+            cur = (f"filter(transform({cur}, _jl{i} -> "
+                   f"CASE WHEN schema_of_variant(_jl{i}) LIKE 'ARRAY%' "
+                   f"THEN try_element_at(try_cast(_jl{i} AS "
+                   f"ARRAY<VARIANT>), -1) ELSE _jl{i} END), "
+                   f"_jn{i} -> _jn{i} IS NOT NULL)")
+        else:
+            cur = _jsonpath_unwrap(cur, f"_ju{i}", strict=strict)
         if has_filter:
             pred = _jsonpath_filter_body(fbody, requote)
             if pred is None:

@@ -1805,6 +1805,35 @@ def test_jsonpath_lax_member_unwrap(spark, sf_dir, oracle):
         name="jsonpath_lax_member_unwrap")
 
 
+def test_jsonpath_last_subscript(spark, sf_dir, oracle):
+    """[last] subscript (r10, lax): an array item's final element;
+    non-arrays auto-wrap (the item itself); an empty array is the
+    suppressed out-of-bounds error → drops; composes with [*] steps
+    and filters; strict mode refuses by name."""
+    doc = ('{"a":[1,2,3],"e":[],"s":5,"k":[{"b":[1,9]},{"b":[2]}],'
+           '"z":[null,7]}')
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'lax $.a[last]') AS a, "
+        f"json_query('{doc}', 'lax $.e[last]' WITH ARRAY WRAPPER)"
+        " AS e, "
+        f"json_query('{doc}', 'lax $.s[last]') AS s, "
+        f"json_query('{doc}', 'lax $.k[*].b[last]' WITH ARRAY WRAPPER)"
+        " AS kb, "
+        f"json_value('{doc}', 'lax $.a[last]') AS jv, "
+        f"json_exists('{doc}', 'lax $.e[last]') AS je, "
+        f"json_query('{doc}', 'lax $.a[last] ?(@ == 3)' "
+        "WITH ARRAY WRAPPER) AS fl", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '3' AS a, CAST(NULL AS VARCHAR) AS e, '5' AS s, "
+        "'[9,2]' AS kb, '3' AS jv, FALSE AS je, '[3]' AS fl",
+        name="jsonpath_last_subscript")
+    with pytest.raises(TrinoSqlUnsupported, match="last"):
+        rewrite_trino_sql(
+            "SELECT json_exists(p, 'strict $.a[last]') FROM t")
+
+
 def test_json_value_scalar_guard(spark, sf_dir, oracle):
     """r10: Trino json_value ERRORS on an array/object item (default
     NULL ON ERROR → NULL); the old get_json_object lowering returned
