@@ -88,54 +88,45 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-10 ROTATION (data-driven: slots ranked by last-green round
-#: computed from CORRECTNESS_r01..r09). Slots, in order:
-#:   1) the r9 driver-red — q_trino_sql_listagg_trunc (md5 VARBINARY
-#:      vs the oracle's hex VARCHAR; FIXED this round: both digests
-#:      now render lower(to_hex(...))) — still without a green row;
-#:   2) the NEW r10 keys: q_trino_sql_word_stem (Porter2/Snowball
-#:      english pandas UDF), q_trino_sql_listagg_distinct
-#:      (array_distinct before the sorted fold),
-#:      q_trino_sql_jsonpath_bool (compound &&/|| filter predicates
-#:      under K3 logic) — new keys must sit in-window to keep the
-#:      test_entry.py union-closure invariant green;
-#:   3) the r4-stale cohort (16 keys, last green five rounds ago —
-#:      at the staleness bound this round);
-#:   4) 26 of the 38-key r5 cohort. The r9 window's 49 greens all
-#:      rotate OUT (fresh evidence last round); the 12 deferred r5
-#:      keys (the TPC-H q2/q9/q11/q12/q16/q20/q21 composites — their
-#:      constituent operators are all freshly green elsewhere —
-#:      q_view_expand, and q_llm_media_features / q_llm_entropy /
-#:      q_llm_pack / q_llm_dedup_ngram, whose multimodal /
-#:      text-analysis / chunking / dedup families keep
-#:      q_llm_frame_sample / q_llm_text_stats / q_llm_mix /
-#:      q_llm_dedup_apply+simhash in-window) MUST rotate in next
-#:      round (r11) to stay within the 5-round staleness bound.
+#: ROUND-11 ROTATION (data-driven: slots ranked by last-green round
+#: computed from CORRECTNESS_r01..r10; the r10 window went 50/50
+#: hash-green, so all 50 rotate OUT). Slots, in order:
+#:   1) the 12-key r5-stale cohort (q_tpch_q2/q9/q11/q12/q16/q20/q21,
+#:      q_view_expand, q_llm_media_features / q_llm_entropy /
+#:      q_llm_pack / q_llm_dedup_ngram) — last green in r5, AT the
+#:      5-round staleness bound this round; deferred twice (r9, r10)
+#:      and pre-committed to this slot in the r10 rotation note;
+#:   2) NEW r11 keys (inserted as they land — new keys must sit
+#:      in-window to keep the test_entry.py union-closure invariant);
+#:   3) backfill from the 46-key r7 cohort (next-stalest; last green
+#:      r7, bound hits at r12). The r7 keys NOT fitting this window
+#:      (displaced one-for-one by new r11 keys from the tail of this
+#:      list) plus the rest of the r7 cohort MUST rotate in at r12:
+#:      q_llm_quantize, q_llm_semdedup, q_llm_stratified, q_llm_tfidf,
+#:      q_meta_discovery, q_offset, q_sample, q_scan_wide, plus any
+#:      tail keys displaced below.
 _PRIORITY: tuple[str, ...] = (
-    # 1) r9 driver-red, fixed in r10, no green row yet
-    "q_trino_sql_listagg_trunc",
-    # 2) new in r10
-    "q_trino_sql_word_stem", "q_trino_sql_listagg_distinct",
-    "q_trino_sql_jsonpath_bool", "q_trino_sql_breadth5",
-    "q_trino_sql_breadth6", "q_trino_sql_statfns",
-    "q_trino_sql_murmur3",
-    # 3) r4-stale cohort (16)
-    "q_agg_bool", "q_agg_listagg", "q_fn_decimal", "q_fn_try",
-    "q_fn_url", "q_llm_dedup_simhash", "q_llm_dedup_simhash_pairs",
-    "q_llm_fingerprint", "q_llm_frame_sample", "q_llm_knn_join",
-    "q_llm_langid", "q_llm_tokens", "q_sort_nulls",
-    "q_udf_current_db", "q_unnest_ordinality", "q_win_dist",
-    # 4) r5-stale cohort (26 of 38 — see the 12-key deferral note above)
-    "q_agg_histogram", "q_asof_join", "q_events_funnel",
-    "q_events_gapfill", "q_events_outliers", "q_events_retention",
-    "q_events_sessionize", "q_fn_interval", "q_fn_json",
-    "q_join_range_banded", "q_llm_dedup_apply",
-    "q_llm_dup_clusters",
-    "q_llm_mix", "q_llm_pii_scrub", "q_llm_pipeline",
-    "q_llm_repetition", "q_llm_text_stats", "q_llm_vocab",
-    "q_recursive_cte", "q_scan_nested", "q_sort_multi",
-    "q_stream_dedup", "q_stream_session", "q_stream_slide",
-    "q_stream_stream_join", "q_stream_tumble",
+    # 1) r5-stale cohort — at the staleness bound, mandatory this round
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q16", "q_tpch_q20", "q_tpch_q21", "q_view_expand",
+    "q_llm_media_features", "q_llm_entropy", "q_llm_pack",
+    "q_llm_dedup_ngram",
+    # 2) new r11 keys (inserted as they land)
+    # 3) r7 backfill (38 of 46; displacement from the TAIL as new keys land)
+    "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
+    "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
+    "q_filter_in", "q_filter_null", "q_intersect", "q_join_anti",
+    "q_join_cross", "q_join_full", "q_join_theta", "q_limit",
+    "q_llm_ann_lsh", "q_llm_chunk", "q_llm_dedup_near",
+    "q_llm_para_dedup", "q_subquery_in", "q_subquery_scalar",
+    "q_trino_sql", "q_trino_sql_breadth", "q_trino_sql_fns",
+    "q_trino_sql_prepared", "q_trino_sql_tz", "q_trino_sql_unnest",
+    "q_trino_tpch_q1", "q_union_distinct", "q_win_frame_groups",
+    "q_win_frame_rows", "q_win_lag_lead",
+    # --- displacement tail: these drop out one-for-one as new r11
+    # keys are inserted above (they then join the r12 rotation) ---
+    "q_values", "q_except_all", "q_intersect_all",
+    "q_llm_dedup_embed", "q_llm_ann_ivf_static",
 )
 
 
