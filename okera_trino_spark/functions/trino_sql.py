@@ -1258,20 +1258,26 @@ def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
 
       - missing member (lax) → empty sequence → comparison FALSE
         (comparisons are existential: no pair, no error);
-      - JSON null item vs a literal → FALSE, and TRUE for ``<>``
-        (SQL/JSON null is an ordinary item equal only to itself —
-        NOT SQL NULL);
+      - JSON null item vs a literal → FALSE for ``=``, TRUE for
+        ``<>`` (SQL/JSON null is an ordinary item equal only to
+        itself — NOT SQL NULL), and UNKNOWN for the ordering
+        operators (r11 — null participates in no ordering, so
+        ``< <= > >=`` against it is an errored pair, observable
+        under ``!(...)`` which drops UNKNOWN but keeps FALSE);
       - present but type-mismatched items (string item vs number
         literal …) → UNKNOWN (SQL NULL);
       - matched types → the actual comparison.
 
     SQL/JSON comparisons are TYPED, so the cast is gated on
     ``schema_of_variant`` (``try_variant_get`` alone coerces "5" →
-    5.0). Lax mode auto-unwraps a single array level with existential
-    semantics: TRUE if any element matches, UNKNOWN if none match and
-    some mismatch type, else FALSE — exactly Spark's ``exists`` NULL
-    handling."""
-    null_cmp = "TRUE" if op == "<>" else "FALSE"
+    5.0). Lax mode auto-unwraps a single array level; per the ISO
+    comparison rule the result is UNKNOWN as soon as ANY unwrapped
+    pair errors (r11 — Spark's bare ``exists`` would let one TRUE
+    pair win over an errored pair; a mixed-type member like
+    ``[5, "x"]`` under ``> 1`` must be UNKNOWN, not TRUE), else
+    TRUE if any pair compares true, else FALSE."""
+    null_cmp = ("TRUE" if op == "<>" else
+                "FALSE" if op == "=" else "CAST(NULL AS BOOLEAN)")
     if is_str:
         def cmp(x: str) -> str:
             return (f"CASE WHEN schema_of_variant({x}) = 'VOID' "
@@ -1288,8 +1294,11 @@ def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
                     f"LIKE 'DECIMAL%' "
                     f"THEN try_cast({x} AS DOUBLE) {op} {lit_sql} "
                     f"ELSE CAST(NULL AS BOOLEAN) END")
-    unwrap = (f"exists(try_cast(_jv AS ARRAY<VARIANT>), "
-              f"_jw -> {cmp('_jw')})")
+    unwrap = (f"CASE WHEN exists(try_cast(_jv AS ARRAY<VARIANT>), "
+              f"_jw -> ({cmp('_jw')}) IS NULL) "
+              f"THEN CAST(NULL AS BOOLEAN) "
+              f"ELSE exists(try_cast(_jv AS ARRAY<VARIANT>), "
+              f"_jw -> {cmp('_jw')}) END")
     body = ("CASE WHEN _jv IS NULL THEN FALSE "
             f"WHEN schema_of_variant(_jv) LIKE 'ARRAY%' THEN {unwrap} "
             f"ELSE {cmp('_jv')} END")
@@ -2087,9 +2096,34 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             return f"hll_sketch_estimate({inner})"
         return None   # array/map cardinality — Spark builtin
 
-    code = _rewrite_calls(
-        code, "approx_set",
-        lambda a: f"hll_sketch_agg({a[0]})" if len(a) == 1 else None)
+    def _approx_set_fn(a):
+        if len(a) == 1:
+            return f"hll_sketch_agg({a[0]})"
+        if len(a) == 2:
+            # approx_set(x, e) — Trino's max-standard-error form.
+            # HLL error ≈ 1.04/sqrt(2^lgK), so e maps structurally to
+            # lgConfigK = ceil(log2((1.04/e)^2)), clamped to Spark's
+            # DataSketches range [4, 21] (Trino validates e itself to
+            # [0.0040625, 0.26] — same check here). Same
+            # approx-divergence class as the 1-arg form: sketch
+            # VALUES differ across engines, cardinality estimates are
+            # bounds-tested. Non-literal error bounds refuse by name.
+            import math
+            try:
+                e_val = float(a[1])
+            except ValueError:
+                raise TrinoSqlUnsupported(
+                    "approx_set(x, e) requires a literal error bound "
+                    "(the bound picks the sketch size at plan time)")
+            if not 0.0040625 <= e_val <= 0.26:
+                raise TrinoSqlUnsupported(
+                    f"approx_set error bound {e_val} outside Trino's "
+                    "[0.0040625, 0.26]")
+            lg_k = max(4, min(21, math.ceil(math.log2((1.04 / e_val) ** 2))))
+            return f"hll_sketch_agg({a[0]}, {lg_k})"
+        return None
+
+    code = _rewrite_calls(code, "approx_set", _approx_set_fn)
     code = _rewrite_calls(
         code, "merge",
         lambda a: f"hll_union_agg({a[0]})" if len(a) == 1 else None)
@@ -2118,6 +2152,22 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             return (f"slice(sort_array(collect_list(({a[0]})), {order}), "
                     f"1, ({a[1]}))")
         return fn
+
+    # max(x, n) OVER (...) is legal in Trino but the collect_list
+    # rewrite below is aggregate-only — refuse the window form by name
+    # (r11) instead of letting it die with a confusing analysis error.
+    for _mm_name in ("max", "min"):
+        for _mm in re.finditer(r"\b" + _mm_name + r"\s*\(", code,
+                               re.IGNORECASE):
+            _mm_close = _find_close(code, _mm.end() - 1)
+            _mm_args = _split_top_level(code[_mm.end():_mm_close])
+            if (len(_mm_args) == 2 and
+                    re.match(r"\s*OVER\s*\(", code[_mm_close + 1:],
+                             re.IGNORECASE)):
+                raise TrinoSqlUnsupported(
+                    f"{_mm_name}(x, n) as a window function is not "
+                    "supported (the top-n rewrite is aggregate-only; "
+                    "use it in GROUP BY, or rank() + collect)")
 
     code = _rewrite_calls(code, "max", _minmax_n(desc=True))
     code = _rewrite_calls(code, "min", _minmax_n(desc=False))
@@ -3163,9 +3213,15 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         code, "to_base64url",
         lambda a: f"translate(base64({a[0]}), '+/', '-_')"
         if len(a) == 1 else None)
+    # from_base64url rejects standard-alphabet input ('+' or '/') the
+    # way Trino's strict URL-safe decoder does (r11 — translate alone
+    # is a no-op on them, silently accepting invalid input).
     code = _rewrite_calls(
         code, "from_base64url",
-        lambda a: f"unbase64(translate({a[0]}, '-_', '+/'))"
+        lambda a: (f"unbase64(CASE WHEN ({a[0]}) RLIKE '[+/]' "
+                   f"THEN raise_error(concat('Invalid base64url "
+                   f"character in: ', {a[0]})) "
+                   f"ELSE translate({a[0]}, '-_', '+/') END)")
         if len(a) == 1 else None)
 
     def _wilson(sign):

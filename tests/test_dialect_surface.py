@@ -126,7 +126,8 @@ SURFACE = [
 ]
 
 AGGREGATES = [
-    "cardinality(approx_set(s))", "cardinality(merge(h))",
+    "cardinality(approx_set(s))", "cardinality(approx_set(s, 0.02))",
+    "cardinality(merge(h))",
     "value_at_quantile(qdigest_agg(d), 0.5)", "tdigest_agg(d)",
     "any_value(i)", "approx_distinct(s)", "approx_most_frequent(2, s, 3)",
     "approx_percentile(d, 0.5)", "arbitrary(i)", "array_agg(i)", "avg(d)",

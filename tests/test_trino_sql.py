@@ -1388,7 +1388,8 @@ def test_limit_all_is_no_limit(spark, sf_dir, oracle):
 
 JSON_QUERY_DOC = ('{"a":[{"b":1},{"b":"x"}],"c":"s","d":[{"b":[1,2]}],'
                   '"e":[{"b":"1"},{"b":1},{"c":7},{"d":[0,9],"b":1},'
-                  '{"d":[0],"b":2}]}')
+                  '{"d":[0],"b":2}],'
+                  '"f":[{"m":[5,"x"],"b":1},{"n":null,"b":2}]}')
 
 JSON_QUERY_CASES = [
     ("wc_wrap", "json_query(j, 'lax $.a[*].b' WITH ARRAY WRAPPER)",
@@ -1449,6 +1450,30 @@ JSON_QUERY_CASES = [
     ("filter_unwrap_miss",
      "json_query(j, 'lax $.e[*] ? (@.d > 99).b' WITH ARRAY WRAPPER)",
      "CAST(NULL AS VARCHAR)"),
+    # r11: ISO comparison rule under lax auto-unwrap — a mixed-type
+    # array member ([5,"x"] > 1) has an errored pair, so the whole
+    # comparison is UNKNOWN (drops) even though 5 > 1 is true …
+    ("filter_unwrap_mixed_err",
+     "json_query(j, 'lax $.f[*] ? (@.m > 1).b' WITH ARRAY WRAPPER)",
+     "CAST(NULL AS VARCHAR)"),
+    # … and !(...) observes the distinction: UNKNOWN stays UNKNOWN
+    # (first f-element drops) while the missing-member FALSE flips to
+    # TRUE (second f-element kept).
+    ("filter_unwrap_mixed_neg",
+     "json_query(j, 'lax $.f[*] ? (!(@.m > 1)).b' WITH ARRAY WRAPPER)",
+     "'[2]'"),
+    # r11: JSON null under an ORDERING operator is UNKNOWN (null
+    # participates in no ordering) — so !(@.n < 5) drops the n=null
+    # element (¬UNKNOWN = UNKNOWN) and keeps only the missing-member
+    # FALSE→TRUE element.
+    ("filter_null_ordering_neg",
+     "json_query(j, 'lax $.f[*] ? (!(@.n < 5)).b' WITH ARRAY WRAPPER)",
+     "'[1]'"),
+    # Equality against JSON null is NOT an error: == is FALSE,
+    # <> is TRUE (null is an ordinary item equal only to itself).
+    ("filter_null_neq",
+     "json_query(j, 'lax $.f[*] ? (@.n != 5).b' WITH ARRAY WRAPPER)",
+     "'[2]'"),
 ]
 
 
@@ -2435,6 +2460,69 @@ def test_approx_set_merge_cardinality(spark, sf_dir, oracle):
         "SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS total "
         "FROM orders WHERE o_orderkey < 2000",
         name="hll_triple")
+
+
+def test_approx_set_error_bound_form(spark, sf_dir, oracle):
+    """approx_set(x, e) — the max-standard-error form (r11): e maps to
+    lgConfigK = ceil(log2((1.04/e)^2)). At e=0.01 that is lgK=14 —
+    far above these cardinalities, so the estimate is exact and exact
+    COUNT(DISTINCT) is a sound oracle."""
+    df = execute_trino(
+        spark,
+        "SELECT cardinality(approx_set(o_orderpriority, 0.01)) AS total "
+        "FROM orders WHERE o_orderkey < 2000",
+        sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS total "
+        "FROM orders WHERE o_orderkey < 2000",
+        name="approx_set_e")
+    # the lgK mapping itself: e=0.26 floor → lgK=4, e=0.0040625 → 16
+    out = rewrite_trino_sql("SELECT approx_set(x, 0.26) FROM t")
+    assert "hll_sketch_agg(x, 4)" in out
+    out = rewrite_trino_sql("SELECT approx_set(x, 0.0040625) FROM t")
+    assert "hll_sketch_agg(x, 16)" in out
+
+
+def test_approx_set_error_bound_refusals():
+    """Non-literal or out-of-range error bounds refuse by name (the
+    bound picks the sketch size at plan time)."""
+    with pytest.raises(TrinoSqlUnsupported, match="literal"):
+        rewrite_trino_sql("SELECT approx_set(x, e_col) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="outside"):
+        rewrite_trino_sql("SELECT approx_set(x, 0.5) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="outside"):
+        rewrite_trino_sql("SELECT approx_set(x, 0.001) FROM t")
+
+
+def test_from_base64url_rejects_standard_alphabet(spark, sf_dir):
+    """Trino's URL-safe decoder rejects '+'/'/' input; the lowering
+    raises at execution instead of silently decoding (r11)."""
+    df = execute_trino(
+        spark, "SELECT from_base64url('a+b/') AS v FROM nation "
+        "WHERE n_nationkey = 0", sf_dir)
+    with pytest.raises(Exception, match="[Ii]nvalid base64url"):
+        df.collect()
+    # valid URL-safe input still round-trips
+    row = execute_trino(
+        spark, "SELECT from_utf8(from_base64url(to_base64url("
+        "to_utf8('ok?/+')))) AS v FROM nation WHERE n_nationkey = 0",
+        sf_dir).collect()[0]
+    assert row.v == "ok?/+"
+
+
+def test_minmax_n_window_form_refused():
+    """max(x, n) OVER (...) is legal Trino but the collect_list top-n
+    rewrite is aggregate-only — named refusal, not an analysis error."""
+    with pytest.raises(TrinoSqlUnsupported, match="window"):
+        rewrite_trino_sql(
+            "SELECT max(x, 3) OVER (PARTITION BY g) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="window"):
+        rewrite_trino_sql(
+            "SELECT min(x, 2) over(ORDER BY y) FROM t")
+    # the aggregate form still rewrites
+    assert "slice(sort_array" in rewrite_trino_sql(
+        "SELECT max(x, 3) FROM t GROUP BY g")
 
 
 def test_index_and_char2hexint(spark, sf_dir):
