@@ -2128,16 +2128,68 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
         code, "merge",
         lambda a: f"hll_union_agg({a[0]})" if len(a) == 1 else None)
     code = _rewrite_calls(code, "cardinality", _cardinality_fn)
+    # qdigest/tdigest READ PATH (r11): the composed forms —
+    # value_at_quantile(qdigest_agg(x), p), values_at_quantiles(
+    # tdigest_agg(x), ps), quantile_at_value(qdigest_agg(x), v) —
+    # lower structurally onto the raw column: the quantile lookups
+    # ride Spark's approx_percentile (approx_percentile-class
+    # divergence: sketch VALUES differ across engines; the estimate
+    # is bounds-tested in tests/test_bounds.py), and the inverse
+    # lookup is the exact CDF avg(x <= v) (exact sits inside any
+    # sketch's error bound). A digest NOT consumed in the same
+    # expression still refuses below — there are no portable
+    # qdigest/tdigest sketch bytes in Spark.
+    def _digest_inner(caller: str, arg: str) -> str:
+        m = re.match(r"(?i)(qdigest_agg|tdigest_agg)\s*\(", arg)
+        if not m:
+            raise TrinoSqlUnsupported(
+                f"{caller}() over a pre-built qdigest/tdigest value is "
+                "not supported (no portable sketch bytes in Spark) — "
+                "compose with qdigest_agg(x)/tdigest_agg(x) directly, "
+                "or use approx_percentile")
+        close = _find_close(arg, m.end() - 1)
+        if arg[close + 1:].strip():
+            raise TrinoSqlUnsupported(
+                f"{caller}() over a digest expression is only "
+                "supported directly on qdigest_agg(x)/tdigest_agg(x)")
+        inner = [s.strip() for s in _split_top_level(arg[m.end():close])]
+        if len(inner) != 1:
+            raise TrinoSqlUnsupported(
+                f"{m.group(1)}() with weight/accuracy arguments is not "
+                "supported (Spark's percentile sketch is unweighted)")
+        return inner[0]
+
+    def _vaq_fn(caller):
+        def fn(a):
+            if len(a) != 2:
+                return None
+            x = _digest_inner(caller, a[0])
+            return f"approx_percentile(({x}), ({a[1]}))"
+        return fn
+
+    def _qav_fn(a):
+        if len(a) != 2:
+            return None
+        x = _digest_inner("quantile_at_value", a[0])
+        return (f"avg(IF(({x}) <= ({a[1]}), CAST(1 AS DOUBLE), "
+                f"CAST(0 AS DOUBLE)))")
+
+    code = _rewrite_calls(code, "value_at_quantile",
+                          _vaq_fn("value_at_quantile"))
+    code = _rewrite_calls(code, "values_at_quantiles",
+                          _vaq_fn("values_at_quantiles"))
+    code = _rewrite_calls(code, "quantile_at_value", _qav_fn)
+
     def _qdigest_refusal(name):
         def fn(a):
             raise TrinoSqlUnsupported(
-                f"{name}() is not supported (no qdigest/tdigest twin "
-                "in Spark — use approx_percentile for quantile "
-                "estimation)")
+                f"{name}() outside value_at_quantile/"
+                "values_at_quantiles/quantile_at_value is not supported "
+                "(no portable qdigest/tdigest sketch bytes in Spark — "
+                "use approx_percentile for quantile estimation)")
         return fn
 
-    for _qd in ("qdigest_agg", "tdigest_agg", "value_at_quantile",
-                "values_at_quantiles", "quantile_at_value"):
+    for _qd in ("qdigest_agg", "tdigest_agg"):
         code = _rewrite_calls(code, _qd, _qdigest_refusal(_qd))
 
     # max(x, n) / min(x, n) (r10): Trino's top/bottom-n aggregate
@@ -2443,8 +2495,10 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     code = _rewrite_calls(
         code, "numeric_histogram",
         _named_unsupported("numeric_histogram",
-                           "non-deterministic streaming bucketer; use "
-                           "width_bucket + count"))
+                           "input-order-dependent streaming bucketer; "
+                           "use width_bucket + count (q_agg_histogram) "
+                           "or the deterministic equi-depth twin "
+                           "(q_agg_numeric_histogram_det)"))
     # normalize(s[, form]) — UAX #15 Unicode normalization. Spark SQL
     # has no builtin, so this lowers onto the session-registered
     # trino_normalize pandas UDF (trino_compat.register_unicode_
@@ -6920,3 +6974,48 @@ def q_trino_sql_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "SELECT n_nationkey, lower(to_hex(murmur3(to_utf8(n_name)))) AS hx "
         "FROM nation ORDER BY n_nationkey", sf_dir)
+
+
+TRINO_SQL_QDIGEST = """
+SELECT l_returnflag,
+       value_at_quantile(qdigest_agg(l_quantity), 0.5e0) AS med_qty,
+       value_at_quantile(tdigest_agg(l_quantity), 0.87e0) AS p87_qty,
+       quantile_at_value(qdigest_agg(l_quantity), 25) AS rank25,
+       element_at(values_at_quantiles(qdigest_agg(l_quantity),
+                                      ARRAY[0.25e0, 0.75e0]), 1) AS q1,
+       element_at(values_at_quantiles(qdigest_agg(l_quantity),
+                                      ARRAY[0.25e0, 0.75e0]), 2) AS q3
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query(
+    "q_trino_sql_qdigest",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS med_qty,
+           quantile_disc(l_quantity, 0.87) AS p87_qty,
+           avg(CASE WHEN l_quantity <= 25 THEN 1.0 ELSE 0.0 END)
+               AS rank25,
+           quantile_disc(l_quantity, 0.25) AS q1,
+           quantile_disc(l_quantity, 0.75) AS q3
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qdigest/tdigest read path (r11, formerly blanket refusals):
+    value_at_quantile / values_at_quantiles over qdigest_agg/
+    tdigest_agg lower onto approx_percentile; quantile_at_value is the
+    exact CDF avg(x <= v). Hash-green against DuckDB's exact
+    quantile_disc is sound ON THIS COLUMN: l_quantity has ~50 distinct
+    values with thousands of rows per value and no quantile point
+    within ~80 ranks of a value boundary, while the sketch's rank
+    error is ≤ n/10000 (≈2) — the estimate cannot cross to an adjacent
+    value, so approx == exact == the oracle (general-column divergence
+    stays approx_percentile-class, bounds-tested in tests/
+    test_bounds.py). Standalone digests (sketch bytes stored/returned)
+    still refuse by name — no portable sketch serialization. Scale:
+    partial-aggregable sketch, map-side combine, one shuffle on the
+    group key."""
+    return execute_trino(spark, TRINO_SQL_QDIGEST, sf_dir)

@@ -366,3 +366,47 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max("o_totalprice"), 4).alias("hi"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_agg_numeric_histogram_det",
+    oracle="""
+    SELECT bucket, count(*) AS n,
+           round(avg(o_totalprice), 4) AS center,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM (SELECT o_totalprice,
+                 ntile(8) OVER (ORDER BY o_totalprice, o_orderkey)
+                     AS bucket
+          FROM orders) b
+    GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("aggregate", "profile"),
+)
+def q_agg_numeric_histogram_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic equi-DEPTH histogram (r11) — the hash-green twin
+    of Trino's ``numeric_histogram(b, x)`` (reference surface:
+    Trino-400 engine functions), whose Ben-Haim & Tom-Tov streaming
+    bucketer is input-order-dependent and therefore refused by name in
+    the dialect (``functions/trino_sql.py``). The twin fixes the
+    bucket CONTENTS deterministically: ntile(8) over a fully
+    tie-broken order gives every engine the identical equal-count
+    buckets, and per-bucket (count, mean-center, lo, hi) mirrors the
+    value→count shape numeric_histogram reports. Scale note: the
+    global ntile is a total sort — correct at any size but
+    single-ordered; at 100 TB you'd cut boundaries from
+    approx_percentile (one map-side-combinable pass) and width_bucket
+    rows onto them (map-only join), trading exact equal counts for
+    sketch-exact ones. The driver-graded form keeps the exact,
+    engine-portable semantics."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("o_totalprice"), 4).alias("center"),
+             F.round(F.min("o_totalprice"), 4).alias("lo"),
+             F.round(F.max("o_totalprice"), 4).alias("hi"))
+        .orderBy("bucket")
+    )

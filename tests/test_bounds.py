@@ -205,3 +205,26 @@ def test_cms_estimates_within_overcount_envelope(spark, sf_dir):
         assert r.est_count >= ex, (r.word, r.est_count, ex)
         assert r.est_count - ex <= math.e * total / w + 1, (
             r.word, r.est_count, ex, total)
+
+
+def test_qdigest_quantile_within_rank_error(spark, sf_dir):
+    """value_at_quantile on a HIGH-cardinality column (where approx is
+    NOT exact — the q_trino_sql_qdigest key deliberately avoids this)
+    must still sit between the exact quantile values at p ± the
+    sketch's rank error (accuracy 10000 → rank error ≤ n/10000,
+    padded to 3 ranks for discreteness)."""
+    from okera_trino_spark.functions.trino_sql import execute_trino
+
+    vals = sorted(r.l_extendedprice for r in
+                  load_table(spark, sf_dir, "lineitem")
+                  .select("l_extendedprice").collect())
+    n = len(vals)
+    for p in (0.1, 0.5, 0.95):
+        row = execute_trino(
+            spark,
+            f"SELECT value_at_quantile(qdigest_agg(l_extendedprice), "
+            f"{p}e0) AS v FROM lineitem", sf_dir).collect()[0]
+        dr = max(3, n // 10000 + 1)
+        lo = vals[max(0, int(p * (n - 1)) - dr)]
+        hi = vals[min(n - 1, int(p * (n - 1)) + dr)]
+        assert lo <= row.v <= hi, (p, row.v, lo, hi)

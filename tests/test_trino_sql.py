@@ -2525,6 +2525,43 @@ def test_minmax_n_window_form_refused():
         "SELECT max(x, 3) FROM t GROUP BY g")
 
 
+def test_qdigest_composed_forms(spark, sf_dir, oracle):
+    """qdigest/tdigest read path (r11): the composed quantile lookups
+    lower onto approx_percentile / the exact CDF. Exact oracle is
+    sound on l_quantity (see q_trino_sql_qdigest's margin argument)."""
+    df = execute_trino(
+        spark,
+        "SELECT value_at_quantile(qdigest_agg(l_quantity), 0.5e0) AS p50, "
+        "value_at_quantile(tdigest_agg(l_quantity), 0.87e0) AS p87, "
+        "quantile_at_value(qdigest_agg(l_quantity), 10) AS r10 "
+        "FROM lineitem WHERE l_orderkey < 4000", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT quantile_disc(l_quantity, 0.5) AS p50, "
+        "quantile_disc(l_quantity, 0.87) AS p87, "
+        "avg(CASE WHEN l_quantity <= 10 THEN 1.0 ELSE 0.0 END) AS r10 "
+        "FROM lineitem WHERE l_orderkey < 4000",
+        name="qdigest_composed")
+
+
+def test_qdigest_refusals():
+    """Standalone digests (sketch bytes) and weighted/pre-built forms
+    keep named refusals (r11)."""
+    with pytest.raises(TrinoSqlUnsupported, match="sketch bytes"):
+        rewrite_trino_sql("SELECT qdigest_agg(x) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="sketch bytes"):
+        rewrite_trino_sql("SELECT tdigest_agg(x) FROM t GROUP BY g")
+    with pytest.raises(TrinoSqlUnsupported, match="pre-built"):
+        rewrite_trino_sql(
+            "SELECT value_at_quantile(sketch_col, 0.5) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="weight"):
+        rewrite_trino_sql(
+            "SELECT value_at_quantile(qdigest_agg(x, w), 0.5) FROM t")
+    with pytest.raises(TrinoSqlUnsupported, match="pre-built"):
+        rewrite_trino_sql(
+            "SELECT quantile_at_value(merge(qdigest_agg(x)), 5) FROM t")
+
+
 def test_index_and_char2hexint(spark, sf_dir):
     """Teradata-compat aliases (r10): index = strpos; char2hexint =
     UTF-16BE code-unit hex (uppercase like Trino)."""
