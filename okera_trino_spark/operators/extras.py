@@ -389,20 +389,38 @@ def q_agg_numeric_histogram_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trino-400 engine functions), whose Ben-Haim & Tom-Tov streaming
     bucketer is input-order-dependent and therefore refused by name in
     the dialect (``functions/trino_sql.py``). The twin fixes the
-    bucket CONTENTS deterministically: ntile(8) over a fully
-    tie-broken order gives every engine the identical equal-count
+    bucket CONTENTS deterministically: the ANSI ntile assignment over
+    a fully tie-broken order gives every engine identical equal-count
     buckets, and per-bucket (count, mean-center, lo, hi) mirrors the
-    value→count shape numeric_histogram reports. Scale note: the
-    global ntile is a total sort — correct at any size but
-    single-ordered; at 100 TB you'd cut boundaries from
-    approx_percentile (one map-side-combinable pass) and width_bucket
-    rows onto them (map-only join), trading exact equal counts for
-    sketch-exact ones. The driver-graded form keeps the exact,
-    engine-portable semantics."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    value→count shape numeric_histogram reports.
+
+    Scale: a naive ``ntile(8) OVER (ORDER BY …)`` is a partition-less
+    Window — 100 TB through ONE reducer (the suite-wide plan gate in
+    tests/test_plans.py rejects it). Instead the global rank comes
+    from the two-phase global_sort_positions helper (range shuffle +
+    per-range row_number + constant-size offsets), the total count is
+    a broadcast 1-row aggregate, and the bucket index is the closed-
+    form ANSI ntile formula over (rank, n) — fully parallel, no
+    global window anywhere."""
+    from okera_trino_spark.operators.sorts_sets import (
+        global_sort_positions,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    pos = global_sort_positions(
+        o, F.col("o_totalprice").asc(), F.col("o_orderkey").asc(),
+        pos_col="_pos")
+    total = pos.agg(F.count("*").alias("_n"))
+    k = 8
+    j = pos.crossJoin(F.broadcast(total))
+    size, rem = F.floor(F.col("_n") / k), F.col("_n") % k
+    # ANSI ntile: the first (n % k) buckets hold floor(n/k)+1 rows.
+    bucket = F.when(
+        F.col("_pos") <= rem * (size + 1),
+        F.ceil(F.col("_pos") / (size + 1)),
+    ).otherwise(rem + F.ceil((F.col("_pos") - rem * (size + 1)) / size))
     return (
-        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        j.select("o_totalprice", bucket.cast("bigint").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"),
              F.round(F.avg("o_totalprice"), 4).alias("center"),

@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_ngram",
     # 2) new r11 keys (inserted as they land)
     "q_trino_sql_qdigest", "q_agg_numeric_histogram_det",
+    "q_trino_sql_groups_frame", "q_trino_sql_jsonpath_strict",
     # 3) r7 backfill (38 of 46; displacement from the TAIL as new keys land)
     "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
     "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
@@ -126,7 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_frame_rows", "q_win_lag_lead",
     # --- displacement tail: these drop out one-for-one as new r11
     # keys are inserted above (they then join the r12 rotation) ---
-    "q_values", "q_except_all", "q_intersect_all",
+    "q_values",
 )
 
 

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Generate local sf1.0 fixtures for the scale probe (r11).
+
+The driver ships sf0.001/0.01/0.1 only; the 100-TB argument needs one
+measured decade of scaling, so this builds a 10x ``documents`` +
+``embeddings`` pair at ``.scale/sf1.0/`` from the read-only sf0.1
+fixtures — WITHOUT distorting the duplicate structure the expensive
+operators' costs depend on:
+
+- ``documents``: 10 copies; copy c remaps every word through a
+  deterministic per-copy vocabulary permutation (seed c; copy 0 is the
+  identity). Within-copy shingle/ngram structure is isomorphic to the
+  original (near-dup clusters keep their exact shape), while cross-copy
+  word overlap collapses, so cluster COUNT scales ~10x and cluster
+  SIZES stay constant — the scaling a real 10x corpus shows, not the
+  100x-pairs blowup naive duplication would produce.
+- ``embeddings``: 10 copies; copy c cyclically shifts the embedding
+  dimensions by c positions. Norms and within-copy cosine geometry are
+  preserved exactly; cross-copy cosine drops to the random-vector
+  baseline.
+
+Output stays inside the repo (.scale/ is gitignored); /root/testdata
+is never written.
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.1")
+OUT = Path(__file__).resolve().parent.parent / ".scale" / "sf1.0"
+COPIES = 10
+
+
+def gen_documents() -> None:
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    n = len(rows)
+    vocab = sorted({w for _, text, _, _ in rows for w in text.split(" ")
+                    if w})
+    out = {"doc_id": [], "text": [], "lang": [], "source": [],
+           "n_chars": []}
+    for c in range(COPIES):
+        perm = list(vocab)
+        if c:
+            random.Random(c).shuffle(perm)
+        mapping = dict(zip(vocab, perm))
+        for doc_id, text, lang, source in rows:
+            new_text = " ".join(mapping.get(w, w) for w in text.split(" "))
+            out["doc_id"].append(c * n + doc_id)
+            out["text"].append(new_text)
+            out["lang"].append(lang)
+            out["source"].append(source)
+            out["n_chars"].append(len(new_text))
+    table = pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "text": pa.array(out["text"], pa.string()),
+        "lang": pa.array(out["lang"], pa.string()),
+        "source": pa.array(out["source"], pa.string()),
+        "n_chars": pa.array(out["n_chars"], pa.int64()),
+    })
+    pq.write_table(table, OUT / "documents.parquet")
+    print("documents:", table.num_rows)
+
+
+def gen_embeddings() -> None:
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()
+    n = len(rows)
+    out = {"vec_id": [], "embedding": [], "label": []}
+    for c in range(COPIES):
+        for vec_id, emb, label in rows:
+            shifted = list(emb[c:]) + list(emb[:c]) if c else list(emb)
+            out["vec_id"].append(c * n + vec_id)
+            out["embedding"].append(shifted)
+            out["label"].append(label)
+    table = pa.table({
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "embedding": pa.array(out["embedding"], pa.list_(pa.float32())),
+        "label": pa.array(out["label"], pa.int32()),
+    })
+    pq.write_table(table, OUT / "embeddings.parquet")
+    print("embeddings:", table.num_rows)
+
+
+if __name__ == "__main__":
+    OUT.mkdir(parents=True, exist_ok=True)
+    gen_documents()
+    gen_embeddings()
+    print("done ->", OUT)

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Measure the sf0.1 -> sf1.0 scaling of the most expensive registry
+keys (r11). One decade of measured data per operator family turns the
+plan-shape 100-TB argument in SCALE.md into evidence.
+
+Prints one line per key: name, t(sf0.1), t(sf1.0), ratio. Data grows
+10x, cores are fixed (local[32]), so near-linear work shows a ratio
+<= ~12 (10x work + shuffle/log overheads); a ratio well above that
+flags super-linear cost (pair blowup, driver iteration growth).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+KEYS = [
+    "q_llm_dup_clusters",
+    "q_llm_bpe_apply",
+    "q_llm_winnow",
+    "q_llm_semdedup",
+    "q_llm_trigram_lm",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF10 = str(Path(__file__).resolve().parent.parent / ".scale" / "sf1.0")
+REPEATS = 2
+
+
+def main() -> None:
+    from okera_trino_spark.registry import load_all_queries
+    from okera_trino_spark.session import get_spark
+
+    specs = load_all_queries()
+    spark = get_spark("okera-trino-spark-scale-probe")
+
+    results = {}
+    for name in KEYS:
+        fn = specs[name].fn
+        times = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF10)):
+            fn(spark, sf_dir).count()  # warm-up: JIT + footer reads
+            best = min(
+                _timed(fn, spark, sf_dir) for _ in range(REPEATS))
+            times[label] = round(best, 3)
+        ratio = round(times["sf1.0"] / times["sf0.1"], 2)
+        results[name] = {**times, "ratio": ratio}
+        print(json.dumps({"key": name, **results[name]}), flush=True)
+    print(json.dumps({"scale_probe": results}))
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    start = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - start
+
+
+if __name__ == "__main__":
+    main()

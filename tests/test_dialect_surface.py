@@ -111,6 +111,12 @@ SURFACE = [
     "WITH ARRAY WRAPPER)",
     "json_value('{\"a\":[{\"b\":1}]}', 'lax $.a[*] ?(exists(@.b)) .b')",
     "json_exists('{\"a\":[1]}', 'strict $.a[*]')",
+    # r11 strict-mode surfaces
+    "json_query('{\"a\":[1,2]}', 'strict $.a[last]')",
+    "json_query('{\"a\":[{\"b\":1}]}', 'strict $.a[*] ?(!(@.b == 1))' "
+    "WITH ARRAY WRAPPER)",
+    "json_exists('{\"a\":[{\"b\":1}]}', 'strict $.a[*] ?(!exists(@.c))')",
+    "json_value('{\"a\":[1,2,3]}', 'strict $.a[last]')",
     # url
     "url_decode(url_encode(s))", "url_extract_fragment('http://x.com/#f')",
     "url_extract_host('http://x.com/')", "url_extract_parameter('http://x.com/?q=1', 'q')",

@@ -891,14 +891,19 @@ def test_trino_statement_matches_oracle_wave8(name, trino, duck, spark, sf_dir, 
 
 
 def test_strict_json_path_and_cast_json_support_boundary():
-    # r7: plain member-chain strict paths and CAST(x AS JSON) now
-    # lower; what stays refused is strict paths with wildcards/filters
-    # (different access semantics, not just error behavior).
+    # r7: plain member-chain strict paths and CAST(x AS JSON) lower;
+    # r11 moved the boundary again: strict wildcard/[last]/filter
+    # paths now lower through the strict-aware VARIANT helper, and
+    # what stays refused is the shared jsonpath tail ([n to m]
+    # ranges, subscript lists) — mode-independent.
     assert "get_json_object" in rewrite_trino_sql(
         "SELECT json_value(p, 'strict $.k') FROM events")
     assert "to_json" in rewrite_trino_sql("SELECT CAST(m AS JSON) FROM t")
-    with pytest.raises(TrinoSqlUnsupported, match="wildcards"):
-        rewrite_trino_sql("SELECT json_value(p, 'strict $.k[*]') FROM events")
+    assert "variant" in rewrite_trino_sql(
+        "SELECT json_value(p, 'strict $.k[*]') FROM events")
+    with pytest.raises(TrinoSqlUnsupported):
+        rewrite_trino_sql(
+            "SELECT json_value(p, 'strict $.k[1 to 2]') FROM events")
 
 
 CASES9 = [
@@ -1777,9 +1782,7 @@ def test_json_query_filter_parens_negation_exists(spark, sf_dir, oracle):
 def test_jsonpath_strict_wildcard_no_autowrap(spark, sf_dir, oracle):
     """r10 review fix: strict ``[*]`` over a non-array is a structural
     ERROR → the ON ERROR default (NULL / FALSE), never a lax
-    auto-wrapped value; strict over a real array still unwraps.
-    Strict filters with !/exists refuse by name (strict turns missing
-    members into UNKNOWN, observable only under negation)."""
+    auto-wrapped value; strict over a real array still unwraps."""
     df = execute_trino(
         spark,
         "SELECT json_exists('{\"kk\":5}', 'strict $.kk[*]') AS e_sc, "
@@ -1794,12 +1797,44 @@ def test_jsonpath_strict_wildcard_no_autowrap(spark, sf_dir, oracle):
         "SELECT FALSE AS e_sc, TRUE AS e_arr, TRUE AS e_lax, "
         "CAST(NULL AS VARCHAR) AS q_sc, '[5]' AS q_arr",
         name="jsonpath_strict_no_autowrap")
-    for bad in ["SELECT json_exists(p, 'strict $.a[*] ?(!(@.b == 1))')"
-                " FROM t",
-                "SELECT json_query(p, 'strict $.a[*] ?(!exists(@.b))')"
-                " FROM t"]:
-        with pytest.raises(TrinoSqlUnsupported, match="strict"):
-            rewrite_trino_sql(bad)
+
+
+def test_jsonpath_strict_filters(spark, sf_dir, oracle):
+    """Strict-mode ?(...) filters with !/exists (r11, formerly named
+    refusals): a missing member is a structural error the filter's
+    implicit handler turns into UNKNOWN — so under !(...) or !exists
+    the element DROPS where lax (missing → FALSE → flips to TRUE)
+    keeps it. Positive filters agree between the modes (FALSE and
+    UNKNOWN both drop). No lax array-unwrap either: an array member
+    under a scalar comparison is UNKNOWN in strict."""
+    doc = '{"a":[{"b":1},{"c":2}],"m":[{"d":[5,1]}]}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', "
+        "'strict $.a[*] ?(!(@.b == 1))' WITH ARRAY WRAPPER) AS sneg, "
+        f"json_query('{doc}', "
+        "'lax $.a[*] ?(!(@.b == 1))' WITH ARRAY WRAPPER) AS lneg, "
+        f"json_query('{doc}', "
+        "'strict $.a[*] ?(!exists(@.b))' WITH ARRAY WRAPPER) AS snex, "
+        f"json_query('{doc}', "
+        "'lax $.a[*] ?(!exists(@.b))' WITH ARRAY WRAPPER) AS lnex, "
+        f"json_query('{doc}', "
+        "'strict $.a[*] ?(@.b == 1)' WITH ARRAY WRAPPER) AS spos, "
+        f"json_query('{doc}', "
+        "'strict $.m[*] ?(!(@.d > 2))' WITH ARRAY WRAPPER) AS sarr, "
+        f"json_query('{doc}', "
+        "'lax $.m[*] ?(@.d > 2)' WITH ARRAY WRAPPER) AS larr",
+        sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT CAST(NULL AS VARCHAR) AS sneg, "
+        "'[{\"c\":2}]' AS lneg, "
+        "CAST(NULL AS VARCHAR) AS snex, "
+        "'[{\"c\":2}]' AS lnex, "
+        "'[{\"b\":1}]' AS spos, "
+        "CAST(NULL AS VARCHAR) AS sarr, "
+        "'[{\"d\":[5,1]}]' AS larr",
+        name="jsonpath_strict_filters")
 
 
 def test_jsonpath_lax_member_unwrap(spark, sf_dir, oracle):
@@ -1854,9 +1889,30 @@ def test_jsonpath_last_subscript(spark, sf_dir, oracle):
         "SELECT '3' AS a, CAST(NULL AS VARCHAR) AS e, '5' AS s, "
         "'[9,2]' AS kb, '3' AS jv, FALSE AS je, '[3]' AS fl",
         name="jsonpath_last_subscript")
-    with pytest.raises(TrinoSqlUnsupported, match="last"):
-        rewrite_trino_sql(
-            "SELECT json_exists(p, 'strict $.a[last]') FROM t")
+
+
+def test_jsonpath_strict_last(spark, sf_dir, oracle):
+    """Strict [last] (r11, formerly a named refusal): a non-array item
+    or an EMPTY array is a structural error → the whole result is the
+    ON ERROR default (NULL / FALSE), where lax auto-wraps the
+    non-array and silently drops the empty-array element."""
+    doc = '{"a":[1,2,3],"e":[],"s":5}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'strict $.a[last]') AS a, "
+        f"json_query('{doc}', 'strict $.s[last]') AS s, "
+        f"json_query('{doc}', 'strict $.e[last]' WITH ARRAY WRAPPER)"
+        " AS e, "
+        f"json_value('{doc}', 'strict $.a[last]') AS jv, "
+        f"json_exists('{doc}', 'strict $.e[last]') AS je, "
+        f"json_exists('{doc}', 'strict $.a[last]') AS ja, "
+        f"json_exists('{doc}', 'strict $.s[last]') AS js", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '3' AS a, CAST(NULL AS VARCHAR) AS s, "
+        "CAST(NULL AS VARCHAR) AS e, '3' AS jv, FALSE AS je, "
+        "TRUE AS ja, FALSE AS js",
+        name="jsonpath_strict_last")
 
 
 def test_json_value_scalar_guard(spark, sf_dir, oracle):
@@ -3200,6 +3256,17 @@ def test_rewrite_contract_never_crashes_property():
             f"json_exists({inner}, 'lax $.a[*].b[*]')",
             f"json_exists({inner}, 'lax $.a' {esc or 'TRUE'} ON ERROR)",
             f"json_exists({inner}, {inner})",
+            # r11 strict-mode surfaces: [last], !/exists filters,
+            # method atoms, strict wildcard chains through json_value
+            f"json_query({inner}, 'strict $.a[last]')",
+            f"json_value({inner}, 'strict $.a[*] ?(!(@.b == {n % 7}))')",
+            f"json_exists({inner}, 'strict $.a[*] ?(!exists(@.c))')",
+            f"json_query({inner}, 'strict $.a[*] "
+            f"?(@.b.size() > {n % 4}).c')",
+            f"json_exists({inner}, 'strict $.a[last] ?(@ == {n % 5})')",
+            f"quantile_at_value(qdigest_agg({inner}), {n % 9})",
+            f"value_at_quantile(tdigest_agg({inner}), 0.{n % 9 + 1})",
+            f"approx_set({inner}, 0.0{n % 5 + 1})",
         ]
         return forms[pick % len(forms)]
 
