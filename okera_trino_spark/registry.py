@@ -96,15 +96,17 @@ def query(name: str, oracle: str | None = None,
 #:      q_llm_pack / q_llm_dedup_ngram) — last green in r5, AT the
 #:      5-round staleness bound this round; deferred twice (r9, r10)
 #:      and pre-committed to this slot in the r10 rotation note;
-#:   2) NEW r11 keys (inserted as they land — new keys must sit
-#:      in-window to keep the test_entry.py union-closure invariant);
+#:   2) the 5 NEW r11 keys (qdigest read path, equi-depth histogram
+#:      twin, SQL-text GROUPS frames, strict-mode SQL/JSON, numeric
+#:      jsonpath item methods) — new keys must sit in-window for the
+#:      test_entry.py union-closure invariant;
 #:   3) backfill from the 46-key r7 cohort (next-stalest; last green
-#:      r7, bound hits at r12). The r7 keys NOT fitting this window
-#:      (displaced one-for-one by new r11 keys from the tail of this
-#:      list) plus the rest of the r7 cohort MUST rotate in at r12:
-#:      q_llm_quantize, q_llm_semdedup, q_llm_stratified, q_llm_tfidf,
-#:      q_meta_discovery, q_offset, q_sample, q_scan_wide, plus any
-#:      tail keys displaced below.
+#:      r7, bound hits at r12). The 13 r7 keys that did NOT fit this
+#:      window MUST rotate in at r12 (they reach the 5-round bound
+#:      then): q_llm_quantize, q_llm_semdedup, q_llm_stratified,
+#:      q_llm_tfidf, q_meta_discovery, q_offset, q_sample,
+#:      q_scan_wide, q_values, q_except_all, q_intersect_all,
+#:      q_llm_dedup_embed, q_llm_ann_ivf_static.
 _PRIORITY: tuple[str, ...] = (
     # 1) r5-stale cohort — at the staleness bound, mandatory this round
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
@@ -114,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     # 2) new r11 keys (inserted as they land)
     "q_trino_sql_qdigest", "q_agg_numeric_histogram_det",
     "q_trino_sql_groups_frame", "q_trino_sql_jsonpath_strict",
+    "q_trino_sql_jsonpath_methods",
     # 3) r7 backfill (38 of 46; displacement from the TAIL as new keys land)
     "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
     "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
@@ -125,9 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_prepared", "q_trino_sql_tz", "q_trino_sql_unnest",
     "q_trino_tpch_q1", "q_union_distinct", "q_win_frame_groups",
     "q_win_frame_rows", "q_win_lag_lead",
-    # --- displacement tail: these drop out one-for-one as new r11
-    # keys are inserted above (they then join the r12 rotation) ---
-    "q_values",
 )
 
 

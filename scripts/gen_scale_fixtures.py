@@ -92,8 +92,46 @@ def gen_embeddings() -> None:
     print("embeddings:", table.num_rows)
 
 
+def gen_relational() -> None:
+    """10x orders/lineitem/events via key-offset replication (pure
+    DuckDB SQL, vectorized). Order keys offset per copy so the
+    orders<->lineitem join fans out 10x without changing per-order
+    line counts; event user_ids offset per copy so sessionize/funnel
+    windows see 10x USERS with unchanged per-user session shapes
+    (per-key group sizes constant — the scaling a growing service
+    shows). Dimension tables (customer/part/supplier/...) keep their
+    sf0.1 size: fact rows reference the same dim keys, so joins fan
+    out like a fact-growing warehouse. Copy those dims into the
+    output dir unchanged so every key's load_table resolves."""
+    import shutil
+
+    con = duckdb.connect()
+    offk = 200_000          # > max(o_orderkey) at sf0.1 (149,999)
+    offu = 1_000_000        # > max user_id
+    for table, sql in [
+        ("orders",
+         f"SELECT o.* REPLACE (o_orderkey + c * {offk} AS o_orderkey) "
+         f"FROM '{SRC}/orders.parquet' o, range({COPIES}) r(c)"),
+        ("lineitem",
+         f"SELECT l.* REPLACE (l_orderkey + c * {offk} AS l_orderkey) "
+         f"FROM '{SRC}/lineitem.parquet' l, range({COPIES}) r(c)"),
+        ("events",
+         f"SELECT e.* REPLACE (event_id + c * {10 * offu} AS event_id, "
+         f"user_id + c * {offu} AS user_id) "
+         f"FROM '{SRC}/events.parquet' e, range({COPIES}) r(c)"),
+    ]:
+        con.execute(f"COPY ({sql}) TO '{OUT}/{table}.parquet' "
+                    "(FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{OUT}/{table}.parquet'"
+                    ).fetchone()[0]
+        print(table, n)
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(SRC / f"{dim}.parquet", OUT / f"{dim}.parquet")
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     gen_documents()
     gen_embeddings()
+    gen_relational()
     print("done ->", OUT)

@@ -24,6 +24,13 @@ KEYS = [
     "q_llm_winnow",
     "q_llm_semdedup",
     "q_llm_trigram_lm",
+    # relational core (r11 second wave — 10x fact tables, fixed dims)
+    "q_tpch_q18",
+    "q_tpch_q21",
+    "q_asof_join",
+    "q_events_sessionize",
+    "q_events_pattern_rows",
+    "q_llm_dedup_near",
 ]
 
 SF01 = "/root/testdata/sf0.1"

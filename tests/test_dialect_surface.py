@@ -117,6 +117,11 @@ SURFACE = [
     "WITH ARRAY WRAPPER)",
     "json_exists('{\"a\":[{\"b\":1}]}', 'strict $.a[*] ?(!exists(@.c))')",
     "json_value('{\"a\":[1,2,3]}', 'strict $.a[last]')",
+    # r11 numeric item methods
+    "json_query('{\"a\":2.3}', 'lax $.a.ceiling()')",
+    "json_query('{\"a\":-0.5}', 'lax $.a.floor()')",
+    "json_query('{\"a\":[-1.5,2]}', 'lax $.a[*].abs()' "
+    "WITH ARRAY WRAPPER)",
     # url
     "url_decode(url_encode(s))", "url_extract_fragment('http://x.com/#f')",
     "url_extract_host('http://x.com/')", "url_extract_parameter('http://x.com/?q=1', 'q')",

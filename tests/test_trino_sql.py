@@ -1891,6 +1891,40 @@ def test_jsonpath_last_subscript(spark, sf_dir, oracle):
         name="jsonpath_last_subscript")
 
 
+def test_jsonpath_numeric_methods(spark, sf_dir, oracle):
+    """Terminal .ceiling()/.floor()/.abs() item methods (r11, formerly
+    named refusals over the -0.0 corner): integer items stay integers,
+    fractional items compute in DOUBLE with Java Math semantics —
+    including Math.ceil of (-1,0) = -0.0, the corner that kept these
+    refused. Non-number items are errors → whole-result NULL; lax
+    method application unwraps an array one level."""
+    doc = ('{"a":2.3,"b":-0.5,"c":-2.3,"d":7,"e":-7,'
+           '"f":[1.5,-1.5],"s":"x","z":0.0}')
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'lax $.a.ceiling()') AS ca, "
+        f"json_query('{doc}', 'lax $.b.ceiling()') AS cb, "
+        f"json_query('{doc}', 'lax $.c.ceiling()') AS cc, "
+        f"json_query('{doc}', 'lax $.c.floor()') AS fc, "
+        f"json_query('{doc}', 'lax $.a.floor()') AS fa, "
+        f"json_query('{doc}', 'lax $.d.ceiling()') AS cd, "
+        f"json_query('{doc}', 'lax $.e.abs()') AS ae, "
+        f"json_query('{doc}', 'lax $.f.abs()' WITH ARRAY WRAPPER) "
+        "AS af, "
+        f"json_query('{doc}', 'lax $.s.ceiling()') AS cs, "
+        f"json_query('{doc}', 'lax $.z.ceiling()') AS cz, "
+        f"json_query('{doc}', 'lax $.k[*].v.floor()' WITH ARRAY "
+        "WRAPPER) AS missing_fl "
+        "FROM nation WHERE n_nationkey = 0", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '3.0' AS ca, '-0.0' AS cb, '-2.0' AS cc, '-3.0' AS fc, "
+        "'2.0' AS fa, '7' AS cd, '7' AS ae, '[1.5,1.5]' AS af, "
+        "CAST(NULL AS VARCHAR) AS cs, '0.0' AS cz, "
+        "CAST(NULL AS VARCHAR) AS missing_fl",
+        name="jsonpath_numeric_methods")
+
+
 def test_jsonpath_strict_last(spark, sf_dir, oracle):
     """Strict [last] (r11, formerly a named refusal): a non-array item
     or an EMPTY array is a structural error → the whole result is the
@@ -3267,6 +3301,10 @@ def test_rewrite_contract_never_crashes_property():
             f"quantile_at_value(qdigest_agg({inner}), {n % 9})",
             f"value_at_quantile(tdigest_agg({inner}), 0.{n % 9 + 1})",
             f"approx_set({inner}, 0.0{n % 5 + 1})",
+            f"json_query({inner}, 'lax $.a.ceiling()')",
+            f"json_query({inner}, 'lax $.a[*].floor()' "
+            f"WITH ARRAY WRAPPER)",
+            f"json_query({inner}, 'strict $.a.abs()')",
         ]
         return forms[pick % len(forms)]
 
