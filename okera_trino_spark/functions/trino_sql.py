@@ -1711,16 +1711,53 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
     path = re.sub(r"\s+", "", path)
     m = re.fullmatch(
         r"(?P<head>\$(?:\.\w+|\[\d+\])*)"
-        r"(?P<rest>(?:\[(?:\*|last)\]\x01?(?:\.\w+|\[\d+\])*)+)", path)
+        r"(?P<rest>(?:\[(?:\*|last|\d+to(?:\d+|last))\]\x01?"
+        r"(?:\.\w+|\[\d+\])*)+)", path)
     if m is None:
         return None
     head_v = (f"variant_get(try_parse_json({x_sql}), "
               f"{requote(m.group('head'))}, 'variant')")
     cur = f"filter(array({head_v}), _jm0 -> _jm0 IS NOT NULL)"
-    steps = re.findall(r"\[(\*|last)\](\x01?)((?:\.\w+|\[\d+\])*)",
-                       m.group("rest"))
+    steps = re.findall(
+        r"\[(\*|last|\d+to(?:\d+|last))\](\x01?)((?:\.\w+|\[\d+\])*)",
+        m.group("rest"))
     for i, (kind, has_filter, seg) in enumerate(steps, 1):
-        if kind == "last":
+        rng = re.fullmatch(r"(\d+)to(\d+|last)", kind)
+        if rng:
+            # [n to m] range subscript (r11): elements n..m of an
+            # array item (0-based inclusive; 'last' = the final
+            # element). Lax auto-wraps a non-array (in range iff
+            # n == 0) and CLAMPS out-of-range ends (suppressed
+            # structural errors → elements just absent); strict makes
+            # a non-array, an empty slice, or an out-of-range end a
+            # whole-result error through the NULL channel. A reversed
+            # literal range (n > m) is nonsense in any mode — named
+            # error at rewrite time, matching exact-or-refuse.
+            lo = int(rng.group(1))
+            hi = None if rng.group(2) == "last" else int(rng.group(2))
+            if hi is not None and lo > hi:
+                raise TrinoSqlUnsupported(
+                    f"{fname}: [n to m] subscript with n > m")
+            arr = f"try_cast(_jr{i} AS ARRAY<VARIANT>)"
+            ln = (f"size({arr}) - {lo}" if hi is None
+                  else f"{hi - lo + 1}")
+            sl = f"slice({arr}, {lo + 1}, greatest({ln}, 0))"
+            if strict:
+                bound = (f"size({arr}) < {lo + 1}" if hi is None
+                         else f"size({arr}) < {hi + 1}")
+                cur = (f"CASE WHEN exists({cur}, _jr{i} -> "
+                       f"schema_of_variant(_jr{i}) NOT LIKE 'ARRAY%' "
+                       f"OR {bound}) THEN NULL "
+                       f"ELSE flatten(transform({cur}, "
+                       f"_jr{i} -> {sl})) END")
+            else:
+                wrap_in = ("array(_jr{i})".format(i=i) if lo == 0
+                           else "array()")
+                cur = (f"flatten(transform({cur}, _jr{i} -> "
+                       f"CASE WHEN schema_of_variant(_jr{i}) "
+                       f"LIKE 'ARRAY%' THEN {sl} "
+                       f"ELSE CAST({wrap_in} AS ARRAY<VARIANT>) END))")
+        elif kind == "last":
             if strict:
                 # strict [last] (r11): a non-array item or an empty
                 # array is a STRUCTURAL error → the whole result is
@@ -6947,7 +6984,9 @@ SELECT o_orderkey,
        json_query(j, 'lax $.m.ceiling()') AS cm,
        json_query(j, 'lax $.m.floor()') AS fm,
        json_query(j, 'lax $.nk.abs()') AS ak,
-       json_query(j, 'lax $.arr[*].floor()' WITH ARRAY WRAPPER) AS fl
+       json_query(j, 'lax $.arr[*].floor()' WITH ARRAY WRAPPER) AS fl,
+       json_query(j, 'lax $.arr[1 to last]') AS rg,
+       json_exists(j, 'strict $.arr[0 to 1]') AS rge
 FROM (
     SELECT o_orderkey,
            '{"p":' || CAST(o_totalprice AS VARCHAR) ||
@@ -6975,7 +7014,12 @@ ORDER BY o_orderkey
            '[' || CAST(CAST(floor(o_totalprice) AS DOUBLE) AS VARCHAR)
                || ',' ||
                CAST(CAST(floor(-o_totalprice) AS DOUBLE) AS VARCHAR)
-               || ']' AS fl
+               || ']' AS fl,
+           CASE WHEN o_totalprice = floor(o_totalprice)
+                THEN '-' || CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR)
+                ELSE '-' || CAST(o_totalprice AS VARCHAR)
+                END AS rg,
+           TRUE AS rge
     FROM orders WHERE o_orderkey < 2000
     ORDER BY o_orderkey
     """,
@@ -6990,7 +7034,10 @@ def q_trino_sql_jsonpath_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices stay away from the corner so DuckDB's plain ceil/floor
     arithmetic is an independent oracle — integral doubles render
     identically on both engines). Lax method application unwraps an
-    array one level (fl). Pure VARIANT HOF codegen, map-only."""
+    array one level (fl), and the key also grades [n to m]/[n to last]
+    range subscripts (r11 — rg/rge; the number texts round-trip
+    exactly because both engines derive them from the same double's
+    shortest representation). Pure VARIANT HOF codegen, map-only."""
     return execute_trino(spark, TRINO_SQL_JSONPATH_METHODS, sf_dir)
 
 

@@ -122,6 +122,10 @@ SURFACE = [
     "json_query('{\"a\":-0.5}', 'lax $.a.floor()')",
     "json_query('{\"a\":[-1.5,2]}', 'lax $.a[*].abs()' "
     "WITH ARRAY WRAPPER)",
+    "json_query('{\"a\":[1,2,3]}', 'lax $.a[0 to 1]' "
+    "WITH ARRAY WRAPPER)",
+    "json_query('{\"a\":[1,2,3]}', 'strict $.a[1 to last]' "
+    "WITH ARRAY WRAPPER)",
     # url
     "url_decode(url_encode(s))", "url_extract_fragment('http://x.com/#f')",
     "url_extract_host('http://x.com/')", "url_extract_parameter('http://x.com/?q=1', 'q')",

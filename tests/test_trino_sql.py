@@ -1925,6 +1925,50 @@ def test_jsonpath_numeric_methods(spark, sf_dir, oracle):
         name="jsonpath_numeric_methods")
 
 
+def test_jsonpath_range_subscripts(spark, sf_dir, oracle):
+    """[n to m] range subscripts (r11, formerly unmatched → named
+    error): elements n..m 0-based inclusive, 'last' as the upper end.
+    Lax auto-wraps a non-array (in range iff n == 0) and clamps
+    out-of-range ends; strict errors the whole result on a non-array
+    or an out-of-range end; filters compose on the step."""
+    doc = '{"a":[10,20,30,40,50],"s":7,"e":[]}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'lax $.a[1 to 3]' "
+        "WITH ARRAY WRAPPER) AS r13, "
+        f"json_query('{doc}', 'lax $.a[3 to last]' "
+        "WITH ARRAY WRAPPER) AS r3l, "
+        f"json_query('{doc}', 'lax $.a[3 to 9]' "
+        "WITH ARRAY WRAPPER) AS clamp, "
+        f"json_query('{doc}', 'lax $.s[0 to 2]' "
+        "WITH ARRAY WRAPPER) AS wrap0, "
+        f"json_query('{doc}', 'lax $.s[1 to 2]' "
+        "WITH ARRAY WRAPPER) AS wrap1, "
+        f"json_query('{doc}', 'lax $.e[0 to 1]' "
+        "WITH ARRAY WRAPPER) AS emp, "
+        f"json_query('{doc}', 'strict $.a[1 to 3]' "
+        "WITH ARRAY WRAPPER) AS s13, "
+        f"json_query('{doc}', 'strict $.a[3 to 9]' "
+        "WITH ARRAY WRAPPER) AS serr, "
+        f"json_query('{doc}', 'strict $.s[0 to 1]' "
+        "WITH ARRAY WRAPPER) AS snon, "
+        f"json_exists('{doc}', 'strict $.a[2 to last]') AS sel, "
+        f"json_query('{doc}', 'lax $.a[1 to 3] ?(@ >= 30)' "
+        "WITH ARRAY WRAPPER) AS rf "
+        "FROM nation WHERE n_nationkey = 0", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '[20,30,40]' AS r13, '[40,50]' AS r3l, "
+        "'[40,50]' AS clamp, '[7]' AS wrap0, "
+        "CAST(NULL AS VARCHAR) AS wrap1, CAST(NULL AS VARCHAR) AS emp, "
+        "'[20,30,40]' AS s13, CAST(NULL AS VARCHAR) AS serr, "
+        "CAST(NULL AS VARCHAR) AS snon, TRUE AS sel, '[30,40]' AS rf",
+        name="jsonpath_range_subscripts")
+    with pytest.raises(TrinoSqlUnsupported, match="n > m"):
+        rewrite_trino_sql(
+            "SELECT json_query(p, 'lax $.a[3 to 1]') FROM t")
+
+
 def test_jsonpath_strict_last(spark, sf_dir, oracle):
     """Strict [last] (r11, formerly a named refusal): a non-array item
     or an EMPTY array is a structural error → the whole result is the
@@ -3305,6 +3349,9 @@ def test_rewrite_contract_never_crashes_property():
             f"json_query({inner}, 'lax $.a[*].floor()' "
             f"WITH ARRAY WRAPPER)",
             f"json_query({inner}, 'strict $.a.abs()')",
+            f"json_query({inner}, 'lax $.a[{n % 3} to {n % 5 + 2}]' "
+            f"WITH ARRAY WRAPPER)",
+            f"json_exists({inner}, 'strict $.a[{n % 2} to last]')",
         ]
         return forms[pick % len(forms)]
 
