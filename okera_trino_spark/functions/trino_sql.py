@@ -1319,9 +1319,61 @@ def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
 
 _JSONPATH_FILTER_ATOM_RE = re.compile(
     r"@(?P<chain>(?:\.\w+|\[\d+\])*)"
-    r"(?P<meth>\.(?:size|type|double)\(\))?\s*"
+    r"(?P<meth>\.(?:size|type|double|ceiling|floor|abs)\(\))?\s*"
     r"(?P<op>==|!=|<>|<=|>=|<|>)\s*"
     r"(?P<lit>-?\d+(?:\.\d+)?|\"[^\"]*\")")
+
+
+def _jsonpath_numeric_method_pred(meth: str):
+    """Predicate-body builder for ``?(@.chain.ceiling()/.floor()/
+    .abs() <op> literal)`` atoms (r11, with the terminal forms): the
+    method applies to NUMBER items only — any other item is an error →
+    UNKNOWN. The -0.0 corners that matter for the TERMINAL renderers
+    are comparison-invisible here (-0.0 == 0.0), so the value exprs
+    stay plain. Lax unwraps an array one level before the method
+    (any errored pair → UNKNOWN, ISO comparison rule); strict treats
+    the array itself as an error. A string literal can never equal a
+    number → UNKNOWN when the member is present."""
+    def pred(fpath: str, op: str, lit_sql: str,
+             is_str: bool, strict: bool = False) -> str:
+        miss = "CAST(NULL AS BOOLEAN)" if strict else "FALSE"
+        if is_str:
+            body = (f"CASE WHEN _jv IS NULL THEN {miss} "
+                    "ELSE CAST(NULL AS BOOLEAN) END")
+        else:
+            def val(x: str, dbl: bool) -> str:
+                if dbl:
+                    d = f"try_cast({x} AS DOUBLE)"
+                    return (f"abs({d})" if meth == "abs" else
+                            f"CAST(-floor(-({d})) AS DOUBLE)"
+                            if meth == "ceiling" else
+                            f"CAST(floor({d}) AS DOUBLE)")
+                iv = f"try_cast({x} AS BIGINT)"
+                return f"abs({iv})" if meth == "abs" else iv
+
+            def cmp(x: str) -> str:
+                return (f"CASE WHEN schema_of_variant({x}) IN "
+                        f"('TINYINT', 'SMALLINT', 'INT', 'BIGINT') "
+                        f"THEN {val(x, False)} {op} {lit_sql} "
+                        f"WHEN schema_of_variant({x}) IN "
+                        f"('FLOAT', 'DOUBLE') "
+                        f"OR schema_of_variant({x}) LIKE 'DECIMAL%' "
+                        f"THEN {val(x, True)} {op} {lit_sql} "
+                        f"ELSE CAST(NULL AS BOOLEAN) END")
+
+            unwrap = ("CAST(NULL AS BOOLEAN)" if strict else
+                      (f"CASE WHEN exists(try_cast(_jv AS "
+                       f"ARRAY<VARIANT>), _jw -> ({cmp('_jw')}) IS "
+                       f"NULL) THEN CAST(NULL AS BOOLEAN) "
+                       f"ELSE exists(try_cast(_jv AS ARRAY<VARIANT>), "
+                       f"_jw -> {cmp('_jw')}) END"))
+            body = (f"CASE WHEN _jv IS NULL THEN {miss} "
+                    f"WHEN schema_of_variant(_jv) LIKE 'ARRAY%' "
+                    f"THEN {unwrap} ELSE {cmp('_jv')} END")
+        return (f"element_at(transform(array("
+                f"try_variant_get(_jf, {fpath}, 'variant')), "
+                f"_jv -> {body}), 1)")
+    return pred
 
 
 def _jsonpath_double_render(vexpr: str) -> str:
@@ -1616,6 +1668,8 @@ def _jsonpath_filter_body(body: str, requote,
         pred_fn = (_jsonpath_size_pred if meth.startswith(".size")
                    else _jsonpath_type_pred if meth.startswith(".type")
                    else _jsonpath_double_pred if meth.startswith(".double")
+                   else _jsonpath_numeric_method_pred(meth[1:-2])
+                   if meth.startswith((".ceiling", ".floor", ".abs"))
                    else _jsonpath_filter_pred)
         return pred_fn(
             requote("$" + am.group("chain")), op, lit_sql, is_str,

@@ -126,6 +126,8 @@ SURFACE = [
     "WITH ARRAY WRAPPER)",
     "json_query('{\"a\":[1,2,3]}', 'strict $.a[1 to last]' "
     "WITH ARRAY WRAPPER)",
+    "json_query('{\"k\":[{\"x\":1.5}]}', "
+    "'lax $.k[*] ?(@.x.ceiling() == 2).x')",
     # url
     "url_decode(url_encode(s))", "url_extract_fragment('http://x.com/#f')",
     "url_extract_host('http://x.com/')", "url_extract_parameter('http://x.com/?q=1', 'q')",

@@ -903,7 +903,7 @@ def test_strict_json_path_and_cast_json_support_boundary():
         "SELECT json_value(p, 'strict $.k[*]') FROM events")
     with pytest.raises(TrinoSqlUnsupported):
         rewrite_trino_sql(
-            "SELECT json_value(p, 'strict $.k[1 to 2]') FROM events")
+            "SELECT json_value(p, 'strict $.k.keyvalue()') FROM events")
 
 
 CASES9 = [
@@ -1662,14 +1662,14 @@ def test_json_query_terminal_type_method(spark, sf_dir, oracle):
 
 def test_json_query_refusals():
     # && compounds, .size()/.type()/.double(), parenthesized
-    # sub-predicates, !(...), exists() and multi-[*] GRADUATED in r10
-    # — other numeric item methods (.ceiling()/.floor()/.abs()/
-    # .keyvalue()), filters off the [*] step, several filters, bare
-    # !atom (invalid in Trino too), and unbalanced filters stay refused
+    # sub-predicates, !(...), exists(), multi-[*] (r10) and the
+    # numeric methods/[n to m] ranges (r11) GRADUATED — what stays
+    # refused: .keyvalue()/.datetime(), filters off the [*] step,
+    # several filters, bare !atom (invalid in Trino too), and
+    # unbalanced filters
     for bad in ["SELECT json_query(p, 'lax $.a?(@.b > 1)') FROM t",
-                "SELECT json_query(p, 'lax $.a[*]?(@.b.ceiling() > 1)')"
-                " FROM t",
                 "SELECT json_query(p, 'lax $.a.keyvalue()') FROM t",
+                "SELECT json_query(p, 'lax $.a.datetime()') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?(!@.b == 1)') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?()') FROM t",
                 "SELECT json_query(p, 'lax $.a[*]?((@.b > 1)') FROM t",
@@ -1923,6 +1923,38 @@ def test_jsonpath_numeric_methods(spark, sf_dir, oracle):
         "CAST(NULL AS VARCHAR) AS cs, '0.0' AS cz, "
         "CAST(NULL AS VARCHAR) AS missing_fl",
         name="jsonpath_numeric_methods")
+
+
+def test_jsonpath_numeric_method_filters(spark, sf_dir, oracle):
+    """Filter-position .ceiling()/.floor()/.abs() atoms (r11, with the
+    terminal forms): number items only — strings/arrays(strict)/
+    missing members land on the standard K3 values, observable under
+    negation; lax unwraps arrays one level with the ISO
+    any-error-UNKNOWN rule."""
+    doc = ('{"k":[{"x":2.3},{"x":-2.3},{"x":7},{"x":"s"},'
+           '{"x":[1.2,3.4]},{"y":1}]}')
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', "
+        "'lax $.k[*] ?(@.x.ceiling() == 3).x' WITH ARRAY WRAPPER) "
+        "AS c3, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(@.x.floor() == -3).x' WITH ARRAY WRAPPER) "
+        "AS fm3, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(@.x.abs() > 2).x' WITH ARRAY WRAPPER) AS a2, "
+        f"json_query('{doc}', "
+        "'lax $.k[*] ?(!(@.x.ceiling() == 3)).x' WITH ARRAY WRAPPER) "
+        "AS nc3, "
+        f"json_query('{doc}', "
+        "'strict $.k[*] ?(!(@.x.abs() > 100)).x' WITH ARRAY WRAPPER) "
+        "AS sna FROM nation WHERE n_nationkey = 0", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '[2.3]' AS c3, '[-2.3]' AS fm3, "
+        "'[2.3,-2.3,7,[1.2,3.4]]' AS a2, "
+        "'[-2.3,7,[1.2,3.4]]' AS nc3, '[2.3,-2.3,7]' AS sna",
+        name="jsonpath_numeric_method_filters")
 
 
 def test_jsonpath_range_subscripts(spark, sf_dir, oracle):
@@ -3352,6 +3384,10 @@ def test_rewrite_contract_never_crashes_property():
             f"json_query({inner}, 'lax $.a[{n % 3} to {n % 5 + 2}]' "
             f"WITH ARRAY WRAPPER)",
             f"json_exists({inner}, 'strict $.a[{n % 2} to last]')",
+            f"json_query({inner}, 'lax $.k[*] "
+            f"?(@.x.ceiling() == {n % 9}).x')",
+            f"json_exists({inner}, 'strict $.k[*] "
+            f"?(!(@.x.abs() > {n % 5}))')",
         ]
         return forms[pick % len(forms)]
 
