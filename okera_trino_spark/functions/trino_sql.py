@@ -1248,6 +1248,31 @@ _VARIANT_NUM_TYPES = ("'TINYINT', 'SMALLINT', 'INT', 'BIGINT', "
                       "'FLOAT', 'DOUBLE'")
 
 
+def _lax_unwrap_k3(arr: str, cmp, var: str = "_jw") -> str:
+    """Existential comparison over a lax-unwrapped array under the ISO
+    any-errored-pair rule (r11, shared by every filter atom): evaluate
+    ``cmp`` ONCE per element (bound through a transform), then UNKNOWN
+    if any pair errored, else TRUE if any pair compared true, else
+    FALSE. Empty array → FALSE (no pair, no error)."""
+    return (f"element_at(transform(array(transform({arr}, "
+            f"{var} -> {cmp(var)})), _jc -> "
+            f"CASE WHEN exists(_jc, _jb -> _jb IS NULL) "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE exists(_jc, _jb -> _jb) END), 1)")
+
+
+def _floor_double(d: str) -> str:
+    """Math.floor in the DOUBLE domain (r11 review fix): Spark's
+    ``floor(double)`` returns BIGINT and SATURATES at Long.MaxValue,
+    so 1e300 would render as 9.22e18. ``d % 1.0`` keeps everything in
+    double: any |d| ≥ 2^53 is already integral (remainder 0 → first
+    branch), NaN propagates, and the ±0.0 corners are handled by the
+    callers' explicit branches."""
+    return (f"(CASE WHEN ({d}) % 1.0D = 0.0D THEN ({d}) "
+            f"WHEN ({d}) > 0.0D THEN ({d}) - ({d}) % 1.0D "
+            f"ELSE ({d}) - ({d}) % 1.0D - 1.0D END)")
+
+
 def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
                           is_str: bool, strict: bool = False) -> str:
     """Predicate body for a ``?(@.chain <op> literal)`` jsonpath
@@ -1304,11 +1329,7 @@ def _jsonpath_filter_pred(fpath: str, op: str, lit_sql: str,
                     f"THEN try_cast({x} AS DOUBLE) {op} {lit_sql} "
                     f"ELSE CAST(NULL AS BOOLEAN) END")
     unwrap = ("CAST(NULL AS BOOLEAN)" if strict else
-              (f"CASE WHEN exists(try_cast(_jv AS ARRAY<VARIANT>), "
-               f"_jw -> ({cmp('_jw')}) IS NULL) "
-               f"THEN CAST(NULL AS BOOLEAN) "
-               f"ELSE exists(try_cast(_jv AS ARRAY<VARIANT>), "
-               f"_jw -> {cmp('_jw')}) END"))
+              _lax_unwrap_k3("try_cast(_jv AS ARRAY<VARIANT>)", cmp))
     body = (f"CASE WHEN _jv IS NULL THEN {miss} "
             f"WHEN schema_of_variant(_jv) LIKE 'ARRAY%' THEN {unwrap} "
             f"ELSE {cmp('_jv')} END")
@@ -1345,9 +1366,9 @@ def _jsonpath_numeric_method_pred(meth: str):
                 if dbl:
                     d = f"try_cast({x} AS DOUBLE)"
                     return (f"abs({d})" if meth == "abs" else
-                            f"CAST(-floor(-({d})) AS DOUBLE)"
+                            f"(-{_floor_double(f'-({d})')})"
                             if meth == "ceiling" else
-                            f"CAST(floor({d}) AS DOUBLE)")
+                            _floor_double(d))
                 iv = f"try_cast({x} AS BIGINT)"
                 return f"abs({iv})" if meth == "abs" else iv
 
@@ -1362,11 +1383,8 @@ def _jsonpath_numeric_method_pred(meth: str):
                         f"ELSE CAST(NULL AS BOOLEAN) END")
 
             unwrap = ("CAST(NULL AS BOOLEAN)" if strict else
-                      (f"CASE WHEN exists(try_cast(_jv AS "
-                       f"ARRAY<VARIANT>), _jw -> ({cmp('_jw')}) IS "
-                       f"NULL) THEN CAST(NULL AS BOOLEAN) "
-                       f"ELSE exists(try_cast(_jv AS ARRAY<VARIANT>), "
-                       f"_jw -> {cmp('_jw')}) END"))
+                      _lax_unwrap_k3("try_cast(_jv AS ARRAY<VARIANT>)",
+                                     cmp))
             body = (f"CASE WHEN _jv IS NULL THEN {miss} "
                     f"WHEN schema_of_variant(_jv) LIKE 'ARRAY%' "
                     f"THEN {unwrap} ELSE {cmp('_jv')} END")
@@ -1420,11 +1438,11 @@ def _jsonpath_numeric_method_render(vexpr: str, meth: str) -> str:
         dbl_out = (f"CASE WHEN {d} = 0.0D THEN {d} "
                    f"WHEN {d} > -1.0D AND {d} < 0.0D "
                    f"THEN CAST('-0.0' AS DOUBLE) "
-                   f"ELSE CAST(-floor(-({d})) AS DOUBLE) END")
+                   f"ELSE (-{_floor_double(f'-({d})')}) END")
     else:   # floor
         int_out = iv
         dbl_out = (f"CASE WHEN {d} = 0.0D THEN {d} "
-                   f"ELSE CAST(floor({d}) AS DOUBLE) END")
+                   f"ELSE {_floor_double(d)} END")
     return (f"element_at(transform(array({vexpr}), _jq -> "
             f"CASE WHEN _jq IS NULL THEN NULL "
             f"WHEN schema_of_variant(_jq) IN ('TINYINT', 'SMALLINT', "
@@ -1463,9 +1481,14 @@ def _jsonpath_double_pred(fpath: str, op: str, lit_sql: str,
                 f"OR schema_of_variant({x}) LIKE 'DECIMAL%' "
                 f"THEN try_cast({x} AS DOUBLE) {op} {lit_sql} "
                 f"ELSE CAST(NULL AS BOOLEAN) END")
+        # r11 review fix: the lax unwrap follows the same ISO
+        # any-errored-pair→UNKNOWN rule as the plain comparison atoms
+        # (a bare exists() let one TRUE pair win over a conversion
+        # error — the same mixed-type member gave different K3
+        # outcomes depending on whether .double() was spelled).
         unwrap = ("CAST(NULL AS BOOLEAN)" if strict else
-                  f"exists(try_cast(_jv AS ARRAY<VARIANT>), "
-                  f"_jx -> {cmp('_jx')})")
+                  _lax_unwrap_k3("try_cast(_jv AS ARRAY<VARIANT>)",
+                                 cmp, var="_jx"))
         body = (
             f"CASE WHEN _jv IS NULL THEN {miss} "
             f"WHEN schema_of_variant(_jv) LIKE 'ARRAY%' THEN {unwrap} "
@@ -1850,7 +1873,22 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
                     "other item methods keep a named error")
             cur = f"filter({cur}, _jf -> {pred})"
         for j, acc in enumerate(re.findall(r"\.\w+|\[\d+\]", seg), 1):
-            if acc.startswith(".") and not strict:
+            if strict:
+                # strict member/subscript access (r11 review fix): a
+                # missing member or out-of-range subscript on ANY
+                # element is a STRUCTURAL error → the whole result
+                # goes through the NULL channel (the lax form below
+                # silently dropped the element — wrong once strict
+                # paths became reachable this round). No lax member
+                # unwrap either. exists() over a NULL cur is NULL →
+                # ELSE → transform propagates it.
+                gv = (f"try_variant_get(_js{i}_{j}, "
+                      f"{requote('$' + acc)}, 'variant')")
+                cur = (f"CASE WHEN exists({cur}, _js{i}_{j} -> "
+                       f"{gv} IS NULL) THEN NULL "
+                       f"ELSE transform({cur}, _js{i}_{j} -> {gv}) END")
+                continue
+            if acc.startswith("."):
                 cur = _jsonpath_unwrap(cur, f"_jw{i}_{j}")
             cur = (f"filter(transform({cur}, _je{i}_{j} -> "
                    f"variant_get(_je{i}_{j}, {requote('$' + acc)}, "
@@ -2302,8 +2340,12 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
     # ride Spark's approx_percentile (approx_percentile-class
     # divergence: sketch VALUES differ across engines; the estimate
     # is bounds-tested in tests/test_bounds.py), and the inverse
-    # lookup is the exact CDF avg(x <= v) (exact sits inside any
-    # sketch's error bound). A digest NOT consumed in the same
+    # lookup is the exact INCLUSIVE CDF avg(x <= v). Convention note
+    # (r11 review): at a value carrying large point mass the
+    # inclusive-vs-exclusive rank convention dominates any sketch
+    # error — Trino's qdigest behavior at such boundary values is
+    # unverified offline, so this is a documented convention choice,
+    # not a bounded-error claim. A digest NOT consumed in the same
     # expression still refuses below — there are no portable
     # qdigest/tdigest sketch bytes in Spark.
     def _digest_inner(caller: str, arg: str) -> str:
@@ -2381,8 +2423,8 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             _mm_close = _find_close(code, _mm.end() - 1)
             _mm_args = _split_top_level(code[_mm.end():_mm_close])
             if (len(_mm_args) == 2 and
-                    re.match(r"\s*OVER\s*\(", code[_mm_close + 1:],
-                             re.IGNORECASE)):
+                    re.match(r"\s*OVER\s*(\(|[A-Za-z_])",
+                             code[_mm_close + 1:], re.IGNORECASE)):
                 raise TrinoSqlUnsupported(
                     f"{_mm_name}(x, n) as a window function is not "
                     "supported (the top-n rewrite is aggregate-only; "
@@ -7383,7 +7425,10 @@ def q_trino_sql_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qdigest/tdigest read path (r11, formerly blanket refusals):
     value_at_quantile / values_at_quantiles over qdigest_agg/
     tdigest_agg lower onto approx_percentile; quantile_at_value is the
-    exact CDF avg(x <= v). Hash-green against DuckDB's exact
+    exact INCLUSIVE CDF avg(x <= v) — a documented convention choice
+    (the oracle replays the same convention; real Trino's rank
+    convention at point-mass values is unverified offline, see the
+    lowering comment). Hash-green against DuckDB's exact
     quantile_disc is sound ON THIS COLUMN: l_quantity has ~50 distinct
     values with thousands of rows per value and no quantile point
     within ~80 ranks of a value boundary, while the sketch's rank

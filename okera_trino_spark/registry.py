@@ -117,7 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_qdigest", "q_agg_numeric_histogram_det",
     "q_trino_sql_groups_frame", "q_trino_sql_jsonpath_strict",
     "q_trino_sql_jsonpath_methods",
-    # 3) r7 backfill (38 of 46; displacement from the TAIL as new keys land)
+    # 3) r7 backfill (33 of 46; 12 + 5 + 33 = 50 — the other 13 r7
+    #    keys are the r12 deferral list in the note above)
     "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
     "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
     "q_filter_in", "q_filter_null", "q_intersect", "q_join_anti",

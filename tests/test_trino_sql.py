@@ -2001,6 +2001,43 @@ def test_jsonpath_range_subscripts(spark, sf_dir, oracle):
             "SELECT json_query(p, 'lax $.a[3 to 1]') FROM t")
 
 
+def test_jsonpath_review_fixes_r11(spark, sf_dir, oracle):
+    """r11 code-review regressions, pinned:
+
+    - strict trailing MEMBER access after a wildcard step: a missing
+      member on any element is a structural error → whole-result
+      NULL/FALSE (was a silent lax-style drop);
+    - .double() filter unwrap follows the ISO any-errored-pair rule
+      (was bare exists letting TRUE win over a conversion error);
+    - .ceiling()/.floor() stay in the DOUBLE domain (was BIGINT floor
+      saturating 1e300 to ~9.22e18);
+    - max(x,n) OVER w (named window) refuses by name like OVER (...).
+    """
+    doc = '{"k":[{"v":1},{"w":2}],"f":[{"m":[5,"x"],"b":1}],"big":1e300}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{doc}', 'strict $.k[*].v' "
+        "WITH ARRAY WRAPPER) AS sm, "
+        f"json_exists('{doc}', 'strict $.k[*].v') AS sme, "
+        f"json_query('{doc}', 'lax $.k[*].v' WITH ARRAY WRAPPER) "
+        "AS lm, "
+        f"json_query('{doc}', 'lax $.f[*] ?(@.m.double() > 1).b' "
+        "WITH ARRAY WRAPPER) AS derr, "
+        f"json_query('{doc}', 'lax $.big.ceiling()') AS cbig, "
+        f"json_query('{doc}', 'lax $.big.floor()') AS fbig "
+        "FROM nation WHERE n_nationkey = 0", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT CAST(NULL AS VARCHAR) AS sm, FALSE AS sme, "
+        "'[1]' AS lm, CAST(NULL AS VARCHAR) AS derr, "
+        "'1.0E300' AS cbig, '1.0E300' AS fbig",
+        name="jsonpath_review_fixes_r11")
+    with pytest.raises(TrinoSqlUnsupported, match="window"):
+        rewrite_trino_sql(
+            "SELECT max(x, 3) OVER w FROM t WINDOW w AS "
+            "(PARTITION BY g)")
+
+
 def test_jsonpath_strict_last(spark, sf_dir, oracle):
     """Strict [last] (r11, formerly a named refusal): a non-array item
     or an EMPTY array is a structural error → the whole result is the
