@@ -1820,13 +1820,13 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
                   else f"{hi - lo + 1}")
             sl = f"slice({arr}, {lo + 1}, greatest({ln}, 0))"
             if strict:
-                bound = (f"size({arr}) < {lo + 1}" if hi is None
-                         else f"size({arr}) < {hi + 1}")
-                cur = (f"CASE WHEN exists({cur}, _jr{i} -> "
-                       f"schema_of_variant(_jr{i}) NOT LIKE 'ARRAY%' "
-                       f"OR {bound}) THEN NULL "
-                       f"ELSE flatten(transform({cur}, "
-                       f"_jr{i} -> {sl})) END")
+                # single-embed of ``cur`` (r11 second review pass):
+                # NULL on error, flatten propagates it whole-result.
+                need = lo + 1 if hi is None else hi + 1
+                cur = (f"flatten(transform({cur}, _jr{i} -> "
+                       f"CASE WHEN schema_of_variant(_jr{i}) "
+                       f"LIKE 'ARRAY%' AND size({arr}) >= {need} "
+                       f"THEN {sl} ELSE NULL END))")
             else:
                 wrap_in = ("array(_jr{i})".format(i=i) if lo == 0
                            else "array()")
@@ -1838,17 +1838,17 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
             if strict:
                 # strict [last] (r11): a non-array item or an empty
                 # array is a STRUCTURAL error → the whole result is
-                # the ON ERROR default, encoded as a NULL match array
-                # (the same channel strict [*] uses). exists() over a
-                # NULL cur is NULL → CASE falls to ELSE → transform
-                # propagates the NULL, so earlier errors survive.
-                cur = (f"CASE WHEN exists({cur}, _jl{i} -> "
-                       f"schema_of_variant(_jl{i}) NOT LIKE 'ARRAY%' "
-                       f"OR size(try_cast(_jl{i} AS ARRAY<VARIANT>)) "
-                       f"= 0) THEN NULL "
-                       f"ELSE transform({cur}, _jl{i} -> "
-                       f"element_at(try_cast(_jl{i} AS ARRAY<VARIANT>)"
-                       f", -1)) END")
+                # the ON ERROR default, encoded as a NULL element
+                # that flatten() propagates whole-result (the same
+                # channel strict [*] uses; ``cur`` embedded ONCE —
+                # second review pass, the exists+transform form
+                # doubled the generated SQL per step).
+                la = f"try_cast(_jl{i} AS ARRAY<VARIANT>)"
+                cur = (f"flatten(transform({cur}, _jl{i} -> "
+                       f"CASE WHEN schema_of_variant(_jl{i}) "
+                       f"LIKE 'ARRAY%' AND size({la}) > 0 "
+                       f"THEN array(element_at({la}, -1)) "
+                       f"ELSE NULL END))")
             else:
                 # lax [last]: the final element of an array item; a
                 # non-array item auto-wraps into a singleton, so
@@ -1880,13 +1880,19 @@ def _jsonpath_wildcard_matches(x_sql: str, path: str, requote,
                 # goes through the NULL channel (the lax form below
                 # silently dropped the element — wrong once strict
                 # paths became reachable this round). No lax member
-                # unwrap either. exists() over a NULL cur is NULL →
-                # ELSE → transform propagates it.
+                # unwrap either. Single-embed of ``cur`` (second
+                # review pass: embedding it twice doubled the
+                # generated SQL per accessor — exponential in chain
+                # length): each element maps to a singleton array or
+                # NULL on error, and flatten() returns NULL when any
+                # element is NULL — the same channel strict [*] uses.
+                # A present member is never SQL NULL (JSON null is a
+                # non-NULL VOID variant), so NULL is unambiguous.
                 gv = (f"try_variant_get(_js{i}_{j}, "
                       f"{requote('$' + acc)}, 'variant')")
-                cur = (f"CASE WHEN exists({cur}, _js{i}_{j} -> "
-                       f"{gv} IS NULL) THEN NULL "
-                       f"ELSE transform({cur}, _js{i}_{j} -> {gv}) END")
+                cur = (f"flatten(transform({cur}, _js{i}_{j} -> "
+                       f"CASE WHEN {gv} IS NULL THEN NULL "
+                       f"ELSE array({gv}) END))")
                 continue
             if acc.startswith("."):
                 cur = _jsonpath_unwrap(cur, f"_jw{i}_{j}")
@@ -2423,7 +2429,7 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             _mm_close = _find_close(code, _mm.end() - 1)
             _mm_args = _split_top_level(code[_mm.end():_mm_close])
             if (len(_mm_args) == 2 and
-                    re.match(r"\s*OVER\s*(\(|[A-Za-z_])",
+                    re.match(r"\s*OVER(\s*\(|\s+[A-Za-z_])",
                              code[_mm_close + 1:], re.IGNORECASE)):
                 raise TrinoSqlUnsupported(
                     f"{_mm_name}(x, n) as a window function is not "

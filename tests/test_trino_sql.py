@@ -1891,6 +1891,39 @@ def test_jsonpath_last_subscript(spark, sf_dir, oracle):
         name="jsonpath_last_subscript")
 
 
+def test_floor_double_matches_java_math(spark):
+    """Property check for the DOUBLE-domain floor the numeric item
+    methods ride (r11 review fix): bit-agreement with Python's
+    math.floor (== Java Math.floor away from ±0.0, which the callers
+    branch around) across magnitudes INCLUDING beyond 2^53 and 2^63,
+    where Spark's BIGINT floor saturates."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from okera_trino_spark.functions.trino_sql import _floor_double
+
+    expr = _floor_double("CAST(v AS DOUBLE)")
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.one_of(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        st.floats(min_value=1e15, max_value=1e308,
+                  allow_nan=False, allow_infinity=False),
+        st.floats(min_value=-1e308, max_value=-1e15,
+                  allow_nan=False, allow_infinity=False),
+    ))
+    def check(v):
+        got = spark.sql(
+            f"SELECT {expr.replace('v', repr(v))} AS f").collect()[0].f
+        want = float(math.floor(v))
+        assert got == want, (v, got, want)
+
+    check()
+
+
 def test_jsonpath_numeric_methods(spark, sf_dir, oracle):
     """Terminal .ceiling()/.floor()/.abs() item methods (r11, formerly
     named refusals over the -0.0 corner): integer items stay integers,
@@ -2036,6 +2069,40 @@ def test_jsonpath_review_fixes_r11(spark, sf_dir, oracle):
         rewrite_trino_sql(
             "SELECT max(x, 3) OVER w FROM t WINDOW w AS "
             "(PARTITION BY g)")
+    # second review pass: an implicit alias starting with 'over' is
+    # NOT a window reference (word boundary required) …
+    assert "slice(sort_array" in rewrite_trino_sql(
+        "SELECT max(x, 3) overall FROM t GROUP BY g")
+    # … and strict trailing chains must grow LINEARLY in the generated
+    # SQL (the exists+transform form doubled per accessor — 5
+    # accessors hit ~12k chars, 20 would be hundreds of MB).
+    n5 = len(rewrite_trino_sql(
+        "SELECT json_query(p, 'strict $.a[*].b.c.d.e.f') FROM t"))
+    n6 = len(rewrite_trino_sql(
+        "SELECT json_query(p, 'strict $.a[*].b.c.d.e.f.g') FROM t"))
+    assert n5 < 4000 and (n6 - n5) < 600, (n5, n6)
+
+
+def test_jsonpath_strict_deep_chain(spark, sf_dir, oracle):
+    """Strict trailing chains stay correct after the single-embed
+    rewrite: all-present resolves, one missing member anywhere errors
+    the whole result."""
+    ok = '{"a":[{"b":{"c":{"d":1}}},{"b":{"c":{"d":2}}}]}'
+    bad = '{"a":[{"b":{"c":{"d":1}}},{"b":{"c":{}}}]}'
+    df = execute_trino(
+        spark,
+        f"SELECT json_query('{ok}', 'strict $.a[*].b.c.d' "
+        "WITH ARRAY WRAPPER) AS okv, "
+        f"json_query('{bad}', 'strict $.a[*].b.c.d' "
+        "WITH ARRAY WRAPPER) AS badv, "
+        f"json_exists('{bad}', 'strict $.a[*].b.c.d') AS bade, "
+        f"json_query('{bad}', 'lax $.a[*].b.c.d' WITH ARRAY WRAPPER) "
+        "AS laxv FROM nation WHERE n_nationkey = 0", sf_dir)
+    check_query(
+        df, oracle,
+        "SELECT '[1,2]' AS okv, CAST(NULL AS VARCHAR) AS badv, "
+        "FALSE AS bade, '[1]' AS laxv",
+        name="jsonpath_strict_deep_chain")
 
 
 def test_jsonpath_strict_last(spark, sf_dir, oracle):
