@@ -3570,6 +3570,21 @@ def test_rewrite_fuzz_execution_leg(spark, sf_dir):
         "json_exists('{{\"k\":[{1}]}}', 'strict $.k[*] ?(@ == {1})')",
         "json_query('{{\"k\":[[{1}],{2}]}}', 'lax $.k[*].double()' "
         "WITH ARRAY WRAPPER)",
+        # r11 surfaces: strict !/exists filters, [last], [n to m],
+        # numeric item methods (terminal + filter), strict chains
+        "json_query('{{\"k\":[{{\"v\":{1}}},{{\"w\":{2}}}]}}', "
+        "'strict $.k[*] ?(!exists(@.v)) .w' WITH ARRAY WRAPPER)",
+        "json_query('{{\"k\":[{1},{2},3]}}', 'strict $.k[{1} to last]' "
+        "WITH ARRAY WRAPPER)",
+        "json_query('{{\"k\":[{1},{2},3]}}', 'lax $.k[0 to {1}]' "
+        "WITH ARRAY WRAPPER)",
+        "json_query('{{\"k\":-{1}.5}}', 'lax $.k.ceiling()')",
+        "json_value('{{\"k\":[{{\"x\":{1}.5}}]}}', "
+        "'lax $.k[*] ?(@.x.floor() == {1}) .x')",
+        "json_exists('{{\"k\":[{{\"x\":{1}}}]}}', "
+        "'strict $.k[*] ?(!(@.x.abs() > {2}))')",
+        "json_query('{{\"a\":[{{\"b\":{1}}}]}}', 'strict $.a[*].b' "
+        "WITH ARRAY WRAPPER)",
     ]
 
     @settings(max_examples=40, deadline=None)
