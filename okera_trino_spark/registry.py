@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "okera_trino_spark.llm.text",
     "okera_trino_spark.llm.multimodal",
     "okera_trino_spark.functions.trino_sql",
+    "okera_trino_spark.functions.trino_tpch",
 ]
 
 
@@ -117,12 +118,26 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_qdigest", "q_agg_numeric_histogram_det",
     "q_trino_sql_groups_frame", "q_trino_sql_jsonpath_strict",
     "q_trino_sql_jsonpath_methods",
-    # 3) r7 backfill (33 of 46; 12 + 5 + 33 = 50 — the other 13 r7
-    #    keys are the r12 deferral list in the note above)
+    # 2b) new r11 keys, second wave: the TPC-H-as-Trino-TEXT suite
+    #     (functions/trino_tpch.py) — the eight dialect-hardest texts
+    #     enter the contract (the other 13 are twin-equality-tested in
+    #     tests/test_trino_tpch_suite.py). Their window slots displace
+    #     eight r7-backfill keys into the r12 deferral list below.
+    "q_trino_tpch_q2", "q_trino_tpch_q4", "q_trino_tpch_q13",
+    "q_trino_tpch_q15", "q_trino_tpch_q17", "q_trino_tpch_q18",
+    "q_trino_tpch_q21", "q_trino_tpch_q22",
+    # 3) r7 backfill (25 of 46; 12 + 5 + 8 + 25 = 50 — the other 21 r7
+    #    keys are the r12 deferral list: the 13 in the note above PLUS
+    #    the 8 displaced by the TPC-H text wave: q_agg_global,
+    #    q_distinct_rows, q_except, q_filter_in, q_filter_null,
+    #    q_intersect, q_join_cross, q_limit. All 21 reach the 5-round
+    #    bound at r12 and MUST rotate in then; 21 + 29 r8-cohort keys
+    #    fill the r12 window, leaving a 17-key r8 remainder that greens
+    #    exactly AT its r13 bound — the schedule stays feasible at
+    #    213 keys (42.6/round average vs the 50-slot window).
     "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
-    "q_agg_global", "q_agg_gsets", "q_distinct_rows", "q_except",
-    "q_filter_in", "q_filter_null", "q_intersect", "q_join_anti",
-    "q_join_cross", "q_join_full", "q_join_theta", "q_limit",
+    "q_agg_gsets", "q_join_anti",
+    "q_join_full", "q_join_theta",
     "q_llm_ann_lsh", "q_llm_chunk", "q_llm_dedup_near",
     "q_llm_para_dedup", "q_subquery_in", "q_subquery_scalar",
     "q_trino_sql", "q_trino_sql_breadth", "q_trino_sql_fns",
