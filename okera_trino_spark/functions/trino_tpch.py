@@ -3,14 +3,19 @@
 The reference's deployed query surface is "whatever SQL Trino 400 runs
 over the connector's scans" (README.md:74-90), and TPC-H is the
 canonical such workload: a migrating reference user's first act is to
-paste their existing Trino SQL at the new engine. Round 10 proved the
-string path end-to-end for Q1 (``q_trino_tpch_q1``,
-functions/trino_sql.py); this module closes the remaining 21 — every
-query of the book, adapted to the reduced fixture schema EXACTLY the
-way the DataFrame twins are (operators/analytics.py, analytics_ext.py,
-tpch_full.py — no partsupp table, no comment/phone/shipmode columns),
-so each text form is row-identical to its twin and reuses the twin's
-DuckDB oracle verbatim.
+paste their existing Trino SQL at the new engine. Prior evidence:
+round 8 proved all 22 adapted ORACLE texts (plain ANSI) pass through
+``execute_trino`` unchanged and hash-match DuckDB
+(tests/test_trino_sql.py::test_full_tpch_suite_runs_as_trino_text);
+round 10 proved the genuinely-dialect path for Q1
+(``q_trino_tpch_q1``, functions/trino_sql.py). This module closes the
+gap between those: every query of the book written the way a TRINO
+user writes it — original spec shapes, dialect-specific syntax —
+adapted to the reduced fixture schema EXACTLY the way the DataFrame
+twins are (operators/analytics.py, analytics_ext.py, tpch_full.py —
+no partsupp table, no comment/phone/shipmode columns), so each text
+form is row-identical to its twin and reuses the twin's DuckDB oracle
+verbatim.
 
 The texts deliberately exercise the Trino-isms a real workload carries,
 not lowest-common-denominator ANSI: ``DATE`` literals + quoted
