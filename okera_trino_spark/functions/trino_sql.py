@@ -5260,6 +5260,9 @@ def execute_trino(spark: SparkSession, sql: str,
     if sf_dir is not None:
         register_tables(spark, sf_dir)
     ensure_dialect_udfs(spark, sql)
+    explained = execute_trino_explain(spark, sql, sf_dir, params)
+    if explained is not None:
+        return explained
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         mr = execute_match_recognize(spark, sql, params)
         if mr is not None:
@@ -5268,6 +5271,166 @@ def execute_trino(spark: SparkSession, sql: str,
     if params is not None:
         return spark.sql(rewritten, args=params)
     return spark.sql(rewritten)
+
+
+_EXPLAIN_HEAD_RE = re.compile(r"^\s*EXPLAIN\b", re.IGNORECASE)
+
+#: Scan-block fields in Spark's "formatted" physical plan, used by
+#: EXPLAIN (TYPE IO) to synthesize the per-table access summary.
+_IO_SCAN_RE = re.compile(
+    r"Scan parquet[^\n]*\n(?:[^\n]*\n)*?"
+    r"Location:[^\[]*\[([^\]]*)\]\n"
+    r"(?:PushedFilters:\s*\[([^\]]*)\]\n)?"
+    r"ReadSchema:\s*struct<([^>]*)>")
+
+
+def _one_text_row(spark: SparkSession, column: str, text: str) -> DataFrame:
+    from pyspark.sql import types as T
+    return spark.createDataFrame(
+        [(text,)], T.StructType([T.StructField(column, T.StringType())]))
+
+
+def execute_trino_explain(spark: SparkSession, sql: str,
+                          sf_dir: str | None = None,
+                          params: list | None = None) -> DataFrame | None:
+    """Trino's EXPLAIN statement family, lowered onto Spark's plan
+    introspection. Returns None when ``sql`` is not an EXPLAIN.
+
+    Surface (Trino 400 grammar — the host engine per the reference's
+    pom.xml:41):
+
+    - ``EXPLAIN <stmt>`` / ``EXPLAIN (TYPE DISTRIBUTED) <stmt>`` → the
+      physical plan with exchanges (Spark's ``formatted`` mode — the
+      fragment-boundary analog of Trino's distributed plan), one row,
+      column ``Query Plan`` (Trino's column name).
+    - ``EXPLAIN (TYPE LOGICAL)`` → the optimized logical plan.
+    - ``EXPLAIN (TYPE VALIDATE)`` → analyzes only; returns ``Valid``
+      true. Analysis errors (unknown column/table, type errors) raise
+      exactly as Trino's VALIDATE reports them.
+    - ``EXPLAIN (TYPE IO, FORMAT JSON)`` → JSON summary of the tables
+      the plan reads, with the pruned column set (``ReadSchema``) and
+      the filters pushed to each scan — the decision Trino's IO plan
+      exists to expose. DOCUMENTED DIVERGENCE: Spark does not estimate
+      per-table row counts at parse time, so the Trino estimate block
+      is absent; the JSON layout is Spark-flavored, not byte-identical
+      to Trino's io-plan JSON.
+    - ``EXPLAIN ANALYZE [VERBOSE]`` → EXECUTES the inner statement
+      through a zero-copy noop sink (full evaluation, no driver
+      transfer — results are discarded exactly as Trino discards
+      them), then returns the final plan plus a measured footer
+      (output rows via an Observation, wall ms). Spark does not
+      annotate per-operator actuals in the plan text the way Trino
+      fragments do; the footer carries the measured totals instead.
+    - ``FORMAT GRAPHVIZ`` and ``FORMAT JSON`` of TEXT-plan types refuse
+      by name (Spark has no graphviz/JSON plan renderer).
+
+    The governed SQL path (sources/catalog.py execute) routes through
+    this helper AFTER registering the caller's policy-scoped views, so
+    EXPLAIN output can never leak a column the caller cannot read —
+    VALIDATE on a hidden column fails analysis like any query.
+    """
+    m = _EXPLAIN_HEAD_RE.match(sql)
+    if m is None:
+        return None
+    rest = sql[m.end():].lstrip()
+    etype, efmt = "DISTRIBUTED", "TEXT"
+    had_options = False
+    if rest.startswith("("):
+        had_options = True
+        close = rest.find(")")
+        if close < 0:
+            raise TrinoSqlUnsupported("EXPLAIN options: unclosed '('")
+        for part in rest[1:close].split(","):
+            kv = part.split()
+            k = kv[0].upper() if kv else ""
+            v = kv[1].upper() if len(kv) == 2 else ""
+            if k == "TYPE" and v in ("LOGICAL", "DISTRIBUTED",
+                                     "VALIDATE", "IO"):
+                etype = v
+            elif k == "FORMAT" and v in ("TEXT", "JSON"):
+                efmt = v
+            elif k == "FORMAT" and v == "GRAPHVIZ":
+                raise TrinoSqlUnsupported(
+                    "EXPLAIN (FORMAT GRAPHVIZ): Spark has no graphviz "
+                    "plan renderer — use FORMAT TEXT")
+            else:
+                raise TrinoSqlUnsupported(
+                    f"EXPLAIN option {part.strip()!r} (supported: TYPE "
+                    "LOGICAL|DISTRIBUTED|VALIDATE|IO, FORMAT TEXT|JSON)")
+        rest = rest[close + 1:].lstrip()
+    analyze = re.match(r"^ANALYZE\b(\s+VERBOSE\b)?", rest, re.IGNORECASE)
+    if analyze:
+        if had_options:
+            raise TrinoSqlUnsupported(
+                "EXPLAIN ANALYZE takes no (TYPE/FORMAT ...) options "
+                "(Trino grammar)")
+        rest = rest[analyze.end():].lstrip()
+    if not rest:
+        raise TrinoSqlUnsupported("EXPLAIN requires a statement")
+    if efmt == "JSON" and etype != "IO":
+        raise TrinoSqlUnsupported(
+            f"EXPLAIN (TYPE {etype}, FORMAT JSON): Spark renders "
+            "TEXT plans only — FORMAT JSON is supported for TYPE IO")
+    inner = execute_trino(spark, rest, sf_dir, params)
+    qe = inner._jdf.queryExecution()
+    if etype == "VALIDATE":
+        inner.schema  # force analysis; raises on invalid references
+        from pyspark.sql import types as T
+        return spark.createDataFrame(
+            [(True,)], T.StructType([T.StructField("Valid",
+                                                   T.BooleanType())]))
+    if analyze:
+        import time as _time
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        obs = Observation()
+        observed = inner.observe(obs, F.count(F.lit(1)).alias("rows"))
+        t0 = _time.time()
+        observed.write.format("noop").mode("overwrite").save()
+        wall_ms = (_time.time() - t0) * 1000.0
+        plan = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        footer = (f"Execution: output rows {obs.get['rows']}, "
+                  f"wall {wall_ms:.0f} ms (measured via noop sink; "
+                  "per-operator actuals are in the Spark UI, not the "
+                  "plan text)")
+        return _one_text_row(spark, "Query Plan", plan + "\n" + footer)
+    if etype == "IO":
+        import json as _json
+        plan = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        tables = []
+        for loc, pushed, schema in _IO_SCAN_RE.findall(plan):
+            path = loc.split(",")[0].strip()
+            name = path.rstrip("/").rsplit("/", 1)[-1]
+            name = name[:-8] if name.endswith(".parquet") else name
+            cols = [c.split(":", 1)[0] for c in schema.split(",") if c]
+            # split the filter list only at depth-0 commas — filter
+            # renderings nest commas inside parens, e.g.
+            # GreaterThanOrEqual(o_orderdate,1997-01-01 00:00:00.0)
+            filters, depth, cur = [], 0, []
+            for ch in pushed or "":
+                if ch == "," and depth == 0:
+                    filters.append("".join(cur).strip())
+                    cur = []
+                    continue
+                depth += ch == "("
+                depth -= ch == ")"
+                cur.append(ch)
+            if cur and "".join(cur).strip():
+                filters.append("".join(cur).strip())
+            tables.append({"table": {"catalog": "spark_catalog",
+                                     "schemaTable": {"schema": "default",
+                                                     "table": name}},
+                           "columns": cols,
+                           "pushedFilters": filters})
+        text = _json.dumps({"inputTableColumnInfos": tables})
+        return _one_text_row(spark, "Query Plan", text)
+    mode = "formatted" if etype == "DISTRIBUTED" else "extended"
+    if etype == "LOGICAL":
+        text = str(qe.optimizedPlan())
+    else:
+        text = spark._jvm.PythonSQLUtils.explainString(qe, mode)
+    return _one_text_row(spark, "Query Plan", text)
 
 
 # ------------------------------------------------------ registered keys

@@ -996,8 +996,20 @@ class GovernedCatalog:
             if dialect == "trino":
                 from okera_trino_spark.functions.trino_sql import (
                     ensure_dialect_udfs, execute_match_recognize,
-                    rewrite_trino_sql)
+                    execute_trino_explain, rewrite_trino_sql)
                 ensure_dialect_udfs(self.spark, sql)
+                # EXPLAIN family over the GOVERNED views registered
+                # above — plan output is policy-scoped like the query
+                # itself (VALIDATE on a hidden column fails analysis).
+                ex = execute_trino_explain(self.spark, plan_sql, None,
+                                           params)
+                if ex is not None:
+                    self._audit.append(AuditRecord(
+                        query_id=qid, user=user, sql=sql,
+                        start_time=start,
+                        elapsed_ms=(time.time() - start) * 1000.0,
+                        success=True))
+                    return ex
                 if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
                     # Lowered onto the match_recognize operator over the
                     # GOVERNED temp views registered above — policies

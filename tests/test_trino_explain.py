@@ -1,0 +1,117 @@
+"""Trino EXPLAIN statement family through the dialect front end.
+
+A migrating Trino user's inspection workflow — ``EXPLAIN``, ``EXPLAIN
+(TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO)``, ``EXPLAIN ANALYZE`` — lowered
+onto Spark's plan introspection (functions/trino_sql.py
+execute_trino_explain). Output is engine-specific plan text, so there
+is no cross-engine oracle; the contract tested here is structural:
+the right plan layer appears, VALIDATE raises on bad references, the
+IO summary reports the pruned column set and pushed filters, ANALYZE
+actually executes and reports the measured row count, and the governed
+path scopes all of it by policy.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql.utils import AnalysisException
+
+from okera_trino_spark.functions.trino_sql import (
+    TrinoSqlUnsupported,
+    execute_trino,
+)
+
+Q = ("SELECT o_orderpriority, count(*) AS n FROM orders "
+     "WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_orderpriority")
+
+
+def test_explain_default_is_distributed_physical(spark, sf_dir):
+    df = execute_trino(spark, "EXPLAIN " + Q, sf_dir)
+    assert df.columns == ["Query Plan"]
+    [(text,)] = df.collect()
+    assert "Scan parquet" in text
+    assert "Exchange" in text  # the distributed boundary Trino fragments at
+
+
+def test_explain_type_logical(spark, sf_dir):
+    [(text,)] = execute_trino(
+        spark, "EXPLAIN (TYPE LOGICAL) " + Q, sf_dir).collect()
+    assert "Aggregate" in text
+    assert "WholeStageCodegen" not in text  # logical, not physical
+
+
+def test_explain_type_validate_true(spark, sf_dir):
+    rows = execute_trino(
+        spark, "EXPLAIN (TYPE VALIDATE) " + Q, sf_dir).collect()
+    assert [r["Valid"] for r in rows] == [True]
+
+
+def test_explain_type_validate_raises_on_bad_column(spark, sf_dir):
+    with pytest.raises(AnalysisException):
+        execute_trino(
+            spark, "EXPLAIN (TYPE VALIDATE) SELECT nope FROM orders",
+            sf_dir).collect()
+
+
+def test_explain_type_io_reports_pruning_and_pushdown(spark, sf_dir):
+    [(text,)] = execute_trino(
+        spark, "EXPLAIN (TYPE IO, FORMAT JSON) " + Q, sf_dir).collect()
+    doc = json.loads(text)
+    infos = doc["inputTableColumnInfos"]
+    assert len(infos) == 1
+    info = infos[0]
+    assert info["table"]["schemaTable"]["table"] == "orders"
+    # projection pruning: only the two referenced columns are read
+    assert sorted(info["columns"]) == ["o_orderdate", "o_orderpriority"]
+    # the date predicate reached the scan, with its comma-carrying
+    # rendering intact (depth-0 split)
+    assert any(f.startswith("GreaterThanOrEqual(o_orderdate,")
+               for f in info["pushedFilters"])
+
+
+def test_explain_analyze_executes_and_counts(spark, sf_dir):
+    [(text,)] = execute_trino(spark, "EXPLAIN ANALYZE " + Q,
+                              sf_dir).collect()
+    footer = text.splitlines()[-1]
+    n = execute_trino(spark, Q, sf_dir).count()
+    assert f"output rows {n}," in footer
+
+
+@pytest.mark.parametrize("bad,frag", [
+    ("EXPLAIN (FORMAT GRAPHVIZ) ", "GRAPHVIZ"),
+    ("EXPLAIN (TYPE DISTRIBUTED) ANALYZE ", "ANALYZE takes no"),
+    ("EXPLAIN (TYPE LOGICAL, FORMAT JSON) ", "FORMAT JSON"),
+    ("EXPLAIN (TYPE FRAGMENTED) ", "EXPLAIN option"),
+])
+def test_explain_named_refusals(spark, sf_dir, bad, frag):
+    with pytest.raises(TrinoSqlUnsupported, match=frag.replace("(", "\\(")):
+        execute_trino(spark, bad + Q, sf_dir)
+
+
+def test_explain_requires_statement(spark, sf_dir):
+    with pytest.raises(TrinoSqlUnsupported, match="requires a statement"):
+        execute_trino(spark, "EXPLAIN (TYPE VALIDATE)", sf_dir)
+
+
+def test_governed_explain_is_policy_scoped(spark, sf_dir):
+    """EXPLAIN through GovernedCatalog.execute plans over the caller's
+    governed views: a column the policy hides fails VALIDATE, and the
+    IO summary never lists it."""
+    from okera_trino_spark.sources.catalog import (
+        GovernedCatalog,
+        TablePolicy,
+    )
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.set_policy("eve", "orders", TablePolicy(
+        allowed_columns=["o_orderkey", "o_orderpriority"]))
+    df = cat.execute("EXPLAIN SELECT o_orderpriority FROM orders",
+                     user="eve", dialect="trino")
+    assert df.columns == ["Query Plan"]
+    with pytest.raises(AnalysisException):
+        cat.execute(
+            "EXPLAIN (TYPE VALIDATE) SELECT o_totalprice FROM orders",
+            user="eve", dialect="trino").collect()
+    # the statement is audited like any other submission
+    assert any(r.sql.startswith("EXPLAIN") for r in cat.audit_log)
