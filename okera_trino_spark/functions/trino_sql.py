@@ -5367,6 +5367,16 @@ def execute_trino_explain(spark: SparkSession, sql: str,
         rest = rest[analyze.end():].lstrip()
     if not rest:
         raise TrinoSqlUnsupported("EXPLAIN requires a statement")
+    # Query statements only: Spark executes DDL/utility commands EAGERLY
+    # at planning time, so EXPLAIN over CREATE/DROP/SET/... would run
+    # the command instead of describing it (Trino never executes under
+    # EXPLAIN). Refuse by name rather than silently mutate state.
+    if not re.match(r"(SELECT|WITH|VALUES|TABLE)\b", rest, re.IGNORECASE):
+        head = rest.split(None, 1)[0].upper()
+        raise TrinoSqlUnsupported(
+            f"EXPLAIN over {head} statements: Spark plans commands "
+            "eagerly, so explaining would execute them — EXPLAIN "
+            "supports query statements (SELECT/WITH/VALUES/TABLE)")
     if efmt == "JSON" and etype != "IO":
         raise TrinoSqlUnsupported(
             f"EXPLAIN (TYPE {etype}, FORMAT JSON): Spark renders "
@@ -5418,11 +5428,13 @@ def execute_trino_explain(spark: SparkSession, sql: str,
                 cur.append(ch)
             if cur and "".join(cur).strip():
                 filters.append("".join(cur).strip())
-            tables.append({"table": {"catalog": "spark_catalog",
-                                     "schemaTable": {"schema": "default",
-                                                     "table": name}},
-                           "columns": cols,
-                           "pushedFilters": filters})
+            entry = {"table": {"catalog": "spark_catalog",
+                               "schemaTable": {"schema": "default",
+                                               "table": name}},
+                     "columns": cols,
+                     "pushedFilters": filters}
+            if entry not in tables:  # self-joins scan a table twice
+                tables.append(entry)
         text = _json.dumps({"inputTableColumnInfos": tables})
         return _one_text_row(spark, "Query Plan", text)
     mode = "formatted" if etype == "DISTRIBUTED" else "extended"

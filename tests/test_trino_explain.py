@@ -95,6 +95,33 @@ def test_explain_requires_statement(spark, sf_dir):
         execute_trino(spark, "EXPLAIN (TYPE VALIDATE)", sf_dir)
 
 
+def test_explain_refuses_ddl_without_executing(spark, sf_dir):
+    """Spark runs commands eagerly at planning, so EXPLAIN over DDL must
+    refuse BEFORE the command executes — the view must not be created."""
+    with pytest.raises(TrinoSqlUnsupported, match="plans commands eagerly"):
+        execute_trino(
+            spark,
+            "EXPLAIN (TYPE VALIDATE) CREATE VIEW _explain_leak AS "
+            "SELECT 1 AS x",
+            sf_dir)
+    assert not any(t.name == "_explain_leak"
+                   for t in spark.catalog.listTables())
+
+
+def test_explain_io_dedupes_self_join_scans(spark, sf_dir):
+    """A self-join scans the same table with the same column set twice;
+    the IO summary reports it once."""
+    [(text,)] = execute_trino(
+        spark,
+        "EXPLAIN (TYPE IO, FORMAT JSON) "
+        "SELECT a.n_nationkey FROM nation a JOIN nation b "
+        "ON a.n_nationkey = b.n_nationkey",
+        sf_dir).collect()
+    infos = json.loads(text)["inputTableColumnInfos"]
+    names = [i["table"]["schemaTable"]["table"] for i in infos]
+    assert names.count("nation") == 1
+
+
 def test_governed_explain_is_policy_scoped(spark, sf_dir):
     """EXPLAIN through GovernedCatalog.execute plans over the caller's
     governed views: a column the policy hides fails VALIDATE, and the
