@@ -122,6 +122,47 @@ def test_explain_io_dedupes_self_join_scans(spark, sf_dir):
     assert names.count("nation") == 1
 
 
+def test_explain_grammar_fuzz_never_crashes_python(spark, sf_dir):
+    """Statement-level contract fuzz: ANY combination of EXPLAIN
+    options, ANALYZE, and an inner statement either returns a DataFrame
+    or raises a NAMED error (TrinoSqlUnsupported / Spark analysis or
+    parse error) — never a bare Python exception — and never mutates
+    catalog state (the DDL gate)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import DataFrame
+    from pyspark.sql.utils import CapturedException
+
+    option = st.sampled_from(
+        ["TYPE LOGICAL", "TYPE DISTRIBUTED", "TYPE VALIDATE", "TYPE IO",
+         "FORMAT TEXT", "FORMAT JSON", "FORMAT GRAPHVIZ", "TYPE BOGUS",
+         "", "X Y Z"])
+    inner = st.sampled_from(
+        ["SELECT 1 AS x", "SELECT n_name FROM nation",
+         "SELECT nope FROM orders", "",
+         "CREATE VIEW _fuzz_leak AS SELECT 1 AS x",
+         "DROP VIEW nation"])
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(option, max_size=3), st.booleans(), inner)
+    def check(opts, analyze, stmt):
+        sql = "EXPLAIN "
+        if opts:
+            sql += "(" + ", ".join(opts) + ") "
+        if analyze:
+            sql += "ANALYZE "
+        sql += stmt
+        try:
+            out = execute_trino(spark, sql, sf_dir)
+            assert isinstance(out, DataFrame)
+        except (TrinoSqlUnsupported, CapturedException):
+            pass
+        assert not any(t.name == "_fuzz_leak"
+                       for t in spark.catalog.listTables())
+
+    check()
+
+
 def test_governed_explain_is_policy_scoped(spark, sf_dir):
     """EXPLAIN through GovernedCatalog.execute plans over the caller's
     governed views: a column the policy hides fails VALIDATE, and the
