@@ -1361,3 +1361,112 @@ def q_llm_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(score, 4).alias("score"),
                      (score > 0.45).alias("keep"))
             .orderBy("doc_id"))
+
+
+# ------------------------------------------ DSIR importance weighting
+#: Hashed feature dimensionality for the DSIR n-gram models. 64 keeps
+#: the model a broadcast literal at ANY corpus size — the method's
+#: published form uses 10k buckets; the machinery is identical.
+DSIR_BUCKETS = 64
+
+
+@query(
+    "q_llm_dsir",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, lang, b, count(*) AS c
+        FROM (SELECT doc_id, lang,
+                     unnest(list_transform(
+                         range(1, length(lower(text)) - 1),
+                         i -> (ascii(substring(lower(text), i, 1)) * 49
+                               + ascii(substring(lower(text), i + 1, 1)) * 7
+                               + ascii(substring(lower(text), i + 2, 1)))
+                              % {DSIR_BUCKETS})) AS b
+              FROM documents)
+        GROUP BY 1, 2, 3
+    ), src AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS sb FROM tc GROUP BY b
+    ), tgt AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS tb
+        FROM tc WHERE lang = 'en' GROUP BY b
+    ), model AS (
+        SELECT src.b, src.sb, coalesce(tgt.tb, 0) AS tb
+        FROM src LEFT JOIN tgt USING (b)
+    ), tot AS (
+        SELECT CAST(sum(sb) AS DOUBLE) AS s_tot,
+               CAST(sum(tb) AS DOUBLE) AS t_tot
+        FROM model
+    ), scored AS (
+        SELECT b, ln((tb + 1) * (s_tot + {DSIR_BUCKETS}.0)
+                     / ((sb + 1) * (t_tot + {DSIR_BUCKETS}.0))) AS lr
+        FROM model CROSS JOIN tot
+    )
+    SELECT tc.doc_id, tc.lang,
+           CAST(sum(tc.c) AS BIGINT) AS n_tris,
+           -- + 0.0 normalizes DuckDB's round(-0.00004, 4) = -0.0 to
+           -- +0.0 (Spark's round already normalizes the sign)
+           round(sum(tc.c * scored.lr) / sum(tc.c), 4) + 0.0 AS dsir_w,
+           round(sum(tc.c * scored.lr) / sum(tc.c), 4) > 0 AS selected
+    FROM tc JOIN scored USING (b)
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "text", "selection"),
+)
+def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 data selection via importance resampling weights (DSIR — Xie
+    et al. 2023, the published hashed-n-gram method production pipelines
+    use to up-sample target-domain-like documents): per-document log
+    importance weight under Laplace-smoothed TARGET vs SOURCE unigram
+    models over hashed char-trigram features. Target = the corpus's
+    ``lang = 'en'`` slice (the stand-in for "a trusted high-quality
+    set"); source = the whole corpus; ``selected`` marks documents that
+    look more target-like than corpus-average.
+
+    Scale shape: trigram buckets come from the SAME higher-order
+    transform as q_llm_trigram_lm (pure codegen; the bucket hash is
+    integer arithmetic over ascii codes so DuckDB replays it exactly),
+    collapsed immediately to per-doc bucket counts — the shuffle
+    carries (doc, bucket<=64, c) — and materialized ONCE
+    (localCheckpoint; three consumers). BOTH models collapse to at most
+    DSIR_BUCKETS rows regardless of corpus size, so the per-bucket
+    log-ratio table is a guaranteed broadcast — scoring is one
+    broadcast join + a per-doc aggregate, no model-side shuffle at any
+    scale. The weight averages log ratios per trigram (scale-stable
+    across document lengths) and rounds to 4dp before the > 0 gate on
+    both engines (entropy-gate precedent), so float summation order
+    cannot flip a boundary document. KNOWN LIMIT: the ascii() bucket
+    hash agrees cross-engine for Basic-Multilingual-Plane text (Spark
+    reads UTF-16 code units); the fixtures are ASCII. At production
+    scale the models would be trained offline on a held-out target and
+    slotted in as the same broadcast literals.
+    """
+    d = t(spark, sf_dir, "documents")
+    lowered = d.select("doc_id", "lang",
+                       F.lower(F.col("text")).alias("lt"))
+    bucket_arr = F.expr(
+        "CASE WHEN length(lt) >= 3 THEN "
+        "transform(sequence(1, length(lt) - 2), "
+        "i -> (ascii(substring(lt, i, 1)) * 49 "
+        "+ ascii(substring(lt, i + 1, 1)) * 7 "
+        f"+ ascii(substring(lt, i + 2, 1))) % {DSIR_BUCKETS}) "
+        "ELSE array() END")
+    tc = (lowered.select("doc_id", "lang",
+                         F.explode(bucket_arr).alias("b"))
+          .groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+          .localCheckpoint())
+    src = tc.groupBy("b").agg(F.sum("c").alias("sb"))
+    tgt = (tc.filter(F.col("lang") == "en")
+           .groupBy("b").agg(F.sum("c").alias("tb")))
+    model = (src.join(tgt, "b", "left")
+             .select("b", "sb", F.coalesce("tb", F.lit(0)).alias("tb")))
+    tot = model.agg(F.sum("sb").alias("s_tot"), F.sum("tb").alias("t_tot"))
+    lr = F.log(((F.col("tb") + 1) * (F.col("s_tot") + float(DSIR_BUCKETS)))
+               / ((F.col("sb") + 1) * (F.col("t_tot") + float(DSIR_BUCKETS))))
+    scored = model.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr"))
+    w = F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 4)
+    return (
+        tc.join(F.broadcast(scored), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("c").alias("n_tris"), w.alias("dsir_w"))
+        .withColumn("selected", F.col("dsir_w") > 0)
+    )

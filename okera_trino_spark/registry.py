@@ -126,16 +126,19 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_tpch_q2", "q_trino_tpch_q4", "q_trino_tpch_q13",
     "q_trino_tpch_q15", "q_trino_tpch_q17", "q_trino_tpch_q18",
     "q_trino_tpch_q21", "q_trino_tpch_q22",
-    # 3) r7 backfill (25 of 46; 12 + 5 + 8 + 25 = 50 — the other 21 r7
-    #    keys are the r12 deferral list: the 13 in the note above PLUS
-    #    the 8 displaced by the TPC-H text wave: q_agg_global,
-    #    q_distinct_rows, q_except, q_filter_in, q_filter_null,
-    #    q_intersect, q_join_cross, q_limit. All 21 reach the 5-round
-    #    bound at r12 and MUST rotate in then; 21 + 29 r8-cohort keys
-    #    fill the r12 window, leaving a 17-key r8 remainder that greens
-    #    exactly AT its r13 bound — the schedule stays feasible at
-    #    213 keys (42.6/round average vs the 50-slot window).
-    "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
+    # 2c) new r11 key, third wave: DSIR importance weighting.
+    "q_llm_dsir",
+    # 3) r7 backfill (24 of 46; 12 + 5 + 8 + 1 + 24 = 50 — the other
+    #    22 r7 keys are the r12 deferral list: the 13 in the note above
+    #    PLUS the 9 displaced by the r11 new-key waves: q_agg_collect,
+    #    q_agg_global, q_distinct_rows, q_except, q_filter_in,
+    #    q_filter_null, q_intersect, q_join_cross, q_limit. All 22
+    #    reach the 5-round bound at r12 and MUST rotate in then; 22 +
+    #    28 r8-cohort keys fill the r12 window, leaving an 18-key r8
+    #    remainder that greens exactly AT its r13 bound — the schedule
+    #    stays feasible at 214 keys (42.8/round average vs the 50-slot
+    #    window).
+    "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
     "q_agg_gsets", "q_join_anti",
     "q_join_full", "q_join_theta",
     "q_llm_ann_lsh", "q_llm_chunk", "q_llm_dedup_near",

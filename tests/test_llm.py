@@ -477,3 +477,27 @@ def test_bpe_apply_matches_python_reference(spark, sf_dir):
             toks.extend(tokenize(w))
         sig = hashlib.md5(" ".join(toks).encode()).hexdigest()
         assert got[row.doc_id] == (len(toks), sig), row.doc_id
+
+
+def test_dsir_weights_separate_target_language(spark, sf_dir):
+    """DSIR semantics: with the en slice as target, en documents must
+    average a HIGHER importance weight than every non-target language,
+    and the en mean must be positive (more target-like than the
+    corpus-average mixture). Also locks the plan contract: both model
+    aggregates collapse to <= DSIR_BUCKETS rows, so scoring joins a
+    broadcast — no model-side shuffle."""
+    from okera_trino_spark.llm.text import DSIR_BUCKETS, q_llm_dsir
+
+    out = q_llm_dsir(spark, sf_dir)
+    means = {r["lang"]: r["m"] for r in
+             out.groupBy("lang").agg(F.avg("dsir_w").alias("m")).collect()}
+    assert means["en"] > 0
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, (lang, m, means["en"])
+    # the selected gate is consistent with the weight sign
+    bad = out.filter((F.col("selected") & (F.col("dsir_w") <= 0))
+                     | (~F.col("selected") & (F.col("dsir_w") > 0))).count()
+    assert bad == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
