@@ -136,7 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     #    reach the 5-round bound at r12 and MUST rotate in then; 22 +
     #    28 r8-cohort keys fill the r12 window, leaving an 18-key r8
     #    remainder that greens exactly AT its r13 bound — the schedule
-    #    stays feasible at 214 keys (42.8/round average vs the 50-slot
+    #    stays feasible at 219 keys (43.8/round average vs the 50-slot
     #    window).
     "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
     "q_agg_gsets", "q_join_anti",
