@@ -31,6 +31,8 @@ KEYS = [
     "q_events_sessionize",
     "q_events_pattern_rows",
     "q_llm_dedup_near",
+    # r11 third wave: DSIR — the broadcast-model scoring shape
+    "q_llm_dsir",
 ]
 
 SF01 = "/root/testdata/sf0.1"
