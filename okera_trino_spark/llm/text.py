@@ -1441,8 +1441,13 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     slotted in as the same broadcast literals.
     """
     d = t(spark, sf_dir, "documents")
-    lowered = d.select("doc_id", "lang",
-                       F.lower(F.col("text")).alias("lt"))
+    # Same pre-explode balancing as q_llm_trigram_lm: spread docs
+    # BEFORE the ~300x position amplification so a small-file layout
+    # can't serialize the bucket pass on a few tasks (measured 2.6x
+    # at sf0.1 on this key).
+    lowered = (d.select("doc_id", "lang",
+                        F.lower(F.col("text")).alias("lt"))
+               .repartition(spark.sparkContext.defaultParallelism * 2))
     bucket_arr = F.expr(
         "CASE WHEN length(lt) >= 3 THEN "
         "transform(sequence(1, length(lt) - 2), "
