@@ -232,8 +232,19 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``slice`` — O(n²) md5 calls per document, measured ~90× slower
     (268 s vs 3 s for 500 docs). Lambda variables are the plan
     algebra's let-binding; use them whenever a non-cheap array
-    intermediate feeds another higher-order function."""
-    d = t(spark, sf_dir, "documents")
+    intermediate feeds another higher-order function.
+
+    r11: the map stage is COMPUTE-amplified (~40 md5 hashes per input
+    byte), so byte-based split sizing under-parallelizes narrow
+    inputs — the single-file sf0.1 fixture ran the whole pass on ONE
+    task. ``spread_if_narrow`` rebalances ONLY in that case (measured
+    3.9× at sf0.1, 6× at sf1.0); on a production many-split layout it
+    is a no-op and the plan stays exchange-free — shuffling 100 TB of
+    raw text purely to rebalance a map stage would cost more than it
+    saves (tests/test_plans.py asserts both behaviors)."""
+    from okera_trino_spark.operators._util import spread_if_narrow
+
+    d = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     fps = """
     element_at(transform(
       array(regexp_replace(lower(text), '[^a-z0-9]', '')),
@@ -1010,11 +1021,13 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the docs BEFORE the ~300x explode amplification: the scan
     # partitioning reflects input bytes, not post-explode rows, so a
     # small-file (or skewed) layout would serialize the expensive
-    # trigram pass on a few tasks. A round-robin repartition costs one
-    # pass over the (small) raw text and buys full parallelism on the
-    # amplified side — the standard pre-explode balancing move.
-    lowered = (d.select("doc_id", F.lower(F.col("text")).alias("lt"))
-               .repartition(spark.sparkContext.defaultParallelism * 2))
+    # trigram pass on a few tasks. r11: conditional (spread_if_narrow)
+    # — a production many-split layout already parallelizes, and there
+    # the raw-text shuffle would be pure cost; the narrow-input case
+    # is where it is cheap and decisive.
+    from okera_trino_spark.operators._util import spread_if_narrow
+    lowered = spread_if_narrow(
+        d.select("doc_id", F.lower(F.col("text")).alias("lt")), spark)
     tris = lowered.select(
         "doc_id",
         F.explode(F.expr(
@@ -1443,11 +1456,13 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     # Same pre-explode balancing as q_llm_trigram_lm: spread docs
     # BEFORE the ~300x position amplification so a small-file layout
-    # can't serialize the bucket pass on a few tasks (measured 2.6x
-    # at sf0.1 on this key).
-    lowered = (d.select("doc_id", "lang",
-                        F.lower(F.col("text")).alias("lt"))
-               .repartition(spark.sparkContext.defaultParallelism * 2))
+    # can't serialize the bucket pass on a few tasks (measured 3.4x
+    # at sf0.1, 15x at sf1.0 on this key); conditional, so a
+    # well-partitioned production layout never pays the shuffle.
+    from okera_trino_spark.operators._util import spread_if_narrow
+    lowered = spread_if_narrow(
+        d.select("doc_id", "lang", F.lower(F.col("text")).alias("lt")),
+        spark)
     bucket_arr = F.expr(
         "CASE WHEN length(lt) >= 3 THEN "
         "transform(sequence(1, length(lt) - 2), "
