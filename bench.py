@@ -125,9 +125,13 @@ CANARY_REF_SF01 = {
     "q_topk": 0.1053,
     "q_filter_range": 0.1392,
     "q_win_rank": 0.0978,
-    # data-bound, frozen since r8 (median of r8/r9/r10 min-stat)
+    # data-bound, frozen since r8 (median of r8/r9/r10 min-stat).
+    # q_llm_winnow was the second data-bound canary until mid-r11, when
+    # its implementation changed (spread_if_narrow, ~4x faster) — a
+    # canary must have a FROZEN implementation, so it is replaced by
+    # q_llm_dup_clusters (clusters.py untouched since r8).
     "q_tpch_q18": 0.9265,
-    "q_llm_winnow": 2.655,
+    "q_llm_dup_clusters": 3.3544,
 }
 
 
