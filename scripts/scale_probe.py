@@ -40,6 +40,20 @@ SF10 = str(Path(__file__).resolve().parent.parent / ".scale" / "sf1.0")
 REPEATS = 2
 
 
+def _clear_session_state(spark) -> None:
+    """Drop every persisted/checkpointed block between keys. Several
+    probe keys localCheckpoint intermediates (dup_clusters' label
+    rounds, bpe's vocab, the text keys' term counts); in one shared
+    session those blocks accumulate and pin executor memory, slowing
+    LATER keys' measurements by 2-6x (r11: winnow measured 21 s inside
+    the shared session vs 3.3 s fresh). Per-key isolation makes the
+    numbers comparable without paying a JVM restart per key."""
+    spark.catalog.clearCache()
+    # py4j converts the java.util.Map to a dict-like view
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
+
+
 def main() -> None:
     from okera_trino_spark.registry import load_all_queries
     from okera_trino_spark.session import get_spark
@@ -56,6 +70,7 @@ def main() -> None:
             best = min(
                 _timed(fn, spark, sf_dir) for _ in range(REPEATS))
             times[label] = round(best, 3)
+            _clear_session_state(spark)
         ratio = round(times["sf1.0"] / times["sf0.1"], 2)
         results[name] = {**times, "ratio": ratio}
         print(json.dumps({"key": name, **results[name]}), flush=True)
