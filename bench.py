@@ -112,9 +112,12 @@ REPEATS = 3
 #: reference measurement, so a query at host_factor x its old time is
 #: host noise, not a regression. Round 11 adds two DATA-BOUND canaries
 #: (q_tpch_q18: 6-way join + grouped-HAVING at lineitem scale;
-#: q_llm_winnow: the zero-shuffle HOF fingerprint pass) so the factor
-#: tracks the data-bound body, not just sub-0.2s planning-bound shapes —
-#: the r10 canary-faster/body-slower split was unreadable without them.
+#: q_llm_dup_clusters: the iterative component resolver, untouched
+#: since r8 — it replaced q_llm_winnow mid-r11 when the conditional-
+#: spread change made winnow ~4x faster, and a canary must have a
+#: FROZEN implementation) so the factor tracks the data-bound body,
+#: not just sub-0.2s planning-bound shapes — the r10
+#: canary-faster/body-slower split was unreadable without them.
 #: Their references are the cross-round median of the r8/r9/r10 BENCH
 #: min-stat values (code untouched across those rounds). Only meaningful
 #: at sf0.1 (the reference scale); omitted otherwise.

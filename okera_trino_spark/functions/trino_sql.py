@@ -5275,13 +5275,31 @@ def execute_trino(spark: SparkSession, sql: str,
 
 _EXPLAIN_HEAD_RE = re.compile(r"^\s*EXPLAIN\b", re.IGNORECASE)
 
-#: Scan-block fields in Spark's "formatted" physical plan, used by
-#: EXPLAIN (TYPE IO) to synthesize the per-table access summary.
-_IO_SCAN_RE = re.compile(
-    r"Scan parquet[^\n]*\n(?:[^\n]*\n)*?"
-    r"Location:[^\[]*\[([^\]]*)\]\n"
-    r"(?:PushedFilters:\s*\[([^\]]*)\]\n)?"
-    r"ReadSchema:\s*struct<([^>]*)>")
+#: One scan node block in Spark's "formatted" physical plan: header
+#: line "(N) Scan <format> ..." followed by its detail lines up to the
+#: next blank line. EXPLAIN (TYPE IO) parses the fields per block, so
+#: intervening lines (PartitionFilters on partitioned tables, Batched,
+#: DataFilters) cannot break the extraction, and every file format the
+#: source layer registers (parquet/orc/csv/json/text) is reported.
+_IO_BLOCK_RE = re.compile(
+    r"\(\d+\) Scan (?:parquet|orc|csv|json|text)[^\n]*\n"
+    r"((?:[^\n]+\n)*)")
+
+
+def _split_schema_fields(s: str) -> list[str]:
+    """Split a ReadSchema struct body on depth-0 commas, tracking
+    ``<>`` nesting (array/map/struct element types carry commas)."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "<([":
+            depth += 1
+        elif c in ">)]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in parts if p.strip()]
 
 
 def _one_text_row(spark: SparkSession, column: str, text: str) -> DataFrame:
@@ -5409,25 +5427,26 @@ def execute_trino_explain(spark: SparkSession, sql: str,
         import json as _json
         plan = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
         tables = []
-        for loc, pushed, schema in _IO_SCAN_RE.findall(plan):
-            path = loc.split(",")[0].strip()
+        for block in _IO_BLOCK_RE.findall(plan):
+            # Per-line field extraction within the scan block — order-
+            # and presence-independent, so PartitionFilters/DataFilters
+            # lines on partitioned tables can't derail the parse, and
+            # Spark's 100-char metadata truncation (an unterminated
+            # "[...") degrades only that field, never the block.
+            loc = re.search(r"Location:[^\[\n]*\[([^\]\n]*)", block)
+            pushed = re.search(r"PushedFilters:\s*\[([^\n]*?)\]?\s*$",
+                               block, re.MULTILINE)
+            schema = re.search(r"ReadSchema:\s*struct<(.*?)>?\s*$",
+                               block, re.MULTILINE)
+            path = (loc.group(1).split(",")[0].strip() if loc else "")
             name = path.rstrip("/").rsplit("/", 1)[-1]
-            name = name[:-8] if name.endswith(".parquet") else name
-            cols = [c.split(":", 1)[0] for c in schema.split(",") if c]
-            # split the filter list only at depth-0 commas — filter
-            # renderings nest commas inside parens, e.g.
-            # GreaterThanOrEqual(o_orderdate,1997-01-01 00:00:00.0)
-            filters, depth, cur = [], 0, []
-            for ch in pushed or "":
-                if ch == "," and depth == 0:
-                    filters.append("".join(cur).strip())
-                    cur = []
-                    continue
-                depth += ch == "("
-                depth -= ch == ")"
-                cur.append(ch)
-            if cur and "".join(cur).strip():
-                filters.append("".join(cur).strip())
+            name = re.sub(r"\.(parquet|orc|csv|json|txt)$", "", name)
+            cols = [f.split(":", 1)[0].strip()
+                    for f in _split_schema_fields(
+                        schema.group(1) if schema else "")]
+            filters = [p.strip() for p in
+                       _split_top_level(pushed.group(1))
+                       if p.strip()] if pushed else []
             entry = {"table": {"catalog": "spark_catalog",
                                "schemaTable": {"schema": "default",
                                                "table": name}},
@@ -5437,11 +5456,10 @@ def execute_trino_explain(spark: SparkSession, sql: str,
                 tables.append(entry)
         text = _json.dumps({"inputTableColumnInfos": tables})
         return _one_text_row(spark, "Query Plan", text)
-    mode = "formatted" if etype == "DISTRIBUTED" else "extended"
     if etype == "LOGICAL":
         text = str(qe.optimizedPlan())
-    else:
-        text = spark._jvm.PythonSQLUtils.explainString(qe, mode)
+    else:  # DISTRIBUTED — the default
+        text = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
     return _one_text_row(spark, "Query Plan", text)
 
 

@@ -38,8 +38,18 @@ def spread_if_narrow(df: DataFrame, spark: SparkSession,
     rebalance a map stage costs more than it saves once every core
     already has work. The narrow case (one small file, local fixtures,
     a coalesced upstream) is exactly where the shuffle is cheap (few
-    bytes) and the win is large (idle cores). getNumPartitions reads
-    the planned partitioning — no job runs.
+    bytes) and the win is large (idle cores).
+
+    CONTRACT: call this on SCAN-stage DataFrames only (all current call
+    sites). The ``df.rdd`` probe is free for a scan (partition count
+    comes from file splits), but under AQE a plan that already contains
+    exchanges would MATERIALIZE its upstream query stages here — an
+    eager job at DataFrame-construction time. KNOWN LIMIT: the check is
+    partition COUNT only; a layout that is many-split but byte-skewed
+    (one unsplittable 10 GB gzip among small files) passes the check
+    and keeps its skew — that case needs splittable codecs or a lower
+    ``spark.sql.files.maxPartitionBytes`` at the scan, which no
+    per-operator rebalance can substitute for.
     """
     target = spark.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() >= target:

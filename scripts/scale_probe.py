@@ -67,10 +67,15 @@ def main() -> None:
         times = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF10)):
             fn(spark, sf_dir).count()  # warm-up: JIT + footer reads
-            best = min(
-                _timed(fn, spark, sf_dir) for _ in range(REPEATS))
-            times[label] = round(best, 3)
             _clear_session_state(spark)
+            samples = []
+            for _ in range(REPEATS):
+                samples.append(_timed(fn, spark, sf_dir))
+                # clear BETWEEN repeats too: a prior run's checkpoint
+                # blocks pinning memory during the next timed run is
+                # the same contamination, one level down
+                _clear_session_state(spark)
+            times[label] = round(min(samples), 3)
         ratio = round(times["sf1.0"] / times["sf0.1"], 2)
         results[name] = {**times, "ratio": ratio}
         print(json.dumps({"key": name, **results[name]}), flush=True)

@@ -108,6 +108,60 @@ def test_explain_refuses_ddl_without_executing(spark, sf_dir):
                    for t in spark.catalog.listTables())
 
 
+def test_explain_io_sees_partitioned_scans(spark, sf_dir, tmp_path):
+    """A partitioned table's scan block carries a PartitionFilters line
+    between Location and PushedFilters/ReadSchema; the per-block parse
+    must still report the table (the old single-regex form silently
+    dropped it)."""
+    p = str(tmp_path / "events_part")
+    (spark.range(0, 100)
+     .selectExpr("id", "id % 3 AS day", "id * 2 AS v")
+     .write.partitionBy("day").mode("overwrite").parquet(p))
+    spark.read.parquet(p).createOrReplaceTempView("events_part")
+    [(text,)] = execute_trino(
+        spark,
+        "EXPLAIN (TYPE IO, FORMAT JSON) "
+        "SELECT e.v FROM events_part e JOIN nation n "
+        "ON e.id = n.n_nationkey WHERE e.day = 1 AND e.v > 10",
+        sf_dir).collect()
+    infos = json.loads(text)["inputTableColumnInfos"]
+    names = sorted(i["table"]["schemaTable"]["table"] for i in infos)
+    assert names == ["events_part", "nation"], infos
+    part = next(i for i in infos
+                if i["table"]["schemaTable"]["table"] == "events_part")
+    assert "v" in part["columns"], part
+    assert any("GreaterThan(v" in f for f in part["pushedFilters"]), part
+
+
+def test_explain_io_handles_nested_schema_and_csv(spark, sf_dir, tmp_path):
+    """Nested ReadSchema types must not break column extraction (the
+    old '<'-naive parse reported inner fields as top-level columns and
+    dropped later ones), and non-parquet file sources must appear."""
+    np = str(tmp_path / "nested")
+    (spark.range(0, 10)
+     .selectExpr("named_struct('w', id, 'h', id + 1) AS meta",
+                 "id AS doc_id")
+     .write.mode("overwrite").parquet(np))
+    spark.read.parquet(np).createOrReplaceTempView("nested_t")
+    [(text,)] = execute_trino(
+        spark, "EXPLAIN (TYPE IO, FORMAT JSON) "
+               "SELECT meta.w, doc_id FROM nested_t", sf_dir).collect()
+    infos = json.loads(text)["inputTableColumnInfos"]
+    cols = infos[0]["columns"]
+    assert "doc_id" in cols, infos
+    assert "h" not in cols, infos  # nested field never a top-level col
+    cp = str(tmp_path / "csvsrc")
+    (spark.range(0, 10).selectExpr("id", "id * 3 AS x")
+     .write.mode("overwrite").option("header", True).csv(cp))
+    (spark.read.option("header", True).option("inferSchema", True)
+     .csv(cp).createOrReplaceTempView("csv_t"))
+    [(text,)] = execute_trino(
+        spark, "EXPLAIN (TYPE IO, FORMAT JSON) SELECT x FROM csv_t",
+        sf_dir).collect()
+    infos = json.loads(text)["inputTableColumnInfos"]
+    assert len(infos) == 1 and "x" in infos[0]["columns"], infos
+
+
 def test_explain_io_dedupes_self_join_scans(spark, sf_dir):
     """A self-join scans the same table with the same column set twice;
     the IO summary reports it once."""
