@@ -44,6 +44,20 @@ def test_text_matches_twin(spark, n):
         f"first diffs {[p for p in zip(a, b) if p[0] != p[1]][:3]}")
 
 
+@pytest.mark.parametrize("n", [17, 19, 21])
+def test_hard_shapes_match_twin_at_sf001(spark, n):
+    """The three texts whose PLANS could silently degrade (Q17
+    decorrelation, Q19 CNF extraction, Q21 semi/anti lowering) also
+    twin-match at sf0.01, where the optimizer sees 10x the statistics
+    and row counts — a plan regression that only manifests above toy
+    scale would surface here."""
+    specs = load_all_queries()
+    sf = "/root/testdata/sf0.01"
+    a = _canon_frame(run_tpch_text(spark, n, sf).toPandas())
+    b = _canon_frame(specs[TWIN[n]].fn(spark, sf).toPandas())
+    assert a == b, f"Q{n}: text/twin drift at sf0.01"
+
+
 def test_q19_or_of_conjuncts_stays_hash_join(spark):
     """The spec's comma join + OR-of-conjuncts (each disjunct repeating
     p_partkey = l_partkey) must plan as an equi-join — Catalyst's CNF
