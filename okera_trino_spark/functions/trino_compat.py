@@ -424,6 +424,169 @@ def register_murmur3(spark: SparkSession) -> None:
     spark.udf.register("trino_murmur3", F.pandas_udf(_mm3, "binary"))
 
 
+_SPOOKY_CONST = 0xDEADBEEFDEADBEEF
+
+
+def _spooky_rot(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _spooky_short_mix(a: int, b: int, c: int, d: int):
+    # Jenkins's ShortMix rotation schedule (spookyhash-V2 public spec).
+    c = _spooky_rot(c, 50); c = (c + d) & _M64; a ^= c
+    d = _spooky_rot(d, 52); d = (d + a) & _M64; b ^= d
+    a = _spooky_rot(a, 30); a = (a + b) & _M64; c ^= a
+    b = _spooky_rot(b, 41); b = (b + c) & _M64; d ^= b
+    c = _spooky_rot(c, 54); c = (c + d) & _M64; a ^= c
+    d = _spooky_rot(d, 48); d = (d + a) & _M64; b ^= d
+    a = _spooky_rot(a, 38); a = (a + b) & _M64; c ^= a
+    b = _spooky_rot(b, 37); b = (b + c) & _M64; d ^= b
+    c = _spooky_rot(c, 62); c = (c + d) & _M64; a ^= c
+    d = _spooky_rot(d, 34); d = (d + a) & _M64; b ^= d
+    a = _spooky_rot(a, 5);  a = (a + b) & _M64; c ^= a
+    b = _spooky_rot(b, 36); b = (b + c) & _M64; d ^= b
+    return a, b, c, d
+
+
+def _spooky_short_end(h0: int, h1: int, h2: int, h3: int):
+    for src, rot in ((2, 15), (3, 52), (0, 26), (1, 51), (2, 28),
+                     (3, 9), (0, 47), (1, 54), (2, 32), (3, 25), (0, 63)):
+        dst = (src + 1) % 4
+        h = [h0, h1, h2, h3]
+        h[dst] ^= h[src]
+        h[src] = _spooky_rot(h[src], rot)
+        h[dst] = (h[dst] + h[src]) & _M64
+        h0, h1, h2, h3 = h
+    return h0, h1, h2, h3
+
+
+def _spooky_short(data: bytes, h1: int, h2: int):
+    """SpookyHashV2::Short — inputs under 192 bytes (sc_bufSize)."""
+    n = len(data)
+    a, b, c, d = h1 & _M64, h2 & _M64, _SPOOKY_CONST, _SPOOKY_CONST
+    remainder = n % 32
+    pos = 0
+    if n > 15:
+        for pos in range(0, n - 31, 32):
+            c = (c + int.from_bytes(data[pos:pos + 8], "little")) & _M64
+            d = (d + int.from_bytes(data[pos + 8:pos + 16], "little")) & _M64
+            a, b, c, d = _spooky_short_mix(a, b, c, d)
+            a = (a + int.from_bytes(data[pos + 16:pos + 24], "little")) & _M64
+            b = (b + int.from_bytes(data[pos + 24:pos + 32], "little")) & _M64
+        pos = (n // 32) * 32
+        if remainder >= 16:
+            c = (c + int.from_bytes(data[pos:pos + 8], "little")) & _M64
+            d = (d + int.from_bytes(data[pos + 8:pos + 16], "little")) & _M64
+            a, b, c, d = _spooky_short_mix(a, b, c, d)
+            pos += 16
+            remainder -= 16
+    d = (d + ((n << 56) & _M64)) & _M64
+    tail = data[pos:]
+    if remainder == 0:
+        c = (c + _SPOOKY_CONST) & _M64
+        d = (d + _SPOOKY_CONST) & _M64
+    elif remainder >= 8:
+        # The byte-wise switch in the spec is equivalent to LE loads of
+        # the sub-8-byte tails (cases 9-15 build d, 1-7 build c, 8/12
+        # are whole u64/u32 loads).
+        c = (c + int.from_bytes(tail[:8], "little")) & _M64
+        if remainder > 8:
+            d = (d + int.from_bytes(tail[8:remainder], "little")) & _M64
+    else:
+        c = (c + int.from_bytes(tail[:remainder], "little")) & _M64
+    a, b, c, d = _spooky_short_end(a, b, c, d)
+    return a, b
+
+
+#: Mix / EndPartial rotation schedules (spookyhash-V2 public spec). Both
+#: loops are the spec's unrolled 12-line bodies re-expressed as the
+#: index pattern they follow.
+_SPOOKY_MIX_ROTS = (11, 32, 43, 31, 17, 28, 39, 57, 55, 54, 22, 46)
+_SPOOKY_END_ROTS = (44, 15, 34, 21, 38, 33, 10, 13, 38, 53, 42, 54)
+
+
+def _spooky_end_partial(h: list) -> list:
+    for j in range(12):
+        h[(j + 11) % 12] = (h[(j + 11) % 12] + h[(j + 1) % 12]) & _M64
+        h[(j + 2) % 12] ^= h[(j + 11) % 12]
+        h[(j + 1) % 12] = _spooky_rot(h[(j + 1) % 12], _SPOOKY_END_ROTS[j])
+    return h
+
+
+def _spooky_long(data: bytes, h1: int, h2: int):
+    """SpookyHashV2 long path — 96-byte Mix blocks, padded final block
+    carrying the remainder length in its last byte, then End (block add
+    + 3x EndPartial)."""
+    n = len(data)
+    h = [h1 & _M64, h2 & _M64, _SPOOKY_CONST] * 4
+    nblocks = n // 96
+    for i in range(nblocks):
+        base = i * 96
+        for j in range(12):
+            h[j] = (h[j] + int.from_bytes(
+                data[base + 8 * j:base + 8 * j + 8], "little")) & _M64
+            h[(j + 2) % 12] ^= h[(j + 10) % 12]
+            h[(j + 11) % 12] ^= h[j]
+            h[j] = _spooky_rot(h[j], _SPOOKY_MIX_ROTS[j])
+            h[(j + 11) % 12] = (h[(j + 11) % 12] + h[(j + 1) % 12]) & _M64
+    remainder = n - nblocks * 96
+    buf = data[nblocks * 96:] + bytes(96 - remainder)
+    buf = buf[:95] + bytes([remainder])
+    for j in range(12):
+        h[j] = (h[j] + int.from_bytes(buf[8 * j:8 * j + 8], "little")) & _M64
+    for _ in range(3):
+        h = _spooky_end_partial(h)
+    return h[0], h[1]
+
+
+def spooky_v2_128(data: bytes, seed1: int = 0, seed2: int = 0):
+    """SpookyHash V2 (Bob Jenkins, public domain) 128-bit hash — the
+    function behind Trino's ``spooky_hash_v2_32/64`` (airlift
+    SpookyHashV2, seed 0). Short path under 192 bytes, Mix-block long
+    path at or above. Verified against the PUBLISHED smhasher
+    verification constant for Spooky64 (0x972C4BDC — keys [0..i) at
+    seed 256-i, LE digests concatenated, rehashed at seed 0) in
+    tests/test_trino_sql.py::test_spooky_smhasher_verification; that
+    procedure exercises every length 0..255, covering both paths and
+    the 192-byte boundary."""
+    if len(data) < 192:
+        return _spooky_short(data, seed1, seed2)
+    return _spooky_long(data, seed1, seed2)
+
+
+def spooky_v2_64(data: bytes, seed: int = 0) -> int:
+    return spooky_v2_128(data, seed, seed)[0]
+
+
+def spooky_v2_32(data: bytes, seed: int = 0) -> int:
+    # Public header: Hash32 = (uint32)Hash128(seed, seed).hash1.
+    return spooky_v2_64(data, seed & 0xFFFFFFFF) & 0xFFFFFFFF
+
+
+def register_spooky(spark: SparkSession) -> None:
+    """Register ``trino_spooky32/64(varbinary) → varbinary`` — Trino's
+    ``spooky_hash_v2_32/64`` (VarbinaryFunctions: big-endian bytes of
+    the seed-0 hash value). Arrow-batched pandas UDFs (dialect-parity
+    path — internal fingerprints should use Spark's native xxhash64)."""
+    import pandas as pd  # noqa: PLC0415 — lazy, session-scoped
+
+    def _s32(b):
+        return pd.Series(
+            [None if v is None
+             else spooky_v2_32(bytes(v)).to_bytes(4, "big")
+             for v in b], dtype=object)
+
+    def _s64(b):
+        return pd.Series(
+            [None if v is None
+             else spooky_v2_64(bytes(v)).to_bytes(8, "big")
+             for v in b], dtype=object)
+
+    for fn, name in ((_s32, "trino_spooky32"), (_s64, "trino_spooky64")):
+        fn.__annotations__ = {"b": pd.Series, "return": pd.Series}
+        spark.udf.register(name, F.pandas_udf(fn, "binary"))
+
+
 def register_binary_codecs(spark: SparkSession) -> None:
     """Register the binary-codec UDF family (r10, formerly bare
     unresolved-routines):

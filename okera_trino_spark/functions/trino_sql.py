@@ -116,8 +116,9 @@ Coverage (each divergence is tested in tests/test_trino_sql.py):
     UDF (r10 — Porter2/Snowball english from the public spec;
     non-english language codes stay named errors); murmur3 → the
     trino_murmur3 pandas UDF (r10 — x64_128 seed 0,
-    smhasher-verification bit-verified); named error for
-    spooky_hash_v2_*
+    smhasher-verification bit-verified); spooky_hash_v2_32/64 → the
+    trino_spooky32/64 pandas UDFs (r12 — Jenkins SpookyHash V2 seed 0,
+    big-endian result bytes, smhasher Spooky64 0x972C4BDC verified)
   - wave 17 (r8): chr → the Unicode CODEPOINT character (Spark's char
     wraps at 256 — a silent mistranslation until now): literal
     codepoints embed the exact character via the stash, column-driven
@@ -3780,27 +3781,21 @@ def _structural_rewrites(code: str, stash: list[str]) -> str:
             f"implemented — language {lang!r} has no verified "
             "in-container twin")
     code = _rewrite_calls(code, "word_stem", _word_stem)
-    # SpookyHash V2 stays a DELIBERATE refusal (r11 decision): the
-    # murmur3/xxhash64 playbook requires bit-verifying a from-scratch
-    # implementation against the PUBLISHED smhasher verification
-    # constants, and those are not available in this offline container
-    # (Jenkins's rotation schedules are long enough that an unverified
-    # transcription would likely self-green against its own literal
-    # oracle while being wrong — the exact circularity the exact-or-
-    # refuse rule exists to prevent). Implement only with the smhasher
-    # main.cpp expected values in hand.
+    # spooky_hash_v2_32/64 (r12, formerly a deliberate refusal): Trino's
+    # SpookyHash V2 (VarbinaryFunctions → airlift SpookyHashV2, seed 0,
+    # big-endian result bytes) via the session-registered trino_spooky32/
+    # 64 pandas UDFs. The r11 refusal condition — a PUBLISHED smhasher
+    # verification constant to break the self-oracle circularity — is
+    # met: the from-scratch implementation reproduces smhasher's
+    # Spooky64 value 0x972C4BDC over all key lengths 0..255
+    # (trino_compat.spooky_v2_128; test_trino_sql.py::
+    # test_spooky_smhasher_verification).
     code = _rewrite_calls(
         code, "spooky_hash_v2_64",
-        _named_unsupported("spooky_hash_v2_64",
-                             "no SpookyHash builtin in Spark, and no "
-                             "offline verification vector to prove a "
-                             "reimplementation bit-exact"))
+        lambda a: f"trino_spooky64({a[0]})" if len(a) == 1 else None)
     code = _rewrite_calls(
         code, "spooky_hash_v2_32",
-        _named_unsupported("spooky_hash_v2_32",
-                             "no SpookyHash builtin in Spark, and no "
-                             "offline verification vector to prove a "
-                             "reimplementation bit-exact"))
+        lambda a: f"trino_spooky32({a[0]})" if len(a) == 1 else None)
     # Trino CLI color/bar rendering — terminal-escape helpers with no
     # meaning outside the Trino CLI; refuse by name (r10).
     for _color_fn in ("bar", "color", "render", "rgb"):
@@ -5241,6 +5236,10 @@ def ensure_dialect_udfs(spark: SparkSession, sql: str) -> None:
         from okera_trino_spark.functions.trino_compat import (
             register_murmur3)
         register_murmur3(spark)
+    if re.search(r"\b(spooky_hash_v2_(32|64)|trino_spooky(32|64))\s*\(",
+                 sql, re.IGNORECASE):
+        from okera_trino_spark.functions.trino_compat import register_spooky
+        register_spooky(spark)
 
 
 def execute_trino(spark: SparkSession, sql: str,
@@ -7639,3 +7638,48 @@ def q_trino_sql_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable sketch, map-side combine, one shuffle on the
     group key."""
     return execute_trino(spark, TRINO_SQL_QDIGEST, sf_dir)
+
+
+def _spooky_oracle() -> str:
+    """Oracle for q_trino_sql_spooky: nation is FIXED (25 rows,
+    NATION_0..24, identical at every SF), so the expected digests are
+    embedded as hex literals generated by the same
+    trino_compat.spooky_v2_32/64 — deliberately: this key proves the
+    SESSION PLUMBING, while the ALGORITHM's proof is smhasher's
+    published Spooky64 verification constant 0x972C4BDC
+    (test_spooky_smhasher_verification — the murmur3/xxhash64
+    two-sided pattern)."""
+    from okera_trino_spark.functions.trino_compat import (
+        spooky_v2_32, spooky_v2_64)
+    rows = ", ".join(
+        "({i}, '{h32}', '{h64}')".format(
+            i=i,
+            h32=spooky_v2_32(f"NATION_{i}".encode()).to_bytes(4, "big").hex(),
+            h64=spooky_v2_64(f"NATION_{i}".encode()).to_bytes(8, "big").hex())
+        for i in range(25))
+    return (f"SELECT n_nationkey, h32, h64 FROM (VALUES {rows}) "
+            f"AS t(n_nationkey, h32, h64) ORDER BY n_nationkey")
+
+
+@query(
+    "q_trino_sql_spooky",
+    oracle=_spooky_oracle(),
+    tags=("trino", "sql", "dialect"),
+)
+def q_trino_sql_spooky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino ``spooky_hash_v2_32/64(varbinary) → varbinary`` (r12,
+    formerly a deliberate refusal — see the wave-16 lowering comment
+    for why the smhasher constant was the gate): Jenkins SpookyHash V2
+    at seed 0, result rendered as big-endian bytes exactly like
+    Trino's VarbinaryFunctions (reference surface:
+    /root/reference/src/main/java/com/okera/recordservice/trino/
+    RecordServiceConnector.java wires Trino's builtin scalar set
+    through unchanged). Via the session-registered Arrow-batched
+    ``trino_spooky32/64`` pandas UDFs. Scale: map-only row work, no
+    shuffle."""
+    return execute_trino(
+        spark,
+        "SELECT n_nationkey, "
+        "lower(to_hex(spooky_hash_v2_32(to_utf8(n_name)))) AS h32, "
+        "lower(to_hex(spooky_hash_v2_64(to_utf8(n_name)))) AS h64 "
+        "FROM nation ORDER BY n_nationkey", sf_dir)

@@ -2530,6 +2530,33 @@ def test_murmur3_smhasher_verification(spark, sf_dir):
     assert row.h == murmur3_x64_128(b"abc").hex()
 
 
+def test_spooky_smhasher_verification(spark, sf_dir):
+    """SpookyHash V2's published smhasher verification value for
+    Spooky64 (0x972C4BDC): hash keys [0..i) at seed 256-i, concatenate
+    the LE u64 digests, hash at seed 0, take the low 32 bits — the
+    procedure exercises EVERY length 0..255, covering the short path,
+    the 96-byte Mix-block long path, and the 192-byte boundary between
+    them. hash32 is definitionally the low half of hash64 (public
+    SpookyV2.h), so the same run verifies both dialect functions. Plus
+    NULL propagation and the dialect plumbing end-to-end."""
+    from okera_trino_spark.functions.trino_compat import (
+        spooky_v2_32, spooky_v2_64)
+
+    buf = b"".join(spooky_v2_64(bytes(range(i)), seed=256 - i)
+                   .to_bytes(8, "little") for i in range(256))
+    assert spooky_v2_64(buf) & 0xFFFFFFFF == 0x972C4BDC
+    assert spooky_v2_32(b"hello") == spooky_v2_64(b"hello") & 0xFFFFFFFF
+    rows = execute_trino(
+        spark,
+        "SELECT lower(to_hex(spooky_hash_v2_32(to_utf8('hello')))) AS h32, "
+        "lower(to_hex(spooky_hash_v2_64(to_utf8('hello')))) AS h64, "
+        "spooky_hash_v2_64(CAST(NULL AS BINARY)) AS hnull",
+        sf_dir).collect()[0]
+    assert rows.h32 == spooky_v2_32(b"hello").to_bytes(4, "big").hex()
+    assert rows.h64 == spooky_v2_64(b"hello").to_bytes(8, "big").hex()
+    assert rows.hnull is None
+
+
 def test_parse_duration_column(spark, sf_dir, oracle):
     """Non-literal parse_duration (r10, formerly refused): the airlift
     Duration grammar replayed in codegen — magnitude * unit factor,
