@@ -93,6 +93,17 @@ HEADLINE = [
     "q_llm_ann_pq",
     "q_llm_bpe_apply",
     "q_llm_quality_clf",
+    # round 12 additions: the newest heavy paths — DSIR importance
+    # weighting (two corpus bucket passes + broadcast scoring join) and
+    # the dialect-TEXT form of TPC-H Q21 (the hardest multi-join text
+    # the front end rewrites; cost should track the native q_tpch_q21
+    # a few slots up — any spread between the twins is front-end
+    # overhead, which must stay ~zero). r11 reference points are the
+    # cold-ish SCALE_PROBE_r11 sf0.1 runs (q_llm_dsir 2.23 s
+    # single-repeat isolated-session; steady-state medians here will
+    # be lower — BENCH_r12 sets the comparable baseline).
+    "q_llm_dsir",
+    "q_trino_tpch_q21",
 ]
 
 #: Timed steady-state repeats per query. Per-query headline time is the

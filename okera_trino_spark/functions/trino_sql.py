@@ -5280,9 +5280,12 @@ _EXPLAIN_HEAD_RE = re.compile(r"^\s*EXPLAIN\b", re.IGNORECASE)
 #: intervening lines (PartitionFilters on partitioned tables, Batched,
 #: DataFilters) cannot break the extraction, and every file format the
 #: source layer registers (parquet/orc/csv/json/text) is reported.
+#: Detail lines are terminated by \n OR end-of-string (r12, ADVICE):
+#: a plan whose last scan block ends without a trailing newline must
+#: not silently drop its final line (typically ReadSchema).
 _IO_BLOCK_RE = re.compile(
     r"\(\d+\) Scan (?:parquet|orc|csv|json|text)[^\n]*\n"
-    r"((?:[^\n]+\n)*)")
+    r"((?:[^\n]+(?:\n|$))*)")
 
 
 def _split_schema_fields(s: str) -> list[str]:
@@ -5299,6 +5302,33 @@ def _split_schema_fields(s: str) -> list[str]:
             start = i + 1
     parts.append(s[start:])
     return [p for p in parts if p.strip()]
+
+
+def _split_filters(s: str) -> list[str]:
+    """Split Spark's PushedFilters rendering on filter boundaries.
+
+    Depth-0 commas alone are not enough (r12, ADVICE): Spark renders
+    filter values UNQUOTED, so a string literal carrying parens or
+    commas can fool a pure depth tracker. Two hardenings: depth is
+    clamped at 0 (a stray ``)`` inside a literal cannot take depth
+    negative), and a split point must be followed by something shaped
+    like a filter constructor (``Name(``) — a depth-0 comma inside a
+    literal such as ``EqualTo(name, Smith), Jr.(sic`` keeps
+    accumulating unless what follows parses as a new filter. Literals
+    that contain text shaped exactly like a constructor remain a
+    documented cosmetic limit of the unquoted rendering."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif (c == "," and depth == 0
+              and re.match(r"\s*[A-Z]\w*\(", s[i + 1:])):
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _one_text_row(spark: SparkSession, column: str, text: str) -> DataFrame:
@@ -5352,7 +5382,15 @@ def execute_trino_explain(spark: SparkSession, sql: str,
     rest = sql[m.end():].lstrip()
     etype, efmt = "DISTRIBUTED", "TEXT"
     had_options = False
-    if rest.startswith("("):
+    # A leading '(' is only an options list when it is not the start of
+    # a parenthesized query (r12, ADVICE): EXPLAIN (SELECT 1) and
+    # EXPLAIN ((SELECT ...) UNION ALL ...) are legitimate Trino
+    # statements — peek past the parens before committing to options.
+    if rest.startswith("(") and re.match(
+            r"\(\s*\(*\s*(SELECT|WITH|VALUES|TABLE)\b", rest,
+            re.IGNORECASE):
+        pass
+    elif rest.startswith("("):
         had_options = True
         close = rest.find(")")
         if close < 0:
@@ -5388,7 +5426,8 @@ def execute_trino_explain(spark: SparkSession, sql: str,
     # at planning time, so EXPLAIN over CREATE/DROP/SET/... would run
     # the command instead of describing it (Trino never executes under
     # EXPLAIN). Refuse by name rather than silently mutate state.
-    if not re.match(r"(SELECT|WITH|VALUES|TABLE)\b", rest, re.IGNORECASE):
+    if not re.match(r"\(*\s*(SELECT|WITH|VALUES|TABLE)\b", rest,
+                    re.IGNORECASE):
         head = rest.split(None, 1)[0].upper()
         raise TrinoSqlUnsupported(
             f"EXPLAIN over {head} statements: Spark plans commands "
@@ -5443,9 +5482,7 @@ def execute_trino_explain(spark: SparkSession, sql: str,
             cols = [f.split(":", 1)[0].strip()
                     for f in _split_schema_fields(
                         schema.group(1) if schema else "")]
-            filters = [p.strip() for p in
-                       _split_top_level(pushed.group(1))
-                       if p.strip()] if pushed else []
+            filters = _split_filters(pushed.group(1)) if pushed else []
             entry = {"table": {"catalog": "spark_catalog",
                                "schemaTable": {"schema": "default",
                                                "table": name}},

@@ -168,6 +168,111 @@ def q_meta_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_meta_catalogs",
+    oracle="""
+    SELECT item, value FROM (VALUES
+        ('catalog', 'okera'),
+        ('catalog', 'okera_sampled_100mb'),
+        ('catalog', 'okera_sampled_10mb'),
+        ('catalog_like', 'okera_sampled_10mb'),
+        ('use', 'llm')
+    ) AS t(item, value)
+    UNION ALL
+    SELECT 'bare_count' AS item, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM documents
+    """,
+    tags=("catalog", "metadata"),
+)
+def q_meta_catalogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 closing the discovery loop (r12): ``SHOW CATALOGS`` answers
+    with the three connector flavors the reference plugin registers —
+    okera plus the byte-capped sampled variants
+    (RecordServicePlugin.java:61-67) — with Trino's LIKE filtering, and
+    ``USE llm`` sets the session schema that subsequent BARE table
+    names resolve against first (the reference resolves names against
+    the session schema, then the catalog tree): after USE, unqualified
+    ``documents`` reads llm.documents through the governed path. The
+    catalog listing and USE echo are fixed literals; the bare-name
+    count is replayed by the oracle on the same table, so the key is
+    hash-checkable at every SF."""
+    cat = GovernedCatalog(spark, sf_dir)
+    cats = cat.execute("SHOW CATALOGS", dialect="trino").selectExpr(
+        "'catalog' AS item", "catalog AS value")
+    like = cat.execute("SHOW CATALOGS LIKE '%10mb'", dialect="trino"
+                       ).selectExpr("'catalog_like' AS item",
+                                    "catalog AS value")
+    use = cat.execute("USE llm", dialect="trino").selectExpr(
+        "'use' AS item", "current_schema AS value")
+    cnt = cat.execute(
+        "SELECT 'bare_count' AS item, CAST(count(*) AS VARCHAR) AS value "
+        "FROM documents", dialect="trino")
+    return cats.union(like).union(use).union(cnt)
+
+
+@query(
+    "q_trino_explain_validate",
+    oracle="""
+    SELECT item, value FROM (VALUES
+        ('validate_ok', 'true'),
+        ('validate_hidden_column', 'analysis_error'),
+        ('validate_unknown_table', 'analysis_error'),
+        ('io_columns', 'n_name,n_nationkey,n_regionkey'),
+        ('io_pushed_filter_count', '3')
+    ) AS t(item, value)
+    """,
+    tags=("trino", "explain", "metadata"),
+)
+def q_trino_explain_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 with driver-visible evidence (r12): the EXPLAIN statement
+    family through the GOVERNED path, checked on its deterministic
+    surfaces. ``EXPLAIN (TYPE VALIDATE)`` analyzes without executing
+    and returns the ``Valid`` row; a column the caller's policy HIDES
+    fails analysis exactly like an unknown name (EXPLAIN can never
+    leak a refused column — the governed path registers policy-scoped
+    views before planning), as does an unknown table. ``EXPLAIN (TYPE
+    IO, FORMAT JSON)`` exposes the scan decision Catalyst actually
+    made: the pruned ReadSchema column set and the number of filters
+    pushed to the nation scan (IsNotNull + two range bounds for the
+    BETWEEN) — asserting pushdown happened, not just that a plan
+    printed. All five rows are deterministic literals; the plan TEXT
+    renderings (LOGICAL/DISTRIBUTED) stay pytest-checked
+    (tests/test_trino_explain.py) because their strings are
+    Spark-version artifacts, not engine semantics."""
+    import json
+
+    from okera_trino_spark.sources.catalog import TablePolicy
+
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.set_policy("intern", "nation",
+                   TablePolicy(allowed_columns=["n_name"]))
+    rows = []
+    ok = cat.execute("EXPLAIN (TYPE VALIDATE) SELECT n_name FROM nation",
+                     dialect="trino").collect()[0]
+    rows.append(("validate_ok", str(bool(ok.Valid)).lower()))
+    for item, sql, user in (
+            ("validate_hidden_column",
+             "EXPLAIN (TYPE VALIDATE) SELECT n_nationkey FROM nation",
+             "intern"),
+            ("validate_unknown_table",
+             "EXPLAIN (TYPE VALIDATE) SELECT 1 FROM no_such_table",
+             None)):
+        try:
+            cat.execute(sql, user=user, dialect="trino")
+            rows.append((item, "unexpectedly_valid"))
+        except Exception:
+            rows.append((item, "analysis_error"))
+    io = cat.execute(
+        "EXPLAIN (TYPE IO, FORMAT JSON) SELECT n_name, n_regionkey "
+        "FROM nation WHERE n_nationkey BETWEEN 5 AND 20",
+        dialect="trino").collect()[0]
+    info = json.loads(io[0])["inputTableColumnInfos"][0]
+    rows.append(("io_columns", ",".join(sorted(info["columns"]))))
+    rows.append(("io_pushed_filter_count",
+                 str(len(info["pushedFilters"]))))
+    return spark.createDataFrame(rows, "item string, value string")
+
+
+@query(
     "q_trino_info_schema",
     oracle="""
     SELECT table_name, column_name,

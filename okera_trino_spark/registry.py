@@ -89,64 +89,60 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-11 ROTATION (data-driven: slots ranked by last-green round
-#: computed from CORRECTNESS_r01..r10; the r10 window went 50/50
-#: hash-green, so all 50 rotate OUT). Slots, in order:
-#:   1) the 12-key r5-stale cohort (q_tpch_q2/q9/q11/q12/q16/q20/q21,
-#:      q_view_expand, q_llm_media_features / q_llm_entropy /
-#:      q_llm_pack / q_llm_dedup_ngram) — last green in r5, AT the
-#:      5-round staleness bound this round; deferred twice (r9, r10)
-#:      and pre-committed to this slot in the r10 rotation note;
-#:   2) the 5 NEW r11 keys (qdigest read path, equi-depth histogram
-#:      twin, SQL-text GROUPS frames, strict-mode SQL/JSON, numeric
-#:      jsonpath item methods) — new keys must sit in-window for the
-#:      test_entry.py union-closure invariant;
-#:   3) backfill from the 46-key r7 cohort (next-stalest; last green
-#:      r7, bound hits at r12). The 13 r7 keys that did NOT fit this
-#:      window MUST rotate in at r12 (they reach the 5-round bound
-#:      then): q_llm_quantize, q_llm_semdedup, q_llm_stratified,
-#:      q_llm_tfidf, q_meta_discovery, q_offset, q_sample,
-#:      q_scan_wide, q_values, q_except_all, q_intersect_all,
-#:      q_llm_dedup_embed, q_llm_ann_ivf_static.
+#: ROUND-12 ROTATION (data-driven: slots ranked by last-green round
+#: computed from CORRECTNESS_r01..r11 — scripts/rotation_audit.py
+#: recomputes and checks this). The r11 window went 50/50 hash-green,
+#: so all 50 rotate OUT. Slots, in order:
+#:   1) the 22-key r7-stale cohort — last green r7, AT the 5-round
+#:      staleness bound this round; pre-committed in the r11 rotation
+#:      note and the r11 verdict's item 1;
+#:   2) the NEW r12 keys (SpookyHash V2, SHOW CATALOGS/USE discovery,
+#:      EXPLAIN VALIDATE/IO driver evidence) — new keys must sit
+#:      in-window for the test_entry.py union-closure invariant;
+#:   3) backfill 25 from the 46-key r8 cohort (next-stalest; bound
+#:      hits at r13), favoring the heavy/plan-sensitive keys (TPC-H
+#:      composites, the LLM pipeline block, MATCH_RECOGNIZE core).
+#:      The 21 r8 keys that did NOT fit MUST rotate in at r13 (they
+#:      reach the 5-round bound then): q_agg_approx_distinct_det,
+#:      q_agg_approx_percentile_det, q_agg_group, q_agg_salted,
+#:      q_cte, q_filter_range, q_join_broadcast, q_join_inner,
+#:      q_join_left, q_join_semi, q_pandas_group_norm,
+#:      q_stream_static_join, q_topk, q_trino_info_schema,
+#:      q_trino_sql_unicode, q_view_create_read, q_win_rank,
+#:      q_trino_sql_mr_prev, q_trino_sql_mr_skiplast,
+#:      q_trino_sql_mr_skipsubset, q_trino_sql_mr_unmatched.
+#:      21 + new r13 keys + r9-cohort backfill (49 keys, bound r14)
+#:      keeps the schedule feasible at ~222 keys (44.4/round average
+#:      vs the 50-slot window).
+#:
+#: WINDOW-INELIGIBLE, PERMANENTLY: q_agg_approx_distinct and
+#: q_agg_approx_percentile never enter this list BY DESIGN — they are
+#: Spark-native non-deterministic sketches whose values cannot
+#: hash-match a DuckDB replay; their correctness evidence is the
+#: hash-green deterministic twins (q_agg_approx_*_det) plus the error-
+#: bound tests in tests/test_bounds.py. Rotation audits (including
+#: scripts/rotation_audit.py) must exclude them from staleness checks.
 _PRIORITY: tuple[str, ...] = (
-    # 1) r5-stale cohort — at the staleness bound, mandatory this round
-    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
-    "q_tpch_q16", "q_tpch_q20", "q_tpch_q21", "q_view_expand",
-    "q_llm_media_features", "q_llm_entropy", "q_llm_pack",
-    "q_llm_dedup_ngram",
-    # 2) new r11 keys (inserted as they land)
-    "q_trino_sql_qdigest", "q_agg_numeric_histogram_det",
-    "q_trino_sql_groups_frame", "q_trino_sql_jsonpath_strict",
-    "q_trino_sql_jsonpath_methods",
-    # 2b) new r11 keys, second wave: the TPC-H-as-Trino-TEXT suite
-    #     (functions/trino_tpch.py) — the eight dialect-hardest texts
-    #     enter the contract (the other 13 are twin-equality-tested in
-    #     tests/test_trino_tpch_suite.py). Their window slots displace
-    #     eight r7-backfill keys into the r12 deferral list below.
-    "q_trino_tpch_q2", "q_trino_tpch_q4", "q_trino_tpch_q13",
-    "q_trino_tpch_q15", "q_trino_tpch_q17", "q_trino_tpch_q18",
-    "q_trino_tpch_q21", "q_trino_tpch_q22",
-    # 2c) new r11 key, third wave: DSIR importance weighting.
-    "q_llm_dsir",
-    # 3) r7 backfill (24 of 46; 12 + 5 + 8 + 1 + 24 = 50 — the other
-    #    22 r7 keys are the r12 deferral list: the 13 in the note above
-    #    PLUS the 9 displaced by the r11 new-key waves: q_agg_collect,
-    #    q_agg_global, q_distinct_rows, q_except, q_filter_in,
-    #    q_filter_null, q_intersect, q_join_cross, q_limit. All 22
-    #    reach the 5-round bound at r12 and MUST rotate in then; 22 +
-    #    28 r8-cohort keys fill the r12 window, leaving an 18-key r8
-    #    remainder that greens exactly AT its r13 bound — the schedule
-    #    stays feasible at 219 keys (43.8/round average vs the 50-slot
-    #    window).
-    "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
-    "q_agg_gsets", "q_join_anti",
-    "q_join_full", "q_join_theta",
-    "q_llm_ann_lsh", "q_llm_chunk", "q_llm_dedup_near",
-    "q_llm_para_dedup", "q_subquery_in", "q_subquery_scalar",
-    "q_trino_sql", "q_trino_sql_breadth", "q_trino_sql_fns",
-    "q_trino_sql_prepared", "q_trino_sql_tz", "q_trino_sql_unnest",
-    "q_trino_tpch_q1", "q_union_distinct", "q_win_frame_groups",
-    "q_win_frame_rows", "q_win_lag_lead",
+    # 1) r7-stale cohort — at the staleness bound, mandatory this round
+    "q_agg_collect", "q_agg_global", "q_distinct_rows", "q_except",
+    "q_except_all", "q_filter_in", "q_filter_null", "q_intersect",
+    "q_intersect_all", "q_join_cross", "q_limit",
+    "q_llm_ann_ivf_static", "q_llm_dedup_embed", "q_llm_quantize",
+    "q_llm_semdedup", "q_llm_stratified", "q_llm_tfidf",
+    "q_meta_discovery", "q_offset", "q_sample", "q_scan_wide",
+    "q_values",
+    # 2) new r12 keys (inserted as they land)
+    "q_trino_sql_spooky", "q_meta_catalogs", "q_trino_explain_validate",
+    # 3) r8 backfill (25 of 46; 22 + 3 + 25 = 50)
+    "q_events_pattern", "q_events_pattern_empty",
+    "q_events_pattern_rows", "q_events_pattern_skipnext",
+    "q_trino_sql_mr", "q_trino_sql_mr_desc", "q_trino_sql_mr_vars",
+    "q_llm_ann_ivf", "q_llm_ann_pq", "q_llm_bpe", "q_llm_bpe_apply",
+    "q_llm_curation", "q_llm_decontaminate", "q_llm_dedup_exact",
+    "q_llm_heavy_hitters", "q_llm_multimodal", "q_llm_project",
+    "q_llm_quality_clf", "q_llm_similarity", "q_llm_trigram_lm",
+    "q_llm_winnow",
+    "q_tpch_q3", "q_tpch_q18", "q_pricing_summary", "q_scan_full",
 )
 
 

@@ -237,3 +237,47 @@ def test_governed_explain_is_policy_scoped(spark, sf_dir):
             user="eve", dialect="trino").collect()
     # the statement is audited like any other submission
     assert any(r.sql.startswith("EXPLAIN") for r in cat.audit_log)
+
+
+def test_explain_parenthesized_query_is_not_options(spark, sf_dir):
+    """A leading '(' that opens a parenthesized QUERY must not be
+    parsed as an options list (r12, ADVICE): EXPLAIN (SELECT 1) and
+    EXPLAIN ((SELECT ...) UNION ALL ...) are legitimate Trino
+    statements."""
+    for sql in ("EXPLAIN (SELECT 1 AS x)",
+                "EXPLAIN ((SELECT n_name AS s FROM nation) "
+                "UNION ALL (SELECT r_name AS s FROM region))"):
+        df = execute_trino(spark, sql, sf_dir)
+        assert df.columns == ["Query Plan"]
+    # a real options list still parses as options
+    df = execute_trino(
+        spark, "EXPLAIN (TYPE VALIDATE) SELECT 1 AS x", sf_dir)
+    assert df.collect()[0].Valid is True
+
+
+def test_io_block_regex_keeps_final_unterminated_line():
+    """The scan-block regex must not drop a final detail line that
+    lacks a trailing newline (r12, ADVICE) — ReadSchema is typically
+    last in the block."""
+    from okera_trino_spark.functions.trino_sql import _IO_BLOCK_RE
+
+    plan = ("(1) Scan parquet [n_name]\n"
+            "Location: InMemoryFileIndex [file:/x/nation.parquet]\n"
+            "ReadSchema: struct<n_name:string>")
+    (block,) = _IO_BLOCK_RE.findall(plan)
+    assert "ReadSchema: struct<n_name:string>" in block
+
+
+def test_split_filters_survives_literal_punctuation():
+    """Filter splitting keys on ')  ,  Name(' boundaries, not bare
+    depth-0 commas, so unquoted literals carrying commas or stray
+    parens do not shatter into bogus entries (r12, ADVICE)."""
+    from okera_trino_spark.functions.trino_sql import _split_filters
+
+    assert _split_filters(
+        "IsNotNull(a), EqualTo(name,Smith, Jr.), "
+        "GreaterThan(b,3)") == [
+        "IsNotNull(a)", "EqualTo(name,Smith, Jr.)", "GreaterThan(b,3)"]
+    # stray ')' inside a literal cannot take depth negative
+    assert _split_filters("EqualTo(name,Smi)th), In(b, [1,2])") == [
+        "EqualTo(name,Smi)th)", "In(b, [1,2])"]
