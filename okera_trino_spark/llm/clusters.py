@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from okera_trino_spark.llm.dedup import (
     NGRAM_THRESHOLD,
+    minhash_pairs_sql,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     ngram_pairs_sql,
 )
@@ -186,6 +188,61 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the touched-node labels only.
     comp = connected_components(d.select("doc_id"),
                                 ngram_pairs(spark, sf_dir),
+                                include_isolated=False)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"),
+             F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+@query(
+    "q_llm_dup_clusters_lsh",
+    oracle=f"""
+    WITH RECURSIVE {minhash_pairs_sql()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           count(*) AS cluster_size,
+           min(doc_id) AS canonical_doc_id
+    FROM comp
+    GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_llm_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the MinHash+LSH verified edge set — the
+    100-TB edge source (r12). Same component resolution as
+    q_llm_dup_clusters, different edge generator: banded-LSH candidate
+    pairs + exact Jaccard verify (llm/dedup.py minhash_verified_pairs)
+    instead of the exact inverted-index self-join.
+
+    Why it exists (measured, SCALE.md r12 second decade): the exact
+    join's candidate volume is SUM over shingles of df², so a corpus
+    whose per-shingle document frequency grows with corpus size — dense
+    boilerplate, or the saturated shingle space of the generated scale
+    tiers — sends it quadratic (5.72x wall for 3x data) while every df
+    stays under the hot-key cap. LSH banding's candidate volume scales
+    with docs x bands regardless of df: same probe measured 2.49x for
+    3x data. At Jaccard ≥ 0.5 the band scheme's recall makes the
+    verified edge set equal the exact pair set (asserted against
+    q_llm_dup_clusters in tests/test_llm.py), so the clusters are
+    identical — only the cost curve changes. The oracle replays the
+    full LSH pipeline + recursive closure in DuckDB."""
+    d = t(spark, sf_dir, "documents")
+    edges = minhash_verified_pairs(d).select("doc_a", "doc_b")
+    comp = connected_components(d.select("doc_id"), edges,
                                 include_isolated=False)
     return (
         comp.groupBy("cluster_id")

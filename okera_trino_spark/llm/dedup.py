@@ -11,10 +11,10 @@ Five dedup strategies, each in its scalable Spark shape:
 - embedding      cosine near-dup via a blocked pair join (brute force at
                  test scale; IVF/LSH variant in llm/similarity.py)
 
-Oracle notes: exact/ngram/simhash/embedding use engine-neutral
-arithmetic so DuckDB can check them; MinHash relies on xxhash64 (engine-
-specific) → rows-only driver check, with determinism covered by unit
-tests.
+Oracle notes: every strategy is hash-checked cross-engine — exact/
+ngram/simhash/embedding use engine-neutral arithmetic, and MinHash uses
+the md5-prefix permutation family (r6), so DuckDB replays signatures,
+banding and the exact verify bit-for-bit (minhash_pairs_sql).
 """
 
 from __future__ import annotations
@@ -121,9 +121,16 @@ NGRAM_THRESHOLD = 0.5
 #: defined over the capped shingle universe; Spark and DuckDB apply the
 #: identical cutoff, see ngram_pairs_sql). The cap is an ABSOLUTE count
 #: so the worst single-key fan-out is bounded at cap²/2 ≈ 500k rows
-#: regardless of corpus size. Fixture max DF is 25 (measured, all SFs),
-#: so at test scale the cap provably drops nothing — pure scale
-#: insurance, zero behavioral drift.
+#: regardless of corpus size. Driver-fixture max DF is 25 (measured,
+#: sf0.001-0.1), so at test scale the cap provably drops nothing.
+#: CAVEAT (r12, measured): a corpus whose WHOLE df distribution
+#: inflates under the cap — the generated scale tiers saturate the
+#: shingle space, df 138 at sf1.0 / 353 at sf3.0 — makes the
+#: candidate-pair volume SUM(df²) grow quadratically while no single
+#: shingle trips the cap (SCALE.md r12). The exact inverted-index join
+#: is for modest corpora / audits; the 100-TB edge source is the
+#: banded-LSH path (minhash_verified_pairs), whose cost does not
+#: depend on df at all.
 NGRAM_MAX_DF = 1000
 
 
@@ -332,18 +339,21 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
-    """DuckDB replay of the FULL MinHash+LSH pipeline — possible since
+def minhash_pairs_sql() -> str:
+    """DuckDB replay of the FULL MinHash+LSH pipeline as a WITH-body
+    ending in a ``pairs(doc_a, doc_b, jaccard)`` CTE — possible since
     the r6 switch to the md5-prefix permutation family (bit-identical
     across engines; integer arithmetic stays < 2^52 so DuckDB's
     overflow-checked BIGINT and Spark's long agree exactly). The A/B
     permutation constants are injected as a VALUES table from the same
-    seeded generator the Spark side uses."""
+    seeded generator the Spark side uses. Shared by the near-dup key's
+    oracle and the LSH-edge cluster oracle (r12) so they can never
+    drift."""
     rows_per_band = N_HASHES // N_BANDS
     perms = ", ".join(f"({i}, {a}, {b})"
                       for i, (a, b) in enumerate(_minhash_params()))
     return f"""
-    WITH shn AS (
+    shn AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    range(1, greatest(len(w) - 1, 1)),
@@ -384,40 +394,32 @@ def _minhash_oracle() -> str:
         JOIN shn a ON c.doc_a = a.doc_id
         JOIN shn b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
         GROUP BY 1, 2
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(c.common * 1.0 / (ca.n + cb.n - c.common), 4) AS jaccard
-    FROM com c
-    JOIN cntn ca ON c.doc_a = ca.doc_id
-    JOIN cntn cb ON c.doc_b = cb.doc_id
-    WHERE c.common * 1.0 / (ca.n + cb.n - c.common) >= 0.5
-    """
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               round(c.common * 1.0 / (ca.n + cb.n - c.common), 4) AS jaccard
+        FROM com c
+        JOIN cntn ca ON c.doc_a = ca.doc_id
+        JOIN cntn cb ON c.doc_b = cb.doc_id
+        WHERE c.common * 1.0 / (ca.n + cb.n - c.common) >= 0.5
+    )"""
 
 
-@query("q_llm_dedup_near", oracle=_minhash_oracle(), tags=("llm", "dedup"))
-def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 MinHash+LSH near-dup, exact-verified: LSH candidates, then
-    true Jaccard over the shingle index, threshold 0.5.
+def minhash_verified_pairs(d: DataFrame) -> DataFrame:
+    """Exact-verified MinHash+LSH near-dup pairs (doc_a, doc_b,
+    jaccard ≥ 0.5) — the Spark twin of minhash_pairs_sql, shared by the
+    q_llm_dedup_near key and the LSH-edge cluster resolver (r12).
 
-    HARD oracle since r6: the md5-prefix permutation family is
-    engine-bit-identical, so the DuckDB oracle replays signatures,
-    banding, the candidate join, AND the exact verify — the full
-    pipeline, not a rows-only count. Measured price of neutrality:
-    +~0.5 s at sf0.1 (md5 vs the xxhash64 it replaced) — accepted as
-    the cost of converting this key from the weak rows-only check to a
-    hard cross-engine signal; the hash is one call per shingle ROW,
-    shared by all 32 aggregates, so the overhead stays a constant
-    factor of the scan, not of the signature width. tests/test_llm.py additionally
-    asserts the verified pair set equals the exact q_llm_dedup_ngram
-    pair set (LSH recall check) and that signatures are deterministic
-    across runs.
-
-    The shingle index feeds FOUR consumers here (MinHash aggregation,
-    the per-doc counts, and both exact-verify join sides), so it is
+    The shingle index feeds FOUR consumers (MinHash aggregation, the
+    per-doc counts, and both exact-verify join sides), so it is
     materialized once — otherwise the regex-split + explode map stage,
     the dominant scan cost at any scale, runs four times.
-    """
-    d = t(spark, sf_dir, "documents")
+
+    Scale: candidate generation is the banded bucket join — cost scales
+    with docs x bands, NOT with per-shingle document frequency, so a
+    df-inflated (boilerplate-heavy) corpus that sends the exact
+    inverted-index join quadratic leaves this path linear (measured:
+    the r12 second-decade probe, SCALE.md)."""
     sh = shingle_index(d, 3).localCheckpoint()
     cands = lsh_candidate_pairs(minhash_signatures(d, sh=sh))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -439,6 +441,30 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
+
+
+@query("q_llm_dedup_near",
+       oracle=f"WITH {minhash_pairs_sql()}\n    SELECT doc_a, doc_b, jaccard FROM pairs",
+       tags=("llm", "dedup"))
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 MinHash+LSH near-dup, exact-verified: LSH candidates, then
+    true Jaccard over the shingle index, threshold 0.5.
+
+    HARD oracle since r6: the md5-prefix permutation family is
+    engine-bit-identical, so the DuckDB oracle replays signatures,
+    banding, the candidate join, AND the exact verify — the full
+    pipeline, not a rows-only count. Measured price of neutrality:
+    +~0.5 s at sf0.1 (md5 vs the xxhash64 it replaced) — accepted as
+    the cost of converting this key from the weak rows-only check to a
+    hard cross-engine signal; the hash is one call per shingle ROW,
+    shared by all 32 aggregates, so the overhead stays a constant
+    factor of the scan, not of the signature width. tests/test_llm.py additionally
+    asserts the verified pair set equals the exact q_llm_dedup_ngram
+    pair set (LSH recall check) and that signatures are deterministic
+    across runs. Pipeline shared with the LSH-edge cluster resolver —
+    see minhash_verified_pairs for the plan-shape/scale notes.
+    """
+    return minhash_verified_pairs(t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------- L2 SimHash

@@ -14,10 +14,12 @@ operators' costs depend on:
   word overlap collapses, so cluster COUNT scales ~10x and cluster
   SIZES stay constant — the scaling a real 10x corpus shows, not the
   100x-pairs blowup naive duplication would produce.
-- ``embeddings``: 10 copies; copy c cyclically shifts the embedding
-  dimensions by c positions. Norms and within-copy cosine geometry are
-  preserved exactly; cross-copy cosine drops to the random-vector
-  baseline.
+- ``embeddings``: copy c multiplies each dimension by a deterministic
+  per-copy ±1 sign vector (seed c; copy 0 is the identity). A fixed
+  orthogonal transform per copy: norms and within-copy cosine geometry
+  are preserved EXACTLY, cross-copy cosine drops to the random-vector
+  baseline — and unlike the r11 cyclic shift it stays distinct for any
+  number of copies (a shift wraps to the identity at copy==dim).
 
 Output stays inside the repo (.scale/ is gitignored); /root/testdata
 is never written.
@@ -25,6 +27,7 @@ is never written.
 
 from __future__ import annotations
 
+import argparse
 import random
 from pathlib import Path
 
@@ -33,7 +36,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = Path("/root/testdata/sf0.1")
-OUT = Path(__file__).resolve().parent.parent / ".scale" / "sf1.0"
+_SCALE_ROOT = Path(__file__).resolve().parent.parent / ".scale"
+# --sf picks the tier: sf1.0 = 10 copies of sf0.1 (the r11 decade),
+# sf3.0 = 30 copies (r12's second measured step, so linear vs n*log n
+# vs memory-inflection can be told apart on the keys that probed
+# ~linear over the first decade). Anything >= copies=10 uses the same
+# structure-preserving transforms.
+OUT = _SCALE_ROOT / "sf1.0"
 COPIES = 10
 
 
@@ -77,11 +86,15 @@ def gen_embeddings() -> None:
         "ORDER BY vec_id").fetchall()
     n = len(rows)
     out = {"vec_id": [], "embedding": [], "label": []}
+    dim = len(rows[0][1])
     for c in range(COPIES):
+        signs = ([1.0] * dim if not c else
+                 [random.Random(c * 10007 + i).choice((1.0, -1.0))
+                  for i in range(dim)])
         for vec_id, emb, label in rows:
-            shifted = list(emb[c:]) + list(emb[:c]) if c else list(emb)
+            flipped = [v * s for v, s in zip(emb, signs)]
             out["vec_id"].append(c * n + vec_id)
-            out["embedding"].append(shifted)
+            out["embedding"].append(flipped)
             out["label"].append(label)
     table = pa.table({
         "vec_id": pa.array(out["vec_id"], pa.int64()),
@@ -130,6 +143,12 @@ def gen_relational() -> None:
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0,
+                    help="target scale factor (copies = sf / 0.1)")
+    args = ap.parse_args()
+    COPIES = round(args.sf / 0.1)
+    OUT = _SCALE_ROOT / f"sf{args.sf}"
     OUT.mkdir(parents=True, exist_ok=True)
     gen_documents()
     gen_embeddings()

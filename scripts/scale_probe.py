@@ -33,10 +33,31 @@ KEYS = [
     "q_llm_dedup_near",
     # r11 third wave: DSIR — the broadcast-model scoring shape
     "q_llm_dsir",
+    # r12: the three compute-amplified map-stage keys sharing winnow's
+    # shape that were never probed — measurement decides whether
+    # spread_if_narrow pays (the shingle-index counterexample measured
+    # 1.3x SLOWER with a spread, so no fix ships without a ratio).
+    "q_llm_repetition",
+    "q_llm_fingerprint",
+    "q_llm_quality_clf",
+]
+
+#: r12 second decade: sf1.0 -> sf3.0 (3x) for the keys that probed
+#: ~LINEAR over the first decade — one decade cannot distinguish
+#: linear from n*log n from a memory-pressure inflection, and these
+#: two are the operators a 100-TB dedup run leans on. Expected ratio
+#: for 3x data on fixed cores: ~3-3.6 if linear holds.
+SECOND_DECADE_KEYS = [
+    "q_llm_dup_clusters",
+    "q_llm_dedup_near",
+    # r12: the LSH-edge cluster resolver built FROM the second-decade
+    # finding — must show the banded cost curve, not the exact join's.
+    "q_llm_dup_clusters_lsh",
 ]
 
 SF01 = "/root/testdata/sf0.1"
 SF10 = str(Path(__file__).resolve().parent.parent / ".scale" / "sf1.0")
+SF30 = str(Path(__file__).resolve().parent.parent / ".scale" / "sf3.0")
 REPEATS = 2
 
 
@@ -55,31 +76,52 @@ def _clear_session_state(spark) -> None:
 
 
 def main() -> None:
+    import argparse
+
     from okera_trino_spark.registry import load_all_queries
     from okera_trino_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--second-only", action="store_true",
+                    help="run only the sf1.0 -> sf3.0 second-decade keys")
+    args = ap.parse_args()
 
     specs = load_all_queries()
     spark = get_spark("okera-trino-spark-scale-probe")
 
     results = {}
-    for name in KEYS:
-        fn = specs[name].fn
-        times = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF10)):
-            fn(spark, sf_dir).count()  # warm-up: JIT + footer reads
+    for name in [] if args.second_only else KEYS:
+        times = _probe_key(spark, specs[name].fn,
+                           (("sf0.1", SF01), ("sf1.0", SF10)))
+        times["ratio"] = round(times["sf1.0"] / times["sf0.1"], 2)
+        results[name] = times
+        print(json.dumps({"key": name, **times}), flush=True)
+    second = {}
+    if Path(SF30).exists():
+        for name in SECOND_DECADE_KEYS:
+            times = _probe_key(spark, specs[name].fn,
+                               (("sf1.0", SF10), ("sf3.0", SF30)))
+            times["ratio_3x"] = round(times["sf3.0"] / times["sf1.0"], 2)
+            second[name] = times
+            print(json.dumps({"key": name, **times}), flush=True)
+    print(json.dumps({"scale_probe": results,
+                      "second_decade": second}))
+
+
+def _probe_key(spark, fn, tiers) -> dict:
+    times = {}
+    for label, sf_dir in tiers:
+        fn(spark, sf_dir).count()  # warm-up: JIT + footer reads
+        _clear_session_state(spark)
+        samples = []
+        for _ in range(REPEATS):
+            samples.append(_timed(fn, spark, sf_dir))
+            # clear BETWEEN repeats too: a prior run's checkpoint
+            # blocks pinning memory during the next timed run is
+            # the same contamination, one level down
             _clear_session_state(spark)
-            samples = []
-            for _ in range(REPEATS):
-                samples.append(_timed(fn, spark, sf_dir))
-                # clear BETWEEN repeats too: a prior run's checkpoint
-                # blocks pinning memory during the next timed run is
-                # the same contamination, one level down
-                _clear_session_state(spark)
-            times[label] = round(min(samples), 3)
-        ratio = round(times["sf1.0"] / times["sf0.1"], 2)
-        results[name] = {**times, "ratio": ratio}
-        print(json.dumps({"key": name, **results[name]}), flush=True)
-    print(json.dumps({"scale_probe": results}))
+        times[label] = round(min(samples), 3)
+    return times
 
 
 def _timed(fn, spark, sf_dir) -> float:

@@ -210,6 +210,22 @@ def test_dup_clusters_consistent_with_pair_graph(spark, sf_dir):
     assert all(r.canonical_doc_id == r.cluster_id for r in sizes)
 
 
+def test_dup_clusters_lsh_equals_exact_edge_clusters(spark, sf_dir):
+    """The LSH-edge cluster resolver (r12) must report the IDENTICAL
+    cluster set as the exact inverted-index edge source: at Jaccard
+    ≥ 0.5 the band scheme's recall makes the verified pair set equal
+    the exact pair set, so only the COST curve may differ — never the
+    clusters. (The scale divergence is measured in SCALE.md r12:
+    exact edges go quadratic on df-inflated corpora, LSH stays
+    linear.)"""
+    exact = {(r.cluster_id, r.cluster_size, r.canonical_doc_id)
+             for r in SPECS["q_llm_dup_clusters"].fn(spark, sf_dir).collect()}
+    lsh = {(r.cluster_id, r.cluster_size, r.canonical_doc_id)
+           for r in SPECS["q_llm_dup_clusters_lsh"].fn(spark, sf_dir).collect()}
+    assert exact == lsh
+    assert lsh, "fixture should contain duplicate clusters"
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     """The benchmark shingle index must broadcast — the corpus side of
     the probe join must not shuffle (no nested-loop join either)."""

@@ -2504,10 +2504,10 @@ def test_trino_wave16(spark, sf_dir, oracle, name, trino, duck):
 def test_trino_wave16_named_errors(spark, sf_dir):
     # xxhash64 GRADUATED in r9, word_stem (english) in r10 — no longer
     # in this refusal list; non-english word_stem stays refused.
-    # murmur3 GRADUATED late in r10 (smhasher-verified x64_128 UDF)
+    # murmur3 GRADUATED late in r10, spooky_hash_v2_* in r12 (both
+    # smhasher-verified — see test_spooky_smhasher_verification).
     for sql, pat in [
         ("SELECT word_stem('laufen', 'de') AS x", "word_stem"),
-        ("SELECT spooky_hash_v2_64(to_utf8('a')) AS x", "spooky"),
     ]:
         with pytest.raises(TrinoSqlUnsupported, match=pat):
             execute_trino(spark, sql, sf_dir)
