@@ -962,10 +962,13 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_trigram_lm",
-    oracle="""
-    WITH tc AS (
+def trigram_xent_sql() -> str:
+    """Canonical DuckDB CTE body computing per-doc trigram
+    cross-entropy, ending in ``xe(doc_id, n_tris, xent)`` — shared by
+    the q_llm_trigram_lm and q_llm_ccnet_buckets oracles so the LM
+    replay can never drift between them."""
+    return """
+    tc AS (
         SELECT doc_id, tri, count(*) AS c
         FROM (SELECT doc_id,
                      unnest(list_transform(range(1, length(lower(text)) - 1),
@@ -976,15 +979,21 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tri, CAST(sum(c) AS BIGINT) AS cnt FROM tc GROUP BY tri
     ), total AS (
         SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM model
-    )
-    SELECT tc.doc_id,
-           CAST(sum(tc.c) AS BIGINT) AS n_tris,
-           round(-sum(tc.c * ln(model.cnt / total.t)) / sum(tc.c), 4)
-               AS xent,
-           round(-sum(tc.c * ln(model.cnt / total.t)) / sum(tc.c), 4) > 8.0
-               AS flagged
-    FROM tc JOIN model USING (tri) CROSS JOIN total
-    GROUP BY tc.doc_id
+    ), xe AS (
+        SELECT tc.doc_id,
+               CAST(sum(tc.c) AS BIGINT) AS n_tris,
+               round(-sum(tc.c * ln(model.cnt / total.t)) / sum(tc.c), 4)
+                   AS xent
+        FROM tc JOIN model USING (tri) CROSS JOIN total
+        GROUP BY tc.doc_id
+    )"""
+
+
+@query(
+    "q_llm_trigram_lm",
+    oracle=f"""
+    WITH {trigram_xent_sql()}
+    SELECT doc_id, n_tris, xent, xent > 8.0 AS flagged FROM xe
     """,
     tags=("llm", "text", "lm"),
 )
@@ -1014,17 +1023,31 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds at 4 decimals before the flag compare (entropy-gate
     precedent), so float summation order cannot flip a boundary doc.
     """
-    d = t(spark, sf_dir, "documents")
-    # Hoist lower(text) OUT of the per-position lambda: inside the
-    # transform it would re-lowercase the whole document for every
-    # trigram position — O(len^2) per doc (measured 8x on this key).
-    # Spread the docs BEFORE the ~300x explode amplification: the scan
-    # partitioning reflects input bytes, not post-explode rows, so a
-    # small-file (or skewed) layout would serialize the expensive
-    # trigram pass on a few tasks. r11: conditional (spread_if_narrow)
-    # — a production many-split layout already parallelizes, and there
-    # the raw-text shuffle would be pure cost; the narrow-input case
-    # is where it is cheap and decisive.
+    x = trigram_xent(t(spark, sf_dir, "documents"), spark)
+    return x.withColumn("flagged", F.col("xent") > 8.0)
+
+
+def trigram_xent(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Per-document cross-entropy under the corpus char-trigram unigram
+    model → (doc_id, n_tris, xent). Factored (r12) so the perplexity
+    FILTER (q_llm_trigram_lm) and the perplexity BUCKETER
+    (q_llm_ccnet_buckets) share one pipeline; docs with fewer than 3
+    characters carry no trigram and drop out (both oracles replay
+    that).
+
+    Plan-shape notes (r8–r11 history lives here now):
+    - lower(text) is hoisted OUT of the per-position lambda — inside
+      the transform it would re-lowercase the whole document for every
+      trigram position, O(len²) per doc (measured 8x on this key);
+    - docs spread BEFORE the ~300x explode amplification (conditional
+      spread_if_narrow — a production many-split layout already
+      parallelizes and skips the shuffle);
+    - NO broadcast hint on the model (r8, ADVICE): |model| is bounded
+      by the corpus's distinct trigrams — small for ASCII-ish text but
+      unbounded for unicode-rich corpora, where a forced broadcast
+      recreates the OOM class the r7 replan removed. AQE broadcasts it
+      at runtime when its measured size is actually small; otherwise
+      the join keeps (doc, tri) partitioning with skew splitting."""
     from okera_trino_spark.operators._util import spread_if_narrow
     lowered = spread_if_narrow(
         d.select("doc_id", F.lower(F.col("text")).alias("lt")), spark)
@@ -1043,19 +1066,71 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("t"))
     xent = F.round(
         -F.sum(F.col("c") * F.log(F.col("cnt") / F.col("t"))) / F.sum("c"), 4)
-    # No broadcast HINT on the model (r8, ADVICE): |model| is bounded
-    # by the corpus's distinct trigrams — small for ASCII-ish text but
-    # unbounded for unicode-rich corpora, where a forced broadcast
-    # recreates the OOM class the r7 replan removed. AQE broadcasts it
-    # at runtime when its measured size is actually small; otherwise
-    # the join keeps (doc, tri) partitioning with skew splitting.
     return (
         tc.join(model, "tri")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_tris"), xent.alias("xent"))
-        .withColumn("flagged", F.col("xent") > 8.0)
     )
+
+
+@query(
+    "q_llm_ccnet_buckets",
+    oracle=f"""
+    WITH {trigram_xent_sql()}
+    SELECT x.doc_id, d.lang, x.xent,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY x.xent, x.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM xe x JOIN documents d ON d.doc_id = x.doc_id
+    """,
+    tags=("llm", "text", "lm", "curation"),
+)
+def q_llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 perplexity bucketing — the CCNet split (Wenzek et al. 2020,
+    public method): per LANGUAGE, rank documents by LM cross-entropy
+    and cut into equal-count head / middle / tail terciles. Large
+    pipelines train preferentially on the head (fluent) bucket and
+    down-sample or drop the tail; this key emits the assignment the
+    mixing stage consumes (q_llm_mix / q_llm_stratified are the
+    consumers' shapes). The LM is the same corpus char-trigram model as
+    q_llm_trigram_lm (shared trigram_xent pipeline — in production the
+    model is a held-out KenLM, slotting in as the same per-doc score).
+
+    Scale: the naive form is ``ntile(3) OVER (PARTITION BY lang ORDER
+    BY xent)`` — a per-language Window, and HALF a real corpus is one
+    language, so that is 50 TB through ONE reducer (the suite plan
+    gate rejects partition-less windows; this is the grouped version
+    of the same killer). Instead the per-lang rank comes from
+    grouped_sort_positions (range shuffle on (lang, xent, doc_id) +
+    per-(range, lang) row_number + constant-size offset map), per-lang
+    totals are a broadcast ≤|langs|-row aggregate, and the tercile is
+    the closed-form ANSI ntile formula over (rank, n) — fully
+    parallel. Ties are impossible by construction (xent rounds at 4dp,
+    then doc_id breaks), so both engines assign identical buckets."""
+    from okera_trino_spark.operators.sorts_sets import (
+        grouped_sort_positions,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    scored = (trigram_xent(d, spark).select("doc_id", "xent")
+              .join(d.select("doc_id", "lang"), "doc_id"))
+    pos = grouped_sort_positions(
+        scored, "lang", F.col("xent").asc(), F.col("doc_id").asc(),
+        pos_col="_pos")
+    totals = pos.groupBy("lang").agg(F.count("*").alias("_n"))
+    j = pos.join(F.broadcast(totals), "lang")
+    k = 3
+    size, rem = F.floor(F.col("_n") / k), F.col("_n") % k
+    # ANSI ntile: the first (n % k) buckets hold floor(n/k)+1 rows.
+    idx = F.when(
+        F.col("_pos") <= rem * (size + 1),
+        F.ceil(F.col("_pos") / (size + 1)),
+    ).otherwise(rem + F.ceil((F.col("_pos") - rem * (size + 1)) / size))
+    bucket = (F.when(idx == 1, "head").when(idx == 2, "middle")
+              .otherwise("tail"))
+    return j.select("doc_id", "lang", "xent", bucket.alias("bucket"))
 
 
 def bpe_learn(docs: DataFrame, n_merges: int = 10) -> DataFrame:

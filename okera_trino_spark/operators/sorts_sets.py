@@ -44,6 +44,47 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_sort_positions(df: DataFrame, group_col: str, *order_cols,
+                           n_ranges: int = 32,
+                           pos_col: str = "sort_pos") -> DataFrame:
+    """Per-GROUP total-order position (1-based within each group) — the
+    grouped generalization of global_sort_positions, for per-group
+    quantile/ntile assignment where a plain
+    ``Window.partitionBy(group)`` would funnel a popular group (50% of
+    a 100-TB corpus is one language) through ONE reducer.
+
+    Same two-phase shape: range-shuffle on (group, *order) — ranges
+    respect the composite total order, so within a group the ranges are
+    still ordered — then row_number within (range, group) in parallel,
+    plus each (range, group)'s starting offset within its group. The
+    offsets job collects ≤ n_ranges × |groups| rows (groups are
+    bounded: languages, sources — the caller's contract), folded into
+    a broadcast map keyed by 'range|group'. The same
+    materialize-the-range-shuffle-once rule as the global helper
+    applies (RangePartitioner resamples split points per job)."""
+    gcol = F.col(group_col)
+    ranged = df.repartitionByRange(n_ranges, gcol, *order_cols) \
+        .withColumn("_range", F.spark_partition_id()) \
+        .localCheckpoint()
+    counts = sorted(
+        ((r["_range"], r["_g"]), r["n"]) for r in
+        ranged.groupBy(F.col("_range"), gcol.alias("_g"))
+        .agg(F.count("*").alias("n")).collect())
+    offsets, acc = [], {}
+    for (pid, g), n in counts:
+        offsets += [F.lit(f"{pid}|{g}"), F.lit(acc.get(g, 0))]
+        acc[g] = acc.get(g, 0) + n
+    key = F.concat_ws("|", F.col("_range").cast("string"), gcol)
+    off = (F.element_at(F.create_map(*offsets), key) if offsets
+           else F.lit(0))
+    w = Window.partitionBy("_range", group_col).orderBy(*order_cols)
+    return (
+        ranged.withColumn(pos_col,
+                          (F.row_number().over(w) + off).cast("long"))
+        .drop("_range")
+    )
+
+
 def global_sort_positions(df: DataFrame, *order_cols,
                           n_ranges: int = 32,
                           pos_col: str = "sort_pos") -> DataFrame:

@@ -102,17 +102,18 @@ def query(name: str, oracle: str | None = None,
 #:   3) backfill 25 from the 46-key r8 cohort (next-stalest; bound
 #:      hits at r13), favoring the heavy/plan-sensitive keys (TPC-H
 #:      composites, the LLM pipeline block, MATCH_RECOGNIZE core).
-#:      The 22 r8 keys that did NOT fit MUST rotate in at r13 (they
+#:      The 23 r8 keys that did NOT fit MUST rotate in at r13 (they
 #:      reach the 5-round bound then): q_agg_approx_distinct_det,
 #:      q_agg_approx_percentile_det, q_agg_group, q_agg_salted,
-#:      q_cte, q_events_pattern_skipnext, q_filter_range,
-#:      q_join_broadcast, q_join_inner, q_join_left, q_join_semi,
-#:      q_pandas_group_norm, q_stream_static_join, q_topk,
-#:      q_trino_info_schema, q_trino_sql_unicode, q_view_create_read,
-#:      q_win_rank, q_trino_sql_mr_prev, q_trino_sql_mr_skiplast,
-#:      q_trino_sql_mr_skipsubset, q_trino_sql_mr_unmatched.
-#:      22 + new r13 keys + r9-cohort backfill (49 keys, bound r14)
-#:      keeps the schedule feasible at ~223 keys (44.6/round average
+#:      q_cte, q_events_pattern_empty, q_events_pattern_skipnext,
+#:      q_filter_range, q_join_broadcast, q_join_inner, q_join_left,
+#:      q_join_semi, q_pandas_group_norm, q_stream_static_join,
+#:      q_topk, q_trino_info_schema, q_trino_sql_unicode,
+#:      q_view_create_read, q_win_rank, q_trino_sql_mr_prev,
+#:      q_trino_sql_mr_skiplast, q_trino_sql_mr_skipsubset,
+#:      q_trino_sql_mr_unmatched.
+#:      23 + new r13 keys + r9-cohort backfill (49 keys, bound r14)
+#:      keeps the schedule feasible at ~224 keys (44.8/round average
 #:      vs the 50-slot window).
 #:
 #: WINDOW-INELIGIBLE, PERMANENTLY: q_agg_approx_distinct and
@@ -133,9 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_values",
     # 2) new r12 keys (inserted as they land)
     "q_trino_sql_spooky", "q_meta_catalogs", "q_trino_explain_validate",
-    "q_llm_dup_clusters_lsh",
-    # 3) r8 backfill (24 of 46; 22 + 4 + 24 = 50)
-    "q_events_pattern", "q_events_pattern_empty",
+    "q_llm_dup_clusters_lsh", "q_llm_ccnet_buckets",
+    # 3) r8 backfill (23 of 46; 22 + 5 + 23 = 50)
+    "q_events_pattern",
     "q_events_pattern_rows",
     "q_trino_sql_mr", "q_trino_sql_mr_desc", "q_trino_sql_mr_vars",
     "q_llm_ann_ivf", "q_llm_ann_pq", "q_llm_bpe", "q_llm_bpe_apply",

@@ -87,3 +87,50 @@ def test_positions_long_typed(spark):
     df = spark.createDataFrame([(1, 5), (2, 3)], "id long, v long")
     out = global_sort_positions(df, F.col("v").asc(), n_ranges=2)
     assert dict(out.dtypes)["sort_pos"] == "bigint"
+
+
+def test_grouped_positions_match_python_rank_per_group(spark):
+    """grouped_sort_positions (r12): per-group 1-based positions equal
+    a single-process per-group sort, across many ranges and uneven
+    group sizes (one group dominates, like a majority language)."""
+    import random
+
+    from okera_trino_spark.operators.sorts_sets import (
+        grouped_sort_positions,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, rng.choices(["en", "de", "fr"], weights=[8, 3, 1])[0],
+             round(rng.uniform(0, 50), 3)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = grouped_sort_positions(
+        df, "g", F.col("v").asc(), F.col("id").asc(), n_ranges=8,
+        pos_col="p")
+    got = {(r.g, r.id): r.p for r in out.collect()}
+    by_g = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    expect = {}
+    for g, vs in by_g.items():
+        for rank, (_, i) in enumerate(sorted(vs), start=1):
+            expect[(g, i)] = rank
+    assert got == expect
+    # each group's positions form a 1..n_g permutation
+    for g, vs in by_g.items():
+        ps = sorted(p for (gg, _), p in got.items() if gg == g)
+        assert ps == list(range(1, len(vs) + 1))
+
+
+def test_grouped_positions_deterministic(spark):
+    from okera_trino_spark.operators.sorts_sets import (
+        grouped_sort_positions,
+    )
+
+    df = spark.range(0, 1500).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("g"),
+        (F.hash("id") % 500).alias("v"))
+    a = {(r.g, r.id): r.sort_pos for r in grouped_sort_positions(
+        df, "g", F.col("v").asc(), F.col("id").asc()).collect()}
+    b = {(r.g, r.id): r.sort_pos for r in grouped_sort_positions(
+        df, "g", F.col("v").asc(), F.col("id").asc()).collect()}
+    assert a == b
