@@ -467,6 +467,132 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(t(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------------- L2 exact-substring spans
+#: Window width for exact-substring duplicate detection, in words.
+#: Lee et al. use 50 BPE tokens on web-scale corpora; the fixture docs
+#: are short word streams, so 15 words keeps multi-window spans
+#: exercised at every SF. The window is hashed IMMEDIATELY (md5 of the
+#: joined words) so the shuffle carries a 32-char digest, not K words
+#: of text — at 100 TB the overlapping-window blowup is the method's
+#: cost, and hashing first divides it by ~K/2.
+SUBSTR_K = 15
+
+
+@query(
+    "q_llm_substring_spans",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, str_split_regex(trim(text), ' +') AS wl
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.h
+        FROM w, UNNEST(list_transform(
+            range(1, greatest(len(wl) - {SUBSTR_K - 2}, 1)),
+            i -> struct_pack(pos := i,
+                             h := md5(array_to_string(wl[i:i+{SUBSTR_K - 1}], ' '))))) AS t(s)
+    ),
+    flagged AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY h) AS cnt
+            FROM wins)
+        WHERE cnt > 1 AND rn > 1
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(
+                        max(pos + {SUBSTR_K - 1}) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) + 1,
+                        -1)
+                    THEN 1 ELSE 0 END AS brk
+        FROM flagged
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           CAST(max(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) + {SUBSTR_K - 1} - min(pos) + 1 AS BIGINT)
+               AS n_words,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl2
+    GROUP BY doc_id, island
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def q_llm_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact-substring duplicate SPANS — the overlapping-window form
+    of Lee et al. 2022's ExactSubstr dedup (public method): any
+    SUBSTR_K-word window whose exact text occurs anywhere else in the
+    corpus marks its occurrence for removal, keeping only the globally
+    FIRST occurrence by (doc_id, pos); overlapping flagged windows
+    merge into maximal word spans per document (the text a curation
+    pass actually cuts). Catches duplicated passages at ANY alignment
+    — q_llm_para_dedup's fixed 10-word chunking misses a copy shifted
+    by one word; this does not.
+
+    Scale shape: windows are hashed INSIDE the explode transform
+    (codegen md5 — the shuffle carries 32-hex digests, never K-word
+    strings); first-occurrence is a combinable
+    ``groupBy(h).agg(min(struct(doc_id, pos)), count)`` so a
+    boilerplate window duplicated 10⁶ times collapses map-side; the
+    flag join fans dup windows back out on the digest key (AQE skew
+    split applies — the hot-hash fan-out is the method's output, not
+    waste); span merging is a per-DOCUMENT window (bounded by doc
+    length, never partition-less). Window start positions are 1-based
+    word indexes; both engines compute identical md5 digests, the same
+    first-occurrence rule, and the same gaps-and-islands merge, so the
+    key is hash-checked end to end."""
+    from pyspark.sql import Window
+
+    kk = SUBSTR_K
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words(F.col("text")).alias("_w"))
+    wins = (words.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"CASE WHEN size(_w) >= {kk} THEN "
+            f"transform(sequence(1, size(_w) - {kk - 1}), "
+            f"i -> md5(array_join(slice(_w, i, {kk}), ' '))) "
+            "ELSE CAST(array() AS array<string>) END")).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+        .localCheckpoint())
+    first = (wins.groupBy("h")
+             .agg(F.min(F.struct("doc_id", "pos")).alias("_f"),
+                  F.count("*").alias("_cnt"))
+             .filter(F.col("_cnt") > 1)
+             .select("h", "_f"))
+    flagged = (
+        wins.join(first, "h")
+        .filter(~((F.col("doc_id") == F.col("_f.doc_id"))
+                  & (F.col("pos") == F.col("_f.pos"))))
+        .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (kk - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("pos") > F.coalesce(prev_end + 1, F.lit(-1)), 1) \
+        .otherwise(0)
+    spans = (
+        flagged.withColumn("_island", F.sum(brk).over(w))
+        .groupBy("doc_id", "_island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + (kk - 1)).cast("long").alias("span_end"),
+             F.count("*").cast("long").alias("n_windows")))
+    return spans.select(
+        "doc_id", "span_start", "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).cast("long")
+        .alias("n_words"),
+        "n_windows")
+
+
 # --------------------------------------------------------------- L2 SimHash
 SIMHASH_BITS = 16
 

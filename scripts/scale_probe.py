@@ -40,6 +40,10 @@ KEYS = [
     "q_llm_repetition",
     "q_llm_fingerprint",
     "q_llm_quality_clf",
+    # r12 second wave: the new LLM ops
+    "q_llm_dup_clusters_lsh",
+    "q_llm_ccnet_buckets",
+    "q_llm_substring_spans",
 ]
 
 #: r12 second decade: sf1.0 -> sf3.0 (3x) for the keys that probed
