@@ -290,6 +290,12 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id); the untouched corpus survives by definition and joins via
     one anti-join against the (small) touched-node set — broadcastable,
     so the 100-TB fact table never shuffles for the singleton path.
+    Edge-source note (r12): this key keeps the exact inverted-index
+    edges so its oracle stays the shared ngram_pairs_sql replay; at
+    df-inflated corpus scale swap in minhash_verified_pairs — the
+    identical edge set at Jaccard ≥ 0.5 (see q_llm_dup_clusters_lsh),
+    without the Σdf² candidate volume — and the apply mechanics below
+    are unchanged.
     """
     d = t(spark, sf_dir, "documents")
     comp = connected_components(d.select("doc_id"),

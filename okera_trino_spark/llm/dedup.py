@@ -419,12 +419,35 @@ def minhash_verified_pairs(d: DataFrame) -> DataFrame:
     with docs x bands, NOT with per-shingle document frequency, so a
     df-inflated (boilerplate-heavy) corpus that sends the exact
     inverted-index join quadratic leaves this path linear (measured:
-    the r12 second-decade probe, SCALE.md)."""
+    the r12 probes — candidate pairs 2.6k/8.1k/29k at sf1/3/10, a
+    clean 1.1x-per-x line).
+
+    The exact-verify stage is pruned BEFORE it joins (r12, caught by
+    the sf1.0→sf10 probe): verification only concerns documents that
+    appear in some candidate pair, but the unpruned form shuffled the
+    ENTIRE shingle index through both verify joins — linear algorithm,
+    corpus-sized constant, measured 18.5x wall for 10x data because
+    the index shuffle dominated. The candidate DOC set is broadcast
+    (it is bounded by the near-dup population, orders of magnitude
+    smaller than the corpus; a corpus where it is not is mostly
+    duplicates and inherently verify-heavy) and the index is pruned by
+    a map-side semi-join — the corpus-sized relation is never
+    shuffled through the verify. Measured (SCALE_PROBE_r12.json third
+    tier): sf10 wall 132.8 s -> 86.0 s (1.54x), ratio for 10x data
+    18.46 -> 10.66 (~linear; the fixture's candidate docs are a dense
+    10% of the corpus, so verify work IS ~10% of a corpus scan by
+    construction); costs ~1 s of extra checkpoint at sf1.0."""
     sh = shingle_index(d, 3).localCheckpoint()
-    cands = lsh_candidate_pairs(minhash_signatures(d, sh=sh))
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    cands = lsh_candidate_pairs(minhash_signatures(d, sh=sh)) \
+        .localCheckpoint()
+    cand_docs = (cands.select(F.col("doc_a").alias("doc_id"))
+                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    shc = sh.join(F.broadcast(cand_docs), "doc_id", "leftsemi") \
+        .localCheckpoint()
+    cnt = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shc.alias("a")
+    b = shc.alias("b")
     common = (
         cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
         .join(b, (F.col("doc_b") == F.col("b.doc_id"))
