@@ -433,18 +433,25 @@ def minhash_verified_pairs(d: DataFrame) -> DataFrame:
     duplicates and inherently verify-heavy) and the index is pruned by
     a map-side semi-join — the corpus-sized relation is never
     shuffled through the verify. Measured (SCALE_PROBE_r12.json third
-    tier): sf10 wall 132.8 s -> 86.0 s (1.54x), ratio for 10x data
-    18.46 -> 10.66 (~linear; the fixture's candidate docs are a dense
-    10% of the corpus, so verify work IS ~10% of a corpus scan by
-    construction); costs ~1 s of extra checkpoint at sf1.0."""
+    tier): sf10 wall 132.8 s pre-fix -> 86.0 s eager-checkpoint /
+    102.6 s as shipped (lazy checkpoints — eager costs 2-3x on the
+    whole key at sf0.1, and the eager-vs-lazy sf10 delta is inside the
+    tier's session noise); ratio for 10x data 18.46 -> ~11-12
+    (~linear; the fixture's candidate docs are a dense 10% of the
+    corpus, so verify work IS ~10% of a corpus scan by
+    construction)."""
     sh = shingle_index(d, 3).localCheckpoint()
+    # Lazy checkpoints (measured r12): eager materialization here adds
+    # two standalone jobs per run — 2-3x wall on the whole key at
+    # sf0.1 — while lazy gives the same reuse (cands: 2 consumers,
+    # pruned index: 3) at one materialization on first action.
     cands = lsh_candidate_pairs(minhash_signatures(d, sh=sh)) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     cand_docs = (cands.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
     shc = sh.join(F.broadcast(cand_docs), "doc_id", "leftsemi") \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     cnt = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shc.alias("a")
     b = shc.alias("b")
