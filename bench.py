@@ -52,6 +52,9 @@ HEADLINE = [
     "q_llm_curation",
     "q_llm_pipeline",
     "q_llm_dedup_exact",
+    # r12 NOTE: dedup_near gained the candidate-doc verify-prune (the
+    # sf10 probe's second catch — SCALE.md round-12); expect ~+0.5 s
+    # over r11 at sf0.1, bought back 1.3-1.5x at the sf10 tier.
     "q_llm_dedup_near",
     "q_llm_dup_clusters",
     "q_llm_decontaminate",
