@@ -298,8 +298,13 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unchanged.
     """
     d = t(spark, sf_dir, "documents")
-    comp = connected_components(d.select("doc_id"),
-                                ngram_pairs(spark, sf_dir),
+    return _dedup_apply(d, ngram_pairs(spark, sf_dir))
+
+
+def _dedup_apply(d: DataFrame, edges: DataFrame) -> DataFrame:
+    """Kept-set materialization over an arbitrary near-dup edge set —
+    shared by the exact-edge and LSH-edge apply keys (r12)."""
+    comp = connected_components(d.select("doc_id"), edges,
                                 include_isolated=False)
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     attrs = d.select("doc_id", "lang", "source")
@@ -314,3 +319,45 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.lit(1).cast("long"))
     )
     return kept_touched.unionByName(singles)
+
+
+_APPLY_ORACLE_TAIL = """
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, d.lang, d.source, s.cluster_size
+    FROM comp c
+    JOIN sizes s USING (cluster_id)
+    JOIN documents d ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+"""
+
+
+@query(
+    "q_llm_dedup_apply_lsh",
+    oracle=f"WITH RECURSIVE {minhash_pairs_sql()},{_APPLY_ORACLE_TAIL}",
+    tags=("llm", "dedup", "iterative"),
+)
+def q_llm_dedup_apply_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept-set materialization over the MinHash+LSH verified edge
+    set — q_llm_dedup_apply's scalable twin (r12), completing the pair
+    with q_llm_dup_clusters_lsh: at Jaccard ≥ 0.5 the verified LSH
+    edges equal the exact pair set (tests/test_llm.py asserts the
+    kept sets identical), so a migrating pipeline swaps edge sources
+    without changing a single surviving document — only the cost
+    curve (SCALE.md round-12: exact edges quadratic on df-inflated
+    corpora; banded LSH sub-linear across two measured decades). Apply
+    mechanics shared via _dedup_apply; the oracle replays the full
+    LSH pipeline + recursive closure + kept-set selection."""
+    d = t(spark, sf_dir, "documents")
+    return _dedup_apply(d, minhash_verified_pairs(d)
+                        .select("doc_a", "doc_b"))

@@ -104,7 +104,7 @@ def query(name: str, oracle: str | None = None,
 #:   3) backfill 22 from the 46-key r8 cohort (next-stalest; bound
 #:      hits at r13), favoring the heavy/plan-sensitive keys (TPC-H
 #:      composites, the LLM pipeline block, MATCH_RECOGNIZE core).
-#:      The 24 r8 keys that did NOT fit MUST rotate in at r13 (they
+#:      The 25 r8 keys that did NOT fit MUST rotate in at r13 (they
 #:      reach the 5-round bound then): q_agg_approx_distinct_det,
 #:      q_agg_approx_percentile_det, q_agg_group, q_agg_salted,
 #:      q_cte, q_events_pattern_empty, q_events_pattern_skipnext,
@@ -113,9 +113,10 @@ def query(name: str, oracle: str | None = None,
 #:      q_topk, q_trino_info_schema, q_trino_sql_unicode,
 #:      q_view_create_read, q_win_rank, q_trino_sql_mr_desc,
 #:      q_trino_sql_mr_prev, q_trino_sql_mr_skiplast,
-#:      q_trino_sql_mr_skipsubset, q_trino_sql_mr_unmatched.
-#:      24 + new r13 keys + r9-cohort backfill (49 keys, bound r14)
-#:      keeps the schedule feasible at ~225 keys (45/round average
+#:      q_trino_sql_mr_skipsubset, q_trino_sql_mr_unmatched,
+#:      q_trino_sql_mr_vars.
+#:      25 + new r13 keys + r9-cohort backfill (49 keys, bound r14)
+#:      keeps the schedule feasible at ~226 keys (45.2/round average
 #:      vs the 50-slot window).
 #:
 #: WINDOW-INELIGIBLE, PERMANENTLY: q_agg_approx_distinct and
@@ -137,11 +138,11 @@ _PRIORITY: tuple[str, ...] = (
     # 2) new r12 keys (inserted as they land)
     "q_trino_sql_spooky", "q_meta_catalogs", "q_trino_explain_validate",
     "q_llm_dup_clusters_lsh", "q_llm_ccnet_buckets",
-    "q_llm_substring_spans",
-    # 3) r8 backfill (22 of 46; 22 + 6 + 22 = 50)
+    "q_llm_substring_spans", "q_llm_dedup_apply_lsh",
+    # 3) r8 backfill (21 of 46; 22 + 7 + 21 = 50)
     "q_events_pattern",
     "q_events_pattern_rows",
-    "q_trino_sql_mr", "q_trino_sql_mr_vars",
+    "q_trino_sql_mr",
     "q_llm_ann_ivf", "q_llm_ann_pq", "q_llm_bpe", "q_llm_bpe_apply",
     "q_llm_curation", "q_llm_decontaminate", "q_llm_dedup_exact",
     "q_llm_heavy_hitters", "q_llm_multimodal", "q_llm_project",

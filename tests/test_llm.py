@@ -224,6 +224,14 @@ def test_dup_clusters_lsh_equals_exact_edge_clusters(spark, sf_dir):
            for r in SPECS["q_llm_dup_clusters_lsh"].fn(spark, sf_dir).collect()}
     assert exact == lsh
     assert lsh, "fixture should contain duplicate clusters"
+    # same invariant for the kept-set APPLY pair: identical survivors
+    kept_exact = {(r.doc_id, r.lang, r.source, r.cluster_size)
+                  for r in SPECS["q_llm_dedup_apply"].fn(
+                      spark, sf_dir).collect()}
+    kept_lsh = {(r.doc_id, r.lang, r.source, r.cluster_size)
+                for r in SPECS["q_llm_dedup_apply_lsh"].fn(
+                    spark, sf_dir).collect()}
+    assert kept_exact == kept_lsh
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
