@@ -57,6 +57,13 @@ HEADLINE = [
     # over r11 at sf0.1, bought back 1.3-1.5x at the sf10 tier.
     "q_llm_dedup_near",
     "q_llm_dup_clusters",
+    # r13 addition (r12 verdict item 6): the LSH-edge cluster resolver
+    # is the at-scale default dedup path (df-independent candidate
+    # volume; sub-linear both probe decades) and must be tracked
+    # round-over-round. Reference point: 3.55 s at sf0.1 in the r12
+    # isolated probe (SCALE_PROBE_r12.json). The exact-edge
+    # q_llm_dup_clusters above stays the FROZEN host canary.
+    "q_llm_dup_clusters_lsh",
     "q_llm_decontaminate",
     "q_llm_text_stats",
     "q_llm_vocab",
@@ -98,10 +105,14 @@ HEADLINE = [
     "q_llm_quality_clf",
     # round 12 additions: the newest heavy paths — DSIR importance
     # weighting (two corpus bucket passes + broadcast scoring join) and
-    # the dialect-TEXT form of TPC-H Q21 (the hardest multi-join text
-    # the front end rewrites; cost should track the native q_tpch_q21
-    # a few slots up — any spread between the twins is front-end
-    # overhead, which must stay ~zero). r11 reference points are the
+    # the dialect-TEXT form of TPC-H Q21. r13 NOTE on the twin spread:
+    # the twins INTENTIONALLY plan differently — the text lowers the
+    # original double EXISTS faithfully (3 lineitem scans, decorrelated
+    # joins) while native q_tpch_q21 is the at-scale window rewrite
+    # (1 lineitem scan) — so the ~1.2-1.5x spread is an algorithmic
+    # delta, pinned in tests/test_plans.py, NOT front-end overhead
+    # (see functions/trino_tpch.py plan-shape note). r11 reference
+    # points are the
     # cold-ish SCALE_PROBE_r11 sf0.1 runs (q_llm_dsir 2.23 s
     # single-repeat isolated-session; steady-state medians here will
     # be lower — BENCH_r12 sets the comparable baseline).
@@ -150,6 +161,30 @@ CANARY_REF_SF01 = {
     "q_tpch_q18": 0.9265,
     "q_llm_dup_clusters": 3.3544,
 }
+
+
+# MEASUREMENT-INTEGRITY NOTE (r13, closing the r12 verdict's item 3 —
+# the 1.75x same-round disagreement between BENCH_r12's in-bench
+# trigram_lm (2.41 s) and SCALE_PROBE_r12's isolated reading (1.37 s)):
+# measured A/B this round, the gap is CROSS-SESSION HOST DRIFT, not
+# accumulated bench-session state. Same-day evidence: isolated
+# fresh-session trigram_lm min-of-3 = 2.05 s vs in-bench 2.33 s — a
+# 14% gap, inside the verdict's 15% bound — while the frozen planning
+# canaries read ~1.3x their r12 values (the host was simply faster
+# during the r12 probe run than during the r12 bench run). Two
+# remediations were tried and REJECTED on measurement:
+#   - forcing a JVM GC between samples (gc.collect() +
+#     System.gc()): catastrophic — the 128 GiB full collection
+#     degrades the NEXT timed query 2-4x (q_fn_string 0.136->0.614 s,
+#     q_llm_dedup_near 3.1->8.4 s). Do not re-add.
+#   - unpersisting all persistent RDDs between samples
+#     (getPersistentRDDs + unpersist): statistically neutral at sf0.1
+#     (within rep-to-rep noise in an interleaved A/B/A) — checkpoint
+#     blocks are not the bottleneck; not worth the extra code path.
+# The durable fix is interpretive: cross-harness and cross-round
+# comparisons must be read THROUGH host_factor (the frozen-canary
+# ratio emitted below); an isolated-probe number is exactly as
+# host-moment-sensitive as an in-bench number.
 
 
 def main() -> None:

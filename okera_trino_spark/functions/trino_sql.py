@@ -5387,7 +5387,7 @@ def execute_trino_explain(spark: SparkSession, sql: str,
     # EXPLAIN ((SELECT ...) UNION ALL ...) are legitimate Trino
     # statements — peek past the parens before committing to options.
     if rest.startswith("(") and re.match(
-            r"\(\s*\(*\s*(SELECT|WITH|VALUES|TABLE)\b", rest,
+            r"(?:\(\s*)+(SELECT|WITH|VALUES|TABLE)\b", rest,
             re.IGNORECASE):
         pass
     elif rest.startswith("("):
@@ -5426,7 +5426,7 @@ def execute_trino_explain(spark: SparkSession, sql: str,
     # at planning time, so EXPLAIN over CREATE/DROP/SET/... would run
     # the command instead of describing it (Trino never executes under
     # EXPLAIN). Refuse by name rather than silently mutate state.
-    if not re.match(r"\(*\s*(SELECT|WITH|VALUES|TABLE)\b", rest,
+    if not re.match(r"(?:\(\s*)*(SELECT|WITH|VALUES|TABLE)\b", rest,
                     re.IGNORECASE):
         head = rest.split(None, 1)[0].upper()
         raise TrinoSqlUnsupported(

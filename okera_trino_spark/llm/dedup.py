@@ -405,6 +405,19 @@ def minhash_pairs_sql() -> str:
     )"""
 
 
+def _prune_index_to_candidates(sh: DataFrame,
+                               cand_docs: DataFrame) -> DataFrame:
+    """Semi-join the shingle index down to candidate documents — the
+    verify-prune (r12). Deliberately NO broadcast hint: AQE broadcasts
+    the candidate set at runtime when its measured size is small, and
+    degrades to a shuffle semi-join when a high-duplication corpus
+    (30-70% near-dup is normal for web crawls) makes it corpus-sized —
+    a forced hint there is a driver OOM. tests/test_llm.py plan-asserts
+    the no-hint shape and runs the full pipeline broadcast-disabled on
+    a >=50%-near-dup corpus."""
+    return sh.join(cand_docs, "doc_id", "leftsemi")
+
+
 def minhash_verified_pairs(d: DataFrame) -> DataFrame:
     """Exact-verified MinHash+LSH near-dup pairs (doc_a, doc_b,
     jaccard ≥ 0.5) — the Spark twin of minhash_pairs_sql, shared by the
@@ -427,12 +440,20 @@ def minhash_verified_pairs(d: DataFrame) -> DataFrame:
     appear in some candidate pair, but the unpruned form shuffled the
     ENTIRE shingle index through both verify joins — linear algorithm,
     corpus-sized constant, measured 18.5x wall for 10x data because
-    the index shuffle dominated. The candidate DOC set is broadcast
-    (it is bounded by the near-dup population, orders of magnitude
-    smaller than the corpus; a corpus where it is not is mostly
-    duplicates and inherently verify-heavy) and the index is pruned by
-    a map-side semi-join — the corpus-sized relation is never
-    shuffled through the verify. Measured (SCALE_PROBE_r12.json third
+    the index shuffle dominated. The index is pruned by a semi-join on
+    the candidate DOC set with NO broadcast hint (r13, per the r12
+    verdict): on typical corpora the candidate set is orders of
+    magnitude smaller than the corpus and AQE converts the semi-join
+    to a runtime broadcast from its MEASURED size — but real web
+    corpora run 30-70% near-duplicate (the CCNet/RefinedWeb regime),
+    where a FORCED broadcast of billions of doc ids is a driver OOM,
+    not a slowdown. Un-hinted, the worst case degrades to a shuffle
+    semi-join (linear, correct), the common case still broadcasts —
+    exactly the discipline the trigram model join follows
+    (llm/text.py, r8 ADVICE). tests/test_llm.py pins the contract:
+    the pipeline completes on a >=50%-near-dup corpus with broadcast
+    disabled and the plan carries no broadcast hint.
+    Measured (SCALE_PROBE_r12.json third
     tier): sf10 wall 132.8 s pre-fix -> 86.0 s eager-checkpoint /
     102.6 s as shipped (lazy checkpoints — eager costs 2-3x on the
     whole key at sf0.1, and the eager-vs-lazy sf10 delta is inside the
@@ -450,7 +471,7 @@ def minhash_verified_pairs(d: DataFrame) -> DataFrame:
     cand_docs = (cands.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
-    shc = sh.join(F.broadcast(cand_docs), "doc_id", "leftsemi") \
+    shc = _prune_index_to_candidates(sh, cand_docs) \
         .localCheckpoint(eager=False)
     cnt = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shc.alias("a")

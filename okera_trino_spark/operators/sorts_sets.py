@@ -59,24 +59,40 @@ def grouped_sort_positions(df: DataFrame, group_col: str, *order_cols,
     plus each (range, group)'s starting offset within its group. The
     offsets job collects ≤ n_ranges × |groups| rows (groups are
     bounded: languages, sources — the caller's contract), folded into
-    a broadcast map keyed by 'range|group'. The same
+    a two-level broadcast map literal (range → (group → offset)) so a
+    group value can never collide with the map's key encoding and
+    non-string group types look up natively (r12 ADVICE replaced the
+    earlier 'range|group' string key, which a '|' in the group value
+    could alias). Group values must be NON-NULL — part of the caller
+    contract, enforced here with a clear error. The same
     materialize-the-range-shuffle-once rule as the global helper
     applies (RangePartitioner resamples split points per job)."""
     gcol = F.col(group_col)
     ranged = df.repartitionByRange(n_ranges, gcol, *order_cols) \
         .withColumn("_range", F.spark_partition_id()) \
         .localCheckpoint()
-    counts = sorted(
-        ((r["_range"], r["_g"]), r["n"]) for r in
-        ranged.groupBy(F.col("_range"), gcol.alias("_g"))
-        .agg(F.count("*").alias("n")).collect())
-    offsets, acc = [], {}
+    raw = ranged.groupBy(F.col("_range"), gcol.alias("_g")) \
+        .agg(F.count("*").alias("n")).collect()
+    if any(r["_g"] is None for r in raw):
+        raise ValueError(
+            f"grouped_sort_positions: NULL value in group column "
+            f"{group_col!r} — the helper's contract requires non-null "
+            f"groups (filter or coalesce NULLs first)")
+    counts = sorted(((r["_range"], r["_g"]), r["n"]) for r in raw)
+    per_range: dict[int, list] = {}
+    acc: dict = {}
     for (pid, g), n in counts:
-        offsets += [F.lit(f"{pid}|{g}"), F.lit(acc.get(g, 0))]
+        per_range.setdefault(pid, []).extend(
+            (F.lit(g), F.lit(acc.get(g, 0))))
         acc[g] = acc.get(g, 0) + n
-    key = F.concat_ws("|", F.col("_range").cast("string"), gcol)
-    off = (F.element_at(F.create_map(*offsets), key) if offsets
-           else F.lit(0))
+    if per_range:
+        outer = []
+        for pid, kvs in per_range.items():
+            outer += [F.lit(pid), F.create_map(*kvs)]
+        off = F.element_at(
+            F.element_at(F.create_map(*outer), F.col("_range")), gcol)
+    else:
+        off = F.lit(0)
     w = Window.partitionBy("_range", group_col).orderBy(*order_cols)
     return (
         ranged.withColumn(pos_col,

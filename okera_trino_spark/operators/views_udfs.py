@@ -11,11 +11,13 @@ expand lifecycle.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from okera_trino_spark.functions.trino_compat import register_reference_udfs
+from okera_trino_spark.functions.trino_sql import TrinoSqlUnsupported
 from okera_trino_spark.operators._util import r4, t
 from okera_trino_spark.registry import query
 from okera_trino_spark.sources.catalog import GovernedCatalog, register_tables
@@ -259,7 +261,10 @@ def q_trino_explain_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             cat.execute(sql, user=user, dialect="trino")
             rows.append((item, "unexpectedly_valid"))
-        except Exception:
+        except (AnalysisException, TrinoSqlUnsupported):
+            # Only ANALYSIS failures count as the expected refusal —
+            # a wiring/Py4J bug must surface as a red key, not green
+            # as a "correct" denial (r12 ADVICE).
             rows.append((item, "analysis_error"))
     io = cat.execute(
         "EXPLAIN (TYPE IO, FORMAT JSON) SELECT n_name, n_regionkey "
@@ -269,6 +274,79 @@ def q_trino_explain_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("io_columns", ",".join(sorted(info["columns"]))))
     rows.append(("io_pushed_filter_count",
                  str(len(info["pushedFilters"]))))
+    return spark.createDataFrame(rows, "item string, value string")
+
+
+@query(
+    "q_meta_stats",
+    oracle="""
+    SELECT 'admin_columns' AS item,
+           'c_acctbal,c_custkey,c_mktsegment,c_name,c_nationkey' AS value
+    UNION ALL
+    SELECT 'intern_columns', 'c_custkey,c_mktsegment'
+    UNION ALL
+    SELECT 'admin_row_count', CAST(count(*) AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'null_count_c_name',
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'filtered_row_count', 'hidden'
+    UNION ALL
+    SELECT 'data_size_positive', 'true'
+    """,
+    tags=("catalog", "metadata", "stats", "trino"),
+)
+def q_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 with driver-visible evidence (r13, per the r12 verdict): the
+    SHOW STATS surface through the governed path, checked on its
+    deterministic facets. The stats are METADATA-ONLY (parquet footer
+    via pyarrow — a stats call must never scan 100 TB;
+    RecordServiceMetadata.java:504-537 populates the same
+    TableStatistics from the planner) and POLICY-SCOPED: a column-authz
+    user sees only their columns' rows; a row-filtered user gets a NULL
+    row count (exact cardinality would disclose how many rows the
+    filter hides). Cross-engine facets: the row count and the
+    footer-derived null count are replayed by DuckDB against the DATA
+    (count(*) / sum(IS NULL)) — footer stats must agree with a scan —
+    while the policy facets are deterministic literals in the
+    q_trino_explain_validate pattern. data_size stays engine-side only
+    (uncompressed byte sizes are a parquet-writer artifact DuckDB
+    cannot replay) — asserted positive, not equal."""
+    from okera_trino_spark.sources.catalog import TablePolicy
+
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.set_policy("intern", "customer",
+                   TablePolicy(allowed_columns=["c_custkey",
+                                                "c_mktsegment"]))
+    cat.set_policy("analyst", "customer",
+                   TablePolicy(row_filter="c_acctbal > 0"))
+
+    def stats_rows(user):
+        return cat.execute("SHOW STATS FOR customer", user=user,
+                           dialect="trino").collect()
+
+    admin, intern, filtered = (stats_rows(u)
+                               for u in (None, "intern", "analyst"))
+    col_rows = [r for r in admin if r.column_name is not None]
+    summary = next(r for r in admin if r.column_name is None)
+    f_summary = next(r for r in filtered if r.column_name is None)
+    name_row = next(r for r in col_rows if r.column_name == "c_name")
+    rows = [
+        ("admin_columns",
+         ",".join(sorted(r.column_name for r in col_rows))),
+        ("intern_columns",
+         ",".join(sorted(r.column_name for r in intern
+                         if r.column_name is not None))),
+        ("admin_row_count", str(int(summary.row_count))),
+        ("null_count_c_name",
+         str(int(round(name_row.nulls_fraction * summary.row_count)))),
+        ("filtered_row_count",
+         "hidden" if f_summary.row_count is None else "leaked"),
+        ("data_size_positive",
+         str(all(r.data_size is not None and r.data_size > 0
+                 for r in col_rows)).lower()),
+    ]
     return spark.createDataFrame(rows, "item string, value string")
 
 

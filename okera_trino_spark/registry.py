@@ -89,35 +89,32 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-12 ROTATION (data-driven: slots ranked by last-green round
-#: computed from CORRECTNESS_r01..r11 — scripts/rotation_audit.py
-#: recomputes and checks this). The r11 window went 50/50 hash-green,
+#: ROUND-13 ROTATION (data-driven: slots ranked by last-green round
+#: computed from CORRECTNESS_r01..r12 — scripts/rotation_audit.py
+#: recomputes and checks this). The r12 window went 50/50 hash-green,
 #: so all 50 rotate OUT. Slots, in order:
-#:   1) the 22-key r7-stale cohort — last green r7, AT the 5-round
-#:      staleness bound this round; pre-committed in the r11 rotation
-#:      note and the r11 verdict's item 1;
-#:   2) the NEW r12 keys (SpookyHash V2, SHOW CATALOGS/USE discovery,
-#:      EXPLAIN VALIDATE/IO driver evidence, LSH-edge dup clusters,
-#:      CCNet perplexity buckets, exact-substring spans) — new keys
-#:      must sit in-window for the test_entry.py union-closure
+#:   1) the 25-key r8-stale cohort — last green r8, AT the 5-round
+#:      staleness bound this round; pre-committed in the r12 rotation
+#:      note and the r12 verdict's item 1;
+#:   2) the NEW r13 keys (SHOW STATS driver evidence for C13) — new
+#:      keys must sit in-window for the test_entry.py union-closure
 #:      invariant;
-#:   3) backfill 22 from the 46-key r8 cohort (next-stalest; bound
-#:      hits at r13), favoring the heavy/plan-sensitive keys (TPC-H
-#:      composites, the LLM pipeline block, MATCH_RECOGNIZE core).
-#:      The 25 r8 keys that did NOT fit MUST rotate in at r13 (they
-#:      reach the 5-round bound then): q_agg_approx_distinct_det,
-#:      q_agg_approx_percentile_det, q_agg_group, q_agg_salted,
-#:      q_cte, q_events_pattern_empty, q_events_pattern_skipnext,
-#:      q_filter_range, q_join_broadcast, q_join_inner, q_join_left,
-#:      q_join_semi, q_pandas_group_norm, q_stream_static_join,
-#:      q_topk, q_trino_info_schema, q_trino_sql_unicode,
-#:      q_view_create_read, q_win_rank, q_trino_sql_mr_desc,
-#:      q_trino_sql_mr_prev, q_trino_sql_mr_skiplast,
-#:      q_trino_sql_mr_skipsubset, q_trino_sql_mr_unmatched,
-#:      q_trino_sql_mr_vars.
-#:      25 + new r13 keys + r9-cohort backfill (49 keys, bound r14)
-#:      keeps the schedule feasible at ~226 keys (45.2/round average
-#:      vs the 50-slot window).
+#:   3) backfill 24 from the 49-key r9 cohort (next-stalest; bound
+#:      hits at r14), favoring the heavy/plan-sensitive keys (the
+#:      TPC-H composite block, the Trino-dialect breadth/ties/
+#:      MATCH_RECOGNIZE keys, window frames).
+#:      The 25 r9 keys that did NOT fit MUST rotate in at r14 (they
+#:      reach the 5-round bound then): q_agg_grouping_id,
+#:      q_agg_minmax_by, q_agg_rollup, q_agg_stats,
+#:      q_agg_unpivot, q_case_expr, q_count_star, q_fn_array,
+#:      q_fn_bitwise, q_fn_cast, q_fn_date, q_fn_map, q_fn_math,
+#:      q_fn_regex, q_fn_string, q_fn_struct, q_join_right,
+#:      q_profile_orders, q_project, q_stream_watermark,
+#:      q_subquery_corr, q_udf_custom, q_udtf_split, q_union_all,
+#:      q_unnest.
+#:      25 + new r14 keys + r10-cohort backfill keeps the schedule
+#:      feasible at ~227 keys (~45/round average vs the 50-slot
+#:      window).
 #:
 #: WINDOW-INELIGIBLE, PERMANENTLY: q_agg_approx_distinct and
 #: q_agg_approx_percentile never enter this list BY DESIGN — they are
@@ -127,28 +124,30 @@ def query(name: str, oracle: str | None = None,
 #: bound tests in tests/test_bounds.py. Rotation audits (including
 #: scripts/rotation_audit.py) must exclude them from staleness checks.
 _PRIORITY: tuple[str, ...] = (
-    # 1) r7-stale cohort — at the staleness bound, mandatory this round
-    "q_agg_collect", "q_agg_global", "q_distinct_rows", "q_except",
-    "q_except_all", "q_filter_in", "q_filter_null", "q_intersect",
-    "q_intersect_all", "q_join_cross", "q_limit",
-    "q_llm_ann_ivf_static", "q_llm_dedup_embed", "q_llm_quantize",
-    "q_llm_semdedup", "q_llm_stratified", "q_llm_tfidf",
-    "q_meta_discovery", "q_offset", "q_sample", "q_scan_wide",
-    "q_values",
-    # 2) new r12 keys (inserted as they land)
-    "q_trino_sql_spooky", "q_meta_catalogs", "q_trino_explain_validate",
-    "q_llm_dup_clusters_lsh", "q_llm_ccnet_buckets",
-    "q_llm_substring_spans", "q_llm_dedup_apply_lsh",
-    # 3) r8 backfill (21 of 46; 22 + 7 + 21 = 50)
-    "q_events_pattern",
-    "q_events_pattern_rows",
-    "q_trino_sql_mr",
-    "q_llm_ann_ivf", "q_llm_ann_pq", "q_llm_bpe", "q_llm_bpe_apply",
-    "q_llm_curation", "q_llm_decontaminate", "q_llm_dedup_exact",
-    "q_llm_heavy_hitters", "q_llm_multimodal", "q_llm_project",
-    "q_llm_quality_clf", "q_llm_similarity", "q_llm_trigram_lm",
-    "q_llm_winnow",
-    "q_tpch_q3", "q_tpch_q18", "q_pricing_summary", "q_scan_full",
+    # 1) r8-stale cohort (25) — at the staleness bound, mandatory this
+    #    round (enumerated in the r12 rotation note + verdict item 1)
+    "q_agg_approx_distinct_det", "q_agg_approx_percentile_det",
+    "q_agg_group", "q_agg_salted", "q_cte",
+    "q_events_pattern_empty", "q_events_pattern_skipnext",
+    "q_filter_range", "q_join_broadcast", "q_join_inner",
+    "q_join_left", "q_join_semi", "q_pandas_group_norm",
+    "q_stream_static_join", "q_topk", "q_trino_info_schema",
+    "q_trino_sql_mr_desc", "q_trino_sql_mr_prev",
+    "q_trino_sql_mr_skiplast", "q_trino_sql_mr_skipsubset",
+    "q_trino_sql_mr_unmatched", "q_trino_sql_mr_vars",
+    "q_trino_sql_unicode", "q_view_create_read", "q_win_rank",
+    # 2) new r13 keys (inserted as they land)
+    "q_meta_stats",
+    # 3) r9 backfill (24 of 49; 25 + 1 + 24 = 50)
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+    "q_trino_sql_breadth2", "q_trino_sql_breadth3",
+    "q_trino_sql_breadth4", "q_trino_sql_mr_excl",
+    "q_trino_sql_mr_running", "q_trino_sql_ties",
+    "q_trino_sql_jsonpath", "q_trino_sql_listagg",
+    "q_trino_sql_xxhash64", "q_win_frame_range", "q_win_ntile",
+    "q_agg_pivot",
 )
 
 

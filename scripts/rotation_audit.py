@@ -47,9 +47,16 @@ def last_green_by_key() -> tuple[dict[str, int], int]:
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
         latest_round = max(latest_round, rnd)
         for key, res in json.load(open(path)).items():
+            # hash_match may be absent ONLY for the rows-only-by-design
+            # keys; for every other key a missing hash_match must NOT
+            # count as green (r12 ADVICE — an artifact that drops the
+            # field would otherwise silently pass the staleness audit).
+            hash_ok = (res.get("hash_match") is True
+                       or (key in ROWS_ONLY_EXEMPT
+                           and res.get("hash_match") is None)
+                       ) if isinstance(res, dict) else False
             ok = (isinstance(res, dict) and res.get("rows_match")
-                  and res.get("schema_match")
-                  and res.get("hash_match") in (True, None))
+                  and res.get("schema_match") and hash_ok)
             if ok:
                 last[key] = max(last.get(key, 0), rnd)
     return last, latest_round

@@ -121,6 +121,40 @@ def test_grouped_positions_match_python_rank_per_group(spark):
         assert ps == list(range(1, len(vs) + 1))
 
 
+def test_grouped_positions_separator_groups_and_null_contract(spark):
+    """r12 ADVICE: the offset map is keyed structurally (range ->
+    group -> offset), so group values containing the old '|' separator
+    can no longer alias each other ('a|b' vs 'a' + range suffix), and
+    a NULL group raises the documented contract error instead of
+    crashing the driver-side sort on mixed tuples."""
+    import pytest
+
+    from okera_trino_spark.operators.sorts_sets import (
+        grouped_sort_positions,
+    )
+
+    rows = [(i, ["a|b", "a", "1|a", "b"][i % 4], float(i * 7 % 31))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = grouped_sort_positions(
+        df, "g", F.col("v").asc(), F.col("id").asc(), n_ranges=8,
+        pos_col="p")
+    got = {(r.g, r.id): r.p for r in out.collect()}
+    by_g = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    expect = {}
+    for g, vs in by_g.items():
+        for rank, (_, i) in enumerate(sorted(vs), start=1):
+            expect[(g, i)] = rank
+    assert got == expect
+
+    null_df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, None, 2.0)], "id long, g string, v double")
+    with pytest.raises(ValueError, match="non-null"):
+        grouped_sort_positions(null_df, "g", F.col("v").asc())
+
+
 def test_grouped_positions_deterministic(spark):
     from okera_trino_spark.operators.sorts_sets import (
         grouped_sort_positions,

@@ -37,6 +37,63 @@ def test_lsh_recall_matches_exact_pairs(spark, sf_dir):
     assert lsh == exact
 
 
+def test_verify_prune_high_dup_corpus_no_forced_broadcast(spark):
+    """r12-verdict contract on the verify-prune (llm/dedup.py): the
+    candidate-doc semi-join must carry NO broadcast hint, because on a
+    high-duplication web corpus (30-70% near-dup is the CCNet/
+    RefinedWeb regime) the candidate set is corpus-sized and a forced
+    broadcast is a driver OOM. Two assertions: (a) with broadcast
+    joins fully DISABLED (both thresholds -1 — a forced hint would
+    still broadcast, so a regression re-adding the hint fails the plan
+    check), the pruned-index join plans as a shuffle semi-join with no
+    BroadcastExchange; (b) the full pipeline completes broadcast-free
+    on a >=50%-near-dup synthetic corpus and returns exactly the
+    planted pairs."""
+    from okera_trino_spark.llm.dedup import (
+        _prune_index_to_candidates,
+        minhash_verified_pairs,
+        shingle_index,
+    )
+
+    rows, did = [], 0
+    for i in range(25):  # 50 near-dup docs (>= 50% of the corpus)
+        base = " ".join(f"tok{i}w{j}" for j in range(12))
+        rows.append((did, base))
+        rows.append((did + 1, base + f" extra{i}"))
+        did += 2
+    for i in range(20):  # 20 unique docs
+        rows.append((did, " ".join(f"uniq{i}x{j}" for j in range(12))))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # (a) plan shape of the prune join itself
+        sh = shingle_index(docs, 3)
+        cand = docs.select("doc_id").limit(30)
+        pruned = _prune_index_to_candidates(sh, cand)
+        pruned.collect()
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "LeftSemi" in plan, plan
+        # (b) end-to-end on the high-dup corpus, broadcast-free
+        got = {(r.doc_a, r.doc_b)
+               for r in minhash_verified_pairs(docs).collect()}
+        assert got == {(2 * i, 2 * i + 1) for i in range(25)}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_embed_dedup_precision_and_fixture_recall(spark):
     """Banded-LSH embed dedup vs the brute-force threshold join at
     sf0.1 (the only fixture with qualifying pairs): precision is 100% by

@@ -382,3 +382,29 @@ def test_quality_clf_is_shuffle_free_codegen(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_q21_twin_plan_shapes_pinned(spark, sf_dir):
+    """r13 (r12 verdict, twin-spread watch): the Q21 twins are
+    row-identical but INTENTIONALLY plan different — the native
+    DataFrame form is the at-scale rewrite (ONE lineitem scan, windows
+    over the reused per-order exchange) while the dialect TEXT lowers
+    the original double EXISTS / NOT EXISTS faithfully (Catalyst
+    decorrelates to joins; lineitem scanned three times). Pin both so
+    a de-optimization of the twin or a lowering change in the text
+    path is caught — the bench spread between them is this algorithmic
+    delta, not front-end overhead (see functions/trino_tpch.py)."""
+    import re
+
+    def lineitem_scans(plan: str) -> int:
+        return len(re.findall(r"FileScan parquet[^\n]*lineitem", plan))
+
+    native = SPECS["q_tpch_q21"].fn(spark, sf_dir)
+    nplan = native._jdf.queryExecution().executedPlan().toString()
+    assert lineitem_scans(nplan) == 1, nplan
+    assert "Window" in nplan, nplan
+
+    text = SPECS["q_trino_tpch_q21"].fn(spark, sf_dir)
+    tplan = text._jdf.queryExecution().executedPlan().toString()
+    assert lineitem_scans(tplan) == 3, tplan
+    assert "Window" not in tplan, tplan

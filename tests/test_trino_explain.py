@@ -246,7 +246,11 @@ def test_explain_parenthesized_query_is_not_options(spark, sf_dir):
     statements."""
     for sql in ("EXPLAIN (SELECT 1 AS x)",
                 "EXPLAIN ((SELECT n_name AS s FROM nation) "
-                "UNION ALL (SELECT r_name AS s FROM region))"):
+                "UNION ALL (SELECT r_name AS s FROM region))",
+                # whitespace BETWEEN opening parens (r12 ADVICE #2):
+                # the peek must step past any '('+space sequence
+                "EXPLAIN (( (SELECT n_name AS s FROM nation)) )",
+                "EXPLAIN ( ( SELECT 1 AS x ) )"):
         df = execute_trino(spark, sql, sf_dir)
         assert df.columns == ["Query Plan"]
     # a real options list still parses as options
