@@ -361,3 +361,150 @@ def q_llm_dedup_apply_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return _dedup_apply(d, minhash_verified_pairs(d)
                         .select("doc_a", "doc_b"))
+
+
+# ------------------------------------------- alternating-star resolver
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star pass (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — public algorithm): for every
+    node u, connect each STRICTLY LARGER neighbor v > u to
+    m = min(N(u) ∪ {u}). One groupBy + one join; emits (node, parent)
+    with parent < node (self-loops dropped)."""
+    nbr = sym.groupBy("u").agg(F.min("v").alias("_m"))
+    m = F.least(F.col("u"), F.col("_m"))
+    return (
+        sym.join(nbr, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star pass: orient every edge larger→smaller, then for
+    each node u connect ALL smaller neighbors (and u itself) to
+    m = min(N(u)): the local star collapses onto its minimum. Output is
+    canonical — distinct (u, v) with v < u — which is what makes the
+    fixpoint test a plain set comparison."""
+    o = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct())
+    nbr = o.groupBy("u").agg(F.min("v").alias("_m"))
+    return (
+        o.join(nbr, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .union(nbr.select("u", F.col("_m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def star_components(edges: DataFrame, max_iter: int = 30,
+                    stats: dict | None = None) -> DataFrame:
+    """Connected components by ALTERNATING large-star/small-star — the
+    O(log n)-round algorithm (Kiveris et al. 2014, public). Returns
+    (doc_id, cluster_id) for every node incident to an edge, labels =
+    component minimum — same contract as ``connected_components``
+    (include_isolated=False form).
+
+    Why a second resolver: min-label propagation needs O(DIAMETER)
+    rounds — perfect for near-clique duplicate clusters (diameter ≤ ~3)
+    but pathological for CHAIN-shaped duplicate graphs (A overlaps B
+    overlaps C…, the shape substring/paragraph overlap dedup produces:
+    a 1000-link chain is 1000 sequential shuffle rounds). Each star
+    round at least halves the distance-to-root, so convergence is
+    logarithmic in component size regardless of shape —
+    tests/test_llm.py pins a 512-link chain resolving in ≤ 11 rounds
+    where propagation would need 512. Per round: two groupBy-min
+    aggregates + two joins over the EDGE set only (never the corpus),
+    exactly the label-propagation round cost, so on low-diameter
+    graphs the two resolvers tie and on high-diameter graphs this one
+    wins by the diameter/log ratio.
+
+    Fixpoint detection is deterministic: small-star output is already
+    canonical (distinct, larger→smaller), so convergence is set
+    equality with the previous round — count match + empty exceptAll,
+    two O(|edges|) aggregates, no checksum-collision risk. At the
+    fixpoint every edge is (node, component-min) — a star — so labels
+    read directly off the edge list plus (root, root) rows.
+
+    ``stats``, when given, records {"rounds": N} — measurement hook for
+    the convergence tests; not used by query keys."""
+    e = (edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    prev_cnt = -1
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ss = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        rounds += 1
+        cnt = ss.count()
+        if cnt == prev_cnt and ss.exceptAll(e).count() == 0:
+            converged = True
+            e = ss
+            break
+        prev_cnt = cnt
+        e = ss
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"star_components did not converge in {max_iter} rounds — "
+            "alternating stars converge in O(log n); an unconverged run "
+            "at this bound indicates a bug, not a big graph")
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("v").alias("doc_id"),
+                     F.col("v").alias("cluster_id")).distinct())
+    )
+
+
+@query(
+    "q_llm_dup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {minhash_pairs_sql()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           count(*) AS cluster_size,
+           min(doc_id) AS canonical_doc_id
+    FROM comp
+    GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_llm_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the LSH-verified edge set, resolved by
+    ALTERNATING STARS instead of min-label propagation (r13). Same
+    edges, same clusters (the oracle is the identical recursive
+    closure; tests/test_llm.py asserts equality with both existing
+    resolvers) — different round complexity: O(log n) rounds in
+    component size vs O(diameter). The variant a 100-TB pipeline needs
+    when the duplicate graph is CHAIN-shaped (overlap/substring dedup:
+    doc A overlaps B overlaps C…), where propagation's round count is
+    the chain length. See star_components for the plan shape."""
+    d = t(spark, sf_dir, "documents")
+    edges = minhash_verified_pairs(d).select("doc_a", "doc_b")
+    comp = star_components(edges)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"),
+             F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("cluster_size") > 1)
+    )

@@ -57,6 +57,13 @@ SECOND_DECADE_KEYS = [
     # r12: the LSH-edge cluster resolver built FROM the second-decade
     # finding — must show the banded cost curve, not the exact join's.
     "q_llm_dup_clusters_lsh",
+    # r13 (r12 verdict item 5): the remaining dedup-spine keys never
+    # probed past sf1.0 — the kept-set APPLY twin (its anti-join fans
+    # the kept set against the full corpus) and exact-substring spans
+    # (its flag-join fans dup windows back out per document; deserves
+    # the df-inflation scrutiny that caught the exact-edge join).
+    "q_llm_dedup_apply_lsh",
+    "q_llm_substring_spans",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -88,13 +95,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--second-only", action="store_true",
                     help="run only the sf1.0 -> sf3.0 second-decade keys")
+    ap.add_argument("--keys", default=None,
+                    help="comma-separated key subset (applies to both "
+                         "lists) — re-probe only what changed")
     args = ap.parse_args()
+    only = set(args.keys.split(",")) if args.keys else None
 
     specs = load_all_queries()
     spark = get_spark("okera-trino-spark-scale-probe")
 
     results = {}
     for name in [] if args.second_only else KEYS:
+        if only is not None and name not in only:
+            continue
         times = _probe_key(spark, specs[name].fn,
                            (("sf0.1", SF01), ("sf1.0", SF10)))
         times["ratio"] = round(times["sf1.0"] / times["sf0.1"], 2)
@@ -103,6 +116,8 @@ def main() -> None:
     second = {}
     if Path(SF30).exists():
         for name in SECOND_DECADE_KEYS:
+            if only is not None and name not in only:
+                continue
             times = _probe_key(spark, specs[name].fn,
                                (("sf1.0", SF10), ("sf3.0", SF30)))
             times["ratio_3x"] = round(times["sf3.0"] / times["sf1.0"], 2)

@@ -582,3 +582,36 @@ def test_dsir_weights_separate_target_language(spark, sf_dir):
     assert bad == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_star_components_equal_propagation_clusters(spark, sf_dir):
+    """r13: the alternating-star resolver must produce exactly the
+    clusters the min-label propagation resolver produces over the same
+    LSH-verified edge set (both label components by their minimum)."""
+    prop = {(r.cluster_id, r.cluster_size, r.canonical_doc_id)
+            for r in SPECS["q_llm_dup_clusters_lsh"].fn(spark, sf_dir).collect()}
+    star = {(r.cluster_id, r.cluster_size, r.canonical_doc_id)
+            for r in SPECS["q_llm_dup_clusters_star"].fn(spark, sf_dir).collect()}
+    assert star == prop
+    assert star, "fixture should contain duplicate clusters"
+
+
+def test_star_components_chain_is_logarithmic(spark):
+    """The reason star_components exists: a 512-link chain (the shape
+    overlap dedup produces) must resolve in O(log n) rounds — label
+    propagation would need ~512 sequential shuffle rounds. Also checks
+    the labels themselves: every chain node joins component 0, plus an
+    untouched separate pair stays its own component."""
+    from okera_trino_spark.llm.clusters import star_components
+
+    n = 512
+    rows = [(i, i + 1) for i in range(n)]          # 0-1-2-...-512
+    rows += [(10_000, 10_001)]                      # separate 2-node comp
+    edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    stats: dict = {}
+    labels = {r.doc_id: r.cluster_id
+              for r in star_components(edges, stats=stats).collect()}
+    assert stats["rounds"] <= 11, stats
+    assert all(labels[i] == 0 for i in range(n + 1))
+    assert labels[10_000] == 10_000 and labels[10_001] == 10_000
+    assert len(labels) == n + 3
