@@ -351,6 +351,109 @@ def q_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_meta_security",
+    oracle="""
+    SELECT 'auth_password_ok' AS item, 'alice' AS value
+    UNION ALL SELECT 'auth_password_reject', 'rejected'
+    UNION ALL SELECT 'auth_token_subject_mismatch', 'rejected'
+    UNION ALL SELECT 'auth_token_mode', 'bearer'
+    UNION ALL SELECT 'auth_cache_single_verify', '1'
+    UNION ALL
+    SELECT 'delegated_rows_as_target', CAST(count(*) AS VARCHAR)
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL SELECT 'delegation_denied', 'rejected'
+    UNION ALL SELECT 'audit_trail',
+        'alice:true,bob:false,root:false'
+    UNION ALL SELECT 'audit_failures_carry_errors', 'true'
+    """,
+    tags=("catalog", "auth", "audit", "metadata"),
+)
+def q_meta_security(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18/C19/C20 with driver-visible evidence (r13): the security
+    surfaces' deterministic facets, in the q_trino_explain_validate
+    pattern. C19 (password/token auth, sources/auth.py —
+    OkeraAuthenticator.java semantics): disabled-mode user==password
+    accept/reject; Bearer dispatch for JWT-shaped secrets with the
+    token-subject-must-match-session-user rule; the success cache
+    verifying once for repeated credentials. C20
+    (delegation/impersonation): an ALLOWED delegate's read is governed
+    by the TARGET's policies — the row count under alice's row filter
+    is replayed by DuckDB against the data (cross-engine, any sf) —
+    and an unallowed delegation is refused. C18 (audit,
+    RecordServiceUtil.java:494-503 / OkeraEventListener.java field
+    set): the catalog's per-instance audit log records the delegated
+    query under the EFFECTIVE identity (alice, not svc), records the
+    DENIED delegation attempt (bob, success=false — failed access must
+    not be invisible), records the analysis failure (root), in
+    query-id order, with every failure carrying an error message."""
+    from okera_trino_spark.sources.auth import (
+        AuthenticationError,
+        PasswordAuthenticator,
+    )
+    from okera_trino_spark.sources.catalog import TablePolicy
+
+    rows = []
+    auth = PasswordAuthenticator()  # disabled mode: user == password
+    rows.append(("auth_password_ok", auth.authenticate("alice", "alice")))
+    try:
+        auth.authenticate("alice", "wrong")
+        rows.append(("auth_password_reject", "accepted"))
+    except AuthenticationError:
+        rows.append(("auth_password_reject", "rejected"))
+
+    modes = []
+
+    def subject_bob(req):
+        modes.append(req.mode)
+        return "bob"  # token subject differs from the session user
+
+    jwt_shaped = "eyJhbGciOiJI.eyJzdWIiOiJib2IifQ.c2lnbmF0dXJlMDEyMzQ1"
+    try:
+        PasswordAuthenticator(verifier=subject_bob).authenticate(
+            "alice", jwt_shaped)
+        rows.append(("auth_token_subject_mismatch", "accepted"))
+    except AuthenticationError:
+        rows.append(("auth_token_subject_mismatch", "rejected"))
+    rows.append(("auth_token_mode", modes[0]))
+
+    verify_calls = []
+
+    def count_verify(req):
+        verify_calls.append(1)
+        return "carol"
+
+    cached = PasswordAuthenticator(verifier=count_verify)
+    cached.authenticate("carol", "s3cret")
+    cached.authenticate("carol", "s3cret")
+    rows.append(("auth_cache_single_verify", str(len(verify_calls))))
+
+    cat = GovernedCatalog(spark, sf_dir)
+    cat.set_policy("alice", "nation",
+                   TablePolicy(row_filter="n_regionkey = 0"))
+    cat.allow_delegation("svc", "alice")
+    n = cat.execute("SELECT count(*) AS c FROM nation",
+                    user="svc", on_behalf_of="alice").collect()[0].c
+    rows.append(("delegated_rows_as_target", str(int(n))))
+    try:
+        cat.execute("SELECT 1 AS x", user="bob", on_behalf_of="alice")
+        rows.append(("delegation_denied", "accepted"))
+    except PermissionError:
+        rows.append(("delegation_denied", "rejected"))
+    try:
+        cat.execute("SELECT no_such_col FROM nation")
+    except AnalysisException:
+        pass
+    log = cat.audit_log
+    rows.append(("audit_trail",
+                 ",".join(f"{r.user}:{str(r.success).lower()}"
+                          for r in log)))
+    rows.append(("audit_failures_carry_errors",
+                 str(all(bool(r.error) for r in log
+                         if not r.success)).lower()))
+    return spark.createDataFrame(rows, "item string, value string")
+
+
+@query(
     "q_trino_info_schema",
     oracle="""
     SELECT table_name, column_name,

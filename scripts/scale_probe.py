@@ -64,6 +64,12 @@ SECOND_DECADE_KEYS = [
     # the df-inflation scrutiny that caught the exact-edge join).
     "q_llm_dedup_apply_lsh",
     "q_llm_substring_spans",
+    # r13: the alternating-star resolver over the same LSH edges — on
+    # the fixture's near-clique clusters it should TIE propagation
+    # (both resolvers' rounds are few); the star win is round COUNT on
+    # chain graphs (pinned functionally in tests), but the per-round
+    # cost curve must still be measured linear.
+    "q_llm_dup_clusters_star",
 ]
 
 SF01 = "/root/testdata/sf0.1"
