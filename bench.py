@@ -118,6 +118,12 @@ HEADLINE = [
     # be lower — BENCH_r12 sets the comparable baseline).
     "q_llm_dsir",
     "q_trino_tpch_q21",
+    # r13 addition: deterministic k-means — iterative (2 Lloyd rounds,
+    # each one corpus scan + one groupBy(k) shuffle, centroids as
+    # broadcast literals); the clustering step SemDeDup-style pipelines
+    # lean on, tracked round-over-round from its first round
+    # (~2.8 s at sf0.1 on first measurement, host_factor ~1.03).
+    "q_llm_kmeans",
 ]
 
 #: Timed steady-state repeats per query. Per-query headline time is the

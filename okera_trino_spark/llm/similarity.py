@@ -786,3 +786,121 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label",
                     F.round("adc_raw", 4).alias("adc_dist"))
             .limit(10))
+
+
+# --------------------------------------------------------- L3: k-means
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _kmeans_assign(e: DataFrame, cent: dict[int, list[float]]):
+    """Assignment expression for one Lloyd step: squared-L2 distance to
+    each centroid as a JVM-side zip_with/aggregate fold (no Python in
+    the hot path), argmin via array_min over (dist, id) structs — ties
+    break to the LOWEST centroid id on both engines. Centroids are
+    LITERALS (constant k x dim), so the step is one map-only projection
+    over the scan."""
+    structs = []
+    for cid, vec in sorted(cent.items()):
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        d2 = F.aggregate(
+            F.zip_with(F.col("embedding"), lit,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, z: acc + z)
+        structs.append(F.struct(d2.alias("d2"),
+                                F.lit(cid).cast("long").alias("c")))
+    return F.array_min(F.array(*structs))
+
+
+def _kmeans_oracle() -> str:
+    """The full 2-iteration Lloyd replay as DuckDB CTEs: everything in
+    EXPLODED (vec_id, dim-index, value) form so distances and per-dim
+    means are plain joins + grouped sums; argmin by row_number ordered
+    (d2, c) — the same lowest-id tie rule as the Spark struct min."""
+    def dist_assign(cent, dtag, atag):
+        return f"""
+    {dtag} AS (
+        SELECT ev.vec_id, {cent}.c, sum((ev.x - {cent}.x) ^ 2) AS d2
+        FROM ev JOIN {cent} USING (i) GROUP BY ev.vec_id, {cent}.c
+    ),
+    {atag} AS (
+        SELECT vec_id, c, d2 FROM (
+            SELECT vec_id, c, d2, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, c) AS rn
+            FROM {dtag}) WHERE rn = 1
+    )"""
+
+    def update(atag, ctag):
+        return f"""
+    {ctag} AS (
+        SELECT {atag}.c, ev.i, round(avg(ev.x), 6) AS x
+        FROM ev JOIN {atag} USING (vec_id) GROUP BY {atag}.c, ev.i
+    )"""
+
+    return f"""
+    ev AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS c, x, i FROM ev WHERE vec_id < {KMEANS_K}),
+    {dist_assign('c0', 'd1', 'a1')},
+    {update('a1', 'c1')},
+    {dist_assign('c1', 'd2_', 'a2')},
+    {update('a2', 'c2')},
+    {dist_assign('c2', 'd3', 'a3')}"""
+
+
+@query(
+    "q_llm_kmeans",
+    oracle=f"""
+    WITH {_kmeans_oracle()}
+    SELECT vec_id, c AS cluster_id, round(d2, 4) AS dist2
+    FROM a3
+    """,
+    tags=("llm", "similarity", "clustering", "iterative"),
+)
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 k-means clustering (Lloyd) over the embedding corpus — the
+    clustering step behind SemDeDup-style semantic dedup (Abbas et al.
+    2023 cluster within k-means cells), cluster-balanced sampling, and
+    domain-mixture analysis. Deterministic and fully DuckDB-replayable:
+    init = the embeddings of the {KMEANS_K} lowest vec_ids, cluster id
+    = the init vector's vec_id, {KMEANS_ITERS} update rounds, final
+    assignment emitted as (vec_id, cluster_id, dist2 rounded 4dp).
+
+    The distributed shape is canonical Lloyd: per iteration ONE corpus
+    scan with the centroids baked as broadcast literals (assignment is
+    a map-only zip_with/aggregate fold — argmin over (dist, id) structs,
+    ties to the lowest id) and ONE groupBy(cluster) shuffle of k x dim
+    partial means with map-side combine. Driver state is the k x dim
+    centroid matrix per round — the sanctioned constant-size collect
+    (same class as the IVF/PQ codebooks above). At 100 TB: iterations
+    are corpus scans by definition; nothing else grows with the corpus.
+
+    Cross-engine determinism: centroid means are rounded to 6dp each
+    round (both engines), so the next round's literals are identical
+    despite float summation-order noise (~1e-15, far inside the
+    rounding margin); distances use float64 end-to-end (the float32
+    embeddings widen exactly) and tie-break on centroid id. Empty
+    clusters drop out on both sides (standard Lloyd).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    cent = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in e.filter(F.col("vec_id") < KMEANS_K).collect()}
+    for _ in range(KMEANS_ITERS):
+        best = _kmeans_assign(e, cent)
+        rows = (e.withColumn("_c", best["c"])
+                .groupBy("_c")
+                .agg(*[F.round(F.avg(F.col("embedding")[i].cast("double")),
+                               6).alias(f"m{i}") for i in range(DIM)])
+                .collect())
+        cent = {int(r["_c"]): [float(r[f"m{i}"]) for i in range(DIM)]
+                for r in rows}
+    best = _kmeans_assign(e, cent)
+    return e.select(
+        "vec_id",
+        best["c"].alias("cluster_id"),
+        F.round(best["d2"], 4).alias("dist2"),
+    )

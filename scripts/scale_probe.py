@@ -44,6 +44,8 @@ KEYS = [
     "q_llm_dup_clusters_lsh",
     "q_llm_ccnet_buckets",
     "q_llm_substring_spans",
+    # r13: deterministic k-means — iterative corpus-scan shape
+    "q_llm_kmeans",
 ]
 
 #: r12 second decade: sf1.0 -> sf3.0 (3x) for the keys that probed

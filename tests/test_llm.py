@@ -615,3 +615,43 @@ def test_star_components_chain_is_logarithmic(spark):
     assert all(labels[i] == 0 for i in range(n + 1))
     assert labels[10_000] == 10_000 and labels[10_001] == 10_000
     assert len(labels) == n + 3
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """q_llm_kmeans (r13) against an independent single-process Lloyd
+    replay: same deterministic init (lowest vec_ids), same 6dp centroid
+    rounding, same lowest-id tie rule — assignments and 4dp distances
+    must agree exactly."""
+    import numpy as np
+
+    from okera_trino_spark.llm.similarity import KMEANS_ITERS, KMEANS_K
+
+    e = load_table(spark, sf_dir, "embeddings").collect()
+    X = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+         for r in e}
+    cent = {i: X[i].copy() for i in range(KMEANS_K)}
+
+    def assign(c):
+        out = {}
+        for vid, v in X.items():
+            best = min(((float(np.sum((v - cv) ** 2)), cid)
+                        for cid, cv in sorted(c.items())))
+            out[vid] = best
+        return out
+
+    for _ in range(KMEANS_ITERS):
+        a = assign(cent)
+        new = {}
+        for cid in cent:
+            members = [X[vid] for vid, (_, c) in a.items() if c == cid]
+            if members:
+                new[cid] = np.round(np.mean(members, axis=0), 6)
+        cent = new
+    expect = {vid: (c, round(d, 4)) for vid, (d, c) in assign(cent).items()}
+
+    got = {int(r.vec_id): (int(r.cluster_id), float(r.dist2))
+           for r in SPECS["q_llm_kmeans"].fn(spark, sf_dir).collect()}
+    assert {v: c for v, (c, _) in got.items()} == \
+           {v: c for v, (c, _) in expect.items()}
+    for vid, (c, d) in expect.items():
+        assert abs(got[vid][1] - d) <= 1e-9, (vid, got[vid], (c, d))

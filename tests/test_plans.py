@@ -408,3 +408,15 @@ def test_q21_twin_plan_shapes_pinned(spark, sf_dir):
     tplan = text._jdf.queryExecution().executedPlan().toString()
     assert lineitem_scans(tplan) == 3, tplan
     assert "Window" not in tplan, tplan
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    """q_llm_kmeans (r13): the final assignment bakes the centroids as
+    literals, so the output plan must be a map-only projection over the
+    embeddings scan — no exchange, no Python node. (The per-iteration
+    groupBy(k) shuffles happen inside the iteration jobs; the
+    assignment itself must never shuffle the corpus.)"""
+    df = SPECS["q_llm_kmeans"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
