@@ -401,7 +401,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def star_components(edges: DataFrame, max_iter: int = 30,
+def star_components(edges: DataFrame, max_iter: int = 50,
                     stats: dict | None = None) -> DataFrame:
     """Connected components by ALTERNATING large-star/small-star — the
     O(log n)-round algorithm (Kiveris et al. 2014, public). Returns
@@ -453,10 +453,16 @@ def star_components(edges: DataFrame, max_iter: int = 30,
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
+        # Measured convergence is ~log2(diameter)+2 rounds (512-link
+        # chain = 11), so 50 rounds covers components beyond any real
+        # corpus — but the proven worst case is O(log^2 n) (Kiveris et
+        # al.), so an unconverged run on an extreme graph is a
+        # raise-the-bound situation, not necessarily a bug. Fail loudly
+        # either way: unconverged labels are silently-wrong clusters.
         raise RuntimeError(
             f"star_components did not converge in {max_iter} rounds — "
-            "alternating stars converge in O(log n); an unconverged run "
-            "at this bound indicates a bug, not a big graph")
+            "raise max_iter (rounds grow ~log with component size; "
+            "worst case O(log^2 n))")
     return (
         e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
         .unionByName(

@@ -331,7 +331,12 @@ def q_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     col_rows = [r for r in admin if r.column_name is not None]
     summary = next(r for r in admin if r.column_name is None)
     f_summary = next(r for r in filtered if r.column_name is None)
-    name_row = next(r for r in col_rows if r.column_name == "c_name")
+    # Null count from the EXACT footer counter (table_stats — the same
+    # C13 surface SHOW STATS derives its fraction from): reconstructing
+    # it as round(nulls_fraction * row_count) is lossy once the
+    # fraction's 6dp rounding meets >1M rows, and NULLable once a chunk
+    # lacks statistics (r13 review finding).
+    nc = cat.table_stats("customer")["columns"]["c_name"]["null_count"]
     rows = [
         ("admin_columns",
          ",".join(sorted(r.column_name for r in col_rows))),
@@ -340,7 +345,7 @@ def q_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          if r.column_name is not None))),
         ("admin_row_count", str(int(summary.row_count))),
         ("null_count_c_name",
-         str(int(round(name_row.nulls_fraction * summary.row_count)))),
+         "unknown" if nc is None else str(int(nc))),
         ("filtered_row_count",
          "hidden" if f_summary.row_count is None else "leaked"),
         ("data_size_positive",

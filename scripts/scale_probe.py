@@ -107,7 +107,16 @@ def main() -> None:
                     help="comma-separated key subset (applies to both "
                          "lists) — re-probe only what changed")
     args = ap.parse_args()
-    only = set(args.keys.split(",")) if args.keys else None
+    only = None
+    if args.keys:
+        only = {k.strip() for k in args.keys.split(",") if k.strip()}
+        known = set(KEYS) | set(SECOND_DECADE_KEYS)
+        unknown = sorted(only - known)
+        if unknown:
+            # a typo'd key silently probing NOTHING would let an empty
+            # run masquerade as a completed probe (r13 review finding)
+            raise SystemExit(f"--keys not in any probe list: {unknown}; "
+                             f"known: {sorted(known)}")
 
     specs = load_all_queries()
     spark = get_spark("okera-trino-spark-scale-probe")
