@@ -655,3 +655,43 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
            {v: c for v, (c, _) in expect.items()}
     for vid, (c, d) in expect.items():
         assert abs(got[vid][1] - d) <= 1e-9, (vid, got[vid], (c, d))
+
+
+def test_star_and_propagation_agree_on_random_graphs(spark):
+    """Resolver equivalence on adversarial shapes the fixture doesn't
+    have: seeded random graphs mixing chains, cliques, stars and
+    isolated-pair components — both resolvers must produce the same
+    (node -> component-min) labeling."""
+    import random
+
+    from okera_trino_spark.llm.clusters import (
+        connected_components,
+        star_components,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        edges = set()
+        base = 0
+        for _ in range(6):  # chains
+            n = rng.randint(2, 40)
+            edges |= {(base + i, base + i + 1) for i in range(n - 1)}
+            base += n
+        for _ in range(4):  # cliques
+            ids = [base + i for i in range(rng.randint(3, 8))]
+            edges |= {(a, b) for a in ids for b in ids if a < b}
+            base += len(ids)
+        for _ in range(30):  # random cross edges
+            a, b = rng.randrange(base), rng.randrange(base)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        star = {r.doc_id: r.cluster_id
+                for r in star_components(df).collect()}
+        nodes = df.selectExpr("doc_a AS doc_id").union(
+            df.selectExpr("doc_b AS doc_id")).distinct()
+        prop = {r.doc_id: r.cluster_id
+                for r in connected_components(
+                    nodes, df, max_iter=200,
+                    include_isolated=False).collect()}
+        assert star == prop, f"seed {seed}: resolvers disagree"
