@@ -886,10 +886,22 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings widen exactly) and tie-break on centroid id. Empty
     clusters drop out on both sides (standard Lloyd).
     """
-    e = t(spark, sf_dir, "embeddings")
+    a = kmeans_assignments(t(spark, sf_dir, "embeddings"))
+    return a.select("vec_id", "cluster_id",
+                    F.round("dist2", 4).alias("dist2"))
+
+
+def kmeans_assignments(e: DataFrame, k: int = KMEANS_K,
+                       iters: int = KMEANS_ITERS) -> DataFrame:
+    """Reusable Lloyd loop (see q_llm_kmeans for the plan-shape and
+    determinism contract): returns (vec_id, cluster_id, dist2) for any
+    (vec_id, embedding) frame — dist2 RAW (callers round for output;
+    the sample key orders by 6dp of the raw value, so rounding here
+    would lose the ordering precision). Driver state per round is the
+    k x dim centroid matrix — constant-size."""
     cent = {int(r.vec_id): [float(x) for x in r.embedding]
-            for r in e.filter(F.col("vec_id") < KMEANS_K).collect()}
-    for _ in range(KMEANS_ITERS):
+            for r in e.filter(F.col("vec_id") < k).collect()}
+    for _ in range(iters):
         best = _kmeans_assign(e, cent)
         rows = (e.withColumn("_c", best["c"])
                 .groupBy("_c")
@@ -902,5 +914,59 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         best["c"].alias("cluster_id"),
-        F.round(best["d2"], 4).alias("dist2"),
+        best["d2"].alias("dist2"),
+    )
+
+
+SAMPLE_PER_CLUSTER = 30
+
+
+@query(
+    "q_llm_cluster_sample",
+    oracle=f"""
+    WITH {_kmeans_oracle()},
+    ranked AS (
+        SELECT vec_id, c AS cluster_id, d2,
+               row_number() OVER (
+                   PARTITION BY c ORDER BY round(d2, 6), vec_id) AS rnk
+        FROM a3
+    )
+    SELECT vec_id, cluster_id, round(d2, 4) AS dist2,
+           CAST(rnk AS BIGINT) AS rank_in_cluster
+    FROM ranked WHERE rnk <= {SAMPLE_PER_CLUSTER}
+    """,
+    tags=("llm", "similarity", "clustering", "sampling"),
+)
+def q_llm_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4 cluster-balanced sampling — the curation step k-means
+    feeds: keep the {SAMPLE_PER_CLUSTER} most-central members of every
+    k-means cell (closest to centroid, ties to lowest vec_id), giving a
+    diversity-preserving subset where uniform sampling would
+    over-represent dense regions (the standard k-means-based selection
+    of DoReMi/SemDeDup-style pipelines).
+
+    Per-cluster top-n WITHOUT a hot-key window: k is small (4), so a
+    ``row_number() OVER (PARTITION BY cluster_id ...)`` would funnel
+    corpus/k rows through ONE reducer at 100 TB — exactly the
+    partition-less-window anti-pattern the suite's plan gates ban.
+    Ranks come from ``grouped_sort_positions`` instead (range shuffle
+    on (cluster, dist, id) + per-(range, cluster) row_number +
+    constant-size offset map — operators/sorts_sets.py), whose caller
+    contract (bounded groups) k satisfies by construction. Ordering is
+    (round(d2, 6), vec_id) so float summation-order noise (~1e-15)
+    cannot flip neighbors across engines."""
+    from okera_trino_spark.operators.sorts_sets import (
+        grouped_sort_positions,
+    )
+
+    assigned = kmeans_assignments(t(spark, sf_dir, "embeddings"))
+    ranked = grouped_sort_positions(
+        assigned.select("vec_id", "cluster_id",
+                        F.col("dist2").alias("d2")),
+        "cluster_id", F.round(F.col("d2"), 6).asc(),
+        F.col("vec_id").asc(), pos_col="rank_in_cluster")
+    return (
+        ranked.filter(F.col("rank_in_cluster") <= SAMPLE_PER_CLUSTER)
+        .select("vec_id", "cluster_id",
+                F.round("d2", 4).alias("dist2"), "rank_in_cluster")
     )

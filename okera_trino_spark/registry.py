@@ -98,23 +98,25 @@ def query(name: str, oracle: str | None = None,
 #:      note and the r12 verdict's item 1;
 #:   2) the NEW r13 keys (SHOW STATS driver evidence for C13;
 #:      alternating-star cluster resolver; auth/delegation/audit
-#:      driver evidence for C18-C20; deterministic k-means) — new
+#:      driver evidence for C18-C20; deterministic k-means +
+#:      cluster-balanced sampling) — new
 #:      keys must sit in-window for the test_entry.py union-closure
 #:      invariant;
-#:   3) backfill 21 from the 49-key r9 cohort (next-stalest; bound
+#:   3) backfill 20 from the 49-key r9 cohort (next-stalest; bound
 #:      hits at r14), favoring the heavy/plan-sensitive keys (the
 #:      TPC-H composite block, the Trino-dialect breadth/ties/
 #:      MATCH_RECOGNIZE keys, window frames).
-#:      The 28 r9 keys that did NOT fit MUST rotate in at r14 (they
+#:      The 29 r9 keys that did NOT fit MUST rotate in at r14 (they
 #:      reach the 5-round bound then): q_agg_grouping_id,
 #:      q_agg_minmax_by, q_agg_pivot, q_agg_rollup, q_agg_stats,
 #:      q_agg_unpivot, q_case_expr, q_count_star, q_fn_array,
 #:      q_fn_bitwise, q_fn_cast, q_fn_date, q_fn_map, q_fn_math,
 #:      q_fn_regex, q_fn_string, q_fn_struct, q_join_right,
 #:      q_profile_orders, q_project, q_stream_watermark,
-#:      q_subquery_corr, q_udf_custom, q_udtf_split, q_union_all,
-#:      q_unnest, q_win_frame_range, q_win_ntile.
-#:      28 + new r14 keys + r10-cohort backfill keeps the schedule
+#:      q_subquery_corr, q_trino_sql_xxhash64, q_udf_custom,
+#:      q_udtf_split, q_union_all, q_unnest, q_win_frame_range,
+#:      q_win_ntile.
+#:      29 + new r14 keys + r10-cohort backfill keeps the schedule
 #:      feasible at ~230 keys (~45/round average vs the 50-slot
 #:      window).
 #:
@@ -143,7 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_llm_dup_clusters_star",
     "q_meta_security",
     "q_llm_kmeans",
-    # 3) r9 backfill (21 of 49; 25 + 4 + 21 = 50)
+    "q_llm_cluster_sample",
+    # 3) r9 backfill (20 of 49; 25 + 5 + 20 = 50)
     "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
     "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
     "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
@@ -151,7 +154,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_trino_sql_breadth4", "q_trino_sql_mr_excl",
     "q_trino_sql_mr_running", "q_trino_sql_ties",
     "q_trino_sql_jsonpath", "q_trino_sql_listagg",
-    "q_trino_sql_xxhash64",
 )
 
 
