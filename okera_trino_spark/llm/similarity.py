@@ -894,11 +894,18 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_assignments(e: DataFrame, k: int = KMEANS_K,
                        iters: int = KMEANS_ITERS) -> DataFrame:
     """Reusable Lloyd loop (see q_llm_kmeans for the plan-shape and
-    determinism contract): returns (vec_id, cluster_id, dist2) for any
-    (vec_id, embedding) frame — dist2 RAW (callers round for output;
-    the sample key orders by 6dp of the raw value, so rounding here
-    would lose the ordering precision). Driver state per round is the
-    k x dim centroid matrix — constant-size."""
+    determinism contract): returns (vec_id, cluster_id, dist2) —
+    dist2 RAW (callers round for output; the sample key orders by 6dp
+    of the raw value, so rounding here would lose the ordering
+    precision). Driver state per round is the k x dim centroid matrix
+    — constant-size.
+
+    Input contract (r13 review): embeddings must be exactly DIM wide
+    (the update step aggregates embedding[0..DIM-1] — wider input
+    silently truncates, narrower yields NULL means), and vec_ids
+    0..k-1 must exist (init filter is ``vec_id < k``; sparse low ids
+    initialize fewer than k centroids). Both hold for the fixture
+    embeddings table; a third caller must check or generalize."""
     cent = {int(r.vec_id): [float(x) for x in r.embedding]
             for r in e.filter(F.col("vec_id") < k).collect()}
     for _ in range(iters):

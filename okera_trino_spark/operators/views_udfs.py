@@ -291,6 +291,8 @@ def q_trino_explain_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
                 AS VARCHAR) FROM customer
     UNION ALL
+    SELECT 'nulls_fraction_consistent', 'true'
+    UNION ALL
     SELECT 'filtered_row_count', 'hidden'
     UNION ALL
     SELECT 'data_size_positive', 'true'
@@ -335,8 +337,18 @@ def q_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C13 surface SHOW STATS derives its fraction from): reconstructing
     # it as round(nulls_fraction * row_count) is lossy once the
     # fraction's 6dp rounding meets >1M rows, and NULLable once a chunk
-    # lacks statistics (r13 review finding).
+    # lacks statistics (r13 review finding). The SHOW STATS projection
+    # itself stays checked: its nulls_fraction must agree with the
+    # exact counter to within its own 6dp rounding — otherwise a broken
+    # fraction formula would green behind the exact value (second r13
+    # review finding).
     nc = cat.table_stats("customer")["columns"]["c_name"]["null_count"]
+    name_row = next(r for r in col_rows if r.column_name == "c_name")
+    rc = summary.row_count
+    nf_ok = ((nc is None and name_row.nulls_fraction is None)
+             or (nc is not None and name_row.nulls_fraction is not None
+                 and rc and abs(name_row.nulls_fraction - nc / rc)
+                 <= 5e-7))
     rows = [
         ("admin_columns",
          ",".join(sorted(r.column_name for r in col_rows))),
@@ -346,6 +358,7 @@ def q_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("admin_row_count", str(int(summary.row_count))),
         ("null_count_c_name",
          "unknown" if nc is None else str(int(nc))),
+        ("nulls_fraction_consistent", str(bool(nf_ok)).lower()),
         ("filtered_row_count",
          "hidden" if f_summary.row_count is None else "leaked"),
         ("data_size_positive",

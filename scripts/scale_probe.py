@@ -46,6 +46,7 @@ KEYS = [
     "q_llm_substring_spans",
     # r13: deterministic k-means — iterative corpus-scan shape
     "q_llm_kmeans",
+    "q_llm_cluster_sample",
 ]
 
 #: r12 second decade: sf1.0 -> sf3.0 (3x) for the keys that probed
@@ -142,6 +143,16 @@ def main() -> None:
             print(json.dumps({"key": name, **times}), flush=True)
     print(json.dumps({"scale_probe": results,
                       "second_decade": second}))
+    if only is not None:
+        # a requested key that landed in NO executed loop (e.g.
+        # --second-only with a first-decade-only key, or a missing
+        # .scale/sf3.0 silencing the second loop) must fail loudly —
+        # an empty run must never masquerade as a completed probe
+        missed = sorted(only - set(results) - set(second))
+        if missed:
+            raise SystemExit(
+                f"--keys requested but not probed by any executed "
+                f"loop: {missed} (check --second-only / fixture dirs)")
 
 
 def _probe_key(spark, fn, tiers) -> dict:

@@ -659,9 +659,11 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
 
 def test_star_and_propagation_agree_on_random_graphs(spark):
     """Resolver equivalence on adversarial shapes the fixture doesn't
-    have: seeded random graphs mixing chains, cliques, stars and
-    isolated-pair components — both resolvers must produce the same
-    (node -> component-min) labeling."""
+    have: seeded random graphs mixing chains, cliques, hub-and-leaf
+    stars and guaranteed isolated-pair components — both resolvers
+    must produce the same (node -> component-min) labeling. (Stars are
+    the shape the large-star/small-star passes treat asymmetrically;
+    isolated pairs are the smallest fixpoint.)"""
     import random
 
     from okera_trino_spark.llm.clusters import (
@@ -681,10 +683,18 @@ def test_star_and_propagation_agree_on_random_graphs(spark):
             ids = [base + i for i in range(rng.randint(3, 8))]
             edges |= {(a, b) for a in ids for b in ids if a < b}
             base += len(ids)
+        for _ in range(3):  # hub-and-leaf stars (hub HIGHER than leaves
+            n = rng.randint(4, 12)     # in one case, lower in another)
+            hub = base + (0 if rng.random() < 0.5 else n - 1)
+            edges |= {(min(hub, base + i), max(hub, base + i))
+                      for i in range(n) if base + i != hub}
+            base += n
         for _ in range(30):  # random cross edges
             a, b = rng.randrange(base), rng.randrange(base)
             if a != b:
                 edges.add((min(a, b), max(a, b)))
+        # guaranteed isolated 2-node components, outside cross-edge range
+        edges |= {(base + 1000, base + 1001), (base + 2000, base + 2001)}
         df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
         star = {r.doc_id: r.cluster_id
                 for r in star_components(df).collect()}
