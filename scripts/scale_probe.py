@@ -67,6 +67,10 @@ SECOND_DECADE_KEYS = [
     # the df-inflation scrutiny that caught the exact-edge join).
     "q_llm_dedup_apply_lsh",
     "q_llm_substring_spans",
+    # r13: the new clustering keys — fixed-cost dominated in the first
+    # decade (1.3x / 1.39x for 10x); the second decade confirms the
+    # per-iteration scan + groupBy(k) shape stays linear
+    "q_llm_kmeans",
     # r13: the alternating-star resolver over the same LSH edges — on
     # the fixture's near-clique clusters it should TIE propagation
     # (both resolvers' rounds are few); the star win is round COUNT on
