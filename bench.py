@@ -124,6 +124,10 @@ HEADLINE = [
     # lean on, tracked round-over-round from its first round
     # (~2.8 s at sf0.1 on first measurement, host_factor ~1.03).
     "q_llm_kmeans",
+    # r14 addition: SemDeDup as published — the k-means cells above
+    # plus a within-cell pair join (equi-join on cluster_id) and
+    # Arrow-batched cosine rescoring; tracked from its first round.
+    "q_llm_semdedup_kmeans",
 ]
 
 #: Timed steady-state repeats per query. Per-query headline time is the

@@ -1062,3 +1062,123 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_b").isNull().alias("kept"),
                 F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"))
     )
+
+
+# ------------------------------------------- SemDeDup via k-means cells
+SEMDEDUP_KM_THRESHOLD = 0.35
+#: Target k-means cell size: k = max(KMEANS_K, n // this), so cells
+#: stay bounded and the within-cell pair join is linear in the corpus
+#: (the paper's k-grows-with-n design). 250 keeps the driver fixtures
+#: (n = 500) at the oracle's k = 4 while the probe tiers scale k
+#: 8 (sf0.1) -> 80 (sf1.0) -> 240 (sf3.0) -> 800 (sf10).
+SEMDEDUP_CELL_TARGET = 250
+
+
+def _semdedup_kmeans_oracle() -> str:
+    """Full replay: the 2-round Lloyd CTEs (shared with q_llm_kmeans),
+    within-cell candidate pairs, pair cosines as float64 folds over the
+    already-exploded ``ev`` CTE (DuckDB's list_cosine_similarity runs
+    in float32 on FLOAT lists — a ~1e-7 skew the 6dp compare grid could
+    see; the explicit double fold matches Spark's float64 path to
+    ~1e-15), and the keep-lowest-id rule."""
+    from okera_trino_spark.llm.similarity import _kmeans_oracle
+
+    return f"""
+    WITH {_kmeans_oracle()},
+    cand AS (
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM a3 x JOIN a3 y ON x.c = y.c AND x.vec_id < y.vec_id
+    ),
+    pc AS (
+        SELECT c.vec_a, c.vec_b,
+               round(sum(ea.x * eb.x) /
+                     (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x))),
+                     6) AS cos6
+        FROM cand c
+        JOIN ev ea ON ea.vec_id = c.vec_a
+        JOIN ev eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+        GROUP BY c.vec_a, c.vec_b
+    ),
+    dup AS (
+        SELECT vec_b, CAST(count(*) AS BIGINT) AS n_dups
+        FROM pc WHERE cos6 >= {SEMDEDUP_KM_THRESHOLD}
+        GROUP BY vec_b
+    )
+    SELECT a3.vec_id, e.label, a3.c AS cluster_id,
+           (dup.vec_b IS NULL) AS kept,
+           coalesce(dup.n_dups, 0) AS n_dups
+    FROM a3
+    JOIN embeddings e ON e.vec_id = a3.vec_id
+    LEFT JOIN dup ON a3.vec_id = dup.vec_b
+    """
+
+
+@query(
+    "q_llm_semdedup_kmeans",
+    oracle=_semdedup_kmeans_oracle(),
+    tags=("llm", "dedup", "semantic", "clustering", "iterative"),
+)
+def q_llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3 SemDeDup AS PUBLISHED (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding corpus with k-means, then compare pairs ONLY
+    WITHIN each cell and drop every vector with a lower-id near-dup
+    (cosine >= SEMDEDUP_KM_THRESHOLD = 0.35) in its cell. The r12 q_llm_semdedup key is the
+    LSH-candidate variant of the same decision; this one is the
+    paper's k-means-cell candidate generator, built on the r13
+    deterministic Lloyd loop — the two bound the candidate-recall
+    trade a curation pipeline actually tunes.
+
+    Scale shape: k SCALES WITH THE CORPUS — k = max(4, n /
+    SEMDEDUP_CELL_TARGET) — which is the paper's actual design (they
+    use ~11k cells for LAION) and the reason the quadratic
+    sum-over-cells C(|cell|, 2) pair term never sees the corpus size:
+    cells stay ~SEMDEDUP_CELL_TARGET rows, so pair volume is
+    ~n * cell/2, LINEAR in n (the r14 scale probe measures exactly
+    this — fixed k would have been quadratic at the very first
+    decade). On the driver-checked fixtures (n = 500) the formula
+    yields the oracle's k = 4, so the DuckDB Lloyd replay is
+    unchanged; at probe scale the Lloyd loop switches to the
+    Arrow/BLAS assignment path (similarity.KMEANS_FOLD_MAX).
+    Assignment carries the embedding through the SAME projection
+    (kmeans_assignments extra_cols — no corpus self-join on vec_id),
+    materialized ONCE (localCheckpoint, three consumers); candidates
+    are an equi-join on cluster_id; a hot cell at 100 TB is AQE
+    skew-join territory plus the paper's own cell-size cap. Pair
+    scoring is the Arrow/BLAS pandas_udf (cosine_vec — the embed-dedup
+    high-volume precedent), rounded to 6dp BEFORE the threshold so
+    both engines compare on the same grid.
+
+    HARD oracle: the full Lloyd replay (shared CTEs with q_llm_kmeans)
+    + within-cell pairs + float64 cosine folds in DuckDB.
+    """
+    from okera_trino_spark.llm.similarity import (
+        KMEANS_K,
+        cosine_vec,
+        kmeans_assignments,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    k = max(KMEANS_K, e.count() // SEMDEDUP_CELL_TARGET)
+    v = kmeans_assignments(
+        e, k=k,
+        extra_cols=("embedding", "label")).localCheckpoint(eager=False)
+    a = v.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("emb_a"))
+    b = v.select(F.col("cluster_id"), F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("emb_b"))
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos6", F.round(
+            cosine_vec(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cos6") >= SEMDEDUP_KM_THRESHOLD)
+    )
+    dup = pairs.groupBy("vec_b").agg(F.count("*").alias("n_dups"))
+    return (
+        v.select("vec_id", "label", "cluster_id")
+        .join(dup, v.vec_id == dup.vec_b, "left")
+        .select("vec_id", "label", "cluster_id",
+                F.col("vec_b").isNull().alias("kept"),
+                F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"))
+    )

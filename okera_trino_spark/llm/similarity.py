@@ -799,7 +799,15 @@ def _kmeans_assign(e: DataFrame, cent: dict[int, list[float]]):
     the hot path), argmin via array_min over (dist, id) structs — ties
     break to the LOWEST centroid id on both engines. Centroids are
     LITERALS (constant k x dim), so the step is one map-only projection
-    over the scan."""
+    over the scan.
+
+    Distances are rounded to 6dp BEFORE the argmin (matching the
+    centroid-mean rounding) so the tie-break domain is identical across
+    engines: Spark's left-fold sum and DuckDB's unordered SUM can
+    differ in the last ulp, and the lowest-id rule only fires on exact
+    equality — a ~1e-15 near-tie could otherwise assign different
+    clusters per engine (r13 ADVICE). The oracle rounds at the same
+    point (``_kmeans_oracle``'s dist CTEs)."""
     structs = []
     for cid, vec in sorted(cent.items()):
         lit = F.array(*[F.lit(float(v)) for v in vec])
@@ -808,9 +816,50 @@ def _kmeans_assign(e: DataFrame, cent: dict[int, list[float]]):
                        lambda x, y: (x.cast("double") - y)
                        * (x.cast("double") - y)),
             F.lit(0.0), lambda acc, z: acc + z)
-        structs.append(F.struct(d2.alias("d2"),
+        structs.append(F.struct(F.round(d2, 6).alias("d2"),
                                 F.lit(cid).cast("long").alias("c")))
     return F.array_min(F.array(*structs))
+
+
+#: Above this k the codegen-fold assignment (k literal structs, each an
+#: O(dim) fold — an O(k*dim) expression tree) stops being the right
+#: shape and assignment switches to the Arrow/BLAS pandas_udf below.
+#: The driver-checked fixtures stay at k = KMEANS_K = 4, so the
+#: cross-engine-replayable fold path is what the DuckDB oracle sees.
+KMEANS_FOLD_MAX = 8
+
+
+def _kmeans_assign_vec(cent: dict[int, list[float]]):
+    """Large-k assignment: one BLAS pass per Arrow batch against the
+    broadcast k x dim centroid matrix (|x|^2 + |c|^2 - 2 x.c — the
+    matmul form; at unit-scale embeddings it matches the fold's
+    sum-of-squares to ~1e-13, far inside the shared 6dp rounding
+    grid), then argmin over the 6dp-rounded row — np.argmin's
+    first-occurrence rule on ascending-sorted centroid ids IS the
+    lowest-id tie rule. Same (d2, c) struct contract as
+    _kmeans_assign; returns a Column. Used when k > KMEANS_FOLD_MAX
+    (corpus-scaled k, e.g. SemDeDup cells) — the driver-checked k=4
+    path stays on the fold, so oracle replays are unaffected."""
+    import pandas as pd
+
+    cids = np.array(sorted(cent), dtype=np.int64)
+    C = np.stack([np.asarray(cent[c], dtype=np.float64) for c in cids])
+    c_sq = (C * C).sum(axis=1)
+
+    # no type hints: PySpark 4's hint inference rejects the
+    # Series -> DataFrame (struct-scalar) signature; the plain form
+    # dispatches on returnType
+    @F.pandas_udf("d2 double, c long")
+    def _assign(emb):
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        d2 = ((X * X).sum(axis=1)[:, None] + c_sq[None, :]
+              - 2.0 * (X @ C.T))
+        d2 = np.round(d2, 6)
+        j = d2.argmin(axis=1)
+        return pd.DataFrame({"d2": d2[np.arange(len(j)), j],
+                             "c": cids[j]})
+
+    return _assign(F.col("embedding"))
 
 
 def _kmeans_oracle() -> str:
@@ -819,9 +868,13 @@ def _kmeans_oracle() -> str:
     means are plain joins + grouped sums; argmin by row_number ordered
     (d2, c) — the same lowest-id tie rule as the Spark struct min."""
     def dist_assign(cent, dtag, atag):
+        # round(..., 6) on the summed distance BEFORE the argmin —
+        # same rounding point as _kmeans_assign's struct, so the
+        # lowest-id tie rule sees the same domain on both engines.
         return f"""
     {dtag} AS (
-        SELECT ev.vec_id, {cent}.c, sum((ev.x - {cent}.x) ^ 2) AS d2
+        SELECT ev.vec_id, {cent}.c,
+               round(sum((ev.x - {cent}.x) ^ 2), 6) AS d2
         FROM ev JOIN {cent} USING (i) GROUP BY ev.vec_id, {cent}.c
     ),
     {atag} AS (
@@ -879,12 +932,15 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same class as the IVF/PQ codebooks above). At 100 TB: iterations
     are corpus scans by definition; nothing else grows with the corpus.
 
-    Cross-engine determinism: centroid means are rounded to 6dp each
-    round (both engines), so the next round's literals are identical
+    Cross-engine determinism: centroid means AND assignment distances
+    are rounded to 6dp each round (both engines, at the same point —
+    before the argmin), so the next round's literals are identical
     despite float summation-order noise (~1e-15, far inside the
-    rounding margin); distances use float64 end-to-end (the float32
-    embeddings widen exactly) and tie-break on centroid id. Empty
-    clusters drop out on both sides (standard Lloyd).
+    rounding margin) and the lowest-centroid-id tie rule fires on the
+    same domain (a raw-value argmin could flip a ~1e-15 near-tie
+    between engines — r13 ADVICE); distances use float64 end-to-end
+    (the float32 embeddings widen exactly). Empty clusters drop out on
+    both sides (standard Lloyd).
     """
     a = kmeans_assignments(t(spark, sf_dir, "embeddings"))
     return a.select("vec_id", "cluster_id",
@@ -892,24 +948,46 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_assignments(e: DataFrame, k: int = KMEANS_K,
-                       iters: int = KMEANS_ITERS) -> DataFrame:
+                       iters: int = KMEANS_ITERS,
+                       extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Reusable Lloyd loop (see q_llm_kmeans for the plan-shape and
-    determinism contract): returns (vec_id, cluster_id, dist2) —
-    dist2 RAW (callers round for output; the sample key orders by 6dp
-    of the raw value, so rounding here would lose the ordering
-    precision). Driver state per round is the k x dim centroid matrix
-    — constant-size.
+    determinism contract): returns (vec_id, cluster_id, dist2[,
+    *extra_cols]) — dist2 at the 6dp assignment grid (the argmin
+    domain). ``extra_cols`` carries input columns (e.g. the embedding
+    itself) through the final assignment so a consumer that needs
+    vectors AND cells — SemDeDup's within-cell pair scoring — gets
+    them in the SAME map-only projection instead of re-joining the
+    corpus on vec_id. Driver state per round is the k x dim centroid
+    matrix — constant-size.
 
-    Input contract (r13 review): embeddings must be exactly DIM wide
-    (the update step aggregates embedding[0..DIM-1] — wider input
-    silently truncates, narrower yields NULL means), and vec_ids
-    0..k-1 must exist (init filter is ``vec_id < k``; sparse low ids
-    initialize fewer than k centroids). Both hold for the fixture
-    embeddings table; a third caller must check or generalize."""
+    Input contract (r13 review, ENFORCED since r14): embeddings must
+    be exactly DIM wide (the update step aggregates
+    embedding[0..DIM-1] — wider input silently truncates, narrower
+    yields NULL means), and vec_ids 0..k-1 must exist (init filter is
+    ``vec_id < k``; sparse low ids initialize fewer than k centroids).
+    Both are checked at the init collect — driver-side, k rows, free —
+    and raise instead of silently mis-clustering."""
     cent = {int(r.vec_id): [float(x) for x in r.embedding]
             for r in e.filter(F.col("vec_id") < k).collect()}
+    if len(cent) != k:
+        raise ValueError(
+            f"kmeans_assignments: init expects vec_ids 0..{k - 1} "
+            f"present; found {len(cent)} of {k} init rows")
+    bad_width = sorted(c for c, v in cent.items() if len(v) != DIM)
+    if bad_width:
+        raise ValueError(
+            f"kmeans_assignments: embeddings must be exactly {DIM} "
+            f"wide (update step aggregates embedding[0..{DIM - 1}]); "
+            f"init vec_ids {bad_width} are not")
+    def assign(c):
+        # fold (codegen, oracle-replayable) for small k; Arrow/BLAS
+        # pandas_udf once the O(k*dim) expression tree stops scaling
+        if len(c) <= KMEANS_FOLD_MAX:
+            return _kmeans_assign(e, c)
+        return _kmeans_assign_vec(c)
+
     for _ in range(iters):
-        best = _kmeans_assign(e, cent)
+        best = assign(cent)
         rows = (e.withColumn("_c", best["c"])
                 .groupBy("_c")
                 .agg(*[F.round(F.avg(F.col("embedding")[i].cast("double")),
@@ -917,11 +995,15 @@ def kmeans_assignments(e: DataFrame, k: int = KMEANS_K,
                 .collect())
         cent = {int(r["_c"]): [float(r[f"m{i}"]) for i in range(DIM)]
                 for r in rows}
-    best = _kmeans_assign(e, cent)
-    return e.select(
-        "vec_id",
-        best["c"].alias("cluster_id"),
-        best["d2"].alias("dist2"),
+    # project the (d2, c) struct ONCE, then expand fields — two field
+    # references on the raw UDF column could evaluate the pandas_udf
+    # twice on the large-k path
+    return (
+        e.withColumn("_a", assign(cent))
+        .select("vec_id",
+                F.col("_a.c").alias("cluster_id"),
+                F.col("_a.d2").alias("dist2"),
+                *extra_cols)
     )
 
 

@@ -79,18 +79,27 @@ def grouped_sort_positions(df: DataFrame, group_col: str, *order_cols,
             f"{group_col!r} — the helper's contract requires non-null "
             f"groups (filter or coalesce NULLs first)")
     counts = sorted(((r["_range"], r["_g"]), r["n"]) for r in raw)
+    # Key literals are cast to the group column's ACTUAL dataType: a
+    # Python int collected from a LongType column round-trips as
+    # IntegerType when it fits int32, and element_at(map<int,...>,
+    # long_col) relies on a legacy implicit cast that ANSI mode
+    # (spark.sql.ansi.enabled=true) rejects at analysis (r13 ADVICE).
+    # The _range side is IntegerType on both key and lookup
+    # (spark_partition_id) — cast pinned anyway for the same reason.
+    gtype = df.schema[group_col].dataType
     per_range: dict[int, list] = {}
     acc: dict = {}
     for (pid, g), n in counts:
         per_range.setdefault(pid, []).extend(
-            (F.lit(g), F.lit(acc.get(g, 0))))
+            (F.lit(g).cast(gtype), F.lit(acc.get(g, 0))))
         acc[g] = acc.get(g, 0) + n
     if per_range:
         outer = []
         for pid, kvs in per_range.items():
-            outer += [F.lit(pid), F.create_map(*kvs)]
+            outer += [F.lit(pid).cast("int"), F.create_map(*kvs)]
         off = F.element_at(
-            F.element_at(F.create_map(*outer), F.col("_range")), gcol)
+            F.element_at(F.create_map(*outer),
+                         F.col("_range").cast("int")), gcol)
     else:
         off = F.lit(0)
     w = Window.partitionBy("_range", group_col).orderBy(*order_cols)

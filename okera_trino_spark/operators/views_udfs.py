@@ -510,3 +510,86 @@ def q_trino_info_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT table_name, column_name, ordinal_position, data_type, "
         "is_nullable FROM information_schema.columns "
         "ORDER BY table_name, ordinal_position", dialect="trino")
+
+
+@query(
+    "q_meta_dpp",
+    oracle="""
+    WITH n AS (
+        SELECT CAST(count(*) AS VARCHAR) AS v FROM orders
+        WHERE date_part('year', o_orderdate) = 1995
+    )
+    SELECT 'partition_filter_planned' AS item, 'true' AS value
+    UNION ALL SELECT 'partition_pruned_rows', v FROM n
+    UNION ALL SELECT 'dpp_planned', 'true'
+    UNION ALL SELECT 'dpp_rows', v FROM n
+    UNION ALL SELECT 'splits_multi', 'true'
+    """,
+    tags=("metadata", "scan", "pushdown"),
+)
+def q_meta_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.1 partition pruning — static AND dynamic — with driver-visible
+    evidence (r13 verdict #8; previously pytest-only in
+    tests/test_partitioned.py). Writes a partitioned copy of orders
+    (by order year) plus a tiny on-disk year dimension into a temp dir
+    — a real multi-directory, multi-file layout the single-file
+    fixtures never give — and pins three scan contracts WITH their
+    row-level consequences:
+
+      - static pruning: a filter on the partition column must plan a
+        ``PartitionFilters`` entry (directory pruning, other years'
+        files never open), and the pruned scan's row count is replayed
+        by DuckDB against the unpartitioned table;
+      - DYNAMIC partition pruning: a selective filter on the year
+        dimension must reach the FACT scan as a
+        ``dynamicpruningexpression`` (the 100-TB star-join contract —
+        only matching directories are read, decided at runtime from
+        the broadcast dim), and the join's row count equals the static
+        count;
+      - split planning: the multi-file layout plans > 1 input split.
+
+    Plan facts are emitted as the literal the plan actually shows
+    ('false' when absent), so a pruning regression is a hash-RED key,
+    not a silently-weaker plan. Reference gesture:
+    RecordServiceSplitManagerImpl.java:238 RECEIVES Trino's dynamic
+    filter and ignores it; Spark's DPP implements the optimization —
+    this key is the CORRECTNESS row behind the §4.1 built-in claim."""
+    import shutil
+    import tempfile
+
+    from okera_trino_spark.plans import plan_string
+
+    base = tempfile.mkdtemp(prefix="okera_dpp_")
+    try:
+        fact_path = f"{base}/orders_by_year"
+        dim_path = f"{base}/year_dim"
+        (t(spark, sf_dir, "orders")
+         .withColumn("o_year", F.year("o_orderdate"))
+         .write.partitionBy("o_year").mode("overwrite").parquet(fact_path))
+        years = [(y, "hot" if y == 1995 else "cold")
+                 for y in range(1992, 1999)]
+        (spark.createDataFrame(years, "o_year int, temperature string")
+         .coalesce(1).write.mode("overwrite").parquet(dim_path))
+
+        pruned = (spark.read.parquet(fact_path)
+                  .filter(F.col("o_year") == 1995))
+        pf_lines = [ln for ln in plan_string(pruned, "formatted").splitlines()
+                    if "PartitionFilters" in ln]
+        part_filter = bool(pf_lines) and "o_year" in pf_lines[0] \
+            and "1995" in pf_lines[0]
+        fact = spark.read.parquet(fact_path)
+        dim = (spark.read.parquet(dim_path)
+               .filter(F.col("temperature") == "hot"))
+        joined = fact.join(dim, "o_year").select("o_orderkey", "o_year")
+        dpp = "dynamicpruning" in plan_string(joined, "formatted").lower()
+        rows = [
+            ("partition_filter_planned", str(part_filter).lower()),
+            ("partition_pruned_rows", str(pruned.count())),
+            ("dpp_planned", str(dpp).lower()),
+            ("dpp_rows", str(joined.count())),
+            ("splits_multi",
+             str(fact.rdd.getNumPartitions() > 1).lower()),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "item string, value string")

@@ -89,36 +89,46 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-13 ROTATION (data-driven: slots ranked by last-green round
-#: computed from CORRECTNESS_r01..r12 — scripts/rotation_audit.py
-#: recomputes and checks this). The r12 window went 50/50 hash-green,
-#: so all 50 rotate OUT. Slots, in order:
-#:   1) the 25-key r8-stale cohort — last green r8, AT the 5-round
-#:      staleness bound this round; pre-committed in the r12 rotation
-#:      note and the r12 verdict's item 1;
-#:   2) the NEW r13 keys (SHOW STATS driver evidence for C13;
-#:      alternating-star cluster resolver; auth/delegation/audit
-#:      driver evidence for C18-C20; deterministic k-means +
-#:      cluster-balanced sampling) — new
-#:      keys must sit in-window for the test_entry.py union-closure
-#:      invariant;
-#:   3) backfill 20 from the 49-key r9 cohort (next-stalest; bound
-#:      hits at r14), favoring the heavy/plan-sensitive keys (the
-#:      TPC-H composite block, the Trino-dialect breadth/ties/
-#:      MATCH_RECOGNIZE keys, window frames).
-#:      The 29 r9 keys that did NOT fit MUST rotate in at r14 (they
-#:      reach the 5-round bound then): q_agg_grouping_id,
-#:      q_agg_minmax_by, q_agg_pivot, q_agg_rollup, q_agg_stats,
-#:      q_agg_unpivot, q_case_expr, q_count_star, q_fn_array,
-#:      q_fn_bitwise, q_fn_cast, q_fn_date, q_fn_map, q_fn_math,
-#:      q_fn_regex, q_fn_string, q_fn_struct, q_join_right,
-#:      q_profile_orders, q_project, q_stream_watermark,
-#:      q_subquery_corr, q_trino_sql_xxhash64, q_udf_custom,
-#:      q_udtf_split, q_union_all, q_unnest, q_win_frame_range,
-#:      q_win_ntile.
-#:      29 + new r14 keys + r10-cohort backfill keeps the schedule
-#:      feasible at ~230 keys (~45/round average vs the 50-slot
-#:      window).
+#: ROUND-14 ROTATION (data-driven: slots ranked by last-green round
+#: computed from CORRECTNESS_r01..r13 — scripts/rotation_audit.py
+#: recomputes and checks this, and since r14 also simulates a
+#: lookahead schedule and FAILS if any future window needs > 50
+#: slots). The r13 window went 50/50 hash-green, so all 50 rotate
+#: OUT. Slots, in order:
+#:   1) the 29-key r9-stale cohort — last green r9, AT the 5-round
+#:      staleness bound this round; pre-committed in the r13 rotation
+#:      note and the r13 verdict's item 1;
+#:   2) the NEW r14 keys — new keys must sit in-window for the
+#:      test_entry.py union-closure invariant;
+#:   3) backfill from the 50-key r10 cohort (next-stalest; bound hits
+#:      at r15), favoring the heavy/plan-sensitive keys (the LLM
+#:      pipeline block, the events-analytics block, as-of join).
+#:      The 31 r10-cohort keys that did NOT fit MUST rotate in at r15
+#:      (they reach the 5-round bound then) — rotation_audit.py prints
+#:      the exact list: q_agg_bool, q_agg_histogram, q_agg_listagg,
+#:      q_asof_join, q_events_gapfill, q_fn_decimal, q_fn_interval,
+#:      q_fn_json, q_fn_try, q_fn_url, q_join_range_banded,
+#:      q_recursive_cte, q_scan_nested, q_sort_multi, q_sort_nulls,
+#:      q_stream_dedup, q_stream_session, q_stream_slide,
+#:      q_stream_stream_join, q_stream_tumble, q_trino_sql_breadth5,
+#:      q_trino_sql_breadth6, q_trino_sql_jsonpath_bool,
+#:      q_trino_sql_listagg_distinct, q_trino_sql_listagg_trunc,
+#:      q_trino_sql_murmur3, q_trino_sql_statfns,
+#:      q_trino_sql_word_stem, q_udf_current_db, q_unnest_ordinality,
+#:      q_win_dist.
+#:
+#: NEW-KEY RULES (standing, r14):
+#:   - BUDGET: at most 3 new registry keys per round — the declared
+#:     budget rotation_audit.py's lookahead simulates. The capacity
+#:     arithmetic is hard: ~230 keys x 5-round staleness bound vs a
+#:     50-slot window leaves ~4 slots/round of slack; an unbudgeted
+#:     ~5 keys/round breaches near r17. Exceeding the budget must be
+#:     paid for by consolidating/removing existing keys in the SAME
+#:     round (the audit fails loudly otherwise).
+#:   - SCALE PROBE: any new key whose plan contains a shuffle ships
+#:     WITH a SCALE_PROBE row at >= 1 decade (sf1.0) in the round it
+#:     is born — the k-means/star precedent; scripts/scale_probe.py
+#:     --keys makes the subset run cheap.
 #:
 #: WINDOW-INELIGIBLE, PERMANENTLY: q_agg_approx_distinct and
 #: q_agg_approx_percentile never enter this list BY DESIGN — they are
@@ -128,32 +138,33 @@ def query(name: str, oracle: str | None = None,
 #: bound tests in tests/test_bounds.py. Rotation audits (including
 #: scripts/rotation_audit.py) must exclude them from staleness checks.
 _PRIORITY: tuple[str, ...] = (
-    # 1) r8-stale cohort (25) — at the staleness bound, mandatory this
-    #    round (enumerated in the r12 rotation note + verdict item 1)
-    "q_agg_approx_distinct_det", "q_agg_approx_percentile_det",
-    "q_agg_group", "q_agg_salted", "q_cte",
-    "q_events_pattern_empty", "q_events_pattern_skipnext",
-    "q_filter_range", "q_join_broadcast", "q_join_inner",
-    "q_join_left", "q_join_semi", "q_pandas_group_norm",
-    "q_stream_static_join", "q_topk", "q_trino_info_schema",
-    "q_trino_sql_mr_desc", "q_trino_sql_mr_prev",
-    "q_trino_sql_mr_skiplast", "q_trino_sql_mr_skipsubset",
-    "q_trino_sql_mr_unmatched", "q_trino_sql_mr_vars",
-    "q_trino_sql_unicode", "q_view_create_read", "q_win_rank",
-    # 2) new r13 keys (inserted as they land)
-    "q_meta_stats",
-    "q_llm_dup_clusters_star",
-    "q_meta_security",
-    "q_llm_kmeans",
-    "q_llm_cluster_sample",
-    # 3) r9 backfill (20 of 49; 25 + 5 + 20 = 50)
-    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
-    "q_trino_sql_breadth2", "q_trino_sql_breadth3",
-    "q_trino_sql_breadth4", "q_trino_sql_mr_excl",
-    "q_trino_sql_mr_running", "q_trino_sql_ties",
-    "q_trino_sql_jsonpath", "q_trino_sql_listagg",
+    # 1) r9-stale cohort (29) — at the staleness bound, mandatory this
+    #    round (enumerated in the r13 rotation note + verdict item 1)
+    "q_agg_grouping_id", "q_agg_minmax_by", "q_agg_pivot",
+    "q_agg_rollup", "q_agg_stats", "q_agg_unpivot", "q_case_expr",
+    "q_count_star", "q_fn_array", "q_fn_bitwise", "q_fn_cast",
+    "q_fn_date", "q_fn_map", "q_fn_math", "q_fn_regex", "q_fn_string",
+    "q_fn_struct", "q_join_right", "q_profile_orders", "q_project",
+    "q_stream_watermark", "q_subquery_corr", "q_trino_sql_xxhash64",
+    "q_udf_custom", "q_udtf_split", "q_union_all", "q_unnest",
+    "q_win_frame_range", "q_win_ntile",
+    # 2) new r14 keys (2 of the 3-key budget): SemDeDup exactly as
+    #    published (k-means cells + within-cell cosine prune) and the
+    #    dynamic-partition-pruning CORRECTNESS row — each displaced one
+    #    backfill slot below (q_asof_join, q_events_gapfill rejoin the
+    #    r15 mandatory cohort)
+    "q_llm_semdedup_kmeans",
+    "q_meta_dpp",
+    # 3) r10 backfill (19 of 50; 29 + 2 + 19 = 50) — the LLM pipeline
+    #    block and the events-analytics block
+    "q_llm_dedup_apply", "q_llm_dedup_simhash",
+    "q_llm_dedup_simhash_pairs", "q_llm_dup_clusters",
+    "q_llm_fingerprint", "q_llm_frame_sample", "q_llm_knn_join",
+    "q_llm_langid", "q_llm_mix", "q_llm_pii_scrub", "q_llm_pipeline",
+    "q_llm_repetition", "q_llm_text_stats", "q_llm_tokens",
+    "q_llm_vocab",
+    "q_events_funnel", "q_events_outliers",
+    "q_events_retention", "q_events_sessionize",
 )
 
 

@@ -17,7 +17,20 @@ design keys (non-deterministic Spark-native sketches whose evidence
 is their hash-green ``*_det`` twins + tests/test_bounds.py) — see the
 window note in okera_trino_spark/registry.py.
 
+r14 (verdict #2): also emits a LOOKAHEAD SCHEDULE — a greedy
+stalest-first simulation of the next ``--horizon`` windows under a
+declared ``--new-keys-per-round`` budget (each simulated round: the
+due-cohort is mandatory, the new-key budget is reserved, remaining
+slots backfill the stalest keys). The run FAILS LOUDLY if any future
+window would need more than 50 slots — the capacity arithmetic the
+r13 verdict flagged (231 keys x 5-round bound vs 50 slots leaves ~19
+slots of lifetime slack; an unbudgeted ~5 new keys/round breaches
+near r17). The registry's new-key budget is the printed contract:
+adding MORE keys than the budget in a round silently steals slack
+from a later round, and this audit is where that shows up first.
+
 Usage: python scripts/rotation_audit.py [--next-round N]
+           [--horizon H] [--new-keys-per-round B]
 """
 from __future__ import annotations
 
@@ -62,11 +75,63 @@ def last_green_by_key() -> tuple[dict[str, int], int]:
     return last, latest_round
 
 
+def lookahead_schedule(last: dict[str, int], registry_keys: set[str],
+                       window: list[str], grading_round: int,
+                       horizon: int, new_budget: int,
+                       window_size: int = 50) -> tuple[bool, list[str]]:
+    """Simulate the next ``horizon`` windows greedily (stalest-first
+    backfill, ``new_budget`` slots reserved per round for keys that
+    don't exist yet). Returns (feasible, report_lines).
+
+    Assumes the CURRENT window re-greens at ``grading_round`` (the
+    driver checks it this round); a red key would only make the
+    schedule tighter, which the next run of this audit catches."""
+    sim = {k: v for k, v in last.items() if k in registry_keys}
+    for k in registry_keys:
+        sim.setdefault(k, grading_round)  # never-green keys must be
+        # in the current window already (checked in main); treat as
+        # greening now.
+    for k in window:
+        sim[k] = grading_round
+    lines = []
+    feasible = True
+    n_new = 0
+    for r in range(grading_round + 1, grading_round + 1 + horizon):
+        due = sorted(k for k, g in sim.items() if g + STALENESS_BOUND <= r)
+        need = len(due) + new_budget
+        if need > window_size:
+            lines.append(
+                f"  r{r}: INFEASIBLE — {len(due)} due + {new_budget} "
+                f"new-key budget = {need} > {window_size} slots")
+            feasible = False
+            # keep simulating so the report shows the full horizon
+            backfill = []
+        else:
+            rest = sorted((g, k) for k, g in sim.items() if k not in due)
+            backfill = [k for _, k in rest[:window_size - need]]
+            lines.append(
+                f"  r{r}: {len(due)} due + {new_budget} new-key budget "
+                f"+ {len(backfill)} backfill = "
+                f"{len(due) + new_budget + len(backfill)}/{window_size} "
+                f"(registry {len(sim)})")
+        for k in due + backfill:
+            sim[k] = r
+        for _ in range(new_budget):
+            n_new += 1
+            sim[f"_new_r{r}_{n_new}"] = r
+    return feasible, lines
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--next-round", type=int, default=None,
                     help="round the CURRENT window will be graded in "
                          "(default: latest artifact round + 1)")
+    ap.add_argument("--horizon", type=int, default=6,
+                    help="rounds of lookahead schedule to simulate")
+    ap.add_argument("--new-keys-per-round", type=int, default=3,
+                    help="declared budget of NEW registry keys per "
+                         "future round (the contract: stay within it)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -115,7 +180,21 @@ def main() -> int:
         and grading_round + 1 - rnd >= STALENESS_BOUND)
     print(f"must rotate into the r{grading_round + 1} window "
           f"({len(must_next)}): {must_next}")
-    return 1 if debt else 0
+
+    eligible = {k for k in registry if k not in ROWS_ONLY_EXEMPT}
+    feasible, lines = lookahead_schedule(
+        {k: v for k, v in last.items() if k in eligible}, eligible,
+        [k for k in window if k in eligible], grading_round,
+        args.horizon, args.new_keys_per_round)
+    print(f"lookahead (next {args.horizon} rounds, "
+          f"{args.new_keys_per_round} new keys/round budget):")
+    for ln in lines:
+        print(ln)
+    if not feasible:
+        print("ERROR: lookahead schedule INFEASIBLE — shrink the "
+              "registry (consolidate singleton keys) or lower the "
+              "new-key budget before adding keys")
+    return 1 if (debt or not feasible) else 0
 
 
 if __name__ == "__main__":

@@ -47,6 +47,11 @@ KEYS = [
     # r13: deterministic k-means — iterative corpus-scan shape
     "q_llm_kmeans",
     "q_llm_cluster_sample",
+    # r14: SemDeDup as published — Lloyd loop + within-cell pair join
+    # (equi-join on cluster_id; pair volume is sum-over-cells
+    # C(|cell|,2), so the fixed-k fixture stresses the quadratic cell
+    # term the paper bounds by growing k with the corpus)
+    "q_llm_semdedup_kmeans",
 ]
 
 #: r12 second decade: sf1.0 -> sf3.0 (3x) for the keys that probed

@@ -155,6 +155,39 @@ def test_grouped_positions_separator_groups_and_null_contract(spark):
         grouped_sort_positions(null_df, "g", F.col("v").asc())
 
 
+def test_grouped_positions_long_group_under_ansi(spark):
+    """r13 ADVICE: with a LongType group column whose collected values
+    fit int32, F.lit(g) used to build IntegerType map keys, and the
+    element_at(map<int,...>, long_col) lookup leaned on the legacy
+    implicit long->int key cast — which ANSI mode rejects at analysis.
+    Keys are now cast to the group column's actual dataType, so the
+    helper must work (and agree with a local rank) under
+    spark.sql.ansi.enabled=true."""
+    from okera_trino_spark.operators.sorts_sets import (
+        grouped_sort_positions,
+    )
+
+    rows = [(i, i % 3, float(i * 11 % 29)) for i in range(180)]
+    df = spark.createDataFrame(rows, "id long, g long, v double")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = grouped_sort_positions(
+            df, "g", F.col("v").asc(), F.col("id").asc(), n_ranges=6,
+            pos_col="p")
+        got = {(r.g, r.id): r.p for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    by_g = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    expect = {}
+    for g, vs in by_g.items():
+        for rank, (_, i) in enumerate(sorted(vs), start=1):
+            expect[(g, i)] = rank
+    assert got == expect
+
+
 def test_grouped_positions_deterministic(spark):
     from okera_trino_spark.operators.sorts_sets import (
         grouped_sort_positions,

@@ -601,7 +601,13 @@ def test_star_components_chain_is_logarithmic(spark):
     overlap dedup produces) must resolve in O(log n) rounds — label
     propagation would need ~512 sequential shuffle rounds. Also checks
     the labels themselves: every chain node joins component 0, plus an
-    untouched separate pair stays its own component."""
+    untouched separate pair stays its own component.
+
+    r14: also pins the ONE-action-per-round fixpoint contract (the r13
+    count()+exceptAll() pair spent two): with AQE off (AQE splits one
+    query into per-stage jobs, so job counts aren't 1:1 with actions),
+    the whole resolve must cost exactly rounds jobs — one symmetric-
+    difference count each — plus one job for the final collect."""
     from okera_trino_spark.llm.clusters import star_components
 
     n = 512
@@ -609,9 +615,19 @@ def test_star_components_chain_is_logarithmic(spark):
     rows += [(10_000, 10_001)]                      # separate 2-node comp
     edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
     stats: dict = {}
-    labels = {r.doc_id: r.cluster_id
-              for r in star_components(edges, stats=stats).collect()}
+    sc = spark.sparkContext
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("star-fixpoint-jobs", "job-count pin")
+        labels = {r.doc_id: r.cluster_id
+                  for r in star_components(edges, stats=stats).collect()}
+        jobs = sc.statusTracker().getJobIdsForGroup("star-fixpoint-jobs")
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     assert stats["rounds"] <= 11, stats
+    assert len(jobs) == stats["rounds"] + 1, (len(jobs), stats)
     assert all(labels[i] == 0 for i in range(n + 1))
     assert labels[10_000] == 10_000 and labels[10_001] == 10_000
     assert len(labels) == n + 3
@@ -620,8 +636,11 @@ def test_star_components_chain_is_logarithmic(spark):
 def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     """q_llm_kmeans (r13) against an independent single-process Lloyd
     replay: same deterministic init (lowest vec_ids), same 6dp centroid
-    rounding, same lowest-id tie rule — assignments and 4dp distances
-    must agree exactly."""
+    AND distance rounding (distances round 6dp BEFORE the argmin since
+    r14 — the cross-engine tie-domain fix), same lowest-id tie rule —
+    assignments and 4dp distances must agree exactly."""
+    import math
+
     import numpy as np
 
     from okera_trino_spark.llm.similarity import KMEANS_ITERS, KMEANS_K
@@ -631,10 +650,14 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
          for r in e}
     cent = {i: X[i].copy() for i in range(KMEANS_K)}
 
+    def half_up(x, dp):  # Spark/DuckDB round, not Python's banker's
+        s = 10 ** dp
+        return math.floor(x * s + 0.5) / s
+
     def assign(c):
         out = {}
         for vid, v in X.items():
-            best = min(((float(np.sum((v - cv) ** 2)), cid)
+            best = min(((half_up(float(np.sum((v - cv) ** 2)), 6), cid)
                         for cid, cv in sorted(c.items())))
             out[vid] = best
         return out
@@ -647,7 +670,8 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
             if members:
                 new[cid] = np.round(np.mean(members, axis=0), 6)
         cent = new
-    expect = {vid: (c, round(d, 4)) for vid, (d, c) in assign(cent).items()}
+    expect = {vid: (c, half_up(d, 4))
+              for vid, (d, c) in assign(cent).items()}
 
     got = {int(r.vec_id): (int(r.cluster_id), float(r.dist2))
            for r in SPECS["q_llm_kmeans"].fn(spark, sf_dir).collect()}
@@ -655,6 +679,47 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
            {v: c for v, (c, _) in expect.items()}
     for vid, (c, d) in expect.items():
         assert abs(got[vid][1] - d) <= 1e-9, (vid, got[vid], (c, d))
+
+
+def test_kmeans_vectorized_assign_matches_fold(spark, sf_dir, monkeypatch):
+    """r14: the large-k Arrow/BLAS assignment path must produce the
+    same clustering as the codegen fold on identical input — same
+    init, same 6dp rounding grid, same lowest-id tie rule. Clusters
+    must match exactly; distances may differ by one 6dp grid step
+    (|x|^2+|c|^2-2x.c vs the fold's sum-of-squares, ~1e-13 raw)."""
+    import okera_trino_spark.llm.similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fold = {int(r.vec_id): (int(r.cluster_id), float(r.dist2))
+            for r in sim.kmeans_assignments(e).collect()}
+    monkeypatch.setattr(sim, "KMEANS_FOLD_MAX", 0)
+    vec = {int(r.vec_id): (int(r.cluster_id), float(r.dist2))
+           for r in sim.kmeans_assignments(e).collect()}
+    assert {v: c for v, (c, _) in vec.items()} == \
+           {v: c for v, (c, _) in fold.items()}
+    for vid, (_, d) in fold.items():
+        assert abs(vec[vid][1] - d) <= 1.1e-6, (vid, vec[vid], d)
+
+
+def test_kmeans_input_contract_enforced(spark):
+    """r14 (r13 verdict #4 + ADVICE): kmeans_assignments' two input
+    contracts are now CODE, not docstring — embeddings not exactly DIM
+    wide, or vec_ids sparse below k (fewer than k init centroids),
+    must raise at the init collect instead of silently truncating the
+    update step / clustering with fewer centroids."""
+    from okera_trino_spark.llm.similarity import DIM, kmeans_assignments
+
+    wide = spark.createDataFrame(
+        [(i, [float(i)] * (DIM + 1)) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match=f"exactly {DIM} "):
+        kmeans_assignments(wide, k=2)
+
+    sparse = spark.createDataFrame(
+        [(i * 10, [float(i)] * DIM) for i in range(1, 5)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="init expects"):
+        kmeans_assignments(sparse, k=2)
 
 
 def test_star_and_propagation_agree_on_random_graphs(spark):
