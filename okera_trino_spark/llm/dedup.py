@@ -591,21 +591,41 @@ def q_llm_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by one word; this does not.
 
     Scale shape: windows are hashed INSIDE the explode transform
-    (codegen md5 — the shuffle carries 32-hex digests, never K-word
-    strings); first-occurrence is a combinable
-    ``groupBy(h).agg(min(struct(doc_id, pos)), count)`` so a
+    (codegen md5 — the shuffle carries digests, never K-word strings),
+    and the digest is immediately SPLIT INTO TWO 60-BIT LONGS
+    (conv(substr(md5, …), 16, 10) twice — full 120-bit strength) so
+    the materialized window set and both digest-keyed exchanges carry
+    16-byte numeric keys instead of 32-char strings. That split is the
+    r14 sf10 catch: row counts are exactly linear across tiers
+    (2.0M → 6.0M → 20.1M windows, measured), but the string-keyed
+    pipeline read 19× wall for 10× data — ~2 GB of md5 STRINGS
+    pinned in the checkpoint plus string hashing/compares in the
+    groupBy and join pushed the fixed 32-thread JVM into GC collapse
+    (second same-session run 1.8× slower again with row counts
+    unchanged — allocator pressure, not work). Long keys cut the
+    keyed bytes ~3.5×. The DuckDB oracle is UNAFFECTED: it groups on
+    the md5 string, and grouping by the split-long pair partitions
+    windows identically (no 120-bit collisions at any tested scale).
+    The explode input goes through ``spread_if_narrow`` (the
+    single-file fixture scans plan 2 partitions at sf1.0 / 14 at sf10
+    — the md5-heavy amplified map stage is exactly the DSIR/winnow
+    class the helper exists for; production many-split layouts
+    no-op). First-occurrence is a combinable
+    ``groupBy(h1, h2).agg(min(struct(doc_id, pos)), count)`` so a
     boilerplate window duplicated 10⁶ times collapses map-side; the
     flag join fans dup windows back out on the digest key (AQE skew
     split applies — the hot-hash fan-out is the method's output, not
     waste); span merging is a per-DOCUMENT window (bounded by doc
     length, never partition-less). Window start positions are 1-based
-    word indexes; both engines compute identical md5 digests, the same
+    word indexes; both engines compute identical digests, the same
     first-occurrence rule, and the same gaps-and-islands merge, so the
     key is hash-checked end to end."""
     from pyspark.sql import Window
 
+    from okera_trino_spark.operators._util import spread_if_narrow
+
     kk = SUBSTR_K
-    d = t(spark, sf_dir, "documents")
+    d = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     words = d.select("doc_id", _words(F.col("text")).alias("_w"))
     wins = (words.select(
         "doc_id",
@@ -614,15 +634,19 @@ def q_llm_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(sequence(1, size(_w) - {kk - 1}), "
             f"i -> md5(array_join(slice(_w, i, {kk}), ' '))) "
             "ELSE CAST(array() AS array<string>) END")).alias("p0", "h"))
-        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"),
+                F.expr("CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT)")
+                .alias("h1"),
+                F.expr("CAST(conv(substr(h, 16, 15), 16, 10) AS BIGINT)")
+                .alias("h2"))
         .localCheckpoint())
-    first = (wins.groupBy("h")
+    first = (wins.groupBy("h1", "h2")
              .agg(F.min(F.struct("doc_id", "pos")).alias("_f"),
                   F.count("*").alias("_cnt"))
              .filter(F.col("_cnt") > 1)
-             .select("h", "_f"))
+             .select("h1", "h2", "_f"))
     flagged = (
-        wins.join(first, "h")
+        wins.join(first, ["h1", "h2"])
         .filter(~((F.col("doc_id") == F.col("_f.doc_id"))
                   & (F.col("pos") == F.col("_f.pos"))))
         .select("doc_id", "pos"))

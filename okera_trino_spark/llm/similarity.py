@@ -826,7 +826,11 @@ def _kmeans_assign(e: DataFrame, cent: dict[int, list[float]]):
 #: shape and assignment switches to the Arrow/BLAS pandas_udf below.
 #: The driver-checked fixtures stay at k = KMEANS_K = 4, so the
 #: cross-engine-replayable fold path is what the DuckDB oracle sees.
-KMEANS_FOLD_MAX = 8
+#: Set at exactly that boundary: the r14 probe measured the k=8 fold
+#: SLOWER than the whole BLAS pass one tier up (4.4 s at sf0.1 vs
+#: 2.7 s at sf1.0) — whole-stage codegen COMPILE of the k x dim
+#: expression tree dominates before row volume ever does.
+KMEANS_FOLD_MAX = 4
 
 
 def _kmeans_assign_vec(cent: dict[int, list[float]]):

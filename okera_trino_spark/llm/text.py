@@ -801,6 +801,63 @@ def q_llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(u01 < frac).select("doc_id", "lang", "source")
 
 
+#: Weighted-sample size (Efraimidis-Spirakis without replacement).
+WRES_N = 200
+WRES_SEED = "wres:42"
+
+
+@query(
+    "q_llm_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS w,
+           round(ln(('0x' || substr(md5(doc_id || ':{WRES_SEED}'), 1, 8))::UBIGINT
+                    / 4294967296.0) / n_chars, 8) AS samp_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY samp_key DESC, doc_id
+    LIMIT {WRES_N}
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fixed size — Efraimidis &
+    Spirakis 2006 (public algorithm): each row draws u ~ U(0,1) and the
+    sample is the top-N by u^(1/w), which selects each row with
+    probability proportional to its weight w. This is the primitive the
+    Bernoulli gates (q_llm_mix / q_llm_stratified keep-fractions) can't
+    express: an EXACT-size importance-weighted subset (w here is
+    n_chars as a stand-in for any per-doc importance weight — a DSIR
+    score, a quality score). Ranking uses the monotone-equivalent
+    ln(u)/w (avoids pow; same order), rounded to 8dp so both engines
+    rank on the same grid, ties to lowest doc_id.
+
+    Scale shape: the key is MAP-ONLY (one md5 + one ln per row —
+    deterministic seeded u, so re-runs/AQE/speculative tasks select
+    the IDENTICAL sample, unlike rand()); top-N plans as
+    TakeOrderedAndProject — per-partition partial top-N + a constant
+    N-row driver merge, NO global sort shuffle (plan-asserted in
+    tests/test_plans.py). At 100 TB that is one scan and N rows
+    moved. HARD oracle: DuckDB computes the identical md5-bucket u,
+    log-key and cutoff."""
+    d = t(spark, sf_dir, "documents")
+    u01 = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.lit(WRES_SEED.split(":")[0]),
+                              F.lit(WRES_SEED.split(":")[1]))), 1, 8),
+               16, 10)
+        .cast("bigint") / F.lit(4294967296.0))
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "source",
+                F.col("n_chars").cast("bigint").alias("w"),
+                F.round(F.log(u01) / F.col("n_chars"), 8)
+                .alias("samp_key"))
+        .orderBy(F.col("samp_key").desc(), F.col("doc_id"))
+        .limit(WRES_N)
+    )
+
+
 @query(
     "q_llm_pipeline",
     oracle=f"""

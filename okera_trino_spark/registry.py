@@ -103,10 +103,11 @@ def query(name: str, oracle: str | None = None,
 #:   3) backfill from the 50-key r10 cohort (next-stalest; bound hits
 #:      at r15), favoring the heavy/plan-sensitive keys (the LLM
 #:      pipeline block, the events-analytics block, as-of join).
-#:      The 31 r10-cohort keys that did NOT fit MUST rotate in at r15
+#:      The 32 r10-cohort keys that did NOT fit MUST rotate in at r15
 #:      (they reach the 5-round bound then) — rotation_audit.py prints
 #:      the exact list: q_agg_bool, q_agg_histogram, q_agg_listagg,
-#:      q_asof_join, q_events_gapfill, q_fn_decimal, q_fn_interval,
+#:      q_asof_join, q_events_gapfill, q_events_sessionize,
+#:      q_fn_decimal, q_fn_interval,
 #:      q_fn_json, q_fn_try, q_fn_url, q_join_range_banded,
 #:      q_recursive_cte, q_scan_nested, q_sort_multi, q_sort_nulls,
 #:      q_stream_dedup, q_stream_session, q_stream_slide,
@@ -148,14 +149,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_watermark", "q_subquery_corr", "q_trino_sql_xxhash64",
     "q_udf_custom", "q_udtf_split", "q_union_all", "q_unnest",
     "q_win_frame_range", "q_win_ntile",
-    # 2) new r14 keys (2 of the 3-key budget): SemDeDup exactly as
-    #    published (k-means cells + within-cell cosine prune) and the
-    #    dynamic-partition-pruning CORRECTNESS row — each displaced one
-    #    backfill slot below (q_asof_join, q_events_gapfill rejoin the
-    #    r15 mandatory cohort)
+    # 2) new r14 keys (the full 3-key budget): SemDeDup exactly as
+    #    published (k-means cells + within-cell cosine prune), the
+    #    dynamic-partition-pruning CORRECTNESS row, and
+    #    Efraimidis-Spirakis weighted sampling — each displaced one
+    #    backfill slot below (q_asof_join, q_events_gapfill,
+    #    q_events_sessionize rejoin the r15 mandatory cohort)
     "q_llm_semdedup_kmeans",
     "q_meta_dpp",
-    # 3) r10 backfill (19 of 50; 29 + 2 + 19 = 50) — the LLM pipeline
+    "q_llm_weighted_sample",
+    # 3) r10 backfill (18 of 50; 29 + 3 + 18 = 50) — the LLM pipeline
     #    block and the events-analytics block
     "q_llm_dedup_apply", "q_llm_dedup_simhash",
     "q_llm_dedup_simhash_pairs", "q_llm_dup_clusters",
@@ -164,7 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_llm_repetition", "q_llm_text_stats", "q_llm_tokens",
     "q_llm_vocab",
     "q_events_funnel", "q_events_outliers",
-    "q_events_retention", "q_events_sessionize",
+    "q_events_retention",
 )
 
 

@@ -82,6 +82,10 @@ SECOND_DECADE_KEYS = [
     # chain graphs (pinned functionally in tests), but the per-round
     # cost curve must still be measured linear.
     "q_llm_dup_clusters_star",
+    # r14: SemDeDup cells — corpus-scaled k (80 -> 240 across this
+    # tier) must keep the within-cell pair term linear; a fixed k
+    # would read quadratic here
+    "q_llm_semdedup_kmeans",
 ]
 
 SF01 = "/root/testdata/sf0.1"

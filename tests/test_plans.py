@@ -420,3 +420,26 @@ def test_kmeans_assignment_is_map_only(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    """q_llm_weighted_sample (r14): the fixed-size weighted sample must
+    plan as TakeOrderedAndProject — per-partition partial top-N plus a
+    constant N-row driver merge — never a global Sort exchange (at
+    100 TB that sort would shuffle the corpus to rank N rows)."""
+    df = SPECS["q_llm_weighted_sample"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+
+
+def test_semdedup_kmeans_pairs_are_equi_join(spark, sf_dir):
+    """q_llm_semdedup_kmeans (r14): within-cell candidates must come
+    from an EQUI-join on cluster_id — never a cartesian /
+    BroadcastNestedLoopJoin pair blowup (vec_a < vec_b is a post-join
+    filter on the keyed join, not the join condition; at corpus-scaled
+    k the cell key spreads pairs across reducers)."""
+    df = SPECS["q_llm_semdedup_kmeans"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
