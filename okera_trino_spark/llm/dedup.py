@@ -92,19 +92,24 @@ def shingle_index(docs: DataFrame, k: int = 3,
            count(*) AS n_copies,
            md5(lower(trim(text))) AS text_hash
     FROM documents
-    GROUP BY lower(trim(text)), md5(lower(trim(text)))
+    GROUP BY md5(lower(trim(text)))
     """,
     tags=("llm", "dedup"),
 )
 def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1 exact dedup: group on normalized text, keep the lowest doc_id
-    as canonical. At 100 TB: group on md5(text) instead of text itself
-    so the shuffle carries 16-byte keys, not documents — md5 emitted
-    here for exactly that reason (and verified cross-engine)."""
+    """L1 exact dedup: group on the md5 of the normalized text, keep
+    the lowest doc_id as canonical. The group key IS the digest (r14 —
+    the docstring had promised this form since r1 while the code still
+    grouped on the full normalized text: the partial-agg shuffle
+    carried ENTIRE DOCUMENTS as the grouping key, the exact
+    wide-key-at-volume shape the substring sf10 probe caught collapsing
+    the allocator; with the digest key the shuffle carries 32-char
+    hashes regardless of document size, and both engines group
+    identically — a 128-bit collision would need ~2^64 distinct docs)."""
     d = t(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.col("text")))
     return (
-        d.groupBy(norm.alias("_norm"), F.md5(norm).alias("text_hash"))
+        d.groupBy(F.md5(norm).alias("text_hash"))
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
         .select("canonical_doc_id", "n_copies", "text_hash")
     )
