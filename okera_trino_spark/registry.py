@@ -118,6 +118,16 @@ def query(name: str, oracle: str | None = None,
 #:      q_trino_sql_word_stem, q_udf_current_db, q_unnest_ordinality,
 #:      q_win_dist.
 #:
+#: R15 WINDOW PLAN (pre-staged): 32 mandatory (list above) + up to 3
+#: new keys + 15 backfill from the 50-key r11 cohort, stalest-first
+#: with the heavy/plan-sensitive keys preferred — suggested backfill:
+#: q_llm_dedup_near, q_llm_dsir, q_llm_para_dedup, q_llm_chunk,
+#: q_llm_ann_lsh, q_llm_entropy, q_llm_pack, q_llm_dedup_ngram,
+#: q_tpch_q9, q_tpch_q21, q_tpch_q2, q_trino_tpch_q21,
+#: q_trino_tpch_q1, q_win_frame_rows, q_join_full. The remaining 35
+#: r11-cohort keys then form the r16 mandatory core (35 + 3 + 12 —
+#: rotation_audit.py's lookahead verifies the whole chain to r20).
+#:
 #: NEW-KEY RULES (standing, r14):
 #:   - BUDGET: at most 3 new registry keys per round — the declared
 #:     budget rotation_audit.py's lookahead simulates. The capacity
