@@ -858,7 +858,11 @@ def _kmeans_assign_vec(cent: dict[int, list[float]]):
         X = np.stack(emb.to_numpy()).astype(np.float64)
         d2 = ((X * X).sum(axis=1)[:, None] + c_sq[None, :]
               - 2.0 * (X @ C.T))
-        d2 = np.round(d2, 6)
+        # clamp the matmul form's possible -1e-15 cancellation residue,
+        # then round HALF-UP like Spark/DuckDB round — np.round is
+        # banker's half-to-even, a DIFFERENT grid at exact .5
+        # boundaries than the fold path / oracle use (r14 review)
+        d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5) / 1e6
         j = d2.argmin(axis=1)
         return pd.DataFrame({"d2": d2[np.arange(len(j)), j],
                              "c": cids[j]})

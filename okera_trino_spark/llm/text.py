@@ -808,9 +808,14 @@ WRES_SEED = "wres:42"
 
 @query(
     "q_llm_weighted_sample",
+    # u = (bucket + 1) / 2^32, i.e. u in (0, 1]: a bucket of exactly 0
+    # (md5 prefix '00000000', p = 2^-32/doc) would make DuckDB's ln(0)
+    # RAISE while Spark's log(0) quietly yields NULL — an engine
+    # divergence, not a hash mismatch (r14 review). u = 1 is fine:
+    # ln(1)/w = 0 is the best possible key on both engines.
     oracle=f"""
     SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS w,
-           round(ln(('0x' || substr(md5(doc_id || ':{WRES_SEED}'), 1, 8))::UBIGINT
+           round(ln((('0x' || substr(md5(doc_id || ':{WRES_SEED}'), 1, 8))::UBIGINT + 1)
                     / 4294967296.0) / n_chars, 8) AS samp_key
     FROM documents
     WHERE n_chars > 0
@@ -840,13 +845,16 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     moved. HARD oracle: DuckDB computes the identical md5-bucket u,
     log-key and cutoff."""
     d = t(spark, sf_dir, "documents")
+    # one seed constant, concatenated whole on both engines (the
+    # earlier split(':') rebuild only agreed with the oracle because
+    # the constant happened to contain exactly one colon — r14 review);
+    # +1 keeps u in (0, 1] so ln never sees 0 (see the oracle note)
     u01 = (
-        F.conv(F.substring(
-            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
-                              F.lit(WRES_SEED.split(":")[0]),
-                              F.lit(WRES_SEED.split(":")[1]))), 1, 8),
-               16, 10)
-        .cast("bigint") / F.lit(4294967296.0))
+        (F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":" + WRES_SEED))), 1, 8),
+                16, 10)
+         .cast("bigint") + F.lit(1)) / F.lit(4294967296.0))
     return (
         d.filter(F.col("n_chars") > 0)
         .select("doc_id", "lang", "source",

@@ -88,9 +88,13 @@ def lookahead_schedule(last: dict[str, int], registry_keys: set[str],
     schedule tighter, which the next run of this audit catches."""
     sim = {k: v for k, v in last.items() if k in registry_keys}
     for k in registry_keys:
-        sim.setdefault(k, grading_round)  # never-green keys must be
-        # in the current window already (checked in main); treat as
-        # greening now.
+        # A never-green key OUTSIDE the window gets the PESSIMISTIC
+        # seed (immediately due next round) — treating it as "greening
+        # now" would defer its due date 5 rounds and overstate the
+        # schedule's slack (r14 review). In-window never-green keys
+        # (new keys awaiting their first check) green this round via
+        # the window loop below.
+        sim.setdefault(k, grading_round - STALENESS_BOUND)
     for k in window:
         sim[k] = grading_round
     lines = []
@@ -194,7 +198,11 @@ def main() -> int:
         print("ERROR: lookahead schedule INFEASIBLE — shrink the "
               "registry (consolidate singleton keys) or lower the "
               "new-key budget before adding keys")
-    return 1 if (debt or not feasible) else 0
+    if never_green:
+        print("ERROR: never-green keys outside the window are a "
+              "contract violation (the driver can never re-green "
+              "them) — rotate them in or remove them")
+    return 1 if (debt or not feasible or never_green) else 0
 
 
 if __name__ == "__main__":
