@@ -228,3 +228,35 @@ def test_qdigest_quantile_within_rank_error(spark, sf_dir):
         lo = vals[max(0, int(p * (n - 1)) - dr)]
         hi = vals[min(n - 1, int(p * (n - 1)) + dr)]
         assert lo <= row.v <= hi, (p, row.v, lo, hi)
+
+
+def test_weighted_sample_first_pick_is_exactly_weight_proportional():
+    """q_llm_weighted_sample's method (r14): the Efraimidis-Spirakis
+    theorem says the TOP-1 row by u^(1/w) — equivalently by ln(u)/w —
+    is selected with probability EXACTLY w_i / sum(w). Monte-Carlo over
+    the same md5-seeded u construction the key uses (seed varied, pure
+    numpy/hashlib — this validates the METHOD and the exact key
+    formula; the Spark implementation is hash-checked against DuckDB
+    separately): observed first-pick frequencies must sit within 5
+    binomial sigmas of w_i / sum(w)."""
+    import hashlib
+    import math as m
+
+    weights = [1, 2, 5, 10, 20, 50, 100, 200]
+    tot = sum(weights)
+    trials = 4000
+    wins = [0] * len(weights)
+    for s in range(trials):
+        best, best_key = None, None
+        for i, w in enumerate(weights):
+            h = hashlib.md5(f"{i}:wres:{s}".encode()).hexdigest()
+            u = (int(h[:8], 16) + 1) / 4294967296.0
+            key = round(m.log(u) / w, 8)
+            if best_key is None or (key, -i) > (best_key, -best):
+                best, best_key = i, key
+        wins[best] += 1
+    for i, w in enumerate(weights):
+        p = w / tot
+        sigma = m.sqrt(trials * p * (1 - p))
+        assert abs(wins[i] - trials * p) <= 5 * sigma + 1, (
+            i, w, wins[i], trials * p, sigma)
