@@ -1103,6 +1103,19 @@ SEMDEDUP_KM_THRESHOLD = 0.35
 SEMDEDUP_CELL_TARGET = 250
 
 
+def semdedup_k(n: int) -> int:
+    """Corpus-scaled cell count for q_llm_semdedup_kmeans: the paper's
+    k ∝ n with a floor at the oracle's KMEANS_K. The DuckDB oracle is
+    a fixed k = KMEANS_K Lloyd replay, so hash parity requires
+    ``semdedup_k(n) == KMEANS_K`` — true exactly while
+    n < (KMEANS_K + 1) * SEMDEDUP_CELL_TARGET (1250 at the shipped
+    constants; driver fixtures are n = 50 / 500). The coupling is
+    pinned by tests/test_llm.py::test_semdedup_k_oracle_coupling."""
+    from okera_trino_spark.llm.similarity import KMEANS_K
+
+    return max(KMEANS_K, n // SEMDEDUP_CELL_TARGET)
+
+
 def _semdedup_kmeans_oracle() -> str:
     """Full replay: the 2-round Lloyd CTEs (shared with q_llm_kmeans),
     within-cell candidate pairs, pair cosines as float64 folds over the
@@ -1188,7 +1201,29 @@ def q_llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = t(spark, sf_dir, "embeddings")
-    k = max(KMEANS_K, e.count() // SEMDEDUP_CELL_TARGET)
+    # Footer-only on parquet (metadata count, no data scan — Spark
+    # answers count() from row-group stats); k MUST be data-dependent
+    # by design (the paper's k ∝ n), so the extra job is one metadata
+    # read per invocation, not a corpus pass.
+    n = e.count()
+    k = semdedup_k(n)
+    if k != KMEANS_K:
+        # r15 ADVICE guard: the DuckDB oracle replays Lloyd at exactly
+        # k = KMEANS_K (its init CTE is ``vec_id < KMEANS_K``), so hash
+        # parity holds ONLY while the corpus-scaled formula still
+        # yields KMEANS_K — i.e. n < (KMEANS_K + 1) *
+        # SEMDEDUP_CELL_TARGET (1250 at the shipped constants; the
+        # driver fixtures are n=500 at sf0.01). Larger corpora (bench
+        # sf0.1 n=2000 -> k=8, scale probes) run fine but are NOT
+        # oracle-replayable — say so loudly instead of letting a
+        # driver-fixture-size change go hash-red with no code bug.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "q_llm_semdedup_kmeans: corpus n=%d yields k=%d != %d; the "
+            "DuckDB oracle (k=%d Lloyd replay) is NOT valid at this "
+            "fixture size — hash comparison would fail structurally",
+            n, k, KMEANS_K, KMEANS_K)
     v = kmeans_assignments(
         e, k=k,
         extra_cols=("embedding", "label")).localCheckpoint(eager=False)

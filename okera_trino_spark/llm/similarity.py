@@ -987,10 +987,17 @@ def kmeans_assignments(e: DataFrame, k: int = KMEANS_K,
             f"kmeans_assignments: embeddings must be exactly {DIM} "
             f"wide (update step aggregates embedding[0..{DIM - 1}]); "
             f"init vec_ids {bad_width} are not")
+    # fold (codegen, oracle-replayable) for small k; Arrow/BLAS
+    # pandas_udf once the O(k*dim) expression tree stops scaling.
+    # PINNED from the INITIAL k (r15 ADVICE): empty clusters can shrink
+    # ``cent`` below KMEANS_FOLD_MAX mid-loop, and the two paths'
+    # 6dp-rounded distances are only bounded within one grid step of
+    # each other — a half-boundary near-tie could assign differently
+    # across an engine flip, so one call always uses ONE implementation.
+    use_fold = len(cent) <= KMEANS_FOLD_MAX
+
     def assign(c):
-        # fold (codegen, oracle-replayable) for small k; Arrow/BLAS
-        # pandas_udf once the O(k*dim) expression tree stops scaling
-        if len(c) <= KMEANS_FOLD_MAX:
+        if use_fold:
             return _kmeans_assign(e, c)
         return _kmeans_assign_vec(c)
 

@@ -722,6 +722,64 @@ def test_kmeans_input_contract_enforced(spark):
         kmeans_assignments(sparse, k=2)
 
 
+def test_kmeans_assign_path_pinned_from_initial_k(spark):
+    """r15 ADVICE: the fold-vs-BLAS assignment choice is made ONCE from
+    the initial k, not re-picked per iteration on the live centroid
+    count — a k > KMEANS_FOLD_MAX run whose empty clusters shrink the
+    live set to <= KMEANS_FOLD_MAX must NOT flip to the fold engine
+    mid-loop (the two paths' 6dp-rounded distances are only bounded
+    within one grid step; a half-boundary near-tie could assign
+    differently across a flip). Input: k=6 init centroids but only two
+    real point masses, so after round 1 at most 2 clusters survive —
+    the final plan must still be the Arrow/BLAS pandas_udf."""
+    from okera_trino_spark.llm.similarity import DIM, kmeans_assignments
+
+    rows = []
+    for i in range(6):  # init ids 0..5: 0-2 COINCIDENT at mass A,
+        # 3-5 coincident at mass B — every point ties to the lowest
+        # id (0 or 3), so rounds 1+ have exactly 2 live centroids
+        rows.append((i, [0.0 if i < 3 else 10.0] * DIM))
+    for i in range(6, 40):  # the corpus: two tight masses
+        rows.append((i, [(0.0 if i % 2 else 10.0) + (i % 5) * 1e-3] * DIM))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = kmeans_assignments(e, k=6)
+    assert len({r.cluster_id for r in out.collect()}) <= 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan
+
+    # negative control: an initial k at the fold boundary never touches
+    # Python — the oracle-replayable codegen path end to end
+    out_small = kmeans_assignments(e, k=2)
+    plan_small = out_small._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan_small, plan_small
+
+
+def test_semdedup_k_oracle_coupling(sf_dir):
+    """r15 ADVICE: q_llm_semdedup_kmeans' corpus-scaled k and its
+    fixed-k DuckDB oracle are coupled only while semdedup_k(n) ==
+    KMEANS_K. Pin the boundary arithmetic AND that every oracle-graded
+    fixture tier (sf0.001 local, sf0.01 driver) sits below it — a
+    fixture-size change that silently breaks the coupling fails here,
+    not as an inexplicable driver hash-red."""
+    import pyarrow.parquet as pq
+
+    from okera_trino_spark.llm.dedup import (
+        SEMDEDUP_CELL_TARGET,
+        semdedup_k,
+    )
+    from okera_trino_spark.llm.similarity import KMEANS_K
+
+    bound = (KMEANS_K + 1) * SEMDEDUP_CELL_TARGET
+    assert semdedup_k(0) == KMEANS_K
+    assert semdedup_k(bound - 1) == KMEANS_K
+    assert semdedup_k(bound) == KMEANS_K + 1  # first non-replayable n
+
+    for tier in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = pq.read_metadata(f"{tier}/embeddings.parquet").num_rows
+        assert semdedup_k(n) == KMEANS_K, (tier, n, bound)
+
+
 def test_star_and_propagation_agree_on_random_graphs(spark):
     """Resolver equivalence on adversarial shapes the fixture doesn't
     have: seeded random graphs mixing chains, cliques, hub-and-leaf
