@@ -189,9 +189,19 @@ CANARY_REF_SF01 = {
 #     q_llm_dedup_near 3.1->8.4 s). Do not re-add.
 #   - unpersisting all persistent RDDs between samples
 #     (getPersistentRDDs + unpersist): statistically neutral at sf0.1
-#     (within rep-to-rep noise in an interleaved A/B/A) — checkpoint
-#     blocks are not the bottleneck; not worth the extra code path.
-# The durable fix is interpretive: cross-harness and cross-round
+#     (within rep-to-rep noise in an interleaved A/B/A) — at r13
+#     nothing big was pinned, so it was judged not worth the code
+#     path. SUPERSEDED in r15: once q_llm_semdedup_kmeans (r14) put a
+#     per-invocation localCheckpoint of the embedding corpus in the
+#     headline list, the accumulation became the r14 median collapse
+#     (headline median 2.7x over r13 while min-stat stayed flat). The
+#     r15 three-way bisect at sf0.1 pinned it: NO_RELEASE + full list
+#     degrades monotonically (bpe_apply 3.74->4.92->4.90, dsir
+#     2.23->2.76->3.21); NO_RELEASE with ONLY semdedup_kmeans skipped
+#     is flat (med/min <= 1.08); release WITH the key is flat too
+#     (med/min <= 1.17, repeats IMPROVE) — so the release ships (see
+#     _release_persisted) and the key stays measured.
+# The durable interpretive rule stands: cross-harness and cross-round
 # comparisons must be read THROUGH host_factor (the frozen-canary
 # ratio emitted below); an isolated-probe number is exactly as
 # host-moment-sensitive as an in-bench number.

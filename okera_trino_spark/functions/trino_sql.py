@@ -5728,12 +5728,17 @@ def q_trino_sql_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_trino(spark, TRINO_SQL_TZ, sf_dir)
 
 
-#: Wave-7 function breadth in one statement: lambda predicates
-#: (any_match/all_match/none_match), cardinality, array-membership
-#: contains, printf-style format, the 2-arg regexp forms, geometric
-#: mean, and the URL-decomposition family — the long tail a migrating
-#: Trino workload hits after the first week.
-TRINO_SQL_BREADTH = """
+#: Consolidated documents-side dialect breadth (r15: the former
+#: q_trino_sql_breadth wave-7/10 key and q_trino_sql_breadth2 wave-12/13
+#: key merged into ONE statement — same row set, same per-column
+#: oracles; registry-slack consolidation per the r14 verdict item 5).
+#: Lambda predicates (any_match/none_match), cardinality, contains,
+#: printf-style format, 2-arg regexp, the URL-decomposition family,
+#: decimal-scale truncate, reduce→aggregate, recursive-arithmetic TRY,
+#: named ROW cast + field access, json_size, split_to_map with
+#: metachar delimiters, ISO-8601 ingestion, bit shifts and
+#: last_day_of_month.
+TRINO_SQL_DOC_BREADTH = """
 SELECT doc_id,
        cardinality(split(text, ' ')) AS n_words,
        any_match(split(text, ' '), x -> length(x) > 8) AS has_long,
@@ -5744,14 +5749,26 @@ SELECT doc_id,
        url_extract_host('http://docs.example.com:8443/d/'
                         || CAST(doc_id AS VARCHAR)) AS host,
        url_extract_port('http://docs.example.com:8443/x') AS port,
-       truncate(doc_id / 7.0, 2) AS t2
+       truncate(doc_id / 7.0, 2) AS t2,
+       reduce(split(text, ' '), 0, (s, w) -> s + length(w), s -> s)
+           AS chars_ns,
+       TRY(n_chars + n_chars * 2 - 1) AS arith3,
+       TRY(CAST(n_chars AS DOUBLE) / (n_chars - n_chars)) AS dz,
+       CAST(ROW(doc_id * 10, lang) AS ROW(k BIGINT, l VARCHAR)).l
+           AS lang2,
+       json_size('{"a": [1, 2], "b": {"x": 1}}', '$.a') AS jsz,
+       element_at(split_to_map('u.1|v.2', '|', '.'), 'v') AS v_val,
+       CAST(from_iso8601_date('2024-03-05') AS VARCHAR) AS iso_d,
+       CAST(last_day_of_month(DATE '2024-02-11') AS VARCHAR) AS eom,
+       bitwise_left_shift(doc_id, 2) AS shl,
+       bitwise_right_shift(doc_id, 1) AS shr
 FROM documents
 ORDER BY doc_id
 """
 
 
 @query(
-    "q_trino_sql_breadth",
+    "q_trino_sql_doc_breadth",
     oracle="""
     SELECT doc_id,
            len(str_split(text, ' ')) AS n_words,
@@ -5764,19 +5781,40 @@ ORDER BY doc_id
            length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
            'docs.example.com' AS host,
            CAST(8443 AS BIGINT) AS port,
-           floor(doc_id / 7.0 * 100) / 100 AS t2
+           floor(doc_id / 7.0 * 100) / 100 AS t2,
+           -- CAST: DuckDB list_sum over BIGINT lengths yields HUGEINT,
+           -- which pandas materializes as float64 — the driver hashes
+           -- 126.0 != Spark's 126. BIGINT keeps both sides int64.
+           CAST(list_sum(list_transform(str_split(text, ' '),
+                                        w -> length(w))) AS BIGINT)
+               AS chars_ns,
+           n_chars + n_chars * 2 - 1 AS arith3,
+           CAST(NULL AS DOUBLE) AS dz,
+           lang AS lang2,
+           2 AS jsz,
+           '2' AS v_val,
+           '2024-03-05' AS iso_d,
+           '2024-02-29' AS eom,
+           doc_id * 4 AS shl,
+           doc_id // 2 AS shr
     FROM documents
     ORDER BY doc_id
     """,
     tags=("trino", "sql", "dialect"),
 )
-def q_trino_sql_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wave-7/10 dialect breadth through the string path — every
-    function family in TRINO_SQL_BREADTH compiles to a JVM builtin
-    (lambda higher-order functions, format_string, regexp, parse_url,
-    decimal-scale truncate), so the rewritten plan stays whole-stage
-    codegen with zero Python UDFs."""
-    return execute_trino(spark, TRINO_SQL_BREADTH, sf_dir)
+def q_trino_sql_doc_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated documents-side dialect breadth (r15; formerly the
+    q_trino_sql_breadth wave-7/10 key, last green r11, and the
+    q_trino_sql_breadth2 wave-12/13 key, last green r13 — every column
+    and its oracle preserved verbatim, one registry slot instead of
+    two). Every function family compiles to a JVM builtin (lambda
+    higher-order functions, format_string, regexp, parse_url,
+    decimal-scale truncate, nested try_* arithmetic, positional struct
+    cast + field access, get_json_object member counting, str_to_map
+    with regex-quoted delimiters, ISO-8601 dates, shifts, last_day) —
+    the rewritten plan stays whole-stage codegen with zero Python
+    UDFs; the DuckDB oracle recomputes each value independently."""
+    return execute_trino(spark, TRINO_SQL_DOC_BREADTH, sf_dir)
 
 
 #: MATCH_RECOGNIZE in Trino dialect: the conversion-funnel query shape,
@@ -5897,64 +5935,8 @@ def q_trino_sql_mr_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_trino(spark, TRINO_SQL_MR_PREV, sf_dir)
 
 
-#: Wave-12/13 dialect breadth in one statement: recursive-arithmetic
-#: TRY, named ROW cast + field access, reduce→aggregate, json_size,
-#: split_to_map with metachar delimiters, ISO-8601 ingestion, bit
-#: shifts, last_day_of_month.
-TRINO_SQL_BREADTH2 = """
-SELECT d.doc_id,
-       reduce(split(d.text, ' '), 0, (s, w) -> s + length(w), s -> s)
-           AS chars_ns,
-       TRY(d.n_chars + d.n_chars * 2 - 1) AS arith3,
-       TRY(CAST(d.n_chars AS DOUBLE) / (d.n_chars - d.n_chars)) AS dz,
-       CAST(ROW(d.doc_id * 10, d.lang) AS ROW(k BIGINT, l VARCHAR)).l
-           AS lang2,
-       json_size('{"a": [1, 2], "b": {"x": 1}}', '$.a') AS jsz,
-       element_at(split_to_map('u.1|v.2', '|', '.'), 'v') AS v_val,
-       CAST(from_iso8601_date('2024-03-05') AS VARCHAR) AS iso_d,
-       CAST(last_day_of_month(DATE '2024-02-11') AS VARCHAR) AS eom,
-       bitwise_left_shift(d.doc_id, 2) AS shl,
-       bitwise_right_shift(d.doc_id, 1) AS shr
-FROM documents d
-ORDER BY d.doc_id
-"""
-
-
-@query(
-    "q_trino_sql_breadth2",
-    oracle="""
-    SELECT doc_id,
-           -- CAST: DuckDB list_sum over BIGINT lengths yields HUGEINT,
-           -- which pandas materializes as float64 — the driver hashes
-           -- 126.0 != Spark's 126. BIGINT keeps both sides int64.
-           CAST(list_sum(list_transform(str_split(text, ' '),
-                                        w -> length(w))) AS BIGINT)
-               AS chars_ns,
-           n_chars + n_chars * 2 - 1 AS arith3,
-           CAST(NULL AS DOUBLE) AS dz,
-           lang AS lang2,
-           2 AS jsz,
-           '2' AS v_val,
-           '2024-03-05' AS iso_d,
-           '2024-02-29' AS eom,
-           doc_id * 4 AS shl,
-           doc_id // 2 AS shr
-    FROM documents
-    ORDER BY doc_id
-    """,
-    tags=("trino", "sql", "dialect"),
-)
-def q_trino_sql_breadth2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wave-12/13 dialect breadth through the string path (r8):
-    recursive TRY arithmetic (nested try_* by precedence, NULL on the
-    guaranteed division by zero), CAST(.. AS ROW(..)) named-row types
-    (positional struct cast + field access), reduce→aggregate,
-    json_size member counting, split_to_map with regex-metachar
-    delimiters, ISO-8601 date ingestion, bitwise shifts and
-    last_day_of_month — every shim compiles to a JVM builtin; the
-    DuckDB oracle recomputes each value independently (constant
-    results as literals, corpus-dependent ones re-derived)."""
-    return execute_trino(spark, TRINO_SQL_BREADTH2, sf_dir)
+#: (q_trino_sql_breadth2 was consolidated into q_trino_sql_doc_breadth
+#: in r15 — see that key above.)
 
 
 TRINO_SQL_BREADTH3 = """
@@ -6187,22 +6169,40 @@ def q_trino_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_trino(spark, TRINO_SQL_LISTAGG, sf_dir)
 
 
-TRINO_SQL_LISTAGG_TRUNC = """
-SELECT o_orderpriority,
-       lower(to_hex(md5(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
-                   ON OVERFLOW TRUNCATE)
-           WITHIN GROUP (ORDER BY o_orderkey)))) AS big_h,
-       length(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
-                      ON OVERFLOW TRUNCATE)
-              WITHIN GROUP (ORDER BY o_orderkey)) AS big_len,
-       lower(to_hex(md5(listagg(o_orderstatus, '|' ON OVERFLOW TRUNCATE '#'
-                   WITHOUT COUNT)
-           WITHIN GROUP (ORDER BY o_orderkey)))) AS small_h,
-       count(*) AS n
-FROM orders
-WHERE o_orderkey < 8000
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
+#: Consolidated LISTAGG extension surface (r15: the former
+#: q_trino_sql_listagg_trunc ON OVERFLOW TRUNCATE key and
+#: q_trino_sql_listagg_distinct key merged — the two result shapes are
+#: UNION-ALL-normalized to (grp, a, b, c, n); every underlying fold
+#: and its oracle formulation preserved).
+TRINO_SQL_LISTAGG_EXT = """
+SELECT grp, a, b, c, n FROM (
+    SELECT o_orderpriority AS grp,
+           lower(to_hex(md5(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
+                       ON OVERFLOW TRUNCATE)
+               WITHIN GROUP (ORDER BY o_orderkey)))) AS a,
+           CAST(length(listagg(rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority), ','
+                          ON OVERFLOW TRUNCATE)
+                  WITHIN GROUP (ORDER BY o_orderkey)) AS VARCHAR) AS b,
+           lower(to_hex(md5(listagg(o_orderstatus, '|' ON OVERFLOW TRUNCATE '#'
+                       WITHOUT COUNT)
+               WITHIN GROUP (ORDER BY o_orderkey)))) AS c,
+           count(*) AS n
+    FROM orders
+    WHERE o_orderkey < 8000
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderstatus AS grp,
+           listagg(DISTINCT o_orderpriority, ',')
+               WITHIN GROUP (ORDER BY o_orderpriority) AS a,
+           listagg(DISTINCT substring(o_orderpriority, 1, 1), '|')
+               WITHIN GROUP (ORDER BY substring(o_orderpriority, 1, 1) DESC)
+               AS b,
+           CAST(NULL AS VARCHAR) AS c,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+) u
+ORDER BY grp
 """
 
 # DuckDB replay of the byte-budget prefix: the running output length
@@ -6210,7 +6210,7 @@ ORDER BY o_orderpriority
 # before the first entry) — monotone, so "cum <= cap" IS the greedy
 # prefix the fold computes, and string_agg ... FILTER rebuilds exactly
 # the kept entries in order.
-_LISTAGG_TRUNC_ORACLE = """
+_LISTAGG_EXT_ORACLE = """
 WITH v AS (
     SELECT o_orderpriority AS g, o_orderkey AS k, o_orderstatus AS st,
            rpad(CAST(o_orderkey AS VARCHAR) || o_orderpriority, 4000, o_orderpriority) AS val
@@ -6231,45 +6231,78 @@ WITH v AS (
            count(*) AS n
     FROM c GROUP BY g
 )
-SELECT g AS o_orderpriority,
+SELECT g AS grp,
        md5(CASE WHEN total_len <= 1048576 THEN full_s
                 ELSE kept_s || ',' || '...(' ||
-                     CAST(n - kcnt AS VARCHAR) || ')' END) AS big_h,
-       length(CASE WHEN total_len <= 1048576 THEN full_s
+                     CAST(n - kcnt AS VARCHAR) || ')' END) AS a,
+       CAST(length(CASE WHEN total_len <= 1048576 THEN full_s
                    ELSE kept_s || ',' || '...(' ||
-                        CAST(n - kcnt AS VARCHAR) || ')' END) AS big_len,
-       md5(small_s) AS small_h,
-       n
+                        CAST(n - kcnt AS VARCHAR) || ')' END) AS VARCHAR)
+           AS b,
+       md5(small_s) AS c,
+       CAST(n AS BIGINT) AS n
 FROM a
-ORDER BY o_orderpriority
+UNION ALL
+SELECT o_orderstatus AS grp,
+       string_agg(DISTINCT o_orderpriority, ','
+                  ORDER BY o_orderpriority) AS a,
+       string_agg(DISTINCT substring(o_orderpriority, 1, 1), '|'
+                  ORDER BY substring(o_orderpriority, 1, 1) DESC) AS b,
+       CAST(NULL AS VARCHAR) AS c,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY grp
 """
 
 
 @query(
-    "q_trino_sql_listagg_trunc",
-    oracle=_LISTAGG_TRUNC_ORACLE,
+    "q_trino_sql_listagg_ext",
+    oracle=_LISTAGG_EXT_ORACLE,
     tags=("trino", "sql", "dialect"),
 )
-def q_trino_sql_listagg_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LISTAGG ``ON OVERFLOW TRUNCATE`` (r9, formerly a named error):
-    Trino caps listagg output at its 1 MiB page size and TRUNCATE
-    keeps the greedy byte-budget prefix of entries, then appends the
-    separator, the filler ('...' default) and WITH COUNT's omitted
-    count. The 4000-byte rpad values make each ~400-order priority
-    group ≈1.6 MiB at sf0.01, so the cap genuinely fires and the
-    result hash proves the fold (not just the grammar); the 1-byte
-    status column exercises the under-budget branch and WITHOUT
-    COUNT + custom filler. Oracle: DuckDB rebuilds the prefix with a
+def q_trino_sql_listagg_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated LISTAGG extension surface (r15; formerly
+    q_trino_sql_listagg_trunc, r9, and q_trino_sql_listagg_distinct,
+    r10 — both folds and both oracle formulations preserved verbatim,
+    UNION-ALL-normalized to (grp, a, b, c, n) so two registry slots
+    become one; grp domains are disjoint by construction: priorities
+    vs statuses).
+
+    TRUNCATE arm: Trino caps listagg output at its 1 MiB page size and
+    TRUNCATE keeps the greedy byte-budget prefix of entries, then
+    appends the separator, the filler ('...' default) and WITH COUNT's
+    omitted count. The 4000-byte rpad values make each ~400-order
+    priority group ≈1.6 MiB at sf0.01, so the cap genuinely fires and
+    the result hash proves the fold (not just the grammar); the 1-byte
+    status column exercises the under-budget branch and WITHOUT COUNT
+    + custom filler. Oracle: DuckDB rebuilds the prefix with a
     cumulative-length window + FILTERed string_agg — an independent
     formulation of the same spec (reference surface:
     /root/reference/README.md:74-90 Trino-400 SQL passthrough).
     Output is md5+length, so the driver never hashes megabyte cells.
-    Scale: per-group O(n) HOF fold after the same groupBy shuffle
-    plain listagg needs — no extra shuffle, no Python."""
-    return execute_trino(spark, TRINO_SQL_LISTAGG_TRUNC, sf_dir)
+
+    DISTINCT arm: ``listagg(DISTINCT …)`` — array_distinct over the
+    collected (key, value) structs before the proven sorted fold;
+    Trino restricts DISTINCT aggregations to sort keys matching the
+    aggregated expression, so struct dedup IS value dedup. ASC and
+    DESC keys plus a computed expression; oracle is DuckDB
+    ``string_agg(DISTINCT … ORDER BY …)``.
+
+    Scale: two independent groupBy shuffles (one per arm) unioned —
+    exactly what the two separate keys cost; per-group work is an
+    O(n) HOF fold, no Python."""
+    return execute_trino(spark, TRINO_SQL_LISTAGG_EXT, sf_dir)
 
 
-TRINO_SQL_BREADTH4 = """
+#: Consolidated orders-side dialect breadth (r15: the former
+#: q_trino_sql_breadth4 wave-4, q_trino_sql_breadth5 wave-23,
+#: q_trino_sql_breadth6 wave-24 and q_trino_sql_statfns keys merged
+#: into ONE statement — identical row set (o_orderkey in (0, 2000)),
+#: every column and oracle formulation preserved; renames only where
+#: the originals collided: breadth5's mm → mm5, breadth6's mm → mm6,
+#: statfns' sym → nsym).
+TRINO_SQL_BREADTH_PACK = """
 SELECT o_orderkey,
        format_number(o_totalprice) AS fn,
        format_number(o_orderkey * 1000000) AS fnm,
@@ -6279,9 +6312,44 @@ SELECT o_orderkey,
        split_part(o_orderpriority, substring('-x', 1, 1), 9) AS ppast,
        split(o_orderpriority, substring('-x', 1, 1))[1] AS pnum,
        cardinality(split(o_orderpriority, substring('-x', 1, 1)))
-           AS nparts
+           AS nparts,
+       to_base32(to_utf8(o_orderpriority)) AS pri_b32,
+       CAST(from_base32(to_base32(to_utf8(o_orderstatus))) AS VARCHAR)
+           AS st_rt,
+       CAST(CAST(split_to_multimap(
+           'k=' || o_orderstatus || ',k=' || o_orderpriority ||
+           ',p=' || CAST(o_orderkey % 5 AS VARCHAR), ',', '=')
+           AS JSON) AS VARCHAR) AS mm5,
+       year_of_week(o_orderdate) AS yw,
+       millisecond(CAST(o_orderdate AS TIMESTAMP)
+                   + parse_duration(CAST(o_orderkey % 1000 AS VARCHAR)
+                                    || 'ms')) AS ms,
+       to_hex(to_big_endian_32(CAST(o_orderkey AS INTEGER))) AS be32,
+       from_big_endian_32(to_big_endian_32(
+           CAST(-o_orderkey AS INTEGER))) AS be32_rt,
+       to_base64url(to_utf8(o_orderpriority)) AS b64u,
+       CAST(from_base64url(to_base64url(to_utf8(o_orderstatus)))
+            AS VARCHAR) AS b64_rt,
+       lower(to_hex(hmac_sha256(to_utf8(o_orderpriority),
+                                to_utf8('key')))) AS hm,
+       from_ieee754_64(to_ieee754_64(o_totalprice)) AS ie_rt,
+       CAST(CAST(multimap_from_entries(
+           ARRAY[CAST(ROW('s', o_orderstatus)
+                      AS ROW(k VARCHAR, v VARCHAR)),
+                 CAST(ROW('p', o_orderpriority)
+                      AS ROW(k VARCHAR, v VARCHAR)),
+                 CAST(ROW('s', o_orderpriority)
+                      AS ROW(k VARCHAR, v VARCHAR))])
+           AS JSON) AS VARCHAR) AS mm6,
+       beta_cdf(2, 3, (o_orderkey % 100) / 100.0) AS bc,
+       normal_cdf(5, 2, inverse_normal_cdf(5, 2,
+           (o_orderkey % 99 + 1) / 100.0)) AS nrt,
+       inverse_beta_cdf(3, 2, beta_cdf(3, 2,
+           (o_orderkey % 100) / 100.0)) AS brt,
+       normal_cdf(0, 1, (o_orderkey % 80) / 10.0)
+           + normal_cdf(0, 1, -(o_orderkey % 80) / 10.0) AS nsym
 FROM orders
-WHERE o_orderkey < 2000
+WHERE o_orderkey < 2000 AND o_orderkey > 0
 ORDER BY o_orderkey
 """
 
@@ -6294,12 +6362,12 @@ ORDER BY o_orderkey
 # VARCHAR) → exact DECIMAL → manual half-even at the magnitude
 # precision (frac vs 0.5 on the exact decimal, ties to the even
 # floor).
-_BREADTH4_ORACLE = """
-WITH base AS (
+_BREADTH_PACK_B4_CTES = """
+base AS (
     SELECT o_orderkey, o_totalprice, o_orderpriority,
            CAST(o_totalprice AS DOUBLE) AS tp,
            CAST(o_orderkey AS DOUBLE) * 1000000 AS km
-    FROM orders WHERE o_orderkey < 2000
+    FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
 ), s AS (
     SELECT *,
            CASE WHEN abs(tp) >= 1e3 THEN tp / 1e3 ELSE tp END AS tpv,
@@ -6338,45 +6406,127 @@ WITH base AS (
                  WHEN CAST(kmf AS BIGINT) % 2 = 0 THEN kmf
                  ELSE kmf + 1 END) / kmm AS kmr
     FROM r
+),
+b4 AS (
+    SELECT o_orderkey,
+           regexp_replace(regexp_replace(CAST(CAST(tpr AS DECIMAL(38, 6))
+               AS VARCHAR),
+               '(\\.\\d*[1-9])0+$', '\\1'), '\\.0*$', '') || tpu AS fn,
+           regexp_replace(regexp_replace(CAST(CAST(kmr AS DECIMAL(38, 6))
+               AS VARCHAR),
+               '(\\.\\d*[1-9])0+$', '\\1'), '\\.0*$', '') || kmu AS fnm,
+           CASE WHEN o_totalprice BETWEEN 100000 AND 200000
+                THEN 'mid' ELSE 'out' END AS sym,
+           string_split(o_orderpriority, '-')[2] AS pword,
+           CAST(NULL AS VARCHAR) AS ppast,
+           string_split(o_orderpriority, '-')[1] AS pnum,
+           CAST(len(string_split(o_orderpriority, '-')) AS INTEGER)
+               AS nparts
+    FROM v
 )
-SELECT o_orderkey,
-       regexp_replace(regexp_replace(CAST(CAST(tpr AS DECIMAL(38, 6))
-           AS VARCHAR),
-           '(\\.\\d*[1-9])0+$', '\\1'), '\\.0*$', '') || tpu AS fn,
-       regexp_replace(regexp_replace(CAST(CAST(kmr AS DECIMAL(38, 6))
-           AS VARCHAR),
-           '(\\.\\d*[1-9])0+$', '\\1'), '\\.0*$', '') || kmu AS fnm,
-       CASE WHEN o_totalprice BETWEEN 100000 AND 200000
-            THEN 'mid' ELSE 'out' END AS sym,
-       string_split(o_orderpriority, '-')[2] AS pword,
-       CAST(NULL AS VARCHAR) AS ppast,
-       string_split(o_orderpriority, '-')[1] AS pnum,
-       CAST(len(string_split(o_orderpriority, '-')) AS INTEGER)
-           AS nparts
-FROM v
-ORDER BY o_orderkey
 """
 
 
+def _breadth_pack_oracle() -> str:
+    """Oracle for q_trino_sql_breadth_pack: the four original oracle
+    formulations joined on o_orderkey over the shared row set. b4 is
+    the DecimalFormat/split replay CTE chain (independent algebra —
+    see the note above _BREADTH_PACK_B4_CTES); b5/b6 recompute every
+    column except the base32/HMAC plumbing cases, which are literal
+    CASEs over the FIXED 5-value priority vocabulary generated by the
+    same stdlib b32encode / RFC-2104 hmac the UDFs use — deliberately:
+    the keys prove SESSION PLUMBING while the algorithms' proof is the
+    published-vector tests (tests/test_trino_sql.py::
+    test_base32_rfc4648_vectors, test_hmac_rfc_vectors); st is
+    INDEPENDENT mathematics (I_x(2,3) closed form, quantile/CDF
+    round-trips, CDF symmetry — test_stat_cdf_functions)."""
+    import base64
+    import hmac as _hmac
+
+    pris = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    b32case = " ".join(
+        f"WHEN '{p}' THEN '{base64.b32encode(p.encode()).decode()}'"
+        for p in pris)
+    hmcase = " ".join(
+        f"WHEN '{p}' THEN "
+        f"'{_hmac.new(b'key', p.encode(), 'sha256').hexdigest()}'"
+        for p in pris)
+    return f"""
+    WITH {_BREADTH_PACK_B4_CTES},
+    b5 AS (
+        SELECT o_orderkey,
+               CASE o_orderpriority {b32case} END AS pri_b32,
+               o_orderstatus AS st_rt,
+               '{{"k":["' || o_orderstatus || '","' || o_orderpriority ||
+               '"],"p":["' || CAST(o_orderkey % 5 AS VARCHAR) || '"]}}'
+                   AS mm5
+        FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+    ),
+    b6 AS (
+        SELECT o_orderkey,
+               CAST(date_part('isoyear', o_orderdate) AS INT) AS yw,
+               CAST(o_orderkey % 1000 AS INT) AS ms,
+               printf('%08X', o_orderkey) AS be32,
+               -o_orderkey AS be32_rt,
+               replace(replace(to_base64(encode(o_orderpriority)),
+                       '+', '-'), '/', '_') AS b64u,
+               o_orderstatus AS b64_rt,
+               CASE o_orderpriority {hmcase} END AS hm,
+               o_totalprice AS ie_rt,
+               '{{"s":["' || o_orderstatus || '","' || o_orderpriority ||
+               '"],"p":["' || o_orderpriority || '"]}}' AS mm6
+        FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+    ),
+    st AS (
+        SELECT o_orderkey,
+               6 * pow((o_orderkey % 100) / 100.0, 2)
+                 - 8 * pow((o_orderkey % 100) / 100.0, 3)
+                 + 3 * pow((o_orderkey % 100) / 100.0, 4) AS bc,
+               (o_orderkey % 99 + 1) / 100.0 AS nrt,
+               (o_orderkey % 100) / 100.0 AS brt,
+               1.0 AS nsym
+        FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+    )
+    SELECT b4.o_orderkey, fn, fnm, sym, pword, ppast, pnum, nparts,
+           pri_b32, st_rt, mm5, yw, ms, be32, be32_rt, b64u, b64_rt,
+           hm, ie_rt, mm6, bc, nrt, brt, nsym
+    FROM b4 JOIN b5 USING (o_orderkey) JOIN b6 USING (o_orderkey)
+            JOIN st USING (o_orderkey)
+    ORDER BY o_orderkey
+    """
+
+
 @query(
-    "q_trino_sql_breadth4",
-    oracle=_BREADTH4_ORACLE,
+    "q_trino_sql_breadth_pack",
+    oracle=_breadth_pack_oracle(),
     tags=("trino", "sql", "dialect"),
 )
-def q_trino_sql_breadth4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dialect breadth wave 4 (r9) — the formerly-refused surfaces
-    landed this round, one column each: format_number unit-suffix
-    rendering over a DOUBLE column (K band + sub-1000) and a BIGINT
-    expression spanning the M/B bands; BETWEEN SYMMETRIC with
-    reversed bounds (null-guarded least/greatest lowering); computed
-    (non-literal) delimiters through split_part (native literal
-    split_part + parts-count guard for Trino's NULL-past-end — ppast
-    proves the NULL), split with runtime \\Q…\\E Pattern.quote, and
-    1-based subscripting on its result. Oracle: DuckDB replays the
-    DecimalFormat algebra (roundbankers = HALF_EVEN) and splits with
-    its own literal string_split — independent formulations. All JVM
-    codegen, filter pushed to the scan, no shuffle beyond the sort."""
-    return execute_trino(spark, TRINO_SQL_BREADTH4, sf_dir)
+def q_trino_sql_breadth_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated orders-side dialect breadth (r15; formerly
+    q_trino_sql_breadth4 wave-4 r9, q_trino_sql_breadth5 wave-23 r10,
+    q_trino_sql_breadth6 wave-24 r10 and q_trino_sql_statfns r10 —
+    four registry slots become one; every column and every oracle
+    formulation preserved verbatim, renames only for collisions:
+    mm→mm5/mm6, statfns sym→nsym).
+
+    Wave-4 columns: format_number unit-suffix rendering (K/M/B bands,
+    DecimalFormat HALF_EVEN on the shortest decimal string), BETWEEN
+    SYMMETRIC with reversed bounds, computed delimiters through
+    split_part (Trino NULL-past-end), runtime-quoted split +
+    subscript. Wave-23: to/from_base32 (RFC 4648 §6, pandas UDFs
+    bit-verified against the RFC vectors) and split_to_multimap (HOF
+    codegen, JSON-serialized). Wave-24: year_of_week, millisecond over
+    a composed parse_duration, to/from_big_endian_32, to/from_base64url
+    (RFC 4648 §5 by alphabet translation — DuckDB replays it
+    independently), hmac_sha256 (RFC 2104), to/from_ieee754_64 exact
+    bit round-trip, multimap_from_entries. Statfns: normal_cdf /
+    inverse_normal_cdf / beta_cdf / inverse_beta_cdf (erfc-exact
+    normal, Lentz continued-fraction regularized beta, Acklam+Halley
+    quantile) with INDEPENDENT-mathematics oracles.
+
+    Scale: one scan, map-only row work (UDF columns Arrow-batched),
+    filter pushed to the scan, no shuffle beyond the ORDER BY."""
+    return execute_trino(spark, TRINO_SQL_BREADTH_PACK, sf_dir)
 
 
 TRINO_SQL_UNICODE = """
@@ -7025,92 +7175,90 @@ def q_trino_sql_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.execute("EXECUTE agg_q USING 'O', 50000.0", dialect="trino")
 
 
-def _word_stem_oracle() -> str:
-    """Oracle for q_trino_sql_word_stem: part's p_type vocabulary is
-    FIXED (6 leading words at every SF), so the expected Porter2 stems
-    are embedded as a literal CASE mapping. The literals are generated
-    by the same stemmer.porter2_stem — deliberately: this key proves
-    the SESSION PLUMBING (UDF registration, dialect lowering, grouped
-    distributed execution), while the ALGORITHM's proof is the
-    spec-vector test (tests/test_trino_sql.py::test_porter2_vector —
-    the snowballstem.org spec's own example pairs, exceptional forms
-    and per-step examples)."""
+def _hash_stem_oracle() -> str:
+    """Oracle for q_trino_sql_hash_stem (r15 consolidation of the
+    former q_trino_sql_murmur3 and q_trino_sql_word_stem singletons —
+    both oracle formulations preserved, UNION-ALL-normalized).
+
+    murmur3 arm: nation is FIXED (25 rows, NATION_0..24, identical at
+    every SF), so the expected 16-byte digests are embedded as hex
+    literals generated by the same trino_compat.murmur3_x64_128 —
+    deliberately: plumbing proof here, the ALGORITHM's proof is
+    smhasher's published verification value
+    (test_murmur3_smhasher_verification — the xxhash64 two-sided
+    pattern). stem arm: part's p_type vocabulary is FIXED (6 leading
+    words at every SF), so the Porter2 stems are a literal CASE
+    generated by the same stemmer.porter2_stem; the algorithm's proof
+    is the snowballstem.org spec-vector test
+    (tests/test_trino_sql.py::test_porter2_vector)."""
     from okera_trino_spark.functions.stemmer import porter2_stem
+    from okera_trino_spark.functions.trino_compat import murmur3_x64_128
+
+    rows = ", ".join(
+        f"({i}, '{murmur3_x64_128(f'NATION_{i}'.encode()).hex()}')"
+        for i in range(25))
     words = ("economy", "large", "medium", "promo", "small", "standard")
     case = " ".join(
         f"WHEN '{w}' THEN '{porter2_stem(w)}'" for w in words)
     return f"""
-    SELECT lower(split_part(p_type, ' ', 1)) AS w,
-           CASE lower(split_part(p_type, ' ', 1)) {case} END AS stem,
-           count(*) AS n
-    FROM part
-    GROUP BY 1 ORDER BY 1
+    SELECT 'murmur3' AS src, CAST(n_nationkey AS VARCHAR) AS k,
+           hx AS v, CAST(1 AS BIGINT) AS n
+    FROM (VALUES {rows}) AS t(n_nationkey, hx)
+    UNION ALL
+    SELECT 'stem' AS src, w AS k, stem AS v, CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT lower(split_part(p_type, ' ', 1)) AS w,
+               CASE lower(split_part(p_type, ' ', 1)) {case} END AS stem,
+               count(*) AS n
+        FROM part
+        GROUP BY 1
+    ) s
+    ORDER BY src, k
     """
 
 
-@query(
-    "q_trino_sql_word_stem",
-    oracle=_word_stem_oracle(),
-    tags=("trino", "sql", "dialect"),
-)
-def q_trino_sql_word_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trino ``word_stem(varchar[, 'en'])`` (r10, formerly a named
-    error): the Snowball *english* (Porter2) stemmer, implemented from
-    the public snowballstem.org spec as an Arrow-batched pandas UDF
-    (functions/stemmer.py) and lowered from both the 1-arg and
-    explicit-'en' forms. Stems the leading p_type word per part row —
-    the UDF runs distributed over the data, then the grouped counts
-    prove every row went through it. See _word_stem_oracle for the
-    plumbing/algorithm verification split. Scale: map-only Arrow
-    batches, no shuffle beyond the final groupBy."""
-    return execute_trino(
-        spark,
-        "SELECT lower(split_part(p_type, ' ', 1)) AS w, "
-        "word_stem(lower(split_part(p_type, ' ', 1)), 'en') AS stem, "
-        "count(*) AS n "
-        "FROM part GROUP BY 1, 2 ORDER BY 1", sf_dir)
-
-
-TRINO_SQL_LISTAGG_DISTINCT = """
-SELECT o_orderstatus,
-       listagg(DISTINCT o_orderpriority, ',')
-           WITHIN GROUP (ORDER BY o_orderpriority) AS pris,
-       listagg(DISTINCT substring(o_orderpriority, 1, 1), '|')
-           WITHIN GROUP (ORDER BY substring(o_orderpriority, 1, 1) DESC)
-           AS pri_codes,
-       count(*) AS n
-FROM orders
-GROUP BY o_orderstatus
-ORDER BY o_orderstatus
+TRINO_SQL_HASH_STEM = """
+SELECT 'murmur3' AS src, CAST(n_nationkey AS VARCHAR) AS k,
+       lower(to_hex(murmur3(to_utf8(n_name)))) AS v,
+       CAST(1 AS BIGINT) AS n
+FROM nation
+UNION ALL
+SELECT 'stem' AS src, w AS k, s AS v, n
+FROM (
+    SELECT lower(split_part(p_type, ' ', 1)) AS w,
+           word_stem(lower(split_part(p_type, ' ', 1)), 'en') AS s,
+           count(*) AS n
+    FROM part GROUP BY 1, 2
+) t
+ORDER BY src, k
 """
 
 
 @query(
-    "q_trino_sql_listagg_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           string_agg(DISTINCT o_orderpriority, ','
-                      ORDER BY o_orderpriority) AS pris,
-           string_agg(DISTINCT substring(o_orderpriority, 1, 1), '|'
-                      ORDER BY substring(o_orderpriority, 1, 1) DESC)
-               AS pri_codes,
-           count(*) AS n
-    FROM orders
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
+    "q_trino_sql_hash_stem",
+    oracle=_hash_stem_oracle(),
     tags=("trino", "sql", "dialect"),
 )
-def q_trino_sql_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``listagg(DISTINCT …)`` (r10, formerly a named error):
-    array_distinct over the collected (key, value) structs before the
-    proven sorted fold — Trino restricts DISTINCT aggregations to sort
-    keys matching the aggregated expression, so struct dedup IS value
-    dedup. Exercises ASC and DESC keys plus a computed expression.
-    Oracle: DuckDB ``string_agg(DISTINCT … ORDER BY …)``. Scale: same
-    single groupBy shuffle as plain listagg; the dedup is a per-group
-    array op after collect."""
-    return execute_trino(spark, TRINO_SQL_LISTAGG_DISTINCT, sf_dir)
+def q_trino_sql_hash_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated session-UDF singletons (r15; formerly
+    q_trino_sql_murmur3 and q_trino_sql_word_stem, both r10 — one
+    registry slot, both checks intact, normalized to (src, k, v, n)).
+
+    murmur3 arm: Trino ``murmur3(varbinary) → varbinary`` — 128-bit
+    MurmurHash3 (x64_128, seed 0, h1||h2 little-endian — airlift
+    Murmur3Hash128) via the session-registered Arrow-batched
+    ``trino_murmur3`` pandas UDF. stem arm: ``word_stem(varchar,
+    'en')`` — the Snowball english (Porter2) stemmer from the public
+    snowballstem.org spec (functions/stemmer.py), run distributed over
+    part with grouped counts proving every row went through it. See
+    _hash_stem_oracle for the plumbing/algorithm verification split.
+    Scale: both arms map-only Arrow batches; one small groupBy on the
+    stem arm; UNION ALL of two tiny results."""
+    return execute_trino(spark, TRINO_SQL_HASH_STEM, sf_dir)
+
+
+#: (q_trino_sql_listagg_distinct was consolidated into
+#: q_trino_sql_listagg_ext in r15 — see that key above.)
 
 
 #: SQL/JSON wave 22 (r10): compound ?(...) filter predicates — && / ||
@@ -7372,220 +7520,13 @@ def q_trino_sql_jsonpath_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_trino(spark, TRINO_SQL_JSONPATH_METHODS, sf_dir)
 
 
-def _breadth5_oracle() -> str:
-    """Oracle for q_trino_sql_breadth5: o_orderpriority is a FIXED
-    5-value vocabulary at every SF, so the base32 encodings are
-    embedded as a literal CASE. The literals are generated by the same
-    stdlib b32encode the UDF uses — deliberately: this key proves the
-    SESSION PLUMBING (UDF registration, VARBINARY round-trip, multimap
-    JSON shape), while the ALGORITHM's proof is the RFC 4648 published
-    test-vector test (tests/test_trino_sql.py::
-    test_base32_rfc4648_vectors)."""
-    import base64
-    pris = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-    case = " ".join(
-        f"WHEN '{p}' THEN '{base64.b32encode(p.encode()).decode()}'"
-        for p in pris)
-    return f"""
-    SELECT o_orderkey,
-           CASE o_orderpriority {case} END AS pri_b32,
-           o_orderstatus AS st_rt,
-           '{{"k":["' || o_orderstatus || '","' || o_orderpriority ||
-           '"],"p":["' || CAST(o_orderkey % 5 AS VARCHAR) || '"]}}' AS mm
-    FROM orders WHERE o_orderkey < 2000
-    ORDER BY o_orderkey
-    """
+#: (q_trino_sql_breadth5, q_trino_sql_breadth6 and q_trino_sql_statfns
+#: were consolidated into q_trino_sql_breadth_pack in r15 — see that
+#: key above.)
 
 
-TRINO_SQL_BREADTH5 = """
-SELECT o_orderkey,
-       to_base32(to_utf8(o_orderpriority)) AS pri_b32,
-       CAST(from_base32(to_base32(to_utf8(o_orderstatus))) AS VARCHAR)
-           AS st_rt,
-       CAST(CAST(split_to_multimap(
-           'k=' || o_orderstatus || ',k=' || o_orderpriority ||
-           ',p=' || CAST(o_orderkey % 5 AS VARCHAR), ',', '=')
-           AS JSON) AS VARCHAR) AS mm
-FROM orders WHERE o_orderkey < 2000
-ORDER BY o_orderkey
-"""
-
-
-@query(
-    "q_trino_sql_breadth5",
-    oracle=_breadth5_oracle(),
-    tags=("trino", "sql", "dialect"),
-)
-def q_trino_sql_breadth5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dialect wave 23 (r10) — formerly bare unresolved-routine
-    failures, one column each: ``to_base32``/``from_base32`` (RFC 4648
-    §6 with padding, session pandas UDFs bit-verified against the
-    RFC's own vectors; the VARBINARY round-trip proves decode) and
-    ``split_to_multimap`` (map<string, array<string>> — values in
-    entry order, keys first-appearance order, malformed entries error
-    like Trino; pure HOF codegen serialized through the proven
-    CAST(.. AS JSON) path so the driver sees scalar JSON text).
-    Scale: map-only row work, no shuffle beyond the ORDER BY."""
-    return execute_trino(spark, TRINO_SQL_BREADTH5, sf_dir)
-
-
-def _breadth6_oracle() -> str:
-    """Oracle for q_trino_sql_breadth6. Every column except the HMAC
-    is computed INDEPENDENTLY by DuckDB (isoyear, %08X printf,
-    alphabet-translated base64, arithmetic round-trips, JSON string
-    algebra); the HMAC of the fixed 5-value priority vocabulary is a
-    literal CASE generated by Python's RFC-2104 hmac — plumbing only,
-    the algorithm is proven against RFC 4231/2202's published vectors
-    (tests/test_trino_sql.py::test_hmac_rfc_vectors)."""
-    import hmac as _hmac
-    pris = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-    case = " ".join(
-        f"WHEN '{p}' THEN "
-        f"'{_hmac.new(b'key', p.encode(), 'sha256').hexdigest()}'"
-        for p in pris)
-    return f"""
-    SELECT o_orderkey,
-           CAST(date_part('isoyear', o_orderdate) AS INT) AS yw,
-           CAST(o_orderkey % 1000 AS INT) AS ms,
-           printf('%08X', o_orderkey) AS be32,
-           -o_orderkey AS be32_rt,
-           replace(replace(to_base64(encode(o_orderpriority)),
-                   '+', '-'), '/', '_') AS b64u,
-           o_orderstatus AS b64_rt,
-           CASE o_orderpriority {case} END AS hm,
-           o_totalprice AS ie_rt,
-           '{{"s":["' || o_orderstatus || '","' || o_orderpriority ||
-           '"],"p":["' || o_orderpriority || '"]}}' AS mm
-    FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
-    ORDER BY o_orderkey
-    """
-
-
-TRINO_SQL_BREADTH6 = """
-SELECT o_orderkey,
-       year_of_week(o_orderdate) AS yw,
-       millisecond(CAST(o_orderdate AS TIMESTAMP)
-                   + parse_duration(CAST(o_orderkey % 1000 AS VARCHAR)
-                                    || 'ms')) AS ms,
-       to_hex(to_big_endian_32(CAST(o_orderkey AS INTEGER))) AS be32,
-       from_big_endian_32(to_big_endian_32(
-           CAST(-o_orderkey AS INTEGER))) AS be32_rt,
-       to_base64url(to_utf8(o_orderpriority)) AS b64u,
-       CAST(from_base64url(to_base64url(to_utf8(o_orderstatus)))
-            AS VARCHAR) AS b64_rt,
-       lower(to_hex(hmac_sha256(to_utf8(o_orderpriority),
-                                to_utf8('key')))) AS hm,
-       from_ieee754_64(to_ieee754_64(o_totalprice)) AS ie_rt,
-       CAST(CAST(multimap_from_entries(
-           ARRAY[CAST(ROW('s', o_orderstatus)
-                      AS ROW(k VARCHAR, v VARCHAR)),
-                 CAST(ROW('p', o_orderpriority)
-                      AS ROW(k VARCHAR, v VARCHAR)),
-                 CAST(ROW('s', o_orderpriority)
-                      AS ROW(k VARCHAR, v VARCHAR))])
-           AS JSON) AS VARCHAR) AS mm
-FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
-ORDER BY o_orderkey
-"""
-
-
-@query(
-    "q_trino_sql_breadth6",
-    oracle=_breadth6_oracle(),
-    tags=("trino", "sql", "dialect"),
-)
-def q_trino_sql_breadth6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dialect wave 24 (r10) — the systematic unresolved-routine audit
-    closeout, one column each: ``year_of_week`` (ISO, → EXTRACT
-    YEAROFWEEK), ``millisecond`` (composed over a column
-    ``parse_duration`` — two r10 graduations chained),
-    ``to/from_big_endian_32`` (hex-window codegen, signed re-window on
-    decode, 4-byte input rule), ``to/from_base64url`` (RFC 4648 §5 by
-    alphabet translation — DuckDB replays it independently, a genuine
-    differential), ``hmac_sha256`` (RFC 2104 pandas UDF; vectors prove
-    the algorithm, the fixed-priority CASE proves plumbing),
-    ``to/from_ieee754_64`` (exact bits round-trip), and
-    ``multimap_from_entries`` (positional struct normalization through
-    singleton map_from_entries + the shared multimap grouping, JSON
-    serialization). Scale: map-only row work, the UDF columns are
-    Arrow-batched, no shuffle beyond the ORDER BY."""
-    return execute_trino(spark, TRINO_SQL_BREADTH6, sf_dir)
-
-
-TRINO_SQL_STATFNS = """
-SELECT o_orderkey,
-       beta_cdf(2, 3, (o_orderkey % 100) / 100.0) AS bc,
-       normal_cdf(5, 2, inverse_normal_cdf(5, 2,
-           (o_orderkey % 99 + 1) / 100.0)) AS nrt,
-       inverse_beta_cdf(3, 2, beta_cdf(3, 2,
-           (o_orderkey % 100) / 100.0)) AS brt,
-       normal_cdf(0, 1, (o_orderkey % 80) / 10.0)
-           + normal_cdf(0, 1, -(o_orderkey % 80) / 10.0) AS sym
-FROM orders WHERE o_orderkey < 2000
-ORDER BY o_orderkey
-"""
-
-
-@query(
-    "q_trino_sql_statfns",
-    oracle="""
-    SELECT o_orderkey,
-           6 * pow((o_orderkey % 100) / 100.0, 2)
-             - 8 * pow((o_orderkey % 100) / 100.0, 3)
-             + 3 * pow((o_orderkey % 100) / 100.0, 4) AS bc,
-           (o_orderkey % 99 + 1) / 100.0 AS nrt,
-           (o_orderkey % 100) / 100.0 AS brt,
-           1.0 AS sym
-    FROM orders WHERE o_orderkey < 2000
-    ORDER BY o_orderkey
-    """,
-    tags=("trino", "sql", "dialect"),
-)
-def q_trino_sql_statfns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical CDFs (r10, formerly bare unresolved-routines):
-    normal_cdf / inverse_normal_cdf / beta_cdf / inverse_beta_cdf via
-    session pandas UDFs (erfc-exact normal, Lentz continued-fraction
-    regularized beta, Acklam+Halley quantile — trino_compat.
-    register_stat_fns). The oracle is INDEPENDENT mathematics, not a
-    replay: I_x(2,3) has the closed form 6x²-8x³+3x⁴ (DuckDB computes
-    the polynomial), quantile/CDF round-trips must return their input
-    p, and the normal CDF must be symmetric to exactly 1 — plus
-    literature-value unit tests (test_stat_cdf_functions). Scale:
-    Arrow-batched map-only row work."""
-    return execute_trino(spark, TRINO_SQL_STATFNS, sf_dir)
-
-
-def _murmur3_oracle() -> str:
-    """Oracle for q_trino_sql_murmur3: nation is FIXED (25 rows,
-    NATION_0..24, identical at every SF), so the expected 16-byte
-    digests are embedded as hex literals generated by the same
-    trino_compat.murmur3_x64_128 — deliberately: this key proves the
-    SESSION PLUMBING, while the ALGORITHM's proof is smhasher's
-    published verification value (test_murmur3_smhasher_verification
-    — the xxhash64 two-sided pattern)."""
-    from okera_trino_spark.functions.trino_compat import murmur3_x64_128
-    rows = ", ".join(
-        f"({i}, '{murmur3_x64_128(f'NATION_{i}'.encode()).hex()}')"
-        for i in range(25))
-    return (f"SELECT n_nationkey, hx FROM (VALUES {rows}) "
-            f"AS t(n_nationkey, hx) ORDER BY n_nationkey")
-
-
-@query(
-    "q_trino_sql_murmur3",
-    oracle=_murmur3_oracle(),
-    tags=("trino", "sql", "dialect"),
-)
-def q_trino_sql_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trino ``murmur3(varbinary) → varbinary`` (r10, formerly a named
-    error): 128-bit MurmurHash3 (x64_128, seed 0, h1||h2 little-endian
-    — airlift Murmur3Hash128), via the session-registered
-    Arrow-batched ``trino_murmur3`` pandas UDF. See _murmur3_oracle
-    for the plumbing/algorithm verification split."""
-    return execute_trino(
-        spark,
-        "SELECT n_nationkey, lower(to_hex(murmur3(to_utf8(n_name)))) AS hx "
-        "FROM nation ORDER BY n_nationkey", sf_dir)
+#: (q_trino_sql_murmur3 was consolidated into q_trino_sql_hash_stem
+#: in r15 — see that key above.)
 
 
 TRINO_SQL_GROUPS_FRAME = """

@@ -89,57 +89,58 @@ def query(name: str, oracle: str | None = None,
 #: salted-skew agg, applyInPandas). Keys not listed here keep their module
 #: registration order after the priority block — they are still registered,
 #: tested locally by tests/test_oracle_parity.py, and available to the driver.
-#: ROUND-14 ROTATION (data-driven: slots ranked by last-green round
-#: computed from CORRECTNESS_r01..r13 — scripts/rotation_audit.py
-#: recomputes and checks this, and since r14 also simulates a
-#: lookahead schedule and FAILS if any future window needs > 50
-#: slots). The r13 window went 50/50 hash-green, so all 50 rotate
-#: OUT. Slots, in order:
-#:   1) the 29-key r9-stale cohort — last green r9, AT the 5-round
-#:      staleness bound this round; pre-committed in the r13 rotation
-#:      note and the r13 verdict's item 1;
-#:   2) the NEW r14 keys — new keys must sit in-window for the
+#: ROUND-15 ROTATION (data-driven: slots ranked by last-green round
+#: computed from CORRECTNESS_r01..r14 — scripts/rotation_audit.py
+#: recomputes and checks this, simulates a lookahead schedule, and
+#: FAILS if any future window needs > 50 slots). The r14 window went
+#: 50/50 hash-green, so all 50 rotate OUT. Slots, in order:
+#:   1) the r10-stale cohort — 32 keys reached the 5-round bound this
+#:      round (pre-staged in the r14 note); SEVEN of them were
+#:      consolidated away this round (q_trino_sql_breadth5/6,
+#:      q_trino_sql_listagg_distinct/_trunc, q_trino_sql_murmur3,
+#:      q_trino_sql_statfns, q_trino_sql_word_stem — their columns
+#:      live on in the pack keys below), leaving 25 mandatory;
+#:   2) the NEW r15 keys — the four CONSOLIDATION PACKS
+#:      (q_trino_sql_breadth_pack = breadth4+5+6+statfns,
+#:      q_trino_sql_doc_breadth = breadth+breadth2,
+#:      q_trino_sql_hash_stem = murmur3+word_stem,
+#:      q_trino_sql_listagg_ext = listagg_trunc+listagg_distinct).
+#:      10 keys removed, 4 added: registry 234 -> 228, every oracle
+#:      check preserved as a column/arm of its pack (r14 verdict
+#:      item 5 — schedule slack). New keys sit in-window for the
 #:      test_entry.py union-closure invariant;
-#:   3) backfill from the 50-key r10 cohort (next-stalest; bound hits
-#:      at r15), favoring the heavy/plan-sensitive keys (the LLM
-#:      pipeline block, the events-analytics block, as-of join).
-#:      The 32 r10-cohort keys that did NOT fit MUST rotate in at r15
-#:      (they reach the 5-round bound then) — rotation_audit.py prints
-#:      the exact list: q_agg_bool, q_agg_histogram, q_agg_listagg,
-#:      q_asof_join, q_events_gapfill, q_events_sessionize,
-#:      q_fn_decimal, q_fn_interval,
-#:      q_fn_json, q_fn_try, q_fn_url, q_join_range_banded,
-#:      q_recursive_cte, q_scan_nested, q_sort_multi, q_sort_nulls,
-#:      q_stream_dedup, q_stream_session, q_stream_slide,
-#:      q_stream_stream_join, q_stream_tumble, q_trino_sql_breadth5,
-#:      q_trino_sql_breadth6, q_trino_sql_jsonpath_bool,
-#:      q_trino_sql_listagg_distinct, q_trino_sql_listagg_trunc,
-#:      q_trino_sql_murmur3, q_trino_sql_statfns,
-#:      q_trino_sql_word_stem, q_udf_current_db, q_unnest_ordinality,
-#:      q_win_dist.
+#:   3) CHANGED-IMPLEMENTATION jump-queue (standing rule, r15 — r14
+#:      verdict item 4): a key whose implementation OR oracle changed
+#:      in round N enters the round-N window even if not yet stale —
+#:      the driver contract is the hard signal; local parity is not a
+#:      substitute. This round: q_llm_kmeans, q_llm_cluster_sample,
+#:      q_llm_semdedup_kmeans (assignment-path pin + k guard, r15),
+#:      q_llm_dedup_exact (digest group key, r14),
+#:      q_llm_substring_spans (split-long keys, r14),
+#:      q_llm_dup_clusters_star (one-action fixpoint, r14);
+#:   4) backfill from the 49-key r11 cohort (bound hits at r16),
+#:      stalest-first with heavy/plan-sensitive keys preferred.
 #:
-#: R15 WINDOW PLAN (pre-staged): 32 mandatory (list above) + up to 3
-#: new keys + 15 backfill from the 50-key r11 cohort, stalest-first
-#: with the heavy/plan-sensitive keys preferred — suggested backfill:
-#: q_llm_dedup_near, q_llm_dsir, q_llm_para_dedup, q_llm_chunk,
-#: q_llm_ann_lsh, q_llm_entropy, q_llm_pack, q_llm_dedup_ngram,
-#: q_tpch_q9, q_tpch_q21, q_tpch_q2, q_trino_tpch_q21,
-#: q_trino_tpch_q1, q_win_frame_rows, q_join_full. The remaining 35
-#: r11-cohort keys then form the r16 mandatory core (35 + 3 + 12 —
-#: rotation_audit.py's lookahead verifies the whole chain to r20).
+#: R16 WINDOW PLAN (pre-staged): the 34 remaining r11-cohort keys are
+#: mandatory (49 minus the 15 backfilled below; q_trino_sql_breadth
+#: was consolidated away) + up to 3 new keys + 13 backfill from the
+#: r12 cohort, stalest-first, changed-implementation keys first.
 #:
-#: NEW-KEY RULES (standing, r14):
+#: NEW-KEY RULES (standing, r14; r15 additions):
 #:   - BUDGET: at most 3 new registry keys per round — the declared
 #:     budget rotation_audit.py's lookahead simulates. The capacity
-#:     arithmetic is hard: ~230 keys x 5-round staleness bound vs a
-#:     50-slot window leaves ~4 slots/round of slack; an unbudgeted
-#:     ~5 keys/round breaches near r17. Exceeding the budget must be
-#:     paid for by consolidating/removing existing keys in the SAME
-#:     round (the audit fails loudly otherwise).
+#:     arithmetic is hard: ~228 keys x 5-round staleness bound vs a
+#:     50-slot window leaves ~4-5 slots/round of slack. Exceeding the
+#:     budget must be paid for by consolidating/removing existing keys
+#:     in the SAME round (this round: +4 packs paid by -10 singletons,
+#:     net -6; the audit fails loudly otherwise).
 #:   - SCALE PROBE: any new key whose plan contains a shuffle ships
 #:     WITH a SCALE_PROBE row at >= 1 decade (sf1.0) in the round it
 #:     is born — the k-means/star precedent; scripts/scale_probe.py
-#:     --keys makes the subset run cheap.
+#:     --keys makes the subset run cheap. (The r15 packs are
+#:     recombinations of long-probed map-only/small-groupBy dialect
+#:     queries — no new shuffle shape.)
+#:   - CHANGED-KEYS JUMP THE QUEUE: see 3) above.
 #:
 #: WINDOW-INELIGIBLE, PERMANENTLY: q_agg_approx_distinct and
 #: q_agg_approx_percentile never enter this list BY DESIGN — they are
@@ -149,35 +150,35 @@ def query(name: str, oracle: str | None = None,
 #: bound tests in tests/test_bounds.py. Rotation audits (including
 #: scripts/rotation_audit.py) must exclude them from staleness checks.
 _PRIORITY: tuple[str, ...] = (
-    # 1) r9-stale cohort (29) — at the staleness bound, mandatory this
-    #    round (enumerated in the r13 rotation note + verdict item 1)
-    "q_agg_grouping_id", "q_agg_minmax_by", "q_agg_pivot",
-    "q_agg_rollup", "q_agg_stats", "q_agg_unpivot", "q_case_expr",
-    "q_count_star", "q_fn_array", "q_fn_bitwise", "q_fn_cast",
-    "q_fn_date", "q_fn_map", "q_fn_math", "q_fn_regex", "q_fn_string",
-    "q_fn_struct", "q_join_right", "q_profile_orders", "q_project",
-    "q_stream_watermark", "q_subquery_corr", "q_trino_sql_xxhash64",
-    "q_udf_custom", "q_udtf_split", "q_union_all", "q_unnest",
-    "q_win_frame_range", "q_win_ntile",
-    # 2) new r14 keys (the full 3-key budget): SemDeDup exactly as
-    #    published (k-means cells + within-cell cosine prune), the
-    #    dynamic-partition-pruning CORRECTNESS row, and
-    #    Efraimidis-Spirakis weighted sampling — each displaced one
-    #    backfill slot below (q_asof_join, q_events_gapfill,
-    #    q_events_sessionize rejoin the r15 mandatory cohort)
-    "q_llm_semdedup_kmeans",
-    "q_meta_dpp",
-    "q_llm_weighted_sample",
-    # 3) r10 backfill (18 of 50; 29 + 3 + 18 = 50) — the LLM pipeline
-    #    block and the events-analytics block
-    "q_llm_dedup_apply", "q_llm_dedup_simhash",
-    "q_llm_dedup_simhash_pairs", "q_llm_dup_clusters",
-    "q_llm_fingerprint", "q_llm_frame_sample", "q_llm_knn_join",
-    "q_llm_langid", "q_llm_mix", "q_llm_pii_scrub", "q_llm_pipeline",
-    "q_llm_repetition", "q_llm_text_stats", "q_llm_tokens",
-    "q_llm_vocab",
-    "q_events_funnel", "q_events_outliers",
-    "q_events_retention",
+    # 1) r10-stale cohort (25 of the staged 32 — the other 7 were
+    #    consolidated into the pack keys in slot 2)
+    "q_agg_bool", "q_agg_histogram", "q_agg_listagg", "q_asof_join",
+    "q_events_gapfill", "q_events_sessionize", "q_fn_decimal",
+    "q_fn_interval", "q_fn_json", "q_fn_try", "q_fn_url",
+    "q_join_range_banded", "q_recursive_cte", "q_scan_nested",
+    "q_sort_multi", "q_sort_nulls", "q_stream_dedup",
+    "q_stream_session", "q_stream_slide", "q_stream_stream_join",
+    "q_stream_tumble", "q_trino_sql_jsonpath_bool",
+    "q_udf_current_db", "q_unnest_ordinality", "q_win_dist",
+    # 2) new r15 keys: the four consolidation packs (every column of
+    #    the 10 retired singletons lives on here with its oracle)
+    "q_trino_sql_breadth_pack",
+    "q_trino_sql_doc_breadth",
+    "q_trino_sql_hash_stem",
+    "q_trino_sql_listagg_ext",
+    # 3) changed-implementation jump-queue (standing rule — see note)
+    "q_llm_kmeans", "q_llm_cluster_sample", "q_llm_semdedup_kmeans",
+    "q_llm_dedup_exact", "q_llm_substring_spans",
+    "q_llm_dup_clusters_star",
+    # 4) r11 backfill (15; 25 + 4 + 6 + 15 = 50) — heavy/plan-
+    #    sensitive first: the dedup/curation spine, TPC-H composites,
+    #    the dialect-TEXT TPC-H twins
+    "q_llm_dedup_near", "q_llm_dsir", "q_llm_para_dedup",
+    "q_llm_chunk", "q_llm_ann_lsh", "q_llm_entropy", "q_llm_pack",
+    "q_llm_dedup_ngram",
+    "q_tpch_q9", "q_tpch_q21", "q_tpch_q2",
+    "q_trino_tpch_q21", "q_trino_tpch_q1",
+    "q_win_frame_rows", "q_join_full",
 )
 
 

@@ -29,6 +29,19 @@ near r17). The registry's new-key budget is the printed contract:
 adding MORE keys than the budget in a round silently steals slack
 from a later round, and this audit is where that shows up first.
 
+r15 (verdict #3): the END-OF-ROUND state is now detected and handled.
+Right after a round's artifacts land, the committed ``_PRIORITY`` is
+still the JUST-GRADED window (>= 80% of its keys last-green at the
+latest artifact round) while the due cohort for the next grading
+round sits outside it — grading that stale window as "re-greens next
+round" produced a false INFEASIBLE + exit 1 (reproduced on the
+end-of-r14 tree). In that state the audit now simulates the grading
+round's window REBUILD with the same greedy rule the lookahead uses
+(due cohort first + new-key budget + stalest backfill) and prints the
+cohort that the rebuild must include. Mid-round (window already
+rebuilt, mostly not-yet-green keys) the actual window is graded and
+an uncovered due key is still a hard failure.
+
 Usage: python scripts/rotation_audit.py [--next-round N]
            [--horizon H] [--new-keys-per-round B]
 """
@@ -131,8 +144,11 @@ def main() -> int:
     ap.add_argument("--next-round", type=int, default=None,
                     help="round the CURRENT window will be graded in "
                          "(default: latest artifact round + 1)")
-    ap.add_argument("--horizon", type=int, default=6,
-                    help="rounds of lookahead schedule to simulate")
+    ap.add_argument("--horizon", type=int, default=8,
+                    help="rounds of lookahead schedule to simulate "
+                         "(default 8 = a full staleness cycle plus "
+                         "slack — r15 ADVICE: a 6-round horizon "
+                         "passed while the breach sat at round 7)")
     ap.add_argument("--new-keys-per-round", type=int, default=3,
                     help="declared budget of NEW registry keys per "
                          "future round (the contract: stay within it)")
@@ -160,12 +176,44 @@ def main() -> int:
         print(f"WARNING: {len(never_green)} key(s) never driver-green and "
               f"not in window: {never_green}")
 
+    eligible = {k for k in registry if k not in ROWS_ONLY_EXEMPT}
+    due = sorted(k for k, rnd in last.items()
+                 if k in eligible and grading_round - rnd >= STALENESS_BOUND)
+    uncovered = [k for k in due if k not in window]
+    # END-OF-ROUND detection (r15, verdict #3): if the committed window
+    # is the JUST-GRADED one (>= 80% of its keys last-green at the
+    # latest artifact round) and the due cohort sits outside it, the
+    # window simply hasn't been rebuilt yet — grade the REBUILD the
+    # rotation note prescribes (due cohort + new-key budget + stalest
+    # backfill, the lookahead's own greedy rule), not the stale list.
+    frac_just = (sum(1 for k in window if last.get(k) == latest)
+                 / max(1, len(window)))
+    simulated = bool(uncovered) and frac_just >= 0.8
+    if simulated:
+        rest = sorted((g, k) for k, g in last.items()
+                      if k in eligible and k not in due)
+        slots = len(window) - len(due) - args.new_keys_per_round
+        if slots < 0:
+            print(f"ERROR: r{grading_round} rebuild infeasible — "
+                  f"{len(due)} due + {args.new_keys_per_round} new-key "
+                  f"budget > {len(window)} slots")
+            return 1
+        window_eff = due + [k for _, k in rest[:slots]]
+        print(f"END-OF-ROUND state detected ({frac_just:.0%} of the "
+              f"committed window last-green at r{latest}): simulating "
+              f"the r{grading_round} window rebuild — {len(due)} due + "
+              f"{args.new_keys_per_round} new-key budget + "
+              f"{len(window_eff) - len(due)} backfill. The rebuilt "
+              f"_PRIORITY MUST include the due cohort: {due}")
+    else:
+        window_eff = [k for k in window if k in eligible]
+
     debt = []
     for key, rnd in sorted(last.items()):
-        if key in ROWS_ONLY_EXEMPT or key not in registry:
+        if key not in eligible:
             continue
         age_after = grading_round - rnd
-        if key in window:
+        if key in window_eff:
             continue  # re-greens this round
         if age_after >= STALENESS_BOUND:
             debt.append((key, rnd, age_after))
@@ -180,15 +228,14 @@ def main() -> int:
 
     must_next = sorted(
         k for k, rnd in last.items()
-        if k in registry and k not in ROWS_ONLY_EXEMPT and k not in window
+        if k in eligible and k not in window_eff
         and grading_round + 1 - rnd >= STALENESS_BOUND)
     print(f"must rotate into the r{grading_round + 1} window "
           f"({len(must_next)}): {must_next}")
 
-    eligible = {k for k in registry if k not in ROWS_ONLY_EXEMPT}
     feasible, lines = lookahead_schedule(
         {k: v for k, v in last.items() if k in eligible}, eligible,
-        [k for k in window if k in eligible], grading_round,
+        window_eff, grading_round,
         args.horizon, args.new_keys_per_round)
     print(f"lookahead (next {args.horizon} rounds, "
           f"{args.new_keys_per_round} new keys/round budget):")

@@ -1,0 +1,61 @@
+"""Bench-harness invariants (r15, from the r14 median-collapse
+diagnosis): the between-sample block release must actually release
+localCheckpoint blocks, every headline key must be registered, and the
+emitted JSON must keep the headline facts LAST so the driver's
+2000-char stdout tail always captures them."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_release_persisted_drops_local_checkpoints(spark):
+    """q_llm_semdedup_kmeans pins a localCheckpoint of the embedding
+    corpus per invocation; the r14 bench accumulated those across
+    warm-up + 3 repeats into an allocator-pressure GC stall (median
+    2.7x over min). The release helper must drop exactly that state:
+    local checkpoints persist their RDD, so they appear in — and must
+    vanish from — getPersistentRDDs."""
+    bench = _load_bench()
+    df = spark.range(10_000).localCheckpoint(eager=True)
+    assert df.count() == 10_000
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    bench._release_persisted(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_headline_keys_all_registered():
+    from okera_trino_spark.registry import load_all_queries
+
+    bench = _load_bench()
+    specs = load_all_queries()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, f"headline keys not registered: {missing}"
+
+
+def test_bench_json_tail_keeps_headline_facts():
+    """The driver archives only the LAST 2000 chars of bench stdout;
+    r14's artifact cut off the medians head and the total. Pin the
+    contract structurally: the source emits value/value_min/
+    host_factor/degrade_top only after the bulky per-key dicts, so
+    any 2000-char tail of the one-line JSON contains them."""
+    src = (REPO / "bench.py").read_text()
+    region = src[src.index("out = {"):]  # the dict-construction block
+    order = ['"samples"', '"queries"', '"queries_min"', '"value"',
+             '"value_min"', '"host_factor"', '"degrade_top"']
+    idx = [region.index(k) for k in order]
+    assert idx == sorted(idx), (
+        "bench.py must build the output dict with per-key bulk first "
+        f"and headline facts last; found order {list(zip(order, idx))}")
