@@ -296,6 +296,11 @@ def main() -> None:
                     for n, xs in samples.items()},
         "queries": timings,
         "queries_min": timings_min,
+        # forensics: whether the between-sample release ran and which
+        # keys were skipped — an artifact produced under the debug
+        # knobs must say so
+        "release_between_samples": release,
+        "skipped": sorted(skip & set(HEADLINE)),
         "value": round(sum(timings.values()), 4),
         "value_min": round(sum(timings_min.values()), 4),
     }
