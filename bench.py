@@ -224,8 +224,12 @@ def _release_persisted(spark) -> None:
     was measured NEUTRAL at sf0.1 when nothing big is pinned (r13
     note below) and removes the accumulation when something is. Never
     force a JVM GC instead — measured catastrophic (same note)."""
+    # blocking=True: the release sits OUTSIDE the timed window, and an
+    # async drop would let BlockManager cleanup overlap the NEXT
+    # sample's timed region — the same cross-key contamination one
+    # level down (scale_probe's _clear_session_state does the same).
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+        rdd.unpersist(True)
 
 
 def main() -> None:
@@ -240,6 +244,13 @@ def main() -> None:
     # reproduced on demand.
     skip = {s for s in os.environ.get(
         "SPARK_GRAFT_BENCH_SKIP", "").split(",") if s}
+    unknown = sorted(skip - set(HEADLINE))
+    if unknown:
+        # a typo'd skip silently measuring the WRONG configuration
+        # while the artifact claims otherwise is exactly the silent-
+        # no-op failure scale_probe.py guards --keys against
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_SKIP names not in HEADLINE: {unknown}")
     release = os.environ.get("SPARK_GRAFT_BENCH_NO_RELEASE", "") != "1"
     names = [n for n in HEADLINE if n in specs and n not in skip]
 

@@ -6298,8 +6298,11 @@ def q_trino_sql_listagg_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Consolidated orders-side dialect breadth (r15: the former
 #: q_trino_sql_breadth4 wave-4, q_trino_sql_breadth5 wave-23,
 #: q_trino_sql_breadth6 wave-24 and q_trino_sql_statfns keys merged
-#: into ONE statement — identical row set (o_orderkey in (0, 2000)),
-#: every column and oracle formulation preserved; renames only where
+#: into ONE statement — identical row set (o_orderkey < 2000; the
+#: former breadth6's defensive `> 0` was verified non-load-bearing at
+#: row 0 and dropped so breadth4/5/statfns keep their full 2000-row
+#: coverage — r15 review), every column and oracle formulation
+#: preserved; renames only where
 #: the originals collided: breadth5's mm → mm5, breadth6's mm → mm6,
 #: statfns' sym → nsym).
 TRINO_SQL_BREADTH_PACK = """
@@ -6349,7 +6352,7 @@ SELECT o_orderkey,
        normal_cdf(0, 1, (o_orderkey % 80) / 10.0)
            + normal_cdf(0, 1, -(o_orderkey % 80) / 10.0) AS nsym
 FROM orders
-WHERE o_orderkey < 2000 AND o_orderkey > 0
+WHERE o_orderkey < 2000
 ORDER BY o_orderkey
 """
 
@@ -6367,7 +6370,7 @@ base AS (
     SELECT o_orderkey, o_totalprice, o_orderpriority,
            CAST(o_totalprice AS DOUBLE) AS tp,
            CAST(o_orderkey AS DOUBLE) * 1000000 AS km
-    FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+    FROM orders WHERE o_orderkey < 2000
 ), s AS (
     SELECT *,
            CASE WHEN abs(tp) >= 1e3 THEN tp / 1e3 ELSE tp END AS tpv,
@@ -6460,7 +6463,7 @@ def _breadth_pack_oracle() -> str:
                '{{"k":["' || o_orderstatus || '","' || o_orderpriority ||
                '"],"p":["' || CAST(o_orderkey % 5 AS VARCHAR) || '"]}}'
                    AS mm5
-        FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+        FROM orders WHERE o_orderkey < 2000
     ),
     b6 AS (
         SELECT o_orderkey,
@@ -6475,7 +6478,7 @@ def _breadth_pack_oracle() -> str:
                o_totalprice AS ie_rt,
                '{{"s":["' || o_orderstatus || '","' || o_orderpriority ||
                '"],"p":["' || o_orderpriority || '"]}}' AS mm6
-        FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+        FROM orders WHERE o_orderkey < 2000
     ),
     st AS (
         SELECT o_orderkey,
@@ -6485,7 +6488,7 @@ def _breadth_pack_oracle() -> str:
                (o_orderkey % 99 + 1) / 100.0 AS nrt,
                (o_orderkey % 100) / 100.0 AS brt,
                1.0 AS nsym
-        FROM orders WHERE o_orderkey < 2000 AND o_orderkey > 0
+        FROM orders WHERE o_orderkey < 2000
     )
     SELECT b4.o_orderkey, fn, fnm, sym, pword, ppast, pnum, nparts,
            pri_b32, st_rt, mm5, yw, ms, be32, be32_rt, b64u, b64_rt,

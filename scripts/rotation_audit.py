@@ -91,10 +91,19 @@ def last_green_by_key() -> tuple[dict[str, int], int]:
 def lookahead_schedule(last: dict[str, int], registry_keys: set[str],
                        window: list[str], grading_round: int,
                        horizon: int, new_budget: int,
-                       window_size: int = 50) -> tuple[bool, list[str]]:
-    """Simulate the next ``horizon`` windows greedily (stalest-first
-    backfill, ``new_budget`` slots reserved per round for keys that
-    don't exist yet). Returns (feasible, report_lines).
+                       window_size: int = 50,
+                       sim_rounds: int = 30,
+                       ) -> tuple[bool, list[str], int | None]:
+    """Simulate future windows greedily (stalest-first backfill,
+    ``new_budget`` slots reserved per round for keys that don't exist
+    yet). Lines are reported for ``horizon`` rounds, but the
+    simulation runs ``sim_rounds`` ahead so a breach just past the
+    horizon is still FOUND (r15 review: bumping the horizon 6 -> 8
+    merely moved the blind spot — under any sustained positive budget
+    the registry eventually hits the window_size x STALENESS_BOUND
+    ceiling, and the audit must SAY where, not go quiet). Returns
+    (feasible_within_horizon, report_lines, first_breach_round —
+    None if no breach inside ``sim_rounds``).
 
     Assumes the CURRENT window re-greens at ``grading_round`` (the
     driver checks it this round); a red key would only make the
@@ -112,31 +121,38 @@ def lookahead_schedule(last: dict[str, int], registry_keys: set[str],
         sim[k] = grading_round
     lines = []
     feasible = True
+    first_breach = None
     n_new = 0
-    for r in range(grading_round + 1, grading_round + 1 + horizon):
+    for r in range(grading_round + 1,
+                   grading_round + 1 + max(horizon, sim_rounds)):
         due = sorted(k for k, g in sim.items() if g + STALENESS_BOUND <= r)
         need = len(due) + new_budget
+        in_horizon = r <= grading_round + horizon
         if need > window_size:
-            lines.append(
-                f"  r{r}: INFEASIBLE — {len(due)} due + {new_budget} "
-                f"new-key budget = {need} > {window_size} slots")
-            feasible = False
+            if first_breach is None:
+                first_breach = r
+            if in_horizon:
+                lines.append(
+                    f"  r{r}: INFEASIBLE — {len(due)} due + {new_budget} "
+                    f"new-key budget = {need} > {window_size} slots")
+                feasible = False
             # keep simulating so the report shows the full horizon
             backfill = []
         else:
             rest = sorted((g, k) for k, g in sim.items() if k not in due)
             backfill = [k for _, k in rest[:window_size - need]]
-            lines.append(
-                f"  r{r}: {len(due)} due + {new_budget} new-key budget "
-                f"+ {len(backfill)} backfill = "
-                f"{len(due) + new_budget + len(backfill)}/{window_size} "
-                f"(registry {len(sim)})")
+            if in_horizon:
+                lines.append(
+                    f"  r{r}: {len(due)} due + {new_budget} new-key "
+                    f"budget + {len(backfill)} backfill = "
+                    f"{len(due) + new_budget + len(backfill)}/"
+                    f"{window_size} (registry {len(sim)})")
         for k in due + backfill:
             sim[k] = r
         for _ in range(new_budget):
             n_new += 1
             sim[f"_new_r{r}_{n_new}"] = r
-    return feasible, lines
+    return feasible, lines, first_breach
 
 
 def main() -> int:
@@ -205,6 +221,13 @@ def main() -> int:
               f"{args.new_keys_per_round} new-key budget + "
               f"{len(window_eff) - len(due)} backfill. The rebuilt "
               f"_PRIORITY MUST include the due cohort: {due}")
+        # the rebuild's new keys green at grading_round and come due
+        # STALENESS_BOUND rounds later — materialize them in the sim
+        # or the lookahead undercounts the due set from
+        # grading_round+5 on (r15 review)
+        window_eff = window_eff + [
+            f"_rebuild_new_r{grading_round}_{i + 1}"
+            for i in range(args.new_keys_per_round)]
     else:
         window_eff = [k for k in window if k in eligible]
 
@@ -233,7 +256,7 @@ def main() -> int:
     print(f"must rotate into the r{grading_round + 1} window "
           f"({len(must_next)}): {must_next}")
 
-    feasible, lines = lookahead_schedule(
+    feasible, lines, first_breach = lookahead_schedule(
         {k: v for k, v in last.items() if k in eligible}, eligible,
         window_eff, grading_round,
         args.horizon, args.new_keys_per_round)
@@ -245,6 +268,16 @@ def main() -> int:
         print("ERROR: lookahead schedule INFEASIBLE — shrink the "
               "registry (consolidate singleton keys) or lower the "
               "new-key budget before adding keys")
+    elif first_breach is not None:
+        # a sustained positive budget ALWAYS saturates the
+        # window_size x STALENESS_BOUND ceiling eventually; the
+        # contract is to say WHERE, not to go quiet past the horizon
+        print(f"WARNING: schedule saturates BEYOND the horizon — "
+              f"first INFEASIBLE round under a sustained "
+              f"+{args.new_keys_per_round}/round budget is "
+              f"r{first_breach} (eligible-registry ceiling = "
+              f"window 50 x staleness bound {STALENESS_BOUND}). "
+              f"Consolidate or lower the budget before r{first_breach}.")
     if never_green:
         print("ERROR: never-green keys outside the window are a "
               "contract violation (the driver can never re-green "

@@ -158,6 +158,10 @@ def main() -> None:
     spark = get_spark("okera-trino-spark-scale-probe")
 
     if args.drift:
+        if args.drift_n < 2:
+            # late/early needs both halves; failing AFTER minutes of
+            # timed Spark work would lose the measurement
+            raise SystemExit("--drift-n must be >= 2")
         rc = 0
         canary_fn = None
         if args.drift_canary:
