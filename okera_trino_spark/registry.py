@@ -123,8 +123,15 @@ def query(name: str, oracle: str | None = None,
 #:
 #: R16 WINDOW PLAN (pre-staged): the 34 remaining r11-cohort keys are
 #: mandatory (49 minus the 15 backfilled below; q_trino_sql_breadth
-#: was consolidated away) + up to 3 new keys + 13 backfill from the
-#: r12 cohort, stalest-first, changed-implementation keys first.
+#: was consolidated away — rotation_audit.py prints the exact list) +
+#: up to 3 new keys + 13 backfill from the 48-key r12 cohort,
+#: stalest-first, changed-implementation keys first. Suggested
+#: backfill (heavy/plan-sensitive): q_llm_dup_clusters_lsh,
+#: q_llm_dedup_apply_lsh, q_llm_semdedup, q_llm_bpe_apply,
+#: q_llm_trigram_lm, q_llm_tfidf, q_llm_winnow, q_llm_heavy_hitters,
+#: q_llm_ann_pq, q_llm_curation, q_tpch_q18, q_tpch_q3,
+#: q_events_pattern_rows. The remaining 35 r12-cohort keys form the
+#: r17 mandatory core.
 #:
 #: NEW-KEY RULES (standing, r14; r15 additions):
 #:   - BUDGET: at most 3 new registry keys per round — the declared
@@ -141,6 +148,14 @@ def query(name: str, oracle: str | None = None,
 #:     recombinations of long-probed map-only/small-groupBy dialect
 #:     queries — no new shuffle shape.)
 #:   - CHANGED-KEYS JUMP THE QUEUE: see 3) above.
+#:   - CHECKPOINT KEYS DRIFT-PROBE BEFORE HEADLINE (r15): a key whose
+#:     plan localCheckpoints/persists per invocation pins blocks until
+#:     somebody releases them — in a long-lived session that is an
+#:     allocator-pressure leak (the r14 bench median collapse,
+#:     bisected to q_llm_semdedup_kmeans in r15). Before such a key
+#:     enters bench.py's HEADLINE, run scripts/scale_probe.py --drift
+#:     on it (cheap canary) AND note the release owner in its
+#:     docstring; bench releases between samples as of r15.
 #:
 #: WINDOW-INELIGIBLE, PERMANENTLY: q_agg_approx_distinct and
 #: q_agg_approx_percentile never enter this list BY DESIGN — they are
