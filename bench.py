@@ -236,22 +236,23 @@ def main() -> None:
     from okera_trino_spark.registry import load_all_queries
     from okera_trino_spark.session import get_spark
 
-    specs = load_all_queries()
-    spark = get_spark("okera-trino-spark-bench")
     # Debug knobs for session-degradation bisects (r15): SKIP drops
     # named keys from the headline list; NO_RELEASE disables the
     # between-sample block release so the r14 harness behavior can be
-    # reproduced on demand.
+    # reproduced on demand. Validated BEFORE the JVM spins up — a
+    # typo'd skip silently measuring the WRONG configuration while
+    # the artifact claims otherwise is exactly the silent-no-op
+    # failure scale_probe.py guards --keys against.
     skip = {s for s in os.environ.get(
         "SPARK_GRAFT_BENCH_SKIP", "").split(",") if s}
     unknown = sorted(skip - set(HEADLINE))
     if unknown:
-        # a typo'd skip silently measuring the WRONG configuration
-        # while the artifact claims otherwise is exactly the silent-
-        # no-op failure scale_probe.py guards --keys against
         raise SystemExit(
             f"SPARK_GRAFT_BENCH_SKIP names not in HEADLINE: {unknown}")
     release = os.environ.get("SPARK_GRAFT_BENCH_NO_RELEASE", "") != "1"
+
+    specs = load_all_queries()
+    spark = get_spark("okera-trino-spark-bench")
     names = [n for n in HEADLINE if n in specs and n not in skip]
 
     # Warm-up pass (untimed): run every headline query once so one-time

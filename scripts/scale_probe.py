@@ -154,30 +154,39 @@ def main() -> None:
             raise SystemExit(f"--keys not in any probe list: {unknown}; "
                              f"known: {sorted(known)}")
 
+    if args.drift and args.drift_n < 2:
+        # validated BEFORE the session spins up: late/early needs both
+        # halves, and failing AFTER minutes of timed Spark work would
+        # lose the measurement
+        raise SystemExit("--drift-n must be >= 2")
+
     specs = load_all_queries()
+
+    if args.drift:
+        # registry-membership checks need only the registry, not the
+        # JVM — fail a typo in milliseconds, not after spin-up
+        drift_names = [k.strip() for k in args.drift.split(",")
+                       if k.strip()]
+        bad = sorted(set(drift_names) - set(specs))
+        if bad:
+            raise SystemExit(f"--drift key(s) not registered: {bad}")
+        if args.drift_canary and args.drift_canary not in specs:
+            raise SystemExit(
+                f"--drift-canary key not registered: {args.drift_canary}")
+
     spark = get_spark("okera-trino-spark-scale-probe")
 
     if args.drift:
-        if args.drift_n < 2:
-            # late/early needs both halves; failing AFTER minutes of
-            # timed Spark work would lose the measurement
-            raise SystemExit("--drift-n must be >= 2")
         rc = 0
-        canary_fn = None
-        if args.drift_canary:
-            if args.drift_canary not in specs:
-                raise SystemExit(
-                    f"--drift-canary key not registered: {args.drift_canary}")
-            canary_fn = specs[args.drift_canary].fn
+        canary_fn = (specs[args.drift_canary].fn
+                     if args.drift_canary else None)
 
         def late_over_early(xs):
             half = len(xs) // 2
             return round((sum(xs[-half:]) / half)
                          / max(sum(xs[:half]) / half, 1e-9), 2)
 
-        for name in [k.strip() for k in args.drift.split(",") if k.strip()]:
-            if name not in specs:
-                raise SystemExit(f"--drift key not registered: {name}")
+        for name in drift_names:
             fn = specs[name].fn
             fn(spark, args.drift_sf).count()  # warm-up: JIT + footers
             if canary_fn is not None:

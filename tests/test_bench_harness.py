@@ -45,6 +45,38 @@ def test_headline_keys_all_registered():
     assert not missing, f"headline keys not registered: {missing}"
 
 
+def test_debug_knob_typos_fail_before_spark(tmp_path):
+    """r15 review: a typo'd SPARK_GRAFT_BENCH_SKIP (or --drift /
+    --drift-n) must fail loudly BEFORE any JVM spins up or timed work
+    runs — a silent no-op would let a bisect measure the wrong
+    configuration while its artifact claims otherwise. Subprocess
+    checks pin both the exit code and the pre-Spark timing (a JVM
+    spin-up would blow the timeout)."""
+    import os
+    import subprocess
+
+    env = {**os.environ, "SPARK_GRAFT_BENCH_SKIP": "q_llm_typo"}
+    p = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")], env=env,
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode != 0
+    assert "q_llm_typo" in (p.stderr + p.stdout)
+
+    p = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "scale_probe.py"),
+         "--drift", "q_no_such_key"],
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode != 0
+    assert "q_no_such_key" in (p.stderr + p.stdout)
+
+    p = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "scale_probe.py"),
+         "--drift", "q_llm_kmeans", "--drift-n", "1"],
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode != 0
+    assert "--drift-n" in (p.stderr + p.stdout)
+
+
 def test_bench_json_tail_keeps_headline_facts():
     """The driver archives only the LAST 2000 chars of bench stdout;
     r14's artifact cut off the medians head and the total. Pin the
