@@ -1580,11 +1580,15 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic over ascii codes so DuckDB replays it exactly),
     collapsed immediately to per-doc bucket counts — the shuffle
     carries (doc, bucket<=64, c) — and materialized ONCE
-    (localCheckpoint; three consumers). BOTH models collapse to at most
-    DSIR_BUCKETS rows regardless of corpus size, so the per-bucket
-    log-ratio table is a guaranteed broadcast — scoring is one
+    (localCheckpoint; two consumers). BOTH models come from ONE
+    combinable pass over that relation (source = sum, target = the
+    lang='en' conditional sum) collapsing to at most DSIR_BUCKETS rows
+    regardless of corpus size — a bounded-constant driver collect
+    (codebook class, r15) from which the per-bucket log-ratio table is
+    rebuilt as a 64-row local relation and broadcast: scoring is one
     broadcast join + a per-doc aggregate, no model-side shuffle at any
-    scale. The weight averages log ratios per trigram (scale-stable
+    scale (and no duplicated model subtree — Catalyst re-computed the
+    two-consumer aggregation tree twice before r15). The weight averages log ratios per trigram (scale-stable
     across document lengths) and rounds to 4dp before the > 0 gate on
     both engines (entropy-gate precedent), so float summation order
     cannot flip a boundary document. KNOWN LIMIT: the ascii() bucket
@@ -1614,15 +1618,32 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.explode(bucket_arr).alias("b"))
           .groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
           .localCheckpoint())
-    src = tc.groupBy("b").agg(F.sum("c").alias("sb"))
-    tgt = (tc.filter(F.col("lang") == "en")
-           .groupBy("b").agg(F.sum("c").alias("tb")))
-    model = (src.join(tgt, "b", "left")
-             .select("b", "sb", F.coalesce("tb", F.lit(0)).alias("tb")))
-    tot = model.agg(F.sum("sb").alias("s_tot"), F.sum("tb").alias("t_tot"))
-    lr = F.log(((F.col("tb") + 1) * (F.col("s_tot") + float(DSIR_BUCKETS)))
-               / ((F.col("sb") + 1) * (F.col("t_tot") + float(DSIR_BUCKETS))))
-    scored = model.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr"))
+    # BOTH models in ONE combinable pass over the checkpoint (r15 —
+    # guide §2.3 "aggregate before you shuffle" + §2.4): sb = total
+    # count, tb = the lang='en' slice as a conditional sum — exactly
+    # src LEFT JOIN tgt with coalesce(tb, 0), without the second scan
+    # or the join. The result is <= DSIR_BUCKETS rows BY CONSTRUCTION
+    # (the bucket hash is mod 64), so it is the sanctioned
+    # constant-size driver collect (codebook class) — which also
+    # removes the r14 plan's DUPLICATED model subtree: ``model`` had
+    # two consumers (tot and scored) and Catalyst re-computed the
+    # whole src/tgt aggregation tree for each (measured: 6 Exchanges,
+    # 1 BNLJ, 10 jobs before; 2 Exchanges, 0 BNLJ, ~5 jobs after).
+    # Totals are exact integer sums in Python; lr stays a JVM
+    # expression over a 64-row local relation, structurally identical
+    # to the column form, so every double op is bit-identical.
+    model_rows = (tc.groupBy("b")
+                  .agg(F.sum("c").alias("sb"),
+                       F.sum(F.when(F.col("lang") == "en", F.col("c"))
+                             .otherwise(F.lit(0))).alias("tb"))
+                  .collect())
+    s_tot = sum(r["sb"] for r in model_rows)
+    t_tot = sum(r["tb"] for r in model_rows)
+    lr = F.log(((F.col("tb") + 1) * (F.lit(s_tot) + float(DSIR_BUCKETS)))
+               / ((F.col("sb") + 1) * (F.lit(t_tot) + float(DSIR_BUCKETS))))
+    scored = spark.createDataFrame(
+        [(r["b"], r["sb"], r["tb"]) for r in model_rows],
+        "b int, sb bigint, tb bigint").select("b", lr.alias("lr"))
     w = F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 4)
     return (
         tc.join(F.broadcast(scored), "b")

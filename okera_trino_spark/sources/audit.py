@@ -75,8 +75,15 @@ class _QueryExecutionListener:
         self._next_id = 0
 
     def _plan_summary(self, qe) -> str:
+        # simpleString(25) renders ONE line for the root node — the same
+        # first line toString() yields, without stringifying the whole
+        # tree. The listener bus delivers asynchronously, so a full-tree
+        # render here (O(plan size), tens of ms on the big TPC-H /
+        # dedup plans) steals JVM+py4j cycles from the NEXT query in a
+        # back-to-back session (r15, guide §5: the driver should do
+        # almost no work per event).
         try:
-            return qe.optimizedPlan().toString().splitlines()[0][:200]
+            return qe.optimizedPlan().simpleString(25)[:200]
         except Exception:  # noqa: BLE001 — audit must never break a query
             return "<unavailable>"
 
