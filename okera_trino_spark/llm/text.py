@@ -1226,15 +1226,36 @@ def bpe_learn(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     (rows-only driver check + exact reference test — the
     stateful/multimodal precedent).
     """
-    spark = docs.sparkSession
+    merges, _ = bpe_learn_tok(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, left string, right string, weight bigint")
+
+
+def bpe_learn_tok(docs: DataFrame,
+                  n_merges: int = 10) -> tuple[list, DataFrame]:
+    """bpe_learn's loop, additionally RETURNING the re-tokenized
+    vocabulary (word, seq, freq) it already maintains — the merge rows
+    plus the word → merged-symbol-sequence table after all rounds.
+
+    Why (r15, guide §1.2 "don't compute things you throw away"):
+    bpe_apply used to rebuild this exact table from scratch — a second
+    corpus-wide distinct over the words plus ONE projection nesting all
+    n_merges greedy folds, whose n-deep aggregate-lambda tree cost
+    ~1.2 s of analysis/codegen per invocation at 10 merges (dissected
+    r15) and grows linearly with the merge count. The learning loop
+    applies the same folds ONE level per round through checkpoint
+    boundaries (constant-depth expressions), so keeping ``word`` in its
+    projections makes the finished table free. The extra column rides
+    projections only — never a shuffle (the pair aggregation still
+    selects (freq, p) alone)."""
     vocab = (
         docs.select(F.explode(_words(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word").agg(F.count("*").alias("freq"))
-        .select(F.split("word", "").alias("seq"), "freq")
+        .select("word", F.split("word", "").alias("seq"), "freq")
         .localCheckpoint()
     )
-    merges = []
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pairs = vocab.select(
             "freq",
@@ -1254,14 +1275,14 @@ def bpe_learn(docs: DataFrame, n_merges: int = 10) -> DataFrame:
         left, right, weight = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["w"]
         merges.append((step, left, right, int(weight)))
         vocab = vocab.select(
+            "word",
             _apply_merge(F.col("seq"), left, right).alias("seq"),
             "freq",
             # LAZY: the next round's top-1 collect is the action that
             # materializes it — one Spark job per round, not two (the
             # connected-components scheduling pattern).
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, weight bigint")
+    return merges, vocab
 
 
 def _bpe_rounds_cte(n_merges: int = 10) -> list[str]:
@@ -1361,7 +1382,8 @@ def _apply_merge(seq: Column, left: str, right: str) -> Column:
         ).otherwise(F.concat(acc, F.array(x))))
 
 
-def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
+              tok_vocab: DataFrame | None = None) -> DataFrame:
     """Tokenize the corpus with a learned BPE merge list — the APPLY
     half of the tokenizer (bpe_learn is the training half): each
     document's words map to their merged symbol sequences, applied in
@@ -1375,6 +1397,15 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     the per-doc collect_list carries (pos, tok) structs so ordering
     never relies on shuffle order.
 
+    ``tok_vocab``: an already re-tokenized (word, seq, ...) table —
+    pass bpe_learn_tok's second return when learning ran in the same
+    pipeline, and the distinct-word pass plus the n-deep nested merge
+    fold here are skipped entirely (r15; the fold is applied one level
+    per round inside the learn loop instead, identical by construction
+    since both sides call _apply_merge). Words absent from the corpus
+    cannot be absent from the learn vocabulary — both derive from the
+    same word stream — so the join result is unchanged.
+
     Returns (doc_id, n_tokens, tok_sig) where tok_sig is the md5 of
     the space-joined token stream — a value-exact fingerprint the
     oracle reproduces."""
@@ -1382,11 +1413,14 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
         "doc_id",
         F.posexplode(_words(F.col("text"))).alias("pos", "word"))
         .filter(F.col("word") != ""))
-    vocab = words.select("word").distinct() \
-        .select("word", F.split("word", "").alias("seq"))
-    for left, right in merges:
-        vocab = vocab.select("word", _apply_merge(F.col("seq"), left, right)
-                             .alias("seq"))
+    if tok_vocab is None:
+        vocab = words.select("word").distinct() \
+            .select("word", F.split("word", "").alias("seq"))
+        for left, right in merges:
+            vocab = vocab.select(
+                "word", _apply_merge(F.col("seq"), left, right).alias("seq"))
+    else:
+        vocab = tok_vocab
     vocab = vocab.select(
         "word", F.array_join("seq", " ").alias("tok"),
         F.size("seq").alias("n_tok")).localCheckpoint(eager=False)
@@ -1433,11 +1467,16 @@ def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks a value-exact tokenization fingerprint per document.
 
     The merge table is the only driver state (10 rows — the sanctioned
-    constant-size pattern)."""
+    constant-size pattern). r15: the learn loop's final re-tokenized
+    vocabulary feeds the apply half directly (bpe_learn_tok), dropping
+    the duplicate distinct-word pass and the 10-deep nested merge fold
+    the apply side used to rebuild (~1.2 s of per-invocation plan
+    construction, dissected; result identical — same _apply_merge fold,
+    applied round-by-round instead of re-nested)."""
     docs = t(spark, sf_dir, "documents")
-    learned = bpe_learn(docs, n_merges=10).collect()
-    merges = [(r["left"], r["right"]) for r in learned]
-    return bpe_apply(docs, merges)
+    learned, tok_vocab = bpe_learn_tok(docs, n_merges=10)
+    merges = [(left, right) for _, left, right, _ in learned]
+    return bpe_apply(docs, merges, tok_vocab=tok_vocab)
 
 
 # ------------------------------------------------ hashed linear classifier
