@@ -807,18 +807,25 @@ def _kmeans_assign(e: DataFrame, cent: dict[int, list[float]]):
     differ in the last ulp, and the lowest-id rule only fires on exact
     equality — a ~1e-15 near-tie could otherwise assign different
     clusters per engine (r13 ADVICE). The oracle rounds at the same
-    point (``_kmeans_oracle``'s dist CTEs)."""
-    structs = []
+    point (``_kmeans_oracle``'s dist CTEs).
+
+    Built as ONE server-side-parsed SQL expression, not k x dim nested
+    Column calls (r15, guide §5 "the driver should do almost no work"):
+    the Column form issued ~1,500 py4j round trips per build — ~0.3 s
+    of driver time PER ASSIGNMENT BUILD (three builds per key), the
+    dominant per-iteration cost at the bench tier. The parsed tree is
+    the same expression (float literals repr-round-trip bit-exactly
+    through the parser — probed incl. subnormals/extremes; the D
+    suffix keeps them DOUBLE, never DECIMAL), verified value-equal."""
+    parts = []
     for cid, vec in sorted(cent.items()):
-        lit = F.array(*[F.lit(float(v)) for v in vec])
-        d2 = F.aggregate(
-            F.zip_with(F.col("embedding"), lit,
-                       lambda x, y: (x.cast("double") - y)
-                       * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, z: acc + z)
-        structs.append(F.struct(F.round(d2, 6).alias("d2"),
-                                F.lit(cid).cast("long").alias("c")))
-    return F.array_min(F.array(*structs))
+        lit = "array(" + ",".join(repr(float(v)) + "D" for v in vec) + ")"
+        d2 = (f"aggregate(zip_with(embedding, {lit}, (x, y) -> "
+              f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+              f"0.0D, (acc, z) -> acc + z)")
+        parts.append(f"struct(round({d2}, 6) AS d2, "
+                     f"CAST({int(cid)} AS BIGINT) AS c)")
+    return F.expr("array_min(array(" + ",".join(parts) + "))")
 
 
 #: Above this k the codegen-fold assignment (k literal structs, each an
@@ -1001,12 +1008,15 @@ def kmeans_assignments(e: DataFrame, k: int = KMEANS_K,
             return _kmeans_assign(e, c)
         return _kmeans_assign_vec(c)
 
+    # one parsed expression per mean column, not 5 nested Column calls
+    # each — the same py4j-chatter cut as _kmeans_assign (r15)
+    mean_aggs = [F.expr(f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 6) "
+                        f"AS m{i}") for i in range(DIM)]
     for _ in range(iters):
         best = assign(cent)
         rows = (e.withColumn("_c", best["c"])
                 .groupBy("_c")
-                .agg(*[F.round(F.avg(F.col("embedding")[i].cast("double")),
-                               6).alias(f"m{i}") for i in range(DIM)])
+                .agg(*mean_aggs)
                 .collect())
         cent = {int(r["_c"]): [float(r[f"m{i}"]) for i in range(DIM)]
                 for r in rows}
