@@ -292,26 +292,31 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
     base = F.conv(F.substring(F.md5(F.encode("shingle", "UTF-8")), 1, 8),
                   16, 10).cast("long")
     hashed = sh.withColumn("_H", base)
+    # one parsed expression per permutation, not 6 nested Column calls
+    # each (r15, the _kmeans_assign py4j-chatter lesson); _H is BIGINT
+    # so the arithmetic promotes identically
     mins = [
-        F.min((F.lit(a) * F.col("_H") + F.lit(b)) % F.lit(MINHASH_P))
-        .alias(f"h{i}")
+        F.expr(f"min(({a} * _H + {b}L) % {MINHASH_P}L) AS h{i}")
         for i, (a, b) in enumerate(_minhash_params(n_hashes))
     ]
     return hashed.groupBy("doc_id").agg(*mins)
 
 
-def _band_fold(cols: list) -> "Column":
+def _band_fold(cols: list) -> str:
     """Engine-neutral numeric band bucket: a base-31 polynomial fold of
     the band's signature values, each reduced mod 2^16 first so the
     fold stays < 2^36 (exact in int64 AND float64 — DuckDB-safe). The
     16-bit reduction adds bucket collisions only, and a colliding
     bucket merely ADDS candidate pairs — the exact Jaccard verify
     filters them, so correctness is unaffected while the join key stays
-    one long instead of a string (measured ~20% on the near-dup key)."""
+    one long instead of a string (measured ~20% on the near-dup key).
+    ``cols`` are column NAMES; returns a SQL fragment — the whole band
+    array below is one server-side parse (r15, the _kmeans_assign
+    py4j-chatter lesson)."""
     acc = None
     for c in cols:
-        red = c % F.lit(65536)
-        acc = red if acc is None else acc * F.lit(31) + red
+        red = f"({c} % 65536)"
+        acc = red if acc is None else f"(({acc}) * 31 + {red})"
     return acc
 
 
@@ -322,14 +327,11 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     is (band_id, bucket) — a single shuffle; no pairwise scan ever
     happens."""
     rows_per_band = N_HASHES // n_bands
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            _band_fold([F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)]).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ])
+    bands = F.expr("array(" + ",".join(
+        f"named_struct('band', {b}, 'bucket', "
+        + _band_fold([f"h{b * rows_per_band + r}"
+                      for r in range(rows_per_band)]) + ")"
+        for b in range(n_bands)) + ")")
     banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -839,19 +841,24 @@ def _embed_planes() -> list[list[float]]:
     return _EMBED_PLANES
 
 
-def embed_band_buckets(emb: Column) -> Column:
+def embed_band_buckets(col: str = "embedding") -> Column:
     """Array of (band, bucket) structs — bucket i is the sign-bit code of
     this band's EMBED_ROWS hyperplanes (constant work per row; the
-    explode below is the bucketBy/shuffle key at scale)."""
-    from okera_trino_spark.llm.similarity import lsh_bucket
+    explode below is the bucketBy/shuffle key at scale). ``col`` is the
+    embedding column NAME: the EMBED_BANDS x EMBED_ROWS x DIM literal
+    tree (2,048 floats) is ONE server-side parse instead of ~5,000 py4j
+    calls (r15, the _kmeans_assign lesson — this build alone cost
+    ~0.5 s of driver time per invocation)."""
+    from okera_trino_spark.llm.similarity import _dot_sql
     planes = _embed_planes()
-    return F.array(*[
-        F.struct(
-            F.lit(bidx).alias("band"),
-            lsh_bucket(emb, planes[bidx * EMBED_ROWS:(bidx + 1) * EMBED_ROWS]).alias("bucket"),
-        )
-        for bidx in range(EMBED_BANDS)
-    ])
+    parts = []
+    for bidx in range(EMBED_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql(col, planes[bidx * EMBED_ROWS + j])} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(EMBED_ROWS))
+        parts.append(f"named_struct('band', {bidx}, 'bucket', 0 + {bits})")
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def embed_near_dups(e: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -865,7 +872,7 @@ def embed_near_dups(e: DataFrame, threshold: float = 0.5) -> DataFrame:
     """
     from okera_trino_spark.llm.similarity import cosine
     banded = e.select(
-        "vec_id", F.explode(embed_band_buckets(F.col("embedding"))).alias("bb")
+        "vec_id", F.explode(embed_band_buckets("embedding")).alias("bb")
     ).select(
         "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )

@@ -115,14 +115,33 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 42) -> lis
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+def _dlit(vec: list[float]) -> str:
+    """A float64 vector as a SQL array literal. repr round-trips every
+    finite double bit-exactly through the parser (probed r15, incl.
+    subnormals); the D suffix pins DOUBLE — a bare decimal literal
+    would parse as DECIMAL and change the arithmetic type."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+
+
+def _dot_sql(col: str, vec: list[float]) -> str:
+    """``dot(col, lit(vec))`` as a SQL fragment — the same
+    zip_with/aggregate float64 left-fold as ``dot`` above, parsed
+    server-side instead of built through ~2x dim py4j calls (r15; see
+    _kmeans_assign for the measured driver-cost rationale)."""
+    return (f"aggregate(zip_with({col}, {_dlit(vec)}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def lsh_bucket(col: str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit i = (v · plane_i) > 0. Constant work per
-    row; the bucket id is the shuffle/bucketBy key at scale."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(emb, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    row; the bucket id is the shuffle/bucketBy key at scale. ``col`` is
+    the embedding column NAME — the whole n_planes x dim literal tree
+    is one server-side parse (r15, the _kmeans_assign lesson)."""
+    bits = [f"(CASE WHEN {_dot_sql(col, plane)} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)]
+    return F.expr("0 + " + " + ".join(bits))
 
 
 def ivf_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> list[list[float]]:
@@ -143,12 +162,13 @@ def ivf_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> list[list[float]]
     float32 data on both sides)."""
     cents = [row["embedding"] for row in
              e.orderBy("vec_id").limit(k).select("embedding").collect()]
+    mean_aggs = [F.expr(f"avg(embedding[{i}]) AS d{i}")
+                 for i in range(len(cents[0]))]
     for _ in range(iters):
-        assigned = e.withColumn("c", _nearest_centroid(F.col("embedding"), cents))
+        assigned = e.withColumn("c", _nearest_centroid("embedding", cents))
         means = (
             assigned.groupBy("c")
-            .agg(*[F.avg(F.col("embedding")[i]).alias(f"d{i}")
-                   for i in range(len(cents[0]))])
+            .agg(*mean_aggs)
             .collect()
         )
         by_c = {row["c"]: [row[f"d{i}"] for i in range(len(cents[0]))] for row in means}
@@ -157,33 +177,34 @@ def ivf_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> list[list[float]]
     return [[float(x) for x in c] for c in cents]
 
 
-def _nearest_centroid(emb: Column, cents: list[list[float]]) -> Column:
+def _nearest_centroid(col: str, cents: list[list[float]]) -> Column:
     """argmin over the codebook, as a pure column expression: distance to
     each centroid is a zip_with/aggregate (JVM), and the argmin folds
     over k when-chains — constant work per row, no UDF. Distances
     compare at 6dp rounding with lowest-index tie-break (r8) — the
     round-then-order precedent of q_llm_ann_ivf_static, making the
     argmin engine-exact (the fold is left-to-right in both engines;
-    rounding absorbs nothing today but fences the boundary case)."""
-    def sqdist(c: list[float]) -> Column:
-        arr = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(emb, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, v: acc + v)
+    rounding absorbs nothing today but fences the boundary case).
+    ``col`` is the embedding column NAME; the k x dim literal tree is
+    one server-side parse (r15, the _kmeans_assign lesson).
 
-    # The k distances live in ONE array, bound once as a lambda
-    # variable; argmin = first position of the min (lowest-index
-    # tie-break). The previous when-chain fold referenced each
-    # rounded distance inside every later comparison, and expression
-    # duplication re-evaluated the interpreted zip_with folds
-    # repeatedly per row (the q_llm_winnow lesson; measured 8× on
-    # this key). Same arithmetic term-for-term — the oracle replay is
-    # untouched.
-    ds = F.array(*[F.round(sqdist(c), 6) for c in cents])
-    return (F.element_at(
-        F.transform(F.array(ds),
-                    lambda d: F.array_position(d, F.array_min(d))), 1)
-            - 1).cast("int")
+    The k distances live in ONE array, bound once as a lambda
+    variable; argmin = first position of the min (lowest-index
+    tie-break). The previous when-chain fold referenced each
+    rounded distance inside every later comparison, and expression
+    duplication re-evaluated the interpreted zip_with folds
+    repeatedly per row (the q_llm_winnow lesson; measured 8× on
+    this key). Same arithmetic term-for-term — the oracle replay is
+    untouched."""
+    def sqdist(c: list[float]) -> str:
+        return (f"aggregate(zip_with({col}, {_dlit(c)}, (x, y) -> "
+                f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                f"0.0D, (acc, v) -> acc + v)")
+
+    ds = "array(" + ",".join(f"round({sqdist(c)}, 6)" for c in cents) + ")"
+    return F.expr(
+        f"CAST(element_at(transform(array({ds}), "
+        f"d -> array_position(d, array_min(d))), 1) - 1 AS INT)")
 
 
 def _ann_ivf_oracle(k: int = 8, dim: int = DIM, iters: int = 2) -> str:
@@ -265,7 +286,7 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     force."""
     e = t(spark, sf_dir, "embeddings")
     cents = ivf_centroids(e, k=8, iters=2)
-    assigned = e.withColumn("c", _nearest_centroid(F.col("embedding"), cents))
+    assigned = e.withColumn("c", _nearest_centroid("embedding", cents))
     # The probe fetch reads the RAW embedding — fetching it from
     # `assigned` re-evaluated the whole argmin pass just to discard it
     # (r8; one of 4 assignment evaluations, now 3: two training
@@ -336,7 +357,7 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "embeddings")
     planes = hyperplanes()
-    bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    bucketed = e.withColumn("bucket", lsh_bucket("embedding", planes))
     probe = F.broadcast(
         bucketed.filter(F.col("vec_id") == 0)
         .select(F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv"))
@@ -762,24 +783,25 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                        for i in range(PQ_SUB)), 6)
              for cw in codebook] for j in range(PQ_M)]
 
-    def sub_sqdist(j: int, cw: list[float]) -> Column:
+    # One server-side parse for the whole M x K ADC tree (r15, the
+    # _kmeans_assign py4j-chatter lesson): identical expression —
+    # per-subspace rounded-6dp distance array bound once, 1-based
+    # argmin codeword with lowest-index ties, LUT element_at.
+    def sub_sqdist(j: int, cw: list[float]) -> str:
         off = j * PQ_SUB
-        arr = F.array(*[F.lit(cw[off + i]) for i in range(PQ_SUB)])
-        return F.aggregate(
-            F.zip_with(F.slice(F.col("embedding"), off + 1, PQ_SUB), arr,
-                       lambda x, y: (x.cast("double") - y)
-                       * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, v: acc + v)
+        sub = _dlit([cw[off + i] for i in range(PQ_SUB)])
+        return (f"aggregate(zip_with(slice(embedding, {off + 1}, {PQ_SUB}),"
+                f" {sub}, (x, y) -> (CAST(x AS DOUBLE) - y) "
+                f"* (CAST(x AS DOUBLE) - y)), 0.0D, (acc, v) -> acc + v)")
 
-    adc = F.lit(0.0)
+    terms = []
     for j in range(PQ_M):
-        ds = F.array(*[F.round(sub_sqdist(j, cw), 6) for cw in codebook])
-        code = (F.element_at(
-            F.transform(F.array(ds),
-                        lambda d: F.array_position(d, F.array_min(d))),
-            1)).cast("int")  # 1-based codeword index, lowest-index ties
-        lut = F.array(*[F.lit(d) for d in dtab[j]])
-        adc = adc + F.element_at(lut, code)
+        ds = ("array(" + ",".join(f"round({sub_sqdist(j, cw)}, 6)"
+                                  for cw in codebook) + ")")
+        code = (f"CAST(element_at(transform(array({ds}), "
+                f"d -> array_position(d, array_min(d))), 1) AS INT)")
+        terms.append(f"element_at({_dlit(dtab[j])}, {code})")
+    adc = F.expr("0.0D + " + " + ".join(terms))
     scored = (e.filter(F.col("vec_id") != 0)
               .select("vec_id", "label", adc.alias("adc_raw")))
     return (scored.orderBy(F.round("adc_raw", 6), F.col("vec_id"))
