@@ -106,6 +106,49 @@ def order_sort_cols(order_by: list[str]) -> tuple[list[str], list[Column]]:
     return names, cols
 
 
+class _LazyRows:
+    """Deferred stand-in for the per-match row slice
+    ``group.iloc[start:end]`` handed to measure callables.
+
+    Measured (r15, guide §4): slicing the group frame per match was
+    78% of the emit walk's profile on q_trino_sql_mr_prev (32k matches
+    at sf0.1, ~2.0 s of 2.6 s single-threaded) — yet every measure the
+    engine constructs touches the rows through only ``len()``, column
+    ``[]``-access and ``.iloc``/Series attributes, and the hot
+    measures (``count(*)``, match_number(), classifier(), pattern
+    aggregates over ``m`` alone) never touch the rows at all. The
+    proxy answers ``len()`` from the span arithmetic for free and
+    materializes the real pandas slice only on the first genuine
+    attribute/item access, so match-only measures cost zero slices.
+
+    Not a general DataFrame impostor: anything beyond len/item/attr
+    (``isinstance`` checks, binary dispatch) would bypass it — the
+    engine's own measure constructors (operators/pattern.py,
+    functions/trino_sql.py lowering) are the closed set of callers and
+    use none of that (asserted by tests/test_pattern.py passing
+    unchanged)."""
+
+    __slots__ = ("_g", "_a", "_b", "_df")
+
+    def __init__(self, g: pd.DataFrame, a: int, b: int) -> None:
+        self._g, self._a, self._b = g, a, b
+        self._df = None
+
+    def _materialize(self) -> pd.DataFrame:
+        if self._df is None:
+            self._df = self._g.iloc[self._a:self._b]
+        return self._df
+
+    def __len__(self) -> int:
+        return self._b - self._a
+
+    def __getitem__(self, key):
+        return self._materialize()[key]
+
+    def __getattr__(self, name):
+        return getattr(self._materialize(), name)
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -363,7 +406,7 @@ def match_recognize(
                             meas_l[alias].append(v)
                         continue
                     used[m.start():m.end()] = True
-                    sl = g.iloc[m.start():m.end()]
+                    sl = _LazyRows(g, m.start(), m.end())
                     rel = list(range(m.end() - m.start()))
                     if exc_names:
                         # Exclusions drop OUTPUT rows only — measures
@@ -410,7 +453,7 @@ def match_recognize(
                 key = (key,)
             s = "".join(g["_sym"])
             for i, m in enumerate(matches(s), start=1):
-                chunk = g.iloc[m.start():m.end()]
+                chunk = _LazyRows(g, m.start(), m.end())
                 rows.append([*key, i, m.group(0)]
                             + [fn(chunk, m) for fn in measures.values()])
         return pd.DataFrame(rows, columns=cols)

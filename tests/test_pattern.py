@@ -938,3 +938,24 @@ def test_skip_to_subset_operator(spark):
     # (index 2) — the scan resumes AT it, which seeds match 2 rows 2-4.
     assert [(r.match_num, r.matched) for r in out] == [
         (1, "DUD"), (2, "DUD")]
+
+
+def test_lazy_rows_proxy_contract():
+    """_LazyRows (r15): len() answers from span arithmetic WITHOUT
+    materializing the pandas slice (the measured 78%-of-walk cost on
+    q_trino_sql_mr_prev), while any genuine item/attribute access
+    materializes exactly g.iloc[a:b]."""
+    import pandas as pd
+
+    from okera_trino_spark.operators.pattern import _LazyRows
+
+    g = pd.DataFrame({"v": [10, 20, 30, 40], "w": list("abcd")})
+    lr = _LazyRows(g, 1, 3)
+    assert len(lr) == 2
+    assert lr._df is None            # len() must not materialize
+    assert list(lr["v"]) == [20, 30]
+    assert lr._df is not None        # item access materializes once
+    assert lr.iloc[0]["w"] == "b"    # attr access forwards to the slice
+    pd.testing.assert_frame_equal(lr._materialize(), g.iloc[1:3])
+    empty = _LazyRows(g, 2, 2)
+    assert len(empty) == 0 and empty._df is None
