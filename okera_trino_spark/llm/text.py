@@ -1198,6 +1198,15 @@ def q_llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("doc_id", "lang", "xent", bucket.alias("bucket"))
 
 
+#: Vocabulary-size budget for bpe_learn_tok's driver fast path: at or
+#: below this many distinct words the greedy merge loop runs in plain
+#: Python over one bounded LIMIT-collect (≲ a few MB of driver state —
+#: the codebook class); above it the distributed per-round loop runs
+#: unchanged. Constant, scale-independent: the dispatch is on the
+#: MEASURED vocabulary size, not on the scale factor or core count.
+BPE_DRIVER_VOCAB_MAX = 65536
+
+
 def bpe_learn(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     """Distributed BPE merge learning — the tokenizer-training step of a
     training-data pipeline: starting from characters, repeatedly merge
@@ -1255,6 +1264,43 @@ def bpe_learn_tok(docs: DataFrame,
         .select("word", F.split("word", "").alias("seq"), "freq")
         .localCheckpoint()
     )
+    # Size-gated driver fast path (r15, guide §1.2/§5 — the
+    # KMEANS_FOLD_MAX dispatch precedent): the merge loop's working
+    # set is the DISTINCT-WORD vocabulary, already collapsed above,
+    # and each distributed round costs one full Spark job + a driver
+    # collect round-trip — pure scheduling overhead once the
+    # vocabulary is small (the sf0.1 fixture's is 31 rows in 1
+    # partition; 10 rounds of ~150 ms jobs dominated the key's wall,
+    # dissected r15). When the materialized vocabulary fits the
+    # bounded-collect budget, run the identical greedy loop in plain
+    # Python over the collected rows — same pair counts (integer
+    # sums), same (weight DESC, left, right) top-1 order (UTF-8 byte
+    # order == code-point order, so Spark's binary string sort and
+    # Python's agree), same _apply_merge fold (tested equal against
+    # the SQL fold) — and rebuild the re-tokenized table as a local
+    # relation. Above the budget nothing changes: the probe collect is
+    # LIMIT-bounded, and the distributed loop below runs exactly as
+    # before — at production vocabulary sizes the per-round job cost
+    # is real work, not overhead.
+    head = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).collect()
+    if len(head) <= BPE_DRIVER_VOCAB_MAX:
+        rows = [(r["word"], list(r["seq"]), int(r["freq"])) for r in head]
+        py_merges: list[tuple[int, str, str, int]] = []
+        for step in range(1, n_merges + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for _, seq, freq in rows:
+                for a, b in zip(seq, seq[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + freq
+            if not counts:
+                break
+            (left, right), weight = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            py_merges.append((step, left, right, int(weight)))
+            rows = [(w, _apply_merge_py(seq, left, right), fq)
+                    for w, seq, fq in rows]
+        tok = docs.sparkSession.createDataFrame(
+            rows, "word string, seq array<string>, freq bigint")
+        return py_merges, tok
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pairs = vocab.select(
@@ -1351,6 +1397,22 @@ def q_llm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and q_llm_bpe_apply); the exact pure-Python reference comparison in
     tests/test_llm.py stands as a second, engine-free witness."""
     return bpe_learn(t(spark, sf_dir, "documents"), n_merges=10)
+
+
+def _apply_merge_py(seq: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python twin of _apply_merge — the SAME greedy left-to-right
+    fold (append, or fuse into the previous symbol when (prev, x)
+    equals the merge pair), used by bpe_learn_tok's driver fast path.
+    tests/test_llm.py pins the two folds equal on the fixture
+    vocabulary; any change here must change _apply_merge identically."""
+    joined = left + right
+    acc: list[str] = []
+    for x in seq:
+        if acc and acc[-1] == left and x == right:
+            acc[-1] = joined
+        else:
+            acc.append(x)
+    return acc
 
 
 def _apply_merge(seq: Column, left: str, right: str) -> Column:

@@ -828,3 +828,55 @@ def test_star_and_propagation_agree_on_random_graphs(spark):
                     nodes, df, max_iter=200,
                     include_isolated=False).collect()}
         assert star == prop, f"seed {seed}: resolvers disagree"
+
+
+def test_bpe_learn_driver_and_distributed_paths_equal(spark, sf_dir):
+    """bpe_learn_tok dispatches on vocabulary size (r15): at or below
+    BPE_DRIVER_VOCAB_MAX the greedy loop runs driver-side over one
+    bounded collect; above it, the distributed per-round loop runs.
+    Both paths must produce the identical merge table AND the identical
+    re-tokenized vocabulary — monkeypatching the budget to 0 forces the
+    distributed path on the same input."""
+    import okera_trino_spark.llm.text as txt
+    from okera_trino_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m_drv, v_drv = txt.bpe_learn_tok(docs)
+    assert len(m_drv) == 10          # fixture vocab is under the budget
+    old = txt.BPE_DRIVER_VOCAB_MAX
+    try:
+        txt.BPE_DRIVER_VOCAB_MAX = 0
+        m_dist, v_dist = txt.bpe_learn_tok(docs)
+    finally:
+        txt.BPE_DRIVER_VOCAB_MAX = old
+    assert [tuple(m) for m in m_drv] == [tuple(m) for m in m_dist]
+    canon = lambda v: sorted(  # noqa: E731
+        (r["word"], tuple(r["seq"]), int(r["freq"])) for r in v.collect())
+    assert canon(v_drv) == canon(v_dist)
+
+
+def test_apply_merge_py_matches_sql_fold(spark):
+    """_apply_merge_py must equal the _apply_merge SQL fold on the
+    overlap-sensitive shapes (greedy left-to-right, non-overlapping:
+    'aaa' + (a,a) -> [aa, a]; refolding across a fused symbol does not
+    re-trigger)."""
+    from pyspark.sql import functions as F
+
+    from okera_trino_spark.llm.text import _apply_merge, _apply_merge_py
+
+    cases = [(list("aaa"), "a", "a"),
+             (list("aaaa"), "a", "a"),
+             (list("abab"), "a", "b"),
+             (["ab", "a", "b"], "a", "b"),
+             (list("xyzzy"), "z", "z"),
+             ([], "a", "b"),
+             (["q"], "a", "b")]
+    df = spark.createDataFrame(
+        [(i, seq) for i, (seq, _, _) in enumerate(cases)],
+        "i int, seq array<string>")
+    for i, (seq, left, right) in enumerate(cases):
+        got_sql = (df.filter(F.col("i") == i)
+                   .select(_apply_merge(F.col("seq"), left, right)
+                           .alias("out")).collect()[0]["out"])
+        assert list(got_sql) == _apply_merge_py(seq, left, right), (
+            seq, left, right)
