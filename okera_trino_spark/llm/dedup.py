@@ -468,11 +468,15 @@ def minhash_verified_pairs(d: DataFrame) -> DataFrame:
     (~linear; the fixture's candidate docs are a dense 10% of the
     corpus, so verify work IS ~10% of a corpus scan by
     construction)."""
-    sh = shingle_index(d, 3).localCheckpoint()
-    # Lazy checkpoints (measured r12): eager materialization here adds
-    # two standalone jobs per run — 2-3x wall on the whole key at
-    # sf0.1 — while lazy gives the same reuse (cands: 2 consumers,
-    # pruned index: 3) at one materialization on first action.
+    # ALL checkpoints lazy (r12 for cands/shc, r15 for sh): eager
+    # materialization adds a standalone job per checkpoint — measured
+    # 2-3x wall on the whole key at sf0.1 for the two downstream ones
+    # (r12) and ~0.3-0.8 s for the index itself (r15 interleaved A/B:
+    # dedup_near 2.43-2.90 -> 2.04 s min, dup_clusters_lsh 2.82-3.49
+    # -> 2.64 s) — while lazy gives the same reuse (sh: 4 consumers,
+    # cands: 2, pruned index: 3) at one materialization on the first
+    # action that computes each block.
+    sh = shingle_index(d, 3).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(minhash_signatures(d, sh=sh)) \
         .localCheckpoint(eager=False)
     cand_docs = (cands.select(F.col("doc_a").alias("doc_id"))
