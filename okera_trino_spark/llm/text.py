@@ -1013,7 +1013,7 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
             .filter(F.col("word") != ""))
     tf = (toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.select(F.count_distinct("doc_id").alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
@@ -1124,7 +1124,7 @@ def trigram_xent(d: DataFrame, spark: SparkSession) -> DataFrame:
             "i -> substring(lt, i, 3)) "
             "ELSE array() END")).alias("tri"))
     tc = (tris.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     model = tc.groupBy("tri").agg(F.sum("c").alias("cnt"))
     total = d.agg(
         F.sum(F.greatest(F.length(F.lower(F.col("text"))) - 2, F.lit(0)))
@@ -1718,7 +1718,7 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = (lowered.select("doc_id", "lang",
                          F.explode(bucket_arr).alias("b"))
           .groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     # BOTH models in ONE combinable pass over the checkpoint (r15 —
     # guide §2.3 "aggregate before you shuffle" + §2.4): sb = total
     # count, tb = the lang='en' slice as a conditional sum — exactly
