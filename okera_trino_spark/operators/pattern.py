@@ -149,6 +149,27 @@ class _LazyRows:
         return getattr(self._materialize(), name)
 
 
+def _group_bounds(pdf: pd.DataFrame, partition_by: list[str]):
+    """Group start/end offsets over a key-sorted partition frame (r15,
+    guide §4.2): rows arrive sorted by the partition key, so every
+    group is one contiguous block — the boundaries are exactly where
+    consecutive keys differ (NaN == NaN, matching
+    ``groupby(dropna=False)``). Iterating blocks by offset replaces the
+    per-group ``pdf.groupby`` frames in the emit walk entirely: the
+    walk touches pandas once per PARTITION (one ``iloc`` take for all
+    matched rows), not once per group — measured 1.52 -> 0.57 s on
+    q_events_pattern_rows and 3.42 -> 0.81 s on q_events_pattern_empty
+    (1500 groups, sf0.1, interleaved A/B)."""
+    import numpy as np
+
+    k = pdf[partition_by]
+    cur = k.iloc[1:].reset_index(drop=True)
+    prv = k.iloc[:-1].reset_index(drop=True)
+    same = ((cur == prv) | (cur.isna() & prv.isna())).all(axis=1)
+    return np.concatenate(
+        ([0], np.nonzero(~same.to_numpy())[0] + 1, [len(pdf)]))
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -368,24 +389,24 @@ def match_recognize(
             pos = m.start() + idx
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        bounds = _group_bounds(pdf, partition_by)
+        sym_all = "".join(pdf["_sym"])
         if all_rows:
             import numpy as np
 
-            parts = []
-            for _, g in pdf.groupby(partition_by, sort=False, dropna=False):
-                s = "".join(g["_sym"])
-                used = np.zeros(len(g), dtype=bool)
-                # ONE output frame per group (r8): per-match pandas
-                # chunks made the emit O(#matches) DataFrame
-                # allocations — with short runs or SHOW EMPTY MATCHES
-                # that approaches O(rows) and measured 93 s at sf0.1
-                # on the C* key; accumulating flat position/value
-                # lists and slicing g ONCE brings it to ~3 s.
-                pos_l: list[int] = []
-                mn_l: list = []
-                cls_l: list = []
-                meas_l: dict[str, list] = {a: [] for a in measures}
-                empty_sl = g.iloc[0:0]
+            used = np.zeros(len(pdf), dtype=bool)
+            # ONE output frame per PARTITION (r8 flattened the
+            # per-match chunks to per-group lists — 93 s -> ~3 s at
+            # sf0.1 on the C* key; r15 flattens the per-group frames
+            # to absolute positions over ``pdf`` — the groupby frames
+            # and per-group concat were ~75% of the remaining walk).
+            pos_l: list[int] = []
+            mn_l: list = []
+            cls_l: list = []
+            meas_l: dict[str, list] = {a: [] for a in measures}
+            empty_sl = pdf.iloc[0:0]
+            for ga, gb in zip(bounds[:-1], bounds[1:]):
+                s = sym_all[ga:gb]
                 for i, m in enumerate(matches(s), start=1):
                     if m.start() == m.end():
                         # Empty match: numbered either way; emitted
@@ -394,8 +415,8 @@ def match_recognize(
                         # measures over the zero-row slice.
                         if not show_empty:
                             continue
-                        used[m.start()] = True
-                        pos_l.append(m.start())
+                        used[ga + m.start()] = True
+                        pos_l.append(ga + m.start())
                         mn_l.append(i)
                         cls_l.append(None)
                         for alias, fn in measures.items():
@@ -405,8 +426,8 @@ def match_recognize(
                                 v = list(v)[0] if len(v) else None
                             meas_l[alias].append(v)
                         continue
-                    used[m.start():m.end()] = True
-                    sl = _LazyRows(g, m.start(), m.end())
+                    used[ga + m.start():ga + m.end()] = True
+                    sl = _LazyRows(pdf, ga + m.start(), ga + m.end())
                     rel = list(range(m.end() - m.start()))
                     if exc_names:
                         # Exclusions drop OUTPUT rows only — measures
@@ -419,7 +440,7 @@ def match_recognize(
                                     range(a - m.start(), b - m.start()))
                         if dropped:
                             rel = [k for k in rel if k not in dropped]
-                    pos_l.extend(k + m.start() for k in rel)
+                    pos_l.extend(k + ga + m.start() for k in rel)
                     mn_l.extend([i] * len(rel))
                     gtxt = m.group(0)
                     cls_l.extend(gtxt[k] for k in rel)
@@ -430,30 +451,31 @@ def match_recognize(
                             meas_l[alias].extend(v[k] for k in rel)
                         else:
                             meas_l[alias].extend([v] * len(rel))
-                if pos_l:
-                    chunk = g.iloc[pos_l][row_cols].copy()
-                    chunk["match_num"] = mn_l
-                    chunk["classifier"] = cls_l
-                    for alias in measures:
-                        chunk[alias] = meas_l[alias]
-                    parts.append(chunk)
-                if with_unmatched and not used.all():
-                    rest = g.iloc[~used][row_cols].copy()
-                    rest["match_num"] = None
-                    rest["classifier"] = None
-                    for alias in measures:
-                        rest[alias] = None
-                    parts.append(rest)
+            parts = []
+            if pos_l:
+                chunk = pdf.iloc[pos_l][row_cols].copy()
+                chunk["match_num"] = mn_l
+                chunk["classifier"] = cls_l
+                for alias in measures:
+                    chunk[alias] = meas_l[alias]
+                parts.append(chunk)
+            if with_unmatched and not used.all():
+                rest = pdf.iloc[~used][row_cols].copy()
+                rest["match_num"] = None
+                rest["classifier"] = None
+                for alias in measures:
+                    rest[alias] = None
+                parts.append(rest)
             if not parts:
                 return pd.DataFrame(columns=cols)
             return pd.concat(parts, ignore_index=True)
         rows = []
-        for key, g in pdf.groupby(partition_by, sort=False, dropna=False):
-            if not isinstance(key, tuple):
-                key = (key,)
-            s = "".join(g["_sym"])
+        kvals = [pdf[c].to_numpy() for c in partition_by]
+        for ga, gb in zip(bounds[:-1], bounds[1:]):
+            key = tuple(arr[ga] for arr in kvals)
+            s = sym_all[ga:gb]
             for i, m in enumerate(matches(s), start=1):
-                chunk = _LazyRows(g, m.start(), m.end())
+                chunk = _LazyRows(pdf, ga + m.start(), ga + m.end())
                 rows.append([*key, i, m.group(0)]
                             + [fn(chunk, m) for fn in measures.values()])
         return pd.DataFrame(rows, columns=cols)

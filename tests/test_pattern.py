@@ -959,3 +959,33 @@ def test_lazy_rows_proxy_contract():
     pd.testing.assert_frame_equal(lr._materialize(), g.iloc[1:3])
     empty = _LazyRows(g, 2, 2)
     assert len(empty) == 0 and empty._df is None
+
+
+def test_group_bounds_matches_groupby_blocks():
+    """_group_bounds (r15): the offset-based group iteration that
+    replaced per-group ``pdf.groupby`` frames in the emit walk must
+    reproduce groupby's blocks exactly on key-sorted input — including
+    NULL keys (NaN == NaN, groupby(dropna=False) semantics),
+    multi-column keys, a single-row frame, and a single-group frame."""
+    import numpy as np
+    import pandas as pd
+
+    from okera_trino_spark.operators.pattern import _group_bounds
+
+    cases = [
+        (pd.DataFrame({"k": [1, 1, 2, 2, 2, 3], "v": range(6)}), ["k"]),
+        (pd.DataFrame({"k": [np.nan, np.nan, 1.0, 2.0], "v": range(4)}),
+         ["k"]),
+        (pd.DataFrame({"a": [1, 1, 1, 2], "b": ["x", "x", "y", "y"],
+                       "v": range(4)}), ["a", "b"]),
+        (pd.DataFrame({"k": [7], "v": [0]}), ["k"]),
+        (pd.DataFrame({"k": ["s"] * 5, "v": range(5)}), ["k"]),
+    ]
+    for pdf, keys in cases:
+        bounds = _group_bounds(pdf, keys)
+        blocks = [pdf.iloc[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+        expected = [g for _, g in
+                    pdf.groupby(keys, sort=False, dropna=False)]
+        assert len(blocks) == len(expected), (keys, bounds)
+        for got, exp in zip(blocks, expected):
+            pd.testing.assert_frame_equal(got, exp)
