@@ -1040,7 +1040,7 @@ def q_llm_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.expr(
             "transform(sequence(0, CAST(ceil(size(_w) / 10.0) AS INT) - 1), "
             "i -> array_join(slice(_w, i * 10 + 1, 10), ' '))"
-        )).alias("pos", "passage")).localCheckpoint()
+        )).alias("pos", "passage")).localCheckpoint(eager=False)
     first = (chunked.groupBy("passage")
              .agg(F.min(F.struct("doc_id", "pos")).alias("_f"))
              .select("passage", F.col("_f.doc_id").alias("doc_id"),
