@@ -1715,25 +1715,28 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "+ ascii(substring(lt, i + 1, 1)) * 7 "
         f"+ ascii(substring(lt, i + 2, 1))) % {DSIR_BUCKETS}) "
         "ELSE array() END")
-    # BOTH models in ONE combinable pass (r15 — guide §2.3 "aggregate
-    # before you shuffle" + §2.4): the explode collapses map-side
-    # straight to <= DSIR_BUCKETS groups — sb = total position count,
-    # tb = the lang='en' slice as a conditional count, exactly src
-    # LEFT JOIN tgt with coalesce(tb, 0). No per-document granularity,
-    # no checkpoint: the model never needs (doc, b) counts, so the r15
-    # first form's localCheckpoint of the per-doc count relation (a
-    # corpus-sized block-manager pin — the r14 collapse class) and its
-    # 128k-group hash aggregate are gone; the partial aggregate now
-    # collapses to 64 rows per task before the only (tiny) shuffle.
-    # The result is the sanctioned constant-size driver collect
-    # (codebook class). Totals are exact integer sums in Python; lr
-    # stays a JVM expression over a 64-row local relation, so every
-    # model double op is computed by the same engine as before.
-    model_rows = (lowered.select("lang", F.explode(bucket_arr).alias("b"))
-                  .groupBy("b")
-                  .agg(F.count("*").alias("sb"),
-                       F.sum(F.when(F.col("lang") == "en", 1)
-                             .otherwise(0)).alias("tb"))
+    tc = (lowered.select("doc_id", "lang",
+                         F.explode(bucket_arr).alias("b"))
+          .groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=False))
+    # BOTH models in ONE combinable pass over the checkpoint (r15 —
+    # guide §2.3 "aggregate before you shuffle" + §2.4): sb = total
+    # count, tb = the lang='en' slice as a conditional sum — exactly
+    # src LEFT JOIN tgt with coalesce(tb, 0), without the second scan
+    # or the join. The result is <= DSIR_BUCKETS rows BY CONSTRUCTION
+    # (the bucket hash is mod 64), so it is the sanctioned
+    # constant-size driver collect (codebook class) — which also
+    # removes the r14 plan's DUPLICATED model subtree: ``model`` had
+    # two consumers (tot and scored) and Catalyst re-computed the
+    # whole src/tgt aggregation tree for each (measured: 6 Exchanges,
+    # 1 BNLJ, 10 jobs before; 2 Exchanges, 0 BNLJ, ~5 jobs after).
+    # Totals are exact integer sums in Python; lr stays a JVM
+    # expression over a 64-row local relation, structurally identical
+    # to the column form, so every double op is bit-identical.
+    model_rows = (tc.groupBy("b")
+                  .agg(F.sum("c").alias("sb"),
+                       F.sum(F.when(F.col("lang") == "en", F.col("c"))
+                             .otherwise(F.lit(0))).alias("tb"))
                   .collect())
     s_tot = sum(r["sb"] for r in model_rows)
     t_tot = sum(r["tb"] for r in model_rows)
@@ -1742,38 +1745,10 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = spark.createDataFrame(
         [(r["b"], r["sb"], r["tb"]) for r in model_rows],
         "b int, sb bigint, tb bigint").select("b", lr.alias("lr"))
-    # Scoring is MAP-ONLY (r15): with the 64-entry log-ratio table a
-    # broadcast literal array, the per-document weight is a codegen
-    # fold over the bucket array — sum of lr[bucket] per position /
-    # n_positions, algebraically identical to the oracle's
-    # sum(c * lr) / sum(c) (each position contributes its bucket's lr
-    # exactly once; both engines round to 4dp before the > 0 gate, the
-    # entropy-gate precedent, so summation order cannot flip a
-    # boundary document). The former broadcast join + second
-    # (doc, lang) shuffle are gone — at 100 TB scoring now streams the
-    # corpus once with no exchange and no pinned intermediate. The lr
-    # doubles are collected from the SAME JVM expression as the model
-    # table (literal embedding repr-round-trips bit-exactly, the r15
-    # kmeans precedent); docs with no trigram (len < 3) drop out as
-    # before (empty bucket array -> n_tris = 0 filter).
-    lr_by_b = {r["b"]: r["lr"] for r in scored.collect()}
-    lr_arr = F.array(*[F.lit(float(lr_by_b.get(b, 0.0)))
-                       for b in range(DSIR_BUCKETS)])
-    # The literal array is bound ONCE PER ROW as a column: referencing
-    # it inside the fold lambda as an attribute keeps each step O(1) —
-    # inlining the CreateArray into the lambda re-built the 64-element
-    # array PER POSITION (measured 5x slower than the join it was
-    # meant to replace).
-    score_sum = F.aggregate(
-        bucket_arr, F.lit(0.0),
-        lambda acc, b: acc + F.element_at(F.col("_lr"), b + F.lit(1)))
-    n_tris = F.size(bucket_arr)
+    w = F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 4)
     return (
-        lowered.withColumn("_lr", lr_arr)
-        .select(
-            "doc_id", "lang",
-            n_tris.cast("bigint").alias("n_tris"),
-            F.round(score_sum / n_tris, 4).alias("dsir_w"))
-        .filter(F.col("n_tris") > 0)
+        tc.join(F.broadcast(scored), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("c").alias("n_tris"), w.alias("dsir_w"))
         .withColumn("selected", F.col("dsir_w") > 0)
     )
