@@ -607,18 +607,27 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort), counted in every week they were active — the
     cohort-retention triangle behind activation dashboards.
 
-    Plan shape: the cohort and activity frames both aggregate on
-    user_id, so the join is co-partitioned on the shared shuffle key;
-    the final (cohort, week) aggregate is |weeks|² rows. One effective
-    pass over events at any scale.
+    Plan shape (r16, guide §2.3/§2.4): ONE scan of events builds the
+    distinct (user, week) activity relation with the user's earliest
+    event IN that week as a combinable min — the former plan scanned
+    events twice (cohort aggregate + activity distinct) and joined the
+    two back on user_id. The cohort week is then a running min over
+    the per-user activity rows (a window on the tiny distinct relation,
+    bounded by |users|x|weeks| regardless of event volume), and
+    min-over-weeks-of-per-week-mins == min(ts) per user exactly
+    (timestamp min is order-insensitive; no floats involved). Shuffles:
+    the (user, week) aggregate (map-side combined), the |activity|-row
+    window exchange, the |weeks|²-group final — the event-volume-sized
+    exchange count drops from two (agg + distinct) to one.
     """
     ev = t(spark, sf_dir, "events")
-    firsts = (ev.groupBy("user_id")
-              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_w")))
-    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("active_w")) \
-        .distinct()
+    wk = (ev.groupBy("user_id", F.date_trunc("week", "ts").alias("active_w"))
+          .agg(F.min("ts").alias("_min_ts")))
+    cohort_w = F.date_trunc(
+        "week",
+        F.min("_min_ts").over(Window.partitionBy("user_id")))
     return (
-        firsts.join(activity, "user_id")
+        wk.select("user_id", "active_w", cohort_w.alias("cohort_w"))
         .groupBy(
             F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
             F.date_format("active_w", "yyyy-MM-dd").alias("active_week"))

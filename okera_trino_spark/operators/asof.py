@@ -25,7 +25,8 @@ from okera_trino_spark.registry import query
 
 def asof_join_backward(left: DataFrame, right: DataFrame,
                        on: str, left_time: str, right_time: str,
-                       carry: list[str]) -> DataFrame:
+                       carry: list[str],
+                       tiebreak: str | None = None) -> DataFrame:
     """For each left row, attach ``carry`` columns of the latest right
     row with the same ``on`` key and right_time <= left_time.
 
@@ -35,32 +36,50 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
     running window carries each right row's payload forward to every
     later left row. One shuffle (by key), one sort (by time), linear
     scan; no range pair-join.
+
+    ``tiebreak`` (r16, guide §2.4): a right-side column whose MAXIMUM
+    picks the representative when several right rows share the same
+    (key, time). It becomes the window sort's third key — right rows at
+    an equal time sort ascending on it, so the running last_value lands
+    on the max-tiebreak row — which is exactly ``max_by(payload,
+    tiebreak)`` WITHOUT the pre-aggregation exchange callers otherwise
+    need to de-duplicate the right side (the deterministic-representative
+    reduction rides the one shuffle the window already pays). Left rows
+    carry NULL there and are ordered after right rows by ``_side``
+    regardless, so left-side order stays don't-care, as before.
     """
     lt = left.select(
         F.col(on).alias("_k"), F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"), "*",
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_c_{c}") for c in carry],
     )
+    tb = ([F.col(tiebreak).alias("_tb")] if tiebreak else [])
+    tb_null = ([F.lit(None).cast(right.schema[tiebreak].dataType)
+                .alias("_tb")] if tiebreak else [])
+    lt = lt.select("*", *tb_null)
     rt = right.select(
         F.col(on).alias("_k"), F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
         *[F.col(c).alias(f"_c_{c}") for c in carry],
+        *tb,
     )
     unioned = lt.unionByName(rt)
     # _side orders right(0) before left(1) at identical timestamps →
     # a right row exactly at the left time is visible (inclusive <=).
+    order = ["_t", "_side"] + (["_tb"] if tiebreak else [])
     w = (
-        Window.partitionBy("_k").orderBy("_t", "_side")
+        Window.partitionBy("_k").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "*",
         *[F.last(f"_c_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in carry],
     )
+    drop_tb = (["_tb"] if tiebreak else [])
     return (
         carried.filter(F.col("_side") == 1)
-        .drop("_k", "_t", "_side", *[f"_c_{c}" for c in carry])
+        .drop("_k", "_t", "_side", *drop_tb, *[f"_c_{c}" for c in carry])
     )
 
 
@@ -97,17 +116,28 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
     # Align the join-key name across sides (orders.o_custkey ↔ user_id).
-    # (o_custkey, o_orderdate) may repeat → reduce to a deterministic
-    # representative per (key, time): the max o_orderkey row.
+    # (o_custkey, o_orderdate) may repeat → the deterministic
+    # representative per (key, time) is the max-o_orderkey row, picked
+    # by the window's tiebreak sort key (r16) instead of the former
+    # max_by pre-aggregation: the representative choice rides the one
+    # shuffle the carry-forward window already pays, dropping the
+    # orders-side aggregation exchange outright (guide §2.4).
+    # Users outside the filtered event slice can never be carried into
+    # a surviving row (the window partitions by user and only _side=1
+    # rows survive), so the order side is pre-filtered with a semi-join
+    # on the left side's users (guide §3.2): un-hinted — AQE broadcasts
+    # the small distinct-user set at runtime — it cuts the window input
+    # ~11x at sf0.1 and scales as the left-side selectivity.
     o = (
         t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
-        .agg(F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
-             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
+                "o_orderkey", "o_totalprice")
+        .join(e.select("user_id").distinct(), "user_id", "leftsemi")
     )
     joined = asof_join_backward(
         e, o, on="user_id", left_time="ts", right_time="o_orderdate",
         carry=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
     )
     return (
         joined.filter(F.col("asof_o_orderkey").isNotNull())

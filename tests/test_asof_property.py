@@ -56,3 +56,29 @@ def test_asof_backward_matches_brute_force(spark, left, right):
         key=lambda r: (r[0], r[1], r[2] is None, r[2]),
     )
     assert got == _brute_force(left, right_r)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_tiebreak_matches_prereduced(spark, left, right):
+    """The r16 ``tiebreak`` sort key must pick the same representative
+    as the max_by pre-reduction it replaced: feeding the RAW
+    (duplicated) right side with tiebreak='v' equals pre-reducing to
+    the max-v row per (key, time) and joining without it."""
+    reduced = {}
+    for k, t, v in right:
+        reduced[(k, t)] = max(v, reduced.get((k, t), v))
+    right_r = [(k, t, v) for (k, t), v in reduced.items()]
+
+    ldf = spark.createDataFrame(left, "k long, t long")
+    raw = spark.createDataFrame(right or [(99, 99, 0)], "k long, t long, v long")
+    if not right:
+        raw = raw.filter("k < 0")
+    got = sorted(
+        ((r.k, r.t, r.asof_v) for r in
+         asof_join_backward(ldf, raw, on="k", left_time="t",
+                            right_time="t", carry=["v"],
+                            tiebreak="v").collect()),
+        key=lambda r: (r[0], r[1], r[2] is None, r[2]),
+    )
+    assert got == _brute_force(left, right_r)
