@@ -1257,12 +1257,11 @@ def bpe_learn_tok(docs: DataFrame,
     projections makes the finished table free. The extra column rides
     projections only — never a shuffle (the pair aggregation still
     selects (freq, p) alone)."""
-    vocab = (
+    base = (
         docs.select(F.explode(_words(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word").agg(F.count("*").alias("freq"))
         .select("word", F.split("word", "").alias("seq"), "freq")
-        .localCheckpoint()
     )
     # Size-gated driver fast path (r15, guide §1.2/§5 — the
     # KMEANS_FOLD_MAX dispatch precedent): the merge loop's working
@@ -1282,7 +1281,18 @@ def bpe_learn_tok(docs: DataFrame,
     # LIMIT-bounded, and the distributed loop below runs exactly as
     # before — at production vocabulary sizes the per-round job cost
     # is real work, not overhead.
-    head = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).collect()
+    #
+    # r16 (verdict item 3): the probe collect IS the vocabulary
+    # materialization — the former standalone eager-checkpoint job in
+    # front of it paid one full extra scheduled job per invocation
+    # purely to pin blocks the fast path then read once. The checkpoint
+    # now happens ONLY on the distributed path (below the size gate),
+    # where the 10-round loop genuinely re-reads the vocabulary; that
+    # path re-runs the word aggregation once (the probe's LIMIT collect
+    # cannot seed a checkpoint), a single extra combinable-agg pass
+    # that is noise against ten distributed rounds at any vocabulary
+    # size that takes the slow path.
+    head = base.limit(BPE_DRIVER_VOCAB_MAX + 1).collect()
     if len(head) <= BPE_DRIVER_VOCAB_MAX:
         rows = [(r["word"], list(r["seq"]), int(r["freq"])) for r in head]
         py_merges: list[tuple[int, str, str, int]] = []
@@ -1301,6 +1311,7 @@ def bpe_learn_tok(docs: DataFrame,
         tok = docs.sparkSession.createDataFrame(
             rows, "word string, seq array<string>, freq bigint")
         return py_merges, tok
+    vocab = base.localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pairs = vocab.select(
@@ -1485,7 +1496,16 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
         vocab = tok_vocab
     vocab = vocab.select(
         "word", F.array_join("seq", " ").alias("tok"),
-        F.size("seq").alias("n_tok")).localCheckpoint(eager=False)
+        F.size("seq").alias("n_tok"))
+    if tok_vocab is None:
+        # The n-deep nested merge fold above is a large expression
+        # tree; truncate it so the join below plans against a flat
+        # relation. When the learn loop supplied tok_vocab it is
+        # already a local relation (driver fast path) or the loop's
+        # own checkpoint (distributed path) — re-checkpointing a
+        # single-consumer projection of it only adds an RDD
+        # construction per invocation (r16).
+        vocab = vocab.localCheckpoint(eager=False)
     per_doc = (
         words.join(vocab, "word")
         .groupBy("doc_id")
