@@ -91,3 +91,40 @@ def test_bench_json_tail_keeps_headline_facts():
     assert idx == sorted(idx), (
         "bench.py must build the output dict with per-key bulk first "
         f"and headline facts last; found order {list(zip(order, idx))}")
+
+
+def test_bench_stdout_tail_parses_end_to_end(tmp_path):
+    """r15 verdict item 6 (r16): the driver archives the LAST 2000
+    chars of bench stdout and parses the summary JSON from it. Run the
+    real CLI as a subprocess (two fast keys at sf0.001 via the skip
+    knob, so the run stays test-sized) and assert the contract
+    end-to-end: exit 0, stdout's last non-empty line is the complete
+    JSON document, every headline fact lands inside the 2000-char
+    tail, and the per-key bulk precedes the facts in the emitted text
+    (so a future verbose key pushes bulk, not facts, off the tail)."""
+    import json
+    import os
+    import subprocess
+
+    bench = _load_bench()
+    keep = {"q_union_all", "q_fn_string"}
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_BENCH_SKIP": ",".join(
+            n for n in bench.HEADLINE if n not in keep),
+    }
+    p = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")], env=env,
+        capture_output=True, text=True, timeout=300)
+    assert p.returncode == 0, p.stderr[-2000:]
+    line = [ln for ln in p.stdout.splitlines() if ln.strip()][-1]
+    tail = p.stdout[-2000:]
+    out = json.loads(line)
+    assert set(out["queries"]) == keep
+    for fact in ('"value"', '"value_min"', '"degrade_top"',
+                 '"release_between_samples"', '"skipped"'):
+        assert fact in tail, f"{fact} missing from the 2000-char tail"
+    # bulk-before-facts in the actual emitted text, not just the source
+    assert line.index('"samples"') < line.index('"value"')
+    assert line.index('"queries_min"') < line.index('"value_min"')
