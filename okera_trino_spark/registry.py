@@ -165,35 +165,39 @@ def query(name: str, oracle: str | None = None,
 #: bound tests in tests/test_bounds.py. Rotation audits (including
 #: scripts/rotation_audit.py) must exclude them from staleness checks.
 _PRIORITY: tuple[str, ...] = (
-    # 1) r10-stale cohort (25 of the staged 32 — the other 7 were
-    #    consolidated into the pack keys in slot 2)
-    "q_agg_bool", "q_agg_histogram", "q_agg_listagg", "q_asof_join",
-    "q_events_gapfill", "q_events_sessionize", "q_fn_decimal",
-    "q_fn_interval", "q_fn_json", "q_fn_try", "q_fn_url",
-    "q_join_range_banded", "q_recursive_cte", "q_scan_nested",
-    "q_sort_multi", "q_sort_nulls", "q_stream_dedup",
-    "q_stream_session", "q_stream_slide", "q_stream_stream_join",
-    "q_stream_tumble", "q_trino_sql_jsonpath_bool",
-    "q_udf_current_db", "q_unnest_ordinality", "q_win_dist",
-    # 2) new r15 keys: the four consolidation packs (every column of
-    #    the 10 retired singletons lives on here with its oracle)
-    "q_trino_sql_breadth_pack",
-    "q_trino_sql_doc_breadth",
-    "q_trino_sql_hash_stem",
-    "q_trino_sql_listagg_ext",
-    # 3) changed-implementation jump-queue (standing rule — see note)
-    "q_llm_kmeans", "q_llm_cluster_sample", "q_llm_semdedup_kmeans",
-    "q_llm_dedup_exact", "q_llm_substring_spans",
-    "q_llm_dup_clusters_star",
-    # 4) r11 backfill (15; 25 + 4 + 6 + 15 = 50) — heavy/plan-
-    #    sensitive first: the dedup/curation spine, TPC-H composites,
-    #    the dialect-TEXT TPC-H twins
-    "q_llm_dedup_near", "q_llm_dsir", "q_llm_para_dedup",
-    "q_llm_chunk", "q_llm_ann_lsh", "q_llm_entropy", "q_llm_pack",
-    "q_llm_dedup_ngram",
-    "q_tpch_q9", "q_tpch_q21", "q_tpch_q2",
-    "q_trino_tpch_q21", "q_trino_tpch_q1",
-    "q_win_frame_rows", "q_join_full",
+    # R16 WINDOW (the pre-staged r15 plan, executed; the r15 window
+    # went 50/50 hash-green so all 50 rotate out; rotation_audit.py
+    # verifies this block covers the due cohort and the lookahead
+    # stays feasible — note r16 is an OPTIMIZATION round: 0 new
+    # registry keys, relieving the budget arithmetic by one round):
+    # 1) the due cohort — the 34 remaining r11-cohort keys whose
+    #    staleness bound hits at r16 (rotation_audit.py prints the
+    #    exact list)
+    "q_agg_cube", "q_agg_distinct", "q_agg_filtered", "q_agg_gsets",
+    "q_agg_numeric_histogram_det", "q_join_anti", "q_join_theta",
+    "q_llm_media_features", "q_subquery_in", "q_subquery_scalar",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
+    "q_trino_sql", "q_trino_sql_fns", "q_trino_sql_groups_frame",
+    "q_trino_sql_jsonpath_methods", "q_trino_sql_jsonpath_strict",
+    "q_trino_sql_prepared", "q_trino_sql_qdigest", "q_trino_sql_tz",
+    "q_trino_sql_unnest", "q_trino_tpch_q13", "q_trino_tpch_q15",
+    "q_trino_tpch_q17", "q_trino_tpch_q18", "q_trino_tpch_q2",
+    "q_trino_tpch_q22", "q_trino_tpch_q4", "q_union_distinct",
+    "q_view_expand", "q_win_frame_groups", "q_win_lag_lead",
+    # 2) changed-implementation jump-queue (standing rule): keys whose
+    #    implementation changed in r16 — the as-of tiebreak/semi-join
+    #    rewrite, the single-scan retention, the DSIR scoring revert,
+    #    and the BPE probe-fold (both halves share bpe_learn_tok)
+    "q_asof_join", "q_events_retention", "q_llm_dsir",
+    "q_llm_bpe", "q_llm_bpe_apply",
+    # 3) r12-cohort backfill (11; 34 + 5 + 11 = 50), stalest-first
+    #    with heavy/plan-sensitive keys preferred per the r15 staging
+    #    note (q_llm_curation defers to r17 — the map-only filter is
+    #    the least plan-sensitive of the staged candidates)
+    "q_llm_dup_clusters_lsh", "q_llm_dedup_apply_lsh",
+    "q_llm_semdedup", "q_llm_trigram_lm", "q_llm_tfidf",
+    "q_llm_winnow", "q_llm_heavy_hitters", "q_llm_ann_pq",
+    "q_tpch_q18", "q_tpch_q3", "q_events_pattern_rows",
 )
 
 
