@@ -1082,9 +1082,10 @@ def q_llm_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("th ", "the") put ≈|corpus| rows in one WindowExec partition that
     AQE cannot split; the broadcast join eliminates that shuffle
     entirely (the probe side keeps its (doc, tri) agg partitioning).
-    The corpus total never needs the trigrams at all: it is exactly
-    sum(max(len-2, 0)) over documents — a scan-only aggregate,
-    broadcast as one row. Cross-entropy sums ln() terms per doc and
+    The corpus total is sum(c) over the checkpointed count relation
+    (== sum(model.cnt), the oracle's formula; r16 — previously a
+    second full corpus scan computing sum(max(len-2, 0)) over the raw
+    text), broadcast as one row. Cross-entropy sums ln() terms per doc and
     rounds at 4 decimals before the flag compare (entropy-gate
     precedent), so float summation order cannot flip a boundary doc.
     """
@@ -1126,9 +1127,14 @@ def trigram_xent(d: DataFrame, spark: SparkSession) -> DataFrame:
     tc = (tris.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
           .localCheckpoint(eager=False))
     model = tc.groupBy("tri").agg(F.sum("c").alias("cnt"))
-    total = d.agg(
-        F.sum(F.greatest(F.length(F.lower(F.col("text"))) - 2, F.lit(0)))
-        .cast("double").alias("t"))
+    # The corpus total is sum(c) over the checkpoint — the oracle's own
+    # formula (sum(model.cnt)), and an exact integer identity with the
+    # former sum(greatest(len - 2, 0)) re-scan of the documents table.
+    # r16 (guide §2.4/§6): sourcing it from the checkpoint drops the
+    # SECOND full corpus scan (re-read + re-lowercase of every text)
+    # from the plan — bench-neutral at sf0.1 where the corpus is 1.5 MB,
+    # one whole pass over the corpus at production scale.
+    total = tc.agg(F.sum("c").cast("double").alias("t"))
     xent = F.round(
         -F.sum(F.col("c") * F.log(F.col("cnt") / F.col("t"))) / F.sum("c"), 4)
     return (
