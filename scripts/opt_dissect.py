@@ -36,6 +36,9 @@ def tick(label: str = "") -> None:
 
 
 def dissect_kmeans(spark):
+    # r16: mirrors the CURRENT implementation (r15 parsed-expr mean
+    # aggs + _kmeans_assign) — the previous version rebuilt the r14
+    # per-dim Column aggregates and overstated the key ~2x.
     from pyspark.sql import functions as F
 
     from okera_trino_spark.llm.similarity import (
@@ -48,14 +51,13 @@ def dissect_kmeans(spark):
     cent = {int(r.vec_id): [float(x) for x in r.embedding]
             for r in e.filter(F.col("vec_id") < KMEANS_K).collect()}
     tick("init collect")
+    mean_aggs = [F.expr(f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 6) "
+                        f"AS m{i}") for i in range(DIM)]
     for it in range(KMEANS_ITERS):
         best = _kmeans_assign(e, cent)
         tick(f"iter{it}: build assign expr")
         rows = (e.withColumn("_c", best["c"])
-                .groupBy("_c")
-                .agg(*[F.round(F.avg(F.col("embedding")[i].cast("double")),
-                               6).alias(f"m{i}") for i in range(DIM)])
-                .collect())
+                .groupBy("_c").agg(*mean_aggs).collect())
         tick(f"iter{it}: agg+collect")
         cent = {int(r["_c"]): [float(r[f"m{i}"]) for i in range(DIM)]
                 for r in rows}
@@ -69,13 +71,27 @@ def dissect_kmeans(spark):
 
 
 def dissect_bpe(spark):
+    # r16: the real key (q_llm_bpe_apply) takes the driver fast path at
+    # fixture vocabulary sizes — bpe_learn_tok's probe collect + python
+    # loop + bpe_apply(tok_vocab=...). Dissect THAT first; the
+    # distributed learn loop below is kept for the above-budget path.
     from pyspark.sql import functions as F
 
-    from okera_trino_spark.llm.text import _apply_merge, _words, bpe_apply
+    from okera_trino_spark.llm.text import (_apply_merge, _words,
+                                            bpe_apply, bpe_learn_tok)
     from okera_trino_spark.operators._util import t
 
     docs = t(spark, SF_DIR, "documents")
     tick()
+    learned, tok_vocab = bpe_learn_tok(docs, n_merges=10)
+    tick("fast path: bpe_learn_tok (probe collect + py loop)")
+    out = bpe_apply(docs, [(l, r) for _, l, r, _ in learned],
+                    tok_vocab=tok_vocab)
+    tick("fast path: apply build")
+    out.count()
+    tick("fast path: apply count (join + stitch)")
+
+    # distributed-loop shape (the > BPE_DRIVER_VOCAB_MAX path)
     vocab = (
         docs.select(F.explode(_words(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
@@ -83,7 +99,7 @@ def dissect_bpe(spark):
         .select(F.split("word", "").alias("seq"), "freq")
         .localCheckpoint()
     )
-    tick("learn: vocab checkpoint (eager)")
+    tick("distributed learn: vocab checkpoint (eager)")
     merges = []
     for step in range(1, 11):
         pairs = vocab.select(
