@@ -886,12 +886,18 @@ def embed_near_dups(e: DataFrame, threshold: float = 0.5) -> DataFrame:
     EMBED_ROWS. At a production near-dup threshold (≥0.9) recall is
     1-(1-p^r)^b ≈ 0.999; see tests/test_llm.py planted-near-dup check.
     """
-    from okera_trino_spark.llm.similarity import cosine
+    # Checkpointed for the same reason as lsh_candidate_pairs's banded
+    # relation (r16, guide §1.2): the self-join's two sides otherwise
+    # EACH evaluate the EMBED_BANDS x EMBED_ROWS sign-bit codes (32
+    # literal-hyperplane dot products per row) — Catalyst plans two
+    # identical subtrees and no exchange reuse fires. The checkpoint is
+    # |vectors| x EMBED_BANDS rows of three integers. Interleaved A/B
+    # on q_llm_semdedup at sf0.1: min 0.76 -> 0.55 s, med 1.12 -> 0.89.
     banded = e.select(
         "vec_id", F.explode(embed_band_buckets("embedding")).alias("bb")
     ).select(
         "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    ).localCheckpoint(eager=False)
     x = banded.alias("x")
     y = banded.alias("y")
     cands = (
