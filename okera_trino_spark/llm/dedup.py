@@ -804,10 +804,16 @@ def q_llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in range(SIMHASH_PAIR_BANDS)
     ])
+    # Checkpointed like the MinHash/embedding banded relations (r16,
+    # guide §1.2): the self-join's two sides otherwise EACH re-run the
+    # whole fingerprint pipeline (shingle hash + 64 bit-vote
+    # aggregation over the corpus) — no exchange reuse fires on the
+    # duplicated subtrees. 4 rows of 4 integers per doc.
     banded = fp.select(
         "doc_id", "simhash", F.explode(chunks).alias("bc")
     ).select("doc_id", "simhash",
-             F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+             F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
+             ).localCheckpoint(eager=False)
     x = banded.alias("x")
     y = banded.alias("y")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
