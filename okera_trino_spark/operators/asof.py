@@ -41,12 +41,17 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
     picks the representative when several right rows share the same
     (key, time). It becomes the window sort's third key — right rows at
     an equal time sort ascending on it, so the running last_value lands
-    on the max-tiebreak row — which is exactly ``max_by(payload,
+    on the max-tiebreak row — which equals ``max_by(payload,
     tiebreak)`` WITHOUT the pre-aggregation exchange callers otherwise
     need to de-duplicate the right side (the deterministic-representative
-    reduction rides the one shuffle the window already pays). Left rows
-    carry NULL there and are ordered after right rows by ``_side``
-    regardless, so left-side order stays don't-care, as before.
+    reduction rides the one shuffle the window already pays). CAVEAT:
+    the equivalence requires non-null carry payloads on the right side
+    — ``last(ignorenulls)`` would skip a max-tiebreak row whose payload
+    is NULL and surface an older row's value where max_by returns NULL
+    (q_asof_join carries TPC-H NOT NULL columns, so it holds there).
+    Left rows carry NULL there and are ordered after right rows by
+    ``_side`` regardless, so left-side order stays don't-care, as
+    before.
     """
     lt = left.select(
         F.col(on).alias("_k"), F.col(left_time).alias("_t"),

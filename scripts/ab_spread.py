@@ -1,8 +1,13 @@
 #!/usr/bin/env python
-"""Interleaved A/B for the keyed spread (r16): variant A monkeypatches
-spread_if_narrow to drop the ``by`` argument (the r15 round-robin
-behavior), variant B runs the code as committed. Alternating repeats in
-ONE session so host drift hits both variants equally."""
+"""Interleaved A/B for the keyed spread (r16 NEGATIVE result): variant
+A is the shipped round-robin spread_if_narrow, variant B monkeypatches
+it to hash-partition on doc_id — the rejected r16 experiment (it
+removed the (doc, key) aggregation exchange but hash imbalance over
+~5000 docs x 64 partitions straggled the dominant explode stage;
+measured trigram min 1.294 -> 1.655 REGRESSION, dsir ~neutral).
+Alternating repeats in ONE session so host drift hits both variants
+equally. The keyed variant is replicated HERE (the ``by`` parameter was
+reverted from the engine) so the negative result stays reproducible."""
 
 from __future__ import annotations
 
@@ -23,8 +28,15 @@ from okera_trino_spark.session import get_spark
 _real_spread = _util.spread_if_narrow
 
 
-def _spread_roundrobin(df, spark, factor=2, by=None):
-    return _real_spread(df, spark, factor=factor, by=None)
+def _spread_keyed(df, spark, factor=2):
+    """The rejected variant: hash-partition on doc_id instead of
+    round-robin (same condition and target as the real helper)."""
+    from pyspark.sql import functions as F
+
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col("doc_id"))
 
 
 def main() -> None:
@@ -38,15 +50,15 @@ def main() -> None:
     for name in keys:
         fn = specs[name].fn
         # untimed warm-up, one per variant
-        for patched in (True, False):
-            _util.spread_if_narrow = (_spread_roundrobin if patched
+        for patched in (False, True):
+            _util.spread_if_narrow = (_spread_keyed if patched
                                       else _real_spread)
             fn(spark, SF_DIR).count()
             _release_persisted(spark)
         walls: dict[str, list[float]] = {"A_roundrobin": [], "B_keyed": []}
         for rep in range(reps):
-            for label, patched in (("A_roundrobin", True), ("B_keyed", False)):
-                _util.spread_if_narrow = (_spread_roundrobin if patched
+            for label, patched in (("A_roundrobin", False), ("B_keyed", True)):
+                _util.spread_if_narrow = (_spread_keyed if patched
                                           else _real_spread)
                 sc.setJobDescription(f"ab:{name}:{label}:{rep}")
                 t0 = time.perf_counter()

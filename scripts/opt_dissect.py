@@ -96,7 +96,7 @@ def dissect_bpe(spark):
         docs.select(F.explode(_words(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word").agg(F.count("*").alias("freq"))
-        .select(F.split("word", "").alias("seq"), "freq")
+        .select("word", F.split("word", "").alias("seq"), "freq")
         .localCheckpoint()
     )
     tick("distributed learn: vocab checkpoint (eager)")
